@@ -1,0 +1,79 @@
+"""Shared column expressions (scalar-function surface, SURVEY.md §2.8).
+
+The reference has no scalar-function library — per-record computation is
+arbitrary Java in a Mapper (e.g. StringTokenizer in WordCount.java:42-47,
+regex in RegexMapper.java:58). Here every such computation is a JVM-side
+Column expression so it stays inside whole-stage codegen; nothing in this
+module touches Python at runtime.
+
+Cross-engine determinism rule: anything that must match the DuckDB oracle
+bit-for-bit is built from md5() hex strings (identical in both engines) —
+never from engine-specific hash functions (Spark xxhash64 != DuckDB hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Regex used for whitespace tokenization in both engines (StringTokenizer
+# semantics: runs of whitespace delimit, no empty tokens).
+WS = r"\s+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokens of a string column as an array (no empties).
+
+    Reference: WordCount.java:42-47 (StringTokenizer).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), WS)
+
+
+def explode_tokens(col: Column | str) -> Column:
+    return F.explode(tokenize(col))
+
+
+def hex_hash32(col: Column | str, salt: str | None = None) -> Column:
+    """Deterministic 32-bit integer hash shared with the DuckDB oracle:
+    first 8 hex chars of md5 → bigint. Used for minhash/simhash/sampling."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt is not None:
+        c = F.concat(F.lit(salt), F.lit("|"), c)
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def oracle_hash32(expr: str, salt: str | None = None) -> str:
+    """DuckDB SQL fragment equivalent of :func:`hex_hash32`."""
+    e = f"('{salt}' || '|' || {expr})" if salt is not None else expr
+    return f"CAST(('0x' || substr(md5({e}), 1, 8)) AS BIGINT)"
+
+
+def char_ngrams(col_name: str, n: int) -> Column:
+    """Array of character n-grams (shingles) of a string column, JVM-side.
+
+    sequence(1, len-n+1) + transform keeps this in codegen; no UDF.
+    Takes a column *name* because the expression is built as SQL text.
+    """
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col_name}) - {n - 1}, 0)), "
+        f"i -> substring({col_name}, i, {n}))"
+    )
+
+
+def word_shingles(col_name: str, n: int) -> Column:
+    """Array of word n-gram shingles (space-joined) from a text column name."""
+    toks = f"split(trim({col_name}), '{WS}')"
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+
+
+def oracle_word_shingles(col_expr: str, n: int) -> str:
+    """DuckDB fragment producing the same word n-gram shingle list."""
+    toks = f"regexp_split_to_array(trim({col_expr}), '{WS}')"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )

@@ -1,0 +1,135 @@
+"""Table loaders and sinks.
+
+Reference semantics covered here (SURVEY.md §2.1):
+- ``TextInputFormat`` / ``KeyValueTextInputFormat`` / ``NLineInputFormat`` →
+  ``read_text`` / ``read_kv_text`` / ``repartition`` after read.
+- ``AutoInputFormat`` (hadoop-streaming AutoInputFormat.java:40 sniffes file
+  magic) → ``load_auto`` dispatches on extension.
+- ``MultipleOutputFormat`` (mapred/lib/MultipleOutputFormat.java:56 derives the
+  output path from the record) → ``write_partitioned``.
+- ``MultipleOutputs`` (mapreduce/lib/output/MultipleOutputs.java:307 named side
+  outputs) → ``MultiSink``.
+
+Everything is a thin declarative wrapper; Spark's file-source handles split
+computation (FileInputFormat.getSplits:380 ≈ maxPartitionBytes), small-file
+coalescing (CombineFileInputFormat ≈ openCostInBytes) and commit protocol
+(FileOutputCommitter ≈ Spark committer) natively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver's parquet tables.
+
+    ``events.parquet`` stores its ``ts`` column as parquet TIMESTAMP(NANOS),
+    which Spark only reads via the nanosAsLong legacy conf; we truncate to
+    microseconds exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast so both
+    engines see identical values.
+    """
+    # Driver-owned sessions don't come through our factory: pin the runtime
+    # confs result-parity depends on (UTC timestamps, nanos-typed parquet).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """TextInputFormat: one row per line, column ``value``."""
+    return spark.read.text(path)
+
+
+def read_kv_text(spark: SparkSession, path: str, sep: str = "\t") -> DataFrame:
+    """KeyValueTextInputFormat: split each line at the first separator.
+
+    Reference: KeyValueLineRecordReader.java:39 — key is the prefix before the
+    first separator byte, value the rest (whole line → key, empty value when
+    no separator present).
+    """
+    line = F.col("value")
+    has_sep = F.instr(line, sep) > 0
+    return spark.read.text(path).select(
+        F.when(has_sep, F.substring_index(line, sep, 1)).otherwise(line).alias("key"),
+        F.when(has_sep, F.expr(f"substring(value, instr(value, '{sep}') + 1)"))
+        .otherwise(F.lit(""))
+        .alias("value"),
+    )
+
+
+def load_auto(spark: SparkSession, path: str) -> DataFrame:
+    """AutoInputFormat analogue: dispatch reader on file extension."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".parquet", ".pq"):
+        return spark.read.parquet(path)
+    if ext == ".csv":
+        return spark.read.option("header", "true").csv(path)
+    if ext in (".json", ".jsonl", ".ndjson"):
+        return spark.read.json(path)
+    if ext == ".orc":
+        return spark.read.orc(path)
+    return spark.read.text(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str, fmt: str = "parquet") -> None:
+    """MultipleOutputFormat.generateFileNameForKeyValue analogue: route each
+    record to a directory derived from its own columns."""
+    df.write.mode("overwrite").partitionBy(*cols).format(fmt).save(path)
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    """TextOutputFormat: ``key \\t value`` lines."""
+    df.write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+class MultiSink:
+    """MultipleOutputs analogue: fan one cached DataFrame out to N named sinks.
+
+    The reference writes side outputs from inside a single reduce pass
+    (MultipleOutputs.java:408 ``write(name, k, v, baseOutputPath)``); on Spark
+    the idiomatic equivalent is caching the source once and issuing one
+    declarative write per named output so each write still gets full
+    pushdown/pruning on its own filter.
+    """
+
+    def __init__(self, df: DataFrame):
+        self._df = df.cache()
+        self._sinks: list[tuple[str, DataFrame, str, str]] = []
+
+    def add(self, name: str, path: str, where: str | None = None, fmt: str = "parquet") -> "MultiSink":
+        part = self._df.filter(where) if where else self._df
+        self._sinks.append((name, part, path, fmt))
+        return self
+
+    def run(self) -> dict[str, str]:
+        out = {}
+        for name, part, path, fmt in self._sinks:
+            part.write.mode("overwrite").format(fmt).save(path)
+            out[name] = path
+        self._df.unpersist()
+        return out

@@ -1,0 +1,127 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+ValueAggregator framework analogue — the reference dispatches on aggregate
+descriptor type strings emitted by mappers ("LongValueSum:word\\t1", see
+mapreduce/lib/aggregate/ValueAggregatorBaseDescriptor.java:39-53 and
+ValueAggregatorJob.java:119): here the same declarative surface is a
+spec→Column registry compiled into ONE groupBy pass, so Catalyst runs it as
+partial+final HashAggregate (the combiner, MapTask.java:1637, for free).
+
+ValueHistogram (mapreduce/lib/aggregate/ValueHistogram.java:38): per key,
+statistics over the *frequency distribution* of its values — count of distinct
+values, min/max/mean/median/stddev of the per-value frequencies.
+
+Exact median (examples/WordMedian.java:64-149): the reference streams the
+sorted (length, count) histogram and picks index ceil(n/2). We reproduce that
+shape: aggregate to a histogram first (tiny), then a cumulative-sum window
+over the histogram — never a global sort of raw rows, so it scales.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# ValueAggregator registry
+# ---------------------------------------------------------------------------
+
+def _uniq_count(value: Column, max_items: int | None) -> Column:
+    # UniqValueCount.java:35 supports a cap on tracked distinct items
+    # (maxNumItems); the exact distinct count is the uncapped case.
+    if max_items is None:
+        return F.countDistinct(value).cast("bigint")
+    return F.least(F.countDistinct(value), F.lit(max_items)).cast("bigint")
+
+
+AGGREGATOR_TYPES = {
+    # descriptor type string -> fn(value_col, opt) -> Column
+    "LongValueSum": lambda v, _o: F.sum(v.cast("long")).cast("bigint"),
+    "DoubleValueSum": lambda v, _o: F.sum(v.cast("double")).cast("double"),
+    "LongValueMax": lambda v, _o: F.max(v.cast("long")).cast("bigint"),
+    "LongValueMin": lambda v, _o: F.min(v.cast("long")).cast("bigint"),
+    "StringValueMax": lambda v, _o: F.max(v.cast("string")),
+    "StringValueMin": lambda v, _o: F.min(v.cast("string")),
+    "UniqValueCount": lambda v, o: _uniq_count(v, o),
+    "ValueHistogram:count": lambda v, _o: F.countDistinct(v).cast("bigint"),
+}
+
+
+def value_aggregate(
+    df: DataFrame,
+    group_col: Column | str,
+    specs: Sequence[tuple[str, Column | str, str] | tuple[str, Column | str, str, object]],
+) -> DataFrame:
+    """Run a ValueAggregatorJob-style declarative aggregation.
+
+    ``specs`` entries are ``(aggregator_type, value_col, out_name[, option])``
+    mirroring the reference's "type:id\\tvalue" records; all descriptors over
+    the same id compile into a single groupBy.agg pass.
+    """
+    key = F.col(group_col) if isinstance(group_col, str) else group_col
+    aggs = []
+    for spec in specs:
+        typ, value, out = spec[0], spec[1], spec[2]
+        opt = spec[3] if len(spec) > 3 else None
+        v = F.col(value) if isinstance(value, str) else value
+        try:
+            fn = AGGREGATOR_TYPES[typ]
+        except KeyError as e:  # pragma: no cover - config error
+            raise ValueError(f"unknown aggregator type {typ!r}") from e
+        aggs.append(fn(v, opt).alias(out))
+    return df.groupBy(key.alias("id")).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# ValueHistogram
+# ---------------------------------------------------------------------------
+
+def value_histogram(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Per-key stats over value-frequency distribution (ValueHistogram.java:38).
+
+    Output columns: id, n_distinct, min_freq, max_freq, mean_freq,
+    median_freq (lower median), stddev_freq (population).
+
+    Two hash aggregations; the per-key frequency list is collected only at the
+    second level where cardinality = distinct values per key (bounded in the
+    reference too — it holds the same map in memory per reduce key).
+    """
+    freq = df.groupBy(F.col(key).alias("id"), F.col(value).alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    return freq.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.min("c").cast("bigint").alias("min_freq"),
+        F.max("c").cast("bigint").alias("max_freq"),
+        F.avg("c").cast("double").alias("mean_freq"),
+        F.expr(
+            "cast(element_at(sort_array(collect_list(c)),"
+            " cast((count(*) + 1) div 2 as int)) as bigint)"
+        ).alias("median_freq"),
+        F.sqrt(
+            F.avg(F.col("c").cast("double") * F.col("c"))
+            - F.avg(F.col("c").cast("double")) * F.avg(F.col("c").cast("double"))
+        ).alias("stddev_freq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact median via sorted histogram (WordMedian.java pattern)
+# ---------------------------------------------------------------------------
+
+def exact_median(df: DataFrame, col: str, out_name: str = "median") -> DataFrame:
+    """Exact lower median ( element at rank (n+1) div 2 ) of an integer-ish
+    column, computed scalably: histogram groupBy (distributed) then a
+    cumulative window over the tiny histogram — the window's single partition
+    holds one row per *distinct value*, not per input row."""
+    hist = df.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = hist.agg(F.sum("c").alias("n"))
+    cum = hist.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(total))
+    target = F.expr("(n + 1) div 2")
+    return (
+        cum.filter(F.col("cum") >= target)
+        .agg(F.min("v").cast("bigint").alias(out_name))
+    )

@@ -1,0 +1,80 @@
+"""Partitioning / total-order sort (SURVEY.md §2.3, §2.6).
+
+TotalOrderPartitioner + InputSampler (mapreduce/lib/partition/
+TotalOrderPartitioner.java:50, InputSampler.java:314) sample input keys,
+compute balanced split points, range-partition, then sort each partition
+locally — exactly what Spark's ``repartitionByRange(...).
+sortWithinPartitions(...)`` / ``orderBy`` does internally (it range-samples
+the child RDD). Nothing to re-implement for plain total-order output.
+
+What Spark does NOT give built-in is a *global rank* without collapsing to
+one partition. ``global_sort_with_rank`` implements the scalable two-pass
+scheme (the same idea as TeraSort's partition-id * partition-size offsets):
+
+  1. range-partition + local sort,
+  2. count rows per range partition (cheap scan),
+  3. broadcast cumulative offsets, add to the within-partition row_number.
+
+At 100 TB this is one extra count() over the sorted data instead of a
+single-partition window; the window below partitions by the range-partition
+id so every partition ranks independently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def total_order_sort(df: DataFrame, cols: Sequence[Column | str], num_partitions: int | None = None) -> DataFrame:
+    """Globally sorted output across files (Sort example, examples/Sort.java:92)."""
+    exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, *exprs).sortWithinPartitions(*exprs)
+    return df.orderBy(*exprs)
+
+
+def global_sort_with_rank(
+    df: DataFrame,
+    cols: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int = 32,
+    ascending: Sequence[bool] | None = None,
+) -> DataFrame:
+    """Total-order sort + 1-based global rank, without a global window.
+
+    ``cols`` must form a total order (unique combination) for the rank to be
+    deterministic. Descending fields supported via ``ascending`` flags.
+    """
+    asc = ascending or [True] * len(cols)
+    sort_exprs = [
+        (F.col(c) if a else F.col(c).desc()) for c, a in zip(cols, asc)
+    ]
+    # Pass 1: range partition + local sort.
+    part = df.repartitionByRange(num_partitions, *sort_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Pass 2: per-partition counts -> cumulative offsets (tiny, broadcast).
+    sizes = part.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))).select(
+        "__pid", "__off"
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*sort_exprs)
+    ranked = (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.row_number().over(w_local) + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__off")
+    )
+    return ranked
+
+
+def hash_sample(df: DataFrame, col: str, modulus: int, keep: int = 0) -> DataFrame:
+    """SequenceFileInputFilter.PercentFilter analogue
+    (mapreduce/lib/input/SequenceFileInputFilter.java:153): keep rows whose
+    key-hash bucket matches — deterministic scan-time sampling."""
+    from ..functions import hex_hash32
+
+    return df.filter(hex_hash32(col) % modulus == keep)

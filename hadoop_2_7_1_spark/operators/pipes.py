@@ -1,0 +1,86 @@
+"""Hadoop Streaming analogue: external-process UDFs (SURVEY.md §2.10).
+
+PipeMapper/PipeReducer (hadoop-streaming PipeMapper.java:38, PipeReducer.java:40)
+fork a user executable per task and speak a tab-separated line protocol over
+stdin/stdout (separators configurable, HadoopStreaming.md.vm:232-239).
+
+``pipe_transform`` reproduces that contract on Spark: one subprocess per
+*partition* (not per row), fed through ``mapInPandas`` so rows move
+driver-free in Arrow batches; a writer thread streams stdin while the main
+thread consumes stdout, mirroring the reference's pump threads
+(PipeMapRed.java). Output lines are split at the first separator into
+(key, value) — exactly the streaming default of
+``stream.map.output.field.separator`` + num.key.fields=1.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import threading
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+PIPE_OUTPUT_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+
+
+def pipe_transform(
+    df: DataFrame,
+    cmd: list[str],
+    input_cols: list[str] | None = None,
+    sep: str = "\t",
+) -> DataFrame:
+    """Pipe each partition's rows through ``cmd`` (argv list), one line per
+    row (columns joined by ``sep``); parse stdout lines into (key, value).
+
+    Lines whose output has no separator get value "" (streaming's behavior:
+    whole line becomes the key, KeyValueLineRecordReader.java:39).
+    """
+    cols = input_cols or df.columns
+    lines_df = df.select(
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]).alias("line")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proc = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+            bufsize=1 << 20,
+        )
+
+        def feed() -> None:
+            try:
+                for pdf in batches:
+                    for line in pdf["line"]:
+                        proc.stdin.write(line + "\n")
+            finally:
+                proc.stdin.close()
+
+        writer = threading.Thread(target=feed, daemon=True)
+        writer.start()
+
+        keys: list[str] = []
+        vals: list[str] = []
+        for out_line in proc.stdout:
+            out_line = out_line.rstrip("\n")
+            k, s, v = out_line.partition(sep)
+            keys.append(k)
+            vals.append(v if s else "")
+            if len(keys) >= 10_000:
+                yield pd.DataFrame({"key": keys, "value": vals})
+                keys, vals = [], []
+        writer.join()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"pipe command {cmd!r} exited with {rc}")
+        if keys:
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return lines_df.mapInPandas(run, PIPE_OUTPUT_SCHEMA)

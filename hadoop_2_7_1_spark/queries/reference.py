@@ -1,0 +1,654 @@
+"""Q1–Q22: the reference's example programs as declared queries
+(SURVEY.md §2.11), over the driver's test tables.
+
+Corpus mapping: the reference's random-text inputs (RandomTextWriter) map to
+``documents.text``; DB-style tables map to the TPC-H-ish star schema;
+DBCountPageView's Access table maps to ``events``.
+
+Each query cites the reference file it reproduces (semantics only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import tokenize
+from ..io import load_table
+from ..operators import aggregates, fieldsel, joins, keyfield, partitioning, pipes, secondary_sort, setops
+from . import register
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+# DuckDB-side whitespace tokenization of the documents corpus (kept textually
+# identical across every word-stat oracle).
+TOKS_SQL = (
+    "SELECT tok FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+    "FROM documents) WHERE tok <> ''"
+)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.explode(tokenize("text")).alias("tok")).filter(F.col("tok") != "")
+
+
+# ---------------------------------------------------------------------------
+# Q1 WordCount — examples/WordCount.java:36-64
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_wordcount",
+    f"SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM ({TOKS_SQL}) GROUP BY tok",
+    doc="tokenize documents.text; count per token (WordCount.java:36)",
+)
+def q01_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 Grep — examples/Grep.java:55-94 (job1 count matches, job2 sort desc)
+# ---------------------------------------------------------------------------
+
+_GREP_PAT = "[a-z]*or[a-z]*"
+
+@register(
+    "q02_grep",
+    f"""
+    WITH m AS (
+      SELECT unnest(regexp_extract_all(text, '{_GREP_PAT}')) AS match FROM documents
+    ), c AS (
+      SELECT match, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY match
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, match) AS BIGINT) AS rank, match, cnt
+    FROM c QUALIFY rank <= 20
+    """,
+    doc="regex match count + descending sort + top-k (Grep.java:55)",
+)
+def q02_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.regexp_extract_all("text", F.lit(_GREP_PAT), 0)).alias("match"))
+        .groupBy("match")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # top-k via TakeOrdered (no global shuffle-to-one); rank added on the tiny result
+    top = counts.orderBy(F.desc("cnt"), F.asc("match")).limit(20)
+    w = Window.orderBy(F.desc("cnt"), F.asc("match"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "match", "cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3/Q4/Q5 WordMean / WordMedian / WordStandardDeviation
+# examples/WordMean.java:54-96, WordMedian.java:64-149, WordStandardDeviation.java:69-168
+# ---------------------------------------------------------------------------
+
+@register(
+    "q03_wordmean",
+    f"SELECT CAST(avg(length(tok)) AS DOUBLE) AS mean_len FROM ({TOKS_SQL})",
+    doc="mean token length (WordMean.java:54)",
+)
+def q03_wordmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens(spark, sf_dir).agg(
+        F.avg(F.length("tok")).cast("double").alias("mean_len")
+    )
+
+
+@register(
+    "q04_wordmedian",
+    f"""
+    WITH L AS (SELECT length(tok) AS len FROM ({TOKS_SQL}))
+    SELECT CAST(len AS BIGINT) AS median_len FROM (
+      SELECT len, row_number() OVER (ORDER BY len) AS rn, count(*) OVER () AS n FROM L
+    ) WHERE rn = (n + 1) // 2
+    """,
+    doc="exact lower-median token length via sorted histogram (WordMedian.java:64)",
+)
+def q04_wordmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lens = _tokens(spark, sf_dir).select(F.length("tok").alias("len"))
+    return aggregates.exact_median(lens, "len", out_name="median_len")
+
+
+@register(
+    "q05_wordstddev",
+    f"""
+    SELECT CAST(sqrt(avg(len * len) - avg(len) * avg(len)) AS DOUBLE) AS stddev_len
+    FROM (SELECT CAST(length(tok) AS DOUBLE) AS len FROM ({TOKS_SQL}))
+    """,
+    doc="population stddev of token length, sqrt(E[x^2]-E[x]^2) (WordStandardDeviation.java:165)",
+)
+def q05_wordstddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lens = _tokens(spark, sf_dir).select(F.length("tok").cast("double").alias("len"))
+    return lens.agg(
+        F.sqrt(F.avg(F.col("len") * F.col("len")) - F.avg("len") * F.avg("len"))
+        .cast("double")
+        .alias("stddev_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 SecondarySort — examples/SecondarySort.java:57-232
+# ---------------------------------------------------------------------------
+
+@register(
+    "q06_secondary_sort",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+           CAST((max({'s': l_linenumber, 'q': l_quantity})).q AS DOUBLE) AS last_qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="group by k1, values ordered by k2 within group (SecondarySort.java:103)",
+)
+def q06_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = secondary_sort.grouped_sorted_values(li, "l_orderkey", "l_linenumber")
+    return grouped.select(
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.expr("array_join(transform(values, x -> cast(x as string)), ',')").alias("lines"),
+    ).join(
+        # lexicographic struct max: deterministic under duplicate (okey, line)
+        li.groupBy(F.col("l_orderkey").cast("bigint").alias("okey")).agg(
+            F.expr(
+                "cast(max(struct(l_linenumber AS s, l_quantity AS q)).q as double)"
+            ).alias("last_qty")
+        ),
+        "okey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7/Q8/Q8b Join — examples/Join.java:96-156; lib/join inner/outer/override
+# ---------------------------------------------------------------------------
+
+@register(
+    "q07_join_inner",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS okey, c_name, o_totalprice AS price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="equi inner join (InnerJoinRecordReader.java:45)",
+)
+def q07_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "k")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "k")
+    return joins.inner_join([orders, cust], "k").select(
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        "c_name",
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+def _outer_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    # Left: even-keyed customers (creates keys missing on each side);
+    # right: per-customer order aggregates.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("k"), "c_acctbal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("tot"),
+        )
+    )
+    return cust, orders
+
+_OUTER_SIDES_SQL = """
+    a AS (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+    b AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(o_totalprice) AS DOUBLE) AS tot
+          FROM orders GROUP BY o_custkey)
+"""
+
+@register(
+    "q08_join_outer",
+    f"""
+    WITH {_OUTER_SIDES_SQL}
+    SELECT CAST(coalesce(a.k, b.k) AS BIGINT) AS k, a.c_acctbal, b.n_orders, b.tot
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+    doc="N-way full outer join, absent slots null (OuterJoinRecordReader.java:45)",
+)
+def q08_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _outer_sides(spark, sf_dir)
+    out = joins.full_outer_join([cust, orders], "k")
+    return out.select(
+        F.col("k").cast("bigint").alias("k"), "c_acctbal", "n_orders", "tot"
+    )
+
+
+@register(
+    "q08b_join_override",
+    f"""
+    WITH {_OUTER_SIDES_SQL}
+    SELECT CAST(coalesce(a.k, b.k) AS BIGINT) AS k,
+           CAST(coalesce(b.tot, a.c_acctbal) AS DOUBLE) AS value
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+    doc="rightmost source wins per key (OverrideRecordReader.java:36)",
+)
+def q08b_join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _outer_sides(spark, sf_dir)
+    a = cust.select("k", F.col("c_acctbal").alias("v"))
+    b = orders.select("k", F.col("tot").alias("v"))
+    out = joins.override_join([a, b], "k", "v", out_col="value")
+    return out.select(F.col("k").cast("bigint").alias("k"), F.col("value").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Q9 AggregateWordCount — examples/AggregateWordCount.java:52 + aggregate lib
+# ---------------------------------------------------------------------------
+
+@register(
+    "q09_aggregate_wordcount",
+    f"""
+    SELECT substr(tok, 1, 1) AS id,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(max(length(tok)) AS BIGINT) AS max_len,
+           CAST(min(length(tok)) AS BIGINT) AS min_len,
+           CAST(count(DISTINCT tok) AS BIGINT) AS uniq_words
+    FROM ({TOKS_SQL}) GROUP BY substr(tok, 1, 1)
+    """,
+    doc="ValueAggregator descriptor registry in one groupBy pass (ValueAggregatorJob.java:119)",
+)
+def q09_aggregate_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir).select(
+        F.substring("tok", 1, 1).alias("first_char"),
+        F.col("tok"),
+        F.length("tok").alias("len"),
+        F.lit(1).alias("one"),
+    )
+    return aggregates.value_aggregate(
+        toks,
+        "first_char",
+        [
+            ("LongValueSum", "one", "total"),
+            ("LongValueMax", "len", "max_len"),
+            ("LongValueMin", "len", "min_len"),
+            ("UniqValueCount", "tok", "uniq_words"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 AggregateWordHistogram — ValueHistogram.java:38
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_value_histogram",
+    """
+    WITH freq AS (
+      SELECT event_type AS id, user_id AS v, count(*) AS c
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT id,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(min(c) AS BIGINT) AS min_freq,
+           CAST(max(c) AS BIGINT) AS max_freq,
+           CAST(avg(c) AS DOUBLE) AS mean_freq,
+           CAST(list_extract(list_sort(list(c)), CAST((count(*) + 1) // 2 AS INTEGER)) AS BIGINT)
+             AS median_freq,
+           CAST(sqrt(avg(c * c) - avg(c) * avg(c)) AS DOUBLE) AS stddev_freq
+    FROM freq GROUP BY id
+    """,
+    doc="per-key stats over value-frequency distribution (ValueHistogram.java:38)",
+)
+def q10_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return aggregates.value_histogram(ev, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q11 Sort (total order) — examples/Sort.java:92-98 + TotalOrderPartitioner
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_total_sort",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS rank,
+           CAST(l_orderkey AS BIGINT) AS okey, l_linenumber AS line
+    FROM lineitem
+    """,
+    doc="global sort + scalable two-pass global rank (Sort.java:92, TeraSort offsets)",
+)
+def q11_total_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    ranked = partitioning.global_sort_with_rank(li, ["l_orderkey", "l_linenumber"])
+    return ranked.select(
+        "rank",
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 KeyFieldBasedComparator — lib/partition/KeyFieldBasedComparator.java:53
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_keyfield_sort",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+           CAST(o_orderkey AS BIGINT) AS okey, o_totalprice AS price
+    FROM orders QUALIFY rank <= 100
+    """,
+    doc="Unix sort -k2,2nr -k1,1n over delimited lines (KeyFieldBasedComparator.java:53)",
+)
+def q12_keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws("|", F.col("o_orderkey"), F.col("o_totalprice")).alias("line")
+    )
+    exprs = keyfield.sort_exprs("line", "2nr,1n", sep="|")
+    top = lines.orderBy(*exprs).limit(100)
+    w = Window.orderBy(*keyfield.sort_exprs("line", "2nr,1n", sep="|"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank",
+        F.split("line", r"\|").getItem(0).cast("bigint").alias("okey"),
+        F.split("line", r"\|").getItem(1).cast("double").alias("price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 FieldSelection — lib/fieldsel/FieldSelectionHelper.java:60
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_field_selection",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m-%d') || '|' || CAST(l_orderkey AS VARCHAR) AS key,
+           concat_ws('|', l_partkey, l_suppkey, l_linenumber, l_linestatus) AS value
+    FROM lineitem
+    """,
+    doc='cut-style field spec "6,0:1-3,5" over |-delimited lines (FieldSelectionHelper.java:60)',
+)
+def q13_field_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            F.col("l_linenumber"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+        ).alias("line")
+    )
+    return fieldsel.field_select(lines, "line", "6,0:1-3,5", sep="|")
+
+
+# ---------------------------------------------------------------------------
+# Q14 MultipleInputs — lib/input/MultipleInputs.java:40
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_multiple_inputs",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS k, CAST(o_totalprice AS DOUBLE) AS v, 'orders' AS src
+    FROM orders
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_acctbal AS DOUBLE) AS v, 'customer' AS src
+    FROM customer
+    """,
+    doc="per-source mapper + union of heterogeneous inputs (MultipleInputs.java:40)",
+)
+def q14_multiple_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return setops.multiple_inputs(
+        [
+            (
+                orders,
+                lambda df: df.select(
+                    F.col("o_custkey").cast("bigint").alias("k"),
+                    F.col("o_totalprice").cast("double").alias("v"),
+                    F.lit("orders").alias("src"),
+                ),
+            ),
+            (
+                cust,
+                lambda df: df.select(
+                    F.col("c_custkey").cast("bigint").alias("k"),
+                    F.col("c_acctbal").cast("double").alias("v"),
+                    F.lit("customer").alias("src"),
+                ),
+            ),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 Partitioned output — mapred/lib/MultipleOutputFormat.java:56
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_partitioned_write",
+    """
+    SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="record-derived output paths via partitionBy; verified by read-back counts",
+)
+def q15_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import write_partitioned
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = f"/tmp/hadoop_2_7_1_spark_q15_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_partitioned(li, out, "l_returnflag")
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 ChainMapper — lib/chain/ChainMapper.java:84 (one-pass pipeline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_chain",
+    """
+    WITH cleaned AS (
+      SELECT regexp_replace(upper(text), '[^A-Z ]', ' ', 'g') AS t FROM documents
+    ), toks AS (
+      SELECT tok FROM (SELECT unnest(regexp_split_to_array(trim(t), '\\s+')) AS tok FROM cleaned)
+      WHERE tok <> '' AND length(tok) > 4
+    )
+    SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    """,
+    doc="M1→M2→M3 narrow chain collapsed by Catalyst into one stage (Chain.java:50)",
+)
+def q16_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # chain: upper -> strip non-letters -> tokenize -> filter -> count
+    step1 = docs.select(F.upper("text").alias("t"))
+    step2 = step1.select(F.regexp_replace("t", "[^A-Z ]", " ").alias("t"))
+    step3 = step2.select(F.explode(tokenize("t")).alias("tok")).filter(
+        (F.col("tok") != "") & (F.length("tok") > 4)
+    )
+    return step3.groupBy(F.col("tok").alias("word")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 Distinct — dedup-by-group-key pattern (SortValidator.java:101 context)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_distinct",
+    """
+    SELECT DISTINCT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk
+    FROM lineitem
+    """,
+    doc="distinct = group-by-all-columns with identity reduce",
+)
+def q17_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").cast("bigint").alias("pk"),
+        F.col("l_suppkey").cast("bigint").alias("sk"),
+    ).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Q18 Semi/anti join — engine extras (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_semi_anti",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS k, 'has_orders' AS tag FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT) AS k, 'no_orders' AS tag FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left semi + left anti join union",
+)
+def q18_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("k")
+    )
+    semi = joins.semi_join(cust, orders, "k").withColumn("tag", F.lit("has_orders"))
+    anti = joins.anti_join(cust, orders, "k").withColumn("tag", F.lit("no_orders"))
+    return semi.unionByName(anti)
+
+
+# ---------------------------------------------------------------------------
+# Q19 Intersect / Except — engine extras (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_intersect_except",
+    """
+    SELECT CAST(k AS BIGINT) AS k, 'both' AS tag FROM
+      (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT CAST(k AS BIGINT) AS k, 'cust_only' AS tag FROM
+      (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+    doc="intersect + except (distinct semantics)",
+)
+def q19_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("k")
+    )
+    both = setops.intersect(cust, orders).withColumn("tag", F.lit("both"))
+    only = setops.except_distinct(cust, orders).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Q20 Streaming pipe UDF — hadoop-streaming PipeMapper.java:38
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_pipe_wordcount",
+    """
+    SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT tok FROM (
+        SELECT unnest(regexp_split_to_array(trim(upper(text)), '\\s+')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ) GROUP BY tok
+    """,
+    doc="external subprocess UDF over the streaming line protocol (PipeMapper.java:38)",
+)
+def q20_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    piped = pipes.pipe_transform(docs, ["tr", "a-z", "A-Z"], input_cols=["text"])
+    toks = piped.select(F.explode(tokenize("key")).alias("tok")).filter(F.col("tok") != "")
+    return toks.groupBy(F.col("tok").alias("word")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 DBCountPageView — examples/DBCountPageView.java:350-416
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_db_pageview",
+    """
+    SELECT event_type AS url, CAST(count(*) AS BIGINT) AS pageview
+    FROM events GROUP BY event_type
+    """,
+    doc="Access(url,...) -> Pageview(url, count) over the events table (DBCountPageView.java:350)",
+)
+def q21_db_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("url")).agg(
+        F.count("*").cast("bigint").alias("pageview")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 QuasiMonteCarlo pi — examples/QuasiMonteCarlo.java:87-324
+# (compute-parallel; not SQL-expressible -> rows-only check)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_pi_qmc",
+    None,
+    doc="partition-parallel Halton-sequence sampling; deterministic given offsets (QuasiMonteCarlo.java:152)",
+)
+def q22_pi_qmc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    n_maps, n_points = 8, 20_000
+
+    def halton_count(batches):
+        # 2-D Halton sequence (bases 2,3), same low-discrepancy sampler the
+        # reference uses (QuasiMonteCarlo.java:87 HaltonSequence).
+        def halton(index: int, base: int) -> float:
+            f, r = 1.0, 0.0
+            i = index
+            while i > 0:
+                f /= base
+                r += f * (i % base)
+                i //= base
+            return r
+
+        for pdf in batches:
+            for off in pdf["id"]:
+                start = int(off) * n_points
+                inside = 0
+                for i in range(start, start + n_points):
+                    x, y = halton(i + 1, 2) - 0.5, halton(i + 1, 3) - 0.5
+                    if x * x + y * y <= 0.25:
+                        inside += 1
+                yield pd.DataFrame(
+                    {"part": [int(off)], "inside": [inside], "total": [n_points]}
+                )
+
+    parts = spark.range(n_maps).repartition(n_maps)
+    counted = parts.mapInPandas(
+        halton_count, "part bigint, inside bigint, total bigint"
+    )
+    return counted.agg(
+        F.sum("inside").cast("bigint").alias("inside"),
+        F.sum("total").cast("bigint").alias("total"),
+        (F.lit(4.0) * F.sum("inside") / F.sum("total")).alias("pi_estimate"),
+    )

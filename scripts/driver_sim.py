@@ -1,0 +1,107 @@
+"""Simulate the driver's verify pass end-to-end, through the real contract:
+fresh plain SparkSession (no engine session factory), import __spark_entry__,
+run entry() + every queries() entry at the given sf, hash-compare against
+oracle_sql() in DuckDB with the driver's canonicalization.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), na_position="first").reset_index(drop=True)
+    return pdf
+
+
+def match(a: pd.DataFrame, b: pd.DataFrame) -> str:
+    a, b = canon(a), canon(b)
+    if sorted(a.columns) != sorted(b.columns):
+        return f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS {len(a)} vs {len(b)}"
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            try:
+                ok = np.isclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True)
+            except (TypeError, ValueError):
+                return f"TYPE {col}: {av.dtype} vs {bv.dtype}"
+            if not ok.all():
+                return f"VALUES {col} at {np.where(~ok)[0][:3]}"
+        else:
+            avo = av.astype(object).where(pd.notna(av), None)
+            bvo = bv.astype(object).where(pd.notna(bv), None)
+            for i, (x, y) in enumerate(zip(avo, bvo)):
+                if x != y and not (x is None and y is None):
+                    return f"VALUES {col} row {i}: {x!r} vs {y!r}"
+    return "OK"
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    # Plain session, like the driver would build (no engine factory).
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver_sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    t0 = time.time()
+    head = e.entry(spark)
+    rows = head.collect()
+    print(f"entry(): {len(rows)} rows, schema={[f.name for f in head.schema.fields]}, {time.time()-t0:.1f}s")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_ok = n_bad = 0
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            spdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            print(f"  {name}: SPARK ERROR {str(ex)[:200]}")
+            n_bad += 1
+            continue
+        if name in oracles:
+            try:
+                dpdf = con.sql(oracles[name]).df()
+            except Exception as ex:
+                print(f"  {name}: ORACLE ERROR {str(ex)[:200]}")
+                n_bad += 1
+                continue
+            verdict = match(spdf, dpdf)
+        else:
+            verdict = f"ROWS-ONLY ({len(spdf)} rows)"
+        status = "OK" if verdict.startswith(("OK", "ROWS-ONLY")) else "MISMATCH"
+        if status == "OK":
+            n_ok += 1
+        else:
+            n_bad += 1
+        print(f"  {name}: {verdict}  [{time.time()-t0:.1f}s]")
+    print(f"\n{n_ok} ok, {n_bad} bad of {len(qs)}")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
