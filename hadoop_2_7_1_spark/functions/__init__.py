@@ -19,6 +19,15 @@ from pyspark.sql import functions as F
 # Regex used for whitespace tokenization in both engines (StringTokenizer
 # semantics: runs of whitespace delimit, no empty tokens).
 WS = r"\s+"
+# Spark SQL string literals escape-process backslashes ('\s' -> 's'); any
+# regex embedded in F.expr()/SQL text needs them doubled. DuckDB literals
+# do NOT escape-process, so oracle SQL uses WS as-is.
+WS_SQL = r"\\s+"
+
+
+def sql_regex(pattern: str) -> str:
+    """Escape a regex for embedding in a Spark SQL string literal."""
+    return pattern.replace("\\", "\\\\")
 
 
 def tokenize(col: Column | str) -> Column:
@@ -38,6 +47,7 @@ def hex_hash32(col: Column | str, salt: str | None = None) -> Column:
     """Deterministic 32-bit integer hash shared with the DuckDB oracle:
     first 8 hex chars of md5 → bigint. Used for minhash/simhash/sampling."""
     c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("string")
     if salt is not None:
         c = F.concat(F.lit(salt), F.lit("|"), c)
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
@@ -55,18 +65,23 @@ def char_ngrams(col_name: str, n: int) -> Column:
     sequence(1, len-n+1) + transform keeps this in codegen; no UDF.
     Takes a column *name* because the expression is built as SQL text.
     """
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0]; guard short strings.
     return F.expr(
-        f"transform(sequence(1, greatest(length({col_name}) - {n - 1}, 0)), "
-        f"i -> substring({col_name}, i, {n}))"
+        f"CASE WHEN length({col_name}) >= {n} THEN "
+        f"transform(sequence(1, length({col_name}) - {n - 1}), "
+        f"i -> substring({col_name}, i, {n})) "
+        f"ELSE array() END"
     )
 
 
 def word_shingles(col_name: str, n: int) -> Column:
     """Array of word n-gram shingles (space-joined) from a text column name."""
-    toks = f"split(trim({col_name}), '{WS}')"
+    toks = f"split(trim({col_name}), '{WS_SQL}')"
     return F.expr(
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+        f"ELSE array() END"
     )
 
 

@@ -1,0 +1,264 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Not present in the reference (its dedup is group-by-key with identity reduce,
+SortValidator.java:101 context); these are the north-star additions scoped
+for 100 TB corpora:
+
+- exact:    hash-groupBy on a content fingerprint (one shuffle, map-side
+            partial agg; the md5 is computed JVM-side in codegen).
+- MinHash+LSH: shingle → K min-hashes → B bands → bucket-join. Candidate
+            generation never compares all pairs: cost is Σ bucket² only.
+- SimHash:  per-bit majority over token hashes → single 32-bit signature per
+            doc; near-dup = small Hamming distance (banded lookup at scale).
+- n-gram Jaccard: exact pairwise similarity over a shingle-inverted index
+            (the verification stage after LSH candidates at scale).
+
+Cross-engine determinism: every hash derives from md5 hex strings, so the
+DuckDB oracle reproduces signatures bit-for-bit (see functions.hex_hash32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import WS, hex_hash32, oracle_hash32, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Groups of byte-identical content: (fingerprint, n_dups, keep_id).
+
+    keep_id = min id (the canonical survivor); only groups with >1 member.
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("fp"), F.col(id_col).alias("id"))
+        .groupBy("fp")
+        .agg(F.count("*").cast("bigint").alias("n_dups"), F.min("id").cast("bigint").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content value."""
+    w_min = (
+        df.groupBy(F.md5(F.col(content_col)).alias("fp"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, h0..h{K-1}): per-permutation minimum of md5(k|shingle).
+
+    The "permutations" are salted md5s; the min over a doc's shingle set is a
+    classic MinHash signature. One explode + one groupBy (map-side combine).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(k)), F.lit("|"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Docs agreeing on all rows of any band collide in a bucket; the join is on
+    (band_idx, band_key) so work is proportional to bucket sizes, never |D|².
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        hs = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *hs).alias("key")).alias(f"b{b}")
+        )
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").cast("bigint").alias("id_a"),
+            F.col("b.id").cast("bigint").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def oracle_lsh_candidate_pairs(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB SQL reproducing lsh_candidate_pairs bit-for-bit."""
+    from ..functions import oracle_word_shingles
+
+    shingles = oracle_word_shingles(text_col, shingle_n)
+    mins = ", ".join(
+        f"min(md5('{k}' || '|' || shingle)) AS h{k}" for k in range(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        hs = " || '_' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_selects.append(f"SELECT id, {b} AS band, {hs} AS key FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
+    ), sig AS (
+      SELECT id, {mins} FROM sh GROUP BY id
+    ), banded AS ({banded})
+    SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise over inverted index)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Pairs (id_a < id_b) with Jaccard(shingle sets) ≥ threshold.
+
+    Inverted-index join: |pairs sharing a shingle| dominates cost; at 100 TB
+    run it on LSH candidates only (this operator IS the verify stage).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            "jaccard",
+        )
+    )
+
+
+def oracle_ngram_jaccard_pairs(
+    table: str, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+) -> str:
+    from ..functions import oracle_word_shingles
+
+    shingles = oracle_word_shingles(text_col, shingle_n)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(inter / (sa.sz + sb.sz - inter) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = inter.id_a
+    JOIN sizes sb ON sb.id = inter.id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): per-bit majority vote over token hash bits.
+
+    One explode + one groupBy; the 32 bit-sums are plain conditional sums so
+    the whole signature is a single hash-aggregate pass.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), WS)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = hex_hash32("tok")
+    bit_terms = [
+        F.sum(
+            F.when((F.shiftright(h, i).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*bit_terms)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(
+        F.col("id").cast("bigint"), sig.cast("bigint").alias("simhash")
+    )
+
+
+def oracle_simhash(table: str, id_col: str, text_col: str, bits: int = 32) -> str:
+    h = oracle_hash32("tok")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (({h} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT id, tok FROM (
+        SELECT {id_col} AS id,
+               unnest(regexp_split_to_array(trim({text_col}), '{WS}')) AS tok
+        FROM {table}
+      ) WHERE tok <> ''
+    ), sums AS (
+      SELECT id, {bit_sums} FROM toks GROUP BY id
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST({sig} AS BIGINT) AS simhash FROM sums
+    """

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star addition (no reference analogue): approximate-nearest-neighbor
+over document embeddings.
+
+- brute-force cosine top-k: the exactness baseline. Queries are broadcast;
+  the scan over the corpus is embarrassingly parallel (no shuffle until the
+  per-query top-k, which is a tiny aggregation).
+- IVF-style bucketed ANN: coarse quantizer = sign pattern of the leading
+  dimensions (a fixed, data-independent set of hyperplanes — deterministic,
+  reproducible in SQL). Probing only the query's bucket cuts the scanned
+  fraction by ~2^dims; at 100 TB you'd train real centroids, but the
+  plumbing (bucket key, co-partitioned join, per-bucket top-k) is identical.
+
+All arithmetic is JVM-side (zip_with/aggregate fold) in doc order, so the
+DuckDB oracle (list_zip/list_sum in the same order) matches to float
+round-off; comparisons use rtol 1e-9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+
+
+def _cos_expr(a: str, b: str) -> F.Column:
+    dot = DOT.format(a=a, b=b)
+    na = NORM.format(a=a)
+    nb = NORM.format(a=b)
+    return F.expr(f"cast({dot} / ({na} * {nb}) as double)")
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+
+    Output: (q_id, vec_id, cos), k rows per query, ties broken by vec_id.
+    ``queries`` must be small (it is broadcast to every task).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .select("q_id", "vec_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("vec_id").cast("bigint"),
+            "cos",
+            F.col("rnk").cast("bigint"),
+        )
+    )
+
+
+ORACLE_DOT = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
+    "p -> p[1] * p[2]))"
+)
+ORACLE_NORM = "sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), v -> v * v)))"
+
+
+def oracle_cosine_topk(table: str, query_filter: str, k: int = 5) -> str:
+    dot = ORACLE_DOT.format(a="c.embedding", b="q.embedding")
+    nc = ORACLE_NORM.format(a="c.embedding")
+    nq = ORACLE_NORM.format(a="q.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM {table} WHERE {query_filter}),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos
+      FROM {table} c CROSS JOIN q
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= {k}
+    """
+
+
+def sign_bucket(vec_col: str, dims: int = 8) -> F.Column:
+    """Coarse quantizer: '+-++-...' sign pattern of the leading dims."""
+    parts = [
+        F.when(F.expr(f"element_at({vec_col}, {i + 1})") >= 0, F.lit("+")).otherwise(F.lit("-"))
+        for i in range(dims)
+    ]
+    return F.concat(*parts)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bucket_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: probe only the query's sign-bucket, exact top-k inside it.
+
+    The bucket join is an equi-join on the bucket key — co-partitionable and
+    broadcastable; per-bucket candidate lists shrink the scan by ~2^dims.
+    """
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", _cos_expr("vec", "q_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("vec_id").cast("bigint"),
+            "cos",
+            F.col("rnk").cast("bigint"),
+        )
+    )
+
+
+def oracle_ivf_topk(table: str, query_filter: str, k: int = 3, bucket_dims: int = 8) -> str:
+    def bucket(col: str) -> str:
+        parts = " || ".join(
+            f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '+' ELSE '-' END)" for i in range(bucket_dims)
+        )
+        return f"({parts})"
+
+    dot = ORACLE_DOT.format(a="c.embedding", b="q.embedding")
+    nc = ORACLE_NORM.format(a="c.embedding")
+    nq = ORACLE_NORM.format(a="q.embedding")
+    return f"""
+    WITH q AS (
+      SELECT vec_id, embedding, {bucket("embedding")} AS bucket
+      FROM {table} WHERE {query_filter}
+    ), c AS (
+      SELECT vec_id, embedding, {bucket("embedding")} AS bucket FROM {table}
+    ), scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos
+      FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= {k}
+    """

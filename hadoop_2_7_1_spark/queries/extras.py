@@ -1,6 +1,259 @@
 """North-star extras: training-data-pipeline operators over documents /
-embeddings / events (SURVEY.md §7 phase E). Filled in incrementally; each
-entry is both a library operator (operators/*) and a declared query here.
+embeddings / events (SURVEY.md §7 phase E). Each entry is both a library
+operator (operators/dedup|similarity|textops|multimodal) and a declared,
+oracle-checked query here.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup, multimodal, similarity, textops
+from . import register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dd_exact_dup_props",
+    """
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_dups, CAST(min(event_id) AS BIGINT) AS keep_id
+    FROM (SELECT md5(props) AS fp, event_id FROM events)
+    GROUP BY fp HAVING count(*) > 1
+    """,
+    doc="exact dedup groups by content hash (events.props has heavy duplication)",
+)
+def dd_exact_dup_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.exact_dup_groups(ev, "event_id", "props")
+
+
+@register(
+    "dd_exact_dup_docs",
+    """
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_dups, CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM (SELECT md5(text) AS fp, doc_id FROM documents)
+    GROUP BY fp HAVING count(*) > 1
+    """,
+    doc="exact dedup groups over document text (hash-groupBy, one shuffle)",
+)
+def dd_exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dd_minhash_lsh",
+    dedup.oracle_lsh_candidate_pairs("documents", "doc_id", "text"),
+    doc="MinHash(16 perms, salted md5) + LSH(4 bands) candidate pairs",
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "dd_ngram_jaccard",
+    dedup.oracle_ngram_jaccard_pairs(
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0)", "doc_id", "text", 3, 0.5
+    ),
+    doc="exact 3-gram Jaccard pairs >= 0.5 over inverted shingle index (10% sample)",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+
+
+@register(
+    "dd_simhash",
+    dedup.oracle_simhash("documents", "doc_id", "text"),
+    doc="32-bit SimHash signature per doc (per-bit majority over token hashes)",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_topk_cosine",
+    similarity.oracle_cosine_topk("embeddings", "vec_id < 5", k=5),
+    doc="brute-force cosine top-5 for 5 broadcast query vectors",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "sim_ivf_topk",
+    similarity.oracle_ivf_topk("embeddings", "vec_id < 5", k=3, bucket_dims=8),
+    doc="IVF-style ANN: sign-bucket coarse quantizer, exact top-3 in-bucket",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=3, bucket_dims=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "txt_token_stats",
+    textops.oracle_token_stats("documents", "doc_id", "text"),
+    doc="whitespace + BPE-ish subtoken counts per doc",
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "txt_quality",
+    textops.oracle_quality_score("documents", "doc_id", "text"),
+    doc="alpha/punct/stopword ratios + composite quality score per doc",
+)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "txt_langid",
+    textops.oracle_lang_id("documents", "doc_id", "text"),
+    doc="stopword-vote language ID (deterministic priority tie-break)",
+)
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "txt_fingerprint",
+    textops.oracle_fingerprint("documents", "doc_id", "text"),
+    doc="min-4 sketch of char-8-gram hashes (winnowing-style fingerprint)",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_decode_meta",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 512 AS BIGINT) AS width,
+           CAST(64 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 512 AS BIGINT) AS height,
+           'fake' AS fmt
+    FROM documents
+    """,
+    doc="binary media decode plumbing: Arrow-batched mapInPandas over blob column "
+        "(codec stubbed deterministically; see operators/multimodal.py)",
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.decode_image_meta(media)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows / sessions / JSON (batch forms; streaming parity in
+# hadoop_2_7_1_spark/streaming with tests)
+# ---------------------------------------------------------------------------
+
+@register(
+    "evt_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tumbling 1h event-time window aggregate (streaming twin in streaming/)",
+)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "evt_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30 min): lag + cumulative-sum session ids",
+)
+def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            # microsecond-exact gap comparison, matching the oracle's
+            # INTERVAL arithmetic
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w_cum))
+    return sess.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_id").cast("bigint").alias("session_id"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
+
+
+@register(
+    "evt_json_extract",
+    """
+    SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON property extraction + aggregate (get_json_object vs json_extract)",
+)
+def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("sum_k")
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming layer (SURVEY.md §2.9 / §7 phase E).
+
+The reference is pure batch — no event-time windows, watermarks, or state
+exist anywhere in Hadoop 2.7.1. This layer is the north-star addition over
+the ``events`` table: tumbling/sliding windows with watermarked late-data
+handling, session windows, and stateful streaming dedup.
+
+Design: every streaming transform is the SAME declarative expression as its
+batch twin in queries/extras.py (date_trunc bucket ≡ window('1 hour'),
+lag-gap sessionize ≡ session_window), so correctness is established by the
+batch oracle and the tests only need to show stream/batch parity.
+
+At scale: file-source streaming reads incrementally (maxFilesPerTrigger);
+watermarks bound state; session/window state lives in the state store
+(RocksDB provider on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded stream (schema from the batch read).
+
+    The file streaming source wants a *directory*; expose the single file
+    through a symlinked staging dir (at scale the source would already be a
+    directory of arriving files).
+    """
+    import os
+
+    # Raw schema (ts stays INT64-nanos -> bigint under nanosAsLong); the
+    # converted schema from load_table would mismatch the parquet file.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stage = f"/tmp/h271_stream_{os.path.basename(os.path.normpath(sf_dir))}_events"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    sdf = spark.readStream.schema(raw.schema).format("parquet").load(stage)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (batch twin:
+    evt_tumbling_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (batch twin: evt_sessionize).
+
+    session_window merges events whose gaps are <= gap; a strictly larger gap
+    opens a new session — identical semantics to the lag-based batch form.
+    """
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("win.start").alias("t_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query on all currently-available input
+    (availableNow trigger) into an in-memory table; returns the result as a
+    batch DataFrame. Used by tests to prove stream/batch parity."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name)

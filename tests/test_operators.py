@@ -1,0 +1,118 @@
+"""Operator-level unit tests on tiny deterministic inputs — the analogue of
+the reference's per-operator LocalJobRunner tests (SURVEY.md §5 level 1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_2_7_1_spark.io import load_table, read_kv_text, write_partitioned
+from hadoop_2_7_1_spark.operators import fieldsel, joins, keyfield, multimodal, partitioning
+from hadoop_2_7_1_spark.operators.pipes import pipe_transform
+
+from .conftest import SF_DIR
+
+
+def test_field_spec_parsing():
+    assert fieldsel.parse_field_list("6,5,1-3,0-") == [
+        (6, 6),
+        (5, 5),
+        (1, 3),
+        (0, fieldsel.OPEN_END),
+    ]
+    assert fieldsel.parse_spec("6,5:0-") == ([(6, 6), (5, 5)], [(0, fieldsel.OPEN_END)])
+
+
+def test_field_select_open_range(spark):
+    df = spark.createDataFrame([("a:b:c:d",)], ["line"])
+    out = fieldsel.field_select(df, "line", "1,0:2-", sep=":").collect()[0]
+    assert out["key"] == "b:a"
+    assert out["value"] == "c:d"
+
+
+def test_keyfield_spec():
+    assert keyfield.parse_sort_spec("2nr,1n") == [(2, True, True), (1, True, False)]
+    with pytest.raises(ValueError):
+        keyfield.parse_sort_spec("x2")
+
+
+def test_override_join_rightmost_wins(spark):
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "v"])
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], ["k", "v"])
+    out = {r["k"]: r["value"] for r in joins.override_join([a, b], "k", "v").collect()}
+    assert out == {1: "a1", 2: "b2", 3: "b3"}
+
+
+def test_global_rank_is_dense_and_ordered(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    ranked = partitioning.global_sort_with_rank(li, ["l_orderkey", "l_linenumber"], num_partitions=8)
+    rows = ranked.orderBy("rank").collect()
+    n = li.count()
+    assert [r["rank"] for r in rows] == list(range(1, n + 1))
+    keys = [(r["l_orderkey"], r["l_linenumber"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_hash_sample_deterministic(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    a = partitioning.hash_sample(li, "l_orderkey", 10).count()
+    b = partitioning.hash_sample(li, "l_orderkey", 10).count()
+    assert a == b
+    assert 0 < a < li.count()
+
+
+def test_pipe_transform_round_trip(spark):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], ["k", "v"])
+    out = pipe_transform(df, ["cat"], input_cols=["k", "v"])
+    got = {(r["key"], r["value"]) for r in out.collect()}
+    assert got == {("x", "1"), ("y", "2")}
+
+
+def test_pipe_transform_failure_raises(spark):
+    df = spark.createDataFrame([("x",)], ["k"])
+    with pytest.raises(Exception):
+        pipe_transform(df, ["false"]).collect()
+
+
+def test_read_kv_text(tmp_path, spark):
+    p = tmp_path / "kv.txt"
+    p.write_text("a\t1\nnokey\nb\t2\textra\n")
+    rows = {(r["key"], r["value"]) for r in read_kv_text(spark, str(p)).collect()}
+    assert rows == {("a", "1"), ("nokey", ""), ("b", "2\textra")}
+
+
+def test_write_partitioned_layout(tmp_path, spark):
+    li = load_table(spark, SF_DIR, "lineitem").limit(100)
+    out = str(tmp_path / "out")
+    write_partitioned(li, out, "l_returnflag")
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("l_returnflag=")}
+    flags = {r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect()}
+    assert dirs == {f"l_returnflag={f}" for f in flags}
+
+
+def test_multimodal_decode_deterministic(spark):
+    import hashlib
+
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    media = multimodal.documents_as_media(docs)
+    out = {r["media_id"]: (r["n_bytes"], r["width"], r["height"]) for r in
+           multimodal.decode_image_meta(media).collect()}
+    for r in docs.collect():
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        expect = (
+            len(r["text"].encode()),
+            64 + int(h[:8], 16) % 512,
+            64 + int(h[8:16], 16) % 512,
+        )
+        assert out[r["doc_id"]] == expect
+
+
+def test_multimodal_stubs_raise(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(1)
+    media = multimodal.documents_as_media(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 64, 64)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(media, 10)

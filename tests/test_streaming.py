@@ -1,0 +1,64 @@
+"""Stream/batch parity: each streaming transform must produce the same
+result as its batch twin on the same (finite) input — the streaming
+equivalent of the differential-oracle pattern."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_2_7_1_spark import streaming
+from hadoop_2_7_1_spark.io import load_table
+
+from .conftest import SF_DIR, assert_frames_match
+
+
+def test_tumbling_stream_matches_batch(spark):
+    sdf = streaming.stream_events(spark, SF_DIR)
+    out = streaming.run_to_memory(
+        streaming.tumbling_counts(sdf), "t_tumbling", "complete"
+    ).toPandas()
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+        .toPandas()
+    )
+    assert_frames_match(out, batch, "tumbling_stream_vs_batch")
+
+
+def test_session_stream_matches_batch_sessionize(spark):
+    from hadoop_2_7_1_spark.queries import REGISTRY
+
+    sdf = streaming.stream_events(spark, SF_DIR)
+    out = streaming.run_to_memory(
+        streaming.session_counts(sdf), "t_sessions", "complete"
+    ).toPandas()
+
+    batch = (
+        REGISTRY["evt_sessionize"]
+        .fn(spark, SF_DIR)
+        .select("user_id", F.col("t_start"), "n_events")
+        .toPandas()
+    )
+    assert_frames_match(out, batch, "session_stream_vs_batch")
+
+
+def test_dedup_stream(spark):
+    sdf = streaming.stream_events(spark, SF_DIR)
+    deduped = streaming.run_to_memory(
+        streaming.dedup_stream(sdf), "t_dedup", "append"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    assert deduped.count() == ev.select("event_id").distinct().count()
+
+
+def test_sliding_counts_runs(spark):
+    sdf = streaming.stream_events(spark, SF_DIR)
+    out = streaming.run_to_memory(streaming.sliding_counts(sdf), "t_sliding", "complete")
+    # every event lands in exactly 2 sliding windows (1h width, 30m slide)
+    ev_n = load_table(spark, SF_DIR, "events").count()
+    assert out.agg(F.sum("n")).collect()[0][0] == 2 * ev_n
