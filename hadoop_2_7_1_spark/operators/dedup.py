@@ -262,3 +262,68 @@ def oracle_simhash(table: str, id_col: str, text_col: str, bits: int = 32) -> st
     )
     SELECT CAST(id AS BIGINT) AS id, CAST({sig} AS BIGINT) AS simhash FROM sums
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bucket_dims: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Scale path: candidates are generated only within a sign-pattern LSH
+    bucket (random-hyperplane LSH with axis-aligned planes), so the self-join
+    is an equi-join on the bucket key — shuffle-partitioned by bucket, never
+    an all-pairs cartesian. Recall can be raised by lowering ``bucket_dims``
+    or multi-probing; exactness inside a bucket is preserved.
+    """
+    from .similarity import _cos_expr, sign_bucket
+
+    c = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    d = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    return (
+        c.join(d, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _cos_expr("vec_a", "vec_b"))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("cos").cast("double"),
+        )
+    )
+
+
+def oracle_embedding_neardup(
+    table: str, threshold: float = 0.9, bucket_dims: int = 4
+) -> str:
+    from .similarity import ORACLE_DOT, ORACLE_NORM
+
+    parts = " || ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '+' ELSE '-' END)"
+        for i in range(bucket_dims)
+    )
+    dot = ORACLE_DOT.format(a="a.embedding", b="b.embedding")
+    na = ORACLE_NORM.format(a="a.embedding")
+    nb = ORACLE_NORM.format(a="b.embedding")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, ({parts}) AS bucket FROM {table})
+    SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+           CAST({dot} / ({na} * {nb}) AS DOUBLE) AS cos
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {dot} / ({na} * {nb}) >= {threshold}
+    """

@@ -257,3 +257,98 @@ def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("sum_k")
     )
+
+
+@register(
+    "dd_embedding_neardup",
+    dedup.oracle_embedding_neardup("embeddings", threshold=0.8, bucket_dims=4),
+    doc="embedding-cosine near-dup pairs (sign-bucket LSH candidates, cos >= 0.8)",
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.8, bucket_dims=4)
+
+
+# ---------------------------------------------------------------------------
+# Source-layer operators as declared queries (sources/filters, sources/fixedlen)
+# ---------------------------------------------------------------------------
+
+@register(
+    "src_md5_sample",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+    """,
+    doc="SequenceFileInputFilter.MD5Filter: deterministic 1-in-10 sample by key md5",
+)
+def src_md5_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import filters as src_filters
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"), "event_type"
+    )
+    return src_filters.md5_filter(ev, "event_id", 10)
+
+
+@register(
+    "src_regex_filter",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents WHERE regexp_matches(text, '\\bdata\\b')
+    """,
+    doc="SequenceFileInputFilter.RegexFilter: scan-time regex predicate",
+)
+def src_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import filters as src_filters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return src_filters.regex_filter(docs, "text", r"\bdata\b").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+
+
+@register(
+    "src_fixed_width",
+    """
+    WITH fw AS (
+      SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+             || rpad(o_orderstatus, 2, ' ')
+             || lpad(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 14, '0') AS line
+      FROM orders
+    ), parsed AS (
+      SELECT CAST(substr(line, 1, 12) AS BIGINT) AS okey,
+             trim(substr(line, 13, 2)) AS status,
+             CAST(substr(line, 15, 14) AS BIGINT) AS cents
+      FROM fw
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(max(okey) AS BIGINT) AS max_okey
+    FROM parsed GROUP BY status
+    """,
+    doc="FixedLengthInputFormat round-trip: format to fixed-width, reparse by "
+        "offsets (substring projection stays in codegen), aggregate",
+)
+def src_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.fixedlen import parse_fixed_width
+
+    orders = load_table(spark, sf_dir, "orders")
+    fw = orders.select(
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            F.rpad("o_orderstatus", 2, " "),
+            F.lpad(F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 14, "0"),
+        ).alias("line")
+    )
+    parsed = fw.select(
+        *parse_fixed_width("line", [("okey_s", 1, 12), ("status_s", 13, 2), ("cents_s", 15, 14)])
+    ).select(
+        F.col("okey_s").cast("bigint").alias("okey"),
+        F.trim(F.col("status_s")).alias("status"),
+        F.col("cents_s").cast("bigint").alias("cents"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.max("okey").cast("bigint").alias("max_okey"),
+    )

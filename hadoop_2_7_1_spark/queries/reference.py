@@ -652,3 +652,83 @@ def q22_pi_qmc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total").cast("bigint").alias("total"),
         (F.lit(4.0) * F.sum("inside") / F.sum("total")).alias("pi_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BENCH-1: TeraGen / TeraSort / TeraValidate
+# (EX/terasort/TeraGen.java:203-233, TeraSort.java:177-235,
+#  TeraValidate.java:63-140). The reference generates GenSort-format 100-byte
+# records, range-partitions by a sampled trie, sorts per partition, then
+# validates global order and a checksum. Spark's orderBy IS that algorithm
+# (sample -> repartitionByRange -> partition-local sort); our generator is an
+# md5-derived deterministic record (SQL-expressible in both engines) rather
+# than GenSort's Random16 stream, so the oracle can replicate checksums.
+# ---------------------------------------------------------------------------
+
+TERA_N = 100_000
+
+
+def _teragen(spark: SparkSession, n: int) -> DataFrame:
+    """n deterministic 100-byte-style records: 10-char key + 32-char rowid
+    payload. Distributed generation straight from spark.range (no driver
+    loop, no data movement)."""
+    return spark.range(n).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 10).alias("key"),
+        F.lpad(F.col("id").cast("string"), 32, "0").alias("payload"),
+    )
+
+
+@register(
+    "bench_teragen",
+    f"""
+    SELECT substr(md5(CAST(range AS VARCHAR)), 1, 10) AS key,
+           lpad(CAST(range AS VARCHAR), 32, '0') AS payload
+    FROM range({TERA_N})
+    """,
+    doc="TeraGen: deterministic distributed record generation from row ids",
+)
+def bench_teragen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _teragen(spark, TERA_N)
+
+
+@register(
+    "bench_terasort_validate",
+    f"""
+    WITH gen AS (
+      SELECT substr(md5(CAST(range AS VARCHAR)), 1, 10) AS key,
+             lpad(CAST(range AS VARCHAR), 32, '0') AS payload
+      FROM range({TERA_N})
+    ), sorted AS (
+      SELECT key, payload, lag(key) OVER (ORDER BY key, payload) AS prev_key
+      FROM gen
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(*) FILTER (WHERE prev_key IS NOT NULL AND prev_key > key) AS BIGINT)
+             AS n_misorder,
+           CAST(bit_xor(CAST(('0x' || substr(md5(key || payload), 1, 15)) AS BIGINT)) AS BIGINT)
+             AS checksum
+    FROM sorted
+    """,
+    doc="TeraSort+TeraValidate: total-order sort, then global order check "
+        "(lag comparison) + xor content checksum, one row",
+)
+def bench_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gen = _teragen(spark, TERA_N)
+    # orderBy = sample -> repartitionByRange -> sortWithinPartitions, the
+    # same physical strategy as the reference's sampled trie partitioner.
+    sorted_df = gen.orderBy("key", "payload")
+    w = Window.orderBy("key", "payload")
+    validated = sorted_df.withColumn("prev_key", F.lag("key").over(w))
+    return validated.agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum(
+            F.when(
+                F.col("prev_key").isNotNull() & (F.col("prev_key") > F.col("key")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_misorder"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(concat(key, payload)), 1, 15), 16, 10) as bigint))"
+        ).alias("checksum"),
+    ).select("n_records", "n_misorder", F.col("checksum").cast("bigint").alias("checksum"))

@@ -1,0 +1,92 @@
+"""Unit tests for the sources/ package: fixed-length binary records, XML
+record reader, DistCp-style copy, compaction, JDBC wrapper construction.
+Mirrors the reference's operator-level tests (SURVEY.md §5 level 1:
+TestFixedLengthInputFormat, TestCombineTextInputFormat, streaming XML)."""
+
+from __future__ import annotations
+
+import os
+
+from hadoop_2_7_1_spark.sources import filters, fixedlen, jdbc, tools, xml
+
+
+def test_fixed_length_binary(spark, tmp_path):
+    raw = b"".join(f"{i:04d}AB".encode() for i in range(10))  # 6-byte records
+    p = tmp_path / "fixed.bin"
+    p.write_bytes(raw + b"xx")  # trailing partial record must be dropped
+    df = fixedlen.read_fixed_length_binary(spark, str(p), 6)
+    recs = sorted(bytes(r.record) for r in df.collect())
+    assert len(recs) == 10
+    assert recs[0] == b"0000AB" and recs[-1] == b"0009AB"
+
+
+def test_fixed_length_binary_short_file(spark, tmp_path):
+    p = tmp_path / "tiny.bin"
+    p.write_bytes(b"abc")
+    df = fixedlen.read_fixed_length_binary(spark, str(p), 6)
+    assert df.count() == 0
+
+
+def test_fixed_width_lines(spark, tmp_path):
+    p = tmp_path / "fw.txt"
+    p.write_text("001alpha\n002beta \n")
+    df = fixedlen.read_fixed_width_lines(
+        spark, str(p), [("id", 1, 3), ("name", 4, 5)]
+    )
+    rows = {r.id: r.name.strip() for r in df.collect()}
+    assert rows == {"001": "alpha", "002": "beta"}
+
+
+def test_xml_records(spark, tmp_path):
+    p = tmp_path / "recs.xml"
+    p.write_text(
+        "<doc>\n<item><id>1</id>\nmultiline</item>junk<item><id>2</id></item>\n</doc>"
+    )
+    df = xml.read_xml_records(spark, str(p), "<item>", "</item>")
+    assert df.count() == 2
+    ids = sorted(r.id for r in xml.extract_tag_value(df, "id", "id").collect())
+    assert ids == ["1", "2"]
+
+
+def test_distcp_and_listing(spark, tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_bytes(b"hello")
+    (src / "sub" / "b.txt").write_bytes(b"world!")
+    dst = tmp_path / "dst"
+    n = tools.distcp(spark, str(src), str(dst))
+    assert n == 2
+    assert (dst / "a.txt").read_bytes() == b"hello"
+    assert (dst / "sub" / "b.txt").read_bytes() == b"world!"
+    lst = tools.listing(spark, str(src))
+    assert {os.path.basename(r.path) for r in lst.collect()} == {"a.txt", "b.txt"}
+    assert sum(r.size for r in lst.collect()) == 11
+
+
+def test_compact(spark, tmp_path):
+    src = tmp_path / "many"
+    df = spark.range(100).repartition(10)
+    df.write.parquet(str(src))
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_before >= 10
+    dst = tmp_path / "few"
+    tools.compact(spark, str(src), str(dst), target_files=1)
+    n_after = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_after == 1
+    assert spark.read.parquet(str(dst)).count() == 100
+
+
+def test_jdbc_wrappers_construct(spark):
+    r = jdbc.read_jdbc_partitioned(
+        spark, "jdbc:postgresql://db/x", "t", "id", 0, 1000, 8, fetchsize="500"
+    )
+    assert r is not None  # configured reader; .load() needs a live DB
+    w = jdbc.write_jdbc_batched(spark.range(3), "jdbc:postgresql://db/x", "t")
+    assert w is not None
+
+
+def test_filters_deterministic(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in filters.percent_filter(df, "k", 7).collect())
+    b = sorted(r.k for r in filters.md5_filter(df, "k", 7).collect())
+    assert a == b and 80 <= len(a) <= 220  # ~1/7 of 1000, deterministic
