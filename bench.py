@@ -18,15 +18,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # TPC-H shapes: scan-agg, broadcast joins, semi/anti, double aggregation
     "tq1_pricing_summary",
     "tq3_shipping_priority",
     "tq5_local_supplier_volume",
+    "tq6_forecast_revenue",
+    "tq9_product_profit",
+    "tq13_customer_distribution",
+    "tq18_large_volume_customer",
+    "tq21_waiting_suppliers",
+    # reference example queries
     "q01_wordcount",
     "q02_grep",
     "q06_secondary_sort",
     "q10_value_histogram",
     "q11_total_sort",
     "q17_distinct",
+    # BENCH-1 terasort + north-star pipeline ops
+    "bench_terasort_validate",
+    "dd_minhash_lsh",
+    "txt_quality",
+    "evt_sessionize",
 ]
 
 

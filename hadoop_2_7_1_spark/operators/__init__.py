@@ -16,3 +16,24 @@ operators as declarative DataFrame transformations:
   textops        language-ID, quality scoring, token counts, fingerprints
   multimodal     binary column decode/feature plumbing (Arrow-batched)
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure CPU-bound downstream work gets cluster-wide parallelism.
+
+    A small parquet file arrives as one input split, which serializes any
+    expensive per-row computation (shingling, hashing, Python UDFs) onto one
+    core. When the scan has fewer partitions than the cluster has slots,
+    round-robin repartition the (small) input; when the input is already
+    wide — the 100 TB case — this is a no-op costing one getNumPartitions
+    call, so operators can apply it unconditionally.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -64,15 +64,26 @@ def minhash_signatures(
     The "permutations" are salted md5s; the min over a doc's shingle set is a
     classic MinHash signature. One explode + one groupBy (map-side combine).
     """
-    sh = df.select(
+    from . import fan_out
+
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
+    # Double hashing (Kirsch-Mitzenmacher): two md5-derived 32-bit ints per
+    # shingle, K permutations h_k = (h1 + k*h2) mod p. 2 digests per shingle
+    # instead of K — the digest is the hot cost at corpus scale.
+    hashed = sh.select(
+        "id",
+        hex_hash32("shingle").alias("h1"),
+        hex_hash32("shingle", salt="s").alias("h2"),
+    )
+    p = 2147483647
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(k)), F.lit("|"), F.col("shingle")))).alias(f"h{k}")
+        F.min((F.col("h1") + k * F.col("h2")) % p).alias(f"h{k}")
         for k in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -124,13 +135,17 @@ def oracle_lsh_candidate_pairs(
     from ..functions import oracle_word_shingles
 
     shingles = oracle_word_shingles(text_col, shingle_n)
+    p = 2147483647
     mins = ", ".join(
-        f"min(md5('{k}' || '|' || shingle)) AS h{k}" for k in range(num_hashes)
+        f"min(({oracle_hash32('shingle')} + {k} * {oracle_hash32('shingle', salt='s')}) % {p}) AS h{k}"
+        for k in range(num_hashes)
     )
     rows_per_band = num_hashes // bands
     band_selects = []
     for b in range(bands):
-        hs = " || '_' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        hs = " || '_' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
         band_selects.append(f"SELECT id, {b} AS band, {hs} AS key FROM sig")
     banded = " UNION ALL ".join(band_selects)
     return f"""
@@ -156,7 +171,9 @@ def ngram_jaccard_pairs(
     Inverted-index join: |pairs sharing a shingle| dominates cost; at 100 TB
     run it on LSH candidates only (this operator IS the verify stage).
     """
-    sh = df.select(
+    from . import fan_out
+
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     ).distinct()
