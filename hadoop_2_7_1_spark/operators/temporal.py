@@ -1,0 +1,119 @@
+"""Temporal joins the reference cannot express (SURVEY.md §2.5: "theta /
+range / as-of / interval joins — not present; expose as engine extras").
+
+Both operators avoid the naive O(|L|·|R|) comparison:
+
+- as-of join: union both sides, one partition-sorted window pass carries the
+  most recent right payload forward onto each left row. Cost = one shuffle on
+  the `by` key + one sort — the same plan shape as a sort-merge join, and it
+  never materializes candidate pairs. (This is how a backtest/trades-quotes
+  as-of join should run at 100 TB: no per-row subquery, no range explosion.)
+- interval (range) self-join: time is bucketed at the gap width; each left
+  row probes its own and its successor bucket via an *equi*-join on
+  (key, bucket), then the exact inequality filters residually. Shuffle is by
+  (key, bucket) — skew-bounded, broadcastable when one side is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (per ``by`` group); left rows keep NULLs when no
+    right row precedes them (ASOF LEFT JOIN semantics).
+
+    ``right`` must be unique per (by, right_ts) — pre-aggregate if not.
+    """
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c not in by]
+
+    rpay = F.struct(*[F.col(c) for c in rcols]).alias("_rpay")
+    rpay_type = right.select(rpay).schema["_rpay"].dataType
+
+    lside = left.select(
+        *by,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lpay"),
+        F.lit(None).cast(rpay_type).alias("_rpay"),
+    )
+    lpay_type = lside.schema["_lpay"].dataType
+    rside = right.select(
+        *by,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lpay_type).alias("_lpay"),
+        rpay,
+    )
+    # Right rows sort before left rows at equal _ts, making the match
+    # inclusive (right.ts == left.ts joins).
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lside.unionByName(rside).withColumn(
+        "_carried", F.last("_rpay", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"_lpay.{c}").alias(c) for c in lcols] + [
+        F.col(f"_carried.{c}").alias(f"{right_prefix}{c}") for c in rcols
+    ]
+    return merged.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def range_self_join(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    id_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Ordered pairs (a, b) in the same ``by`` group with
+    ``0 < b.ts - a.ts <= gap_seconds``.
+
+    Bucketed equi-join: a row's successor within `gap` lives in its own or
+    the next time bucket, so each left row probes exactly two buckets —
+    never a full per-key cross product.
+    """
+    gap_us = gap_seconds * 1_000_000
+    e = df.select(
+        *by,
+        F.col(id_col).alias("_id"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.floor(F.unix_micros(F.col(ts_col)) / gap_us).alias("_bucket"),
+    )
+    probe = e.select(
+        *by,
+        F.col("_id").alias("id_a"),
+        F.col("_us").alias("us_a"),
+        F.explode(F.array(F.col("_bucket"), F.col("_bucket") + 1)).alias("_bucket"),
+    )
+    build = e.select(
+        *by,
+        F.col("_id").alias("id_b"),
+        F.col("_us").alias("us_b"),
+        "_bucket",
+    )
+    return (
+        probe.join(build, [*by, "_bucket"])
+        .filter(
+            (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") - F.col("us_a") <= gap_us)
+        )
+        .select(
+            *by,
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            ((F.col("us_b") - F.col("us_a")) / 1_000_000.0).cast("double").alias("gap_sec"),
+        )
+    )

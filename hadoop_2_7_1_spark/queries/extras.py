@@ -352,3 +352,121 @@ def src_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total_cents"),
         F.max("okey").cast("bigint").alias("max_okey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins + grouping-set aggregates (engine extras beyond the reference)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tmp_asof_join",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, max(value) AS value, max(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT CAST(c.event_id AS BIGINT) AS event_id, CAST(c.user_id AS BIGINT) AS user_id,
+           c.ts, p.ts AS r_ts, CAST(p.value AS DOUBLE) AS r_value,
+           CAST(p.event_id AS BIGINT) AS r_event_id
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="as-of join: each click gets the latest preceding purchase per user "
+        "(union + carry-forward window; no pair materialization)",
+)
+def tmp_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("value").cast("double").alias("value"),
+            F.max("event_id").cast("bigint").alias("event_id"),
+        )
+        .select(F.col("user_id").cast("bigint").alias("user_id"), "ts", "value", "event_id")
+    )
+    return temporal.asof_join(clicks, purchases, ["user_id"], "ts", "ts")
+
+
+@register(
+    "tmp_range_join",
+    """
+    SELECT CAST(a.user_id AS BIGINT) AS user_id,
+           CAST(a.event_id AS BIGINT) AS id_a, CAST(b.event_id AS BIGINT) AS id_b,
+           CAST((epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)))
+                / 1000000.0 AS DOUBLE) AS gap_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 600 SECOND
+    """,
+    doc="interval self-join (pairs within 10 min per user) via bucketed "
+        "equi-join: each row probes its own + successor bucket only",
+)
+def tmp_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"), "event_id", "ts"
+    )
+    return temporal.range_self_join(ev, ["user_id"], "ts", "event_id", 600)
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (absent in the reference; free in Spark/DuckDB)",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_extendedprice").cast("double").alias("sum_price")
+    )
+
+
+@register(
+    "agg_uniq_capped",
+    """
+    SELECT event_type,
+           CAST(least(count(DISTINCT user_id), 100) AS BIGINT) AS uniq_capped,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_exact
+    FROM events GROUP BY event_type
+    """,
+    doc="UniqValueCount with maxNumItems cap "
+        "(MRC/mapreduce/lib/aggregate/UniqValueCount.java:35)",
+)
+def agg_uniq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.least(F.countDistinct("user_id"), F.lit(100)).cast("bigint").alias("uniq_capped"),
+        F.countDistinct("user_id").cast("bigint").alias("uniq_exact"),
+    )
