@@ -106,3 +106,54 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete") -> D
     q.awaitTermination()
     spark = sdf.sparkSession
     return spark.table(name)
+
+
+def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator: per-user running (n_events, sum_value)
+    maintained in the state store via applyInPandasWithState.
+
+    This is the escape hatch for operators Structured Streaming lacks
+    (reference analogue: arbitrary Reducer state across groups). State is one
+    small tuple per user. On a production stream add a state timeout
+    (ProcessingTimeTimeout + setTimeoutDuration) to evict idle users; with
+    the availableNow batch-replay trigger used in tests, timeouts force one
+    microbatch per timeout check, so the operator defaults to NoTimeout.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        events.select(F.col("user_id").cast("bigint").alias("user_id"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -62,3 +62,32 @@ def test_sliding_counts_runs(spark):
     # every event lands in exactly 2 sliding windows (1h width, 30m slide)
     ev_n = load_table(spark, SF_DIR, "events").count()
     assert out.agg(F.sum("n")).collect()[0][0] == 2 * ev_n
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState custom operator matches the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark import streaming as st
+    from hadoop_2_7_1_spark.io import load_table
+
+    sdf = st.stream_events(spark, SF_DIR)
+    out = st.run_to_memory(
+        st.running_user_totals(sdf), "running_totals", output_mode="update"
+    ).toPandas()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+        .toPandas()
+    )
+    # One availableNow pass -> the final update per user equals the batch agg.
+    final = out.sort_values("n_events").groupby("user_id").last().reset_index()
+    a = final.sort_values("user_id").reset_index(drop=True)
+    b = batch.sort_values("user_id").reset_index(drop=True)
+    assert (a["user_id"] == b["user_id"]).all()
+    assert (a["n_events"] == b["n_events"]).all()
+    assert abs(a["sum_value"] - b["sum_value"]).max() < 1e-6
