@@ -732,3 +732,64 @@ def bench_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(cast(conv(substring(md5(concat(key, payload)), 1, 15), 16, 10) as bigint))"
         ).alias("checksum"),
     ).select("n_records", "n_misorder", F.col("checksum").cast("bigint").alias("checksum"))
+
+
+@register(
+    "q23_bbp_pi_digits",
+    None,  # spigot math is not SQL-expressible; driver records rows-only
+    doc="BaileyBorweinPlouffe (EX/BaileyBorweinPlouffe.java:89-112,459): "
+        "each partition computes a disjoint range of hexadecimal pi digits "
+        "with the BBP digit-extraction formula; ordered concat at the end. "
+        "Deterministic; first 24 digits are 243F6A8885A308D313198A2E "
+        "(pi = 3.243F6A88... in hex).",
+)
+def q23_bbp_pi_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_parts, digits_per_part = 8, 8
+
+    def bbp_range(batches):
+        import pandas as pd
+
+        def s(j: int, d: int) -> float:
+            # sum_{k=0..d} 16^(d-k)/(8k+j) mod 1, + tail
+            total = 0.0
+            for k in range(d + 1):
+                total = (total + pow(16, d - k, 8 * k + j) / (8 * k + j)) % 1.0
+            t, k = 0.0, d + 1
+            while True:
+                term = 16.0 ** (d - k) / (8 * k + j)
+                if term < 1e-17:
+                    break
+                t += term
+                k += 1
+            return (total + t) % 1.0
+
+        def hex_digits(start: int, count: int) -> str:
+            out = []
+            for i in range(count):
+                d = start + i
+                x = (4 * s(1, d) - 2 * s(4, d) - s(5, d) - s(6, d)) % 1.0
+                out.append("0123456789ABCDEF"[int(x * 16)])
+            return "".join(out)
+
+        for pdf in batches:
+            for part in pdf["id"]:
+                p = int(part)
+                yield pd.DataFrame(
+                    {
+                        "part": [p],
+                        "start_digit": [p * digits_per_part],
+                        "digits": [hex_digits(p * digits_per_part, digits_per_part)],
+                    }
+                )
+
+    parts = spark.range(n_parts).repartition(n_parts)
+    ranges = parts.mapInPandas(
+        bbp_range, "part bigint, start_digit bigint, digits string"
+    )
+    # ordered concat = the reference's single-reducer concatenation step
+    return ranges.agg(
+        F.concat_ws(
+            "", F.array_sort(F.collect_list(F.struct("start_digit", "digits"))).getField("digits")
+        ).alias("pi_hex"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )

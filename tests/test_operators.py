@@ -116,3 +116,65 @@ def test_multimodal_stubs_raise(spark):
         multimodal.resize_images(media, 64, 64)
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(media, 10)
+
+
+def test_sort_validator_invariants(spark):
+    """SortValidator.RecordStatsChecker semantics (JTT/mapred/SortValidator.java:97):
+    a sort must preserve (record count, xor-of-record-checksums) and produce
+    globally ordered output. Level-3 self-validating pipeline on q11's sort."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    sorted_df = li.orderBy("l_orderkey", "l_linenumber")
+
+    def stats(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "bit_xor(crc32(cast(concat_ws('|', l_orderkey, l_linenumber, l_quantity) as binary)))"
+            ).alias("xor_crc"),
+        ).collect()[0]
+
+    s_in, s_out = stats(li), stats(sorted_df)
+    assert s_in.n == s_out.n
+    assert s_in.xor_crc == s_out.xor_crc
+    # global order: partition-local order + non-overlapping partition ranges
+    pdf = sorted_df.select("l_orderkey").toPandas()
+    assert (pdf["l_orderkey"].diff().dropna() >= 0).all()
+
+
+def test_multifile_wordcount(spark, tmp_path):
+    """MultiFileWordCount (EX/MultiFileWordCount.java:59): wordcount over many
+    small files; Spark's file source bin-packs them into few splits
+    (CombineFileInputFormat equivalence via openCostInBytes)."""
+    from pyspark.sql import functions as F
+
+    words = ["alpha", "beta", "gamma"]
+    for i in range(20):
+        (tmp_path / f"part{i:02d}.txt").write_text(f"{words[i % 3]} {words[(i + 1) % 3]}\n")
+    # The packing knobs (≈ CombineFileInputFormat's maxSplitSize): on a
+    # cluster the defaults already pack small files; local[32] pins
+    # minPartitionNum to core count, so set the intent explicitly.
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16")
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try:
+        df = spark.read.text(str(tmp_path))
+        # 20 tiny files must coalesce into far fewer read partitions
+        assert df.rdd.getNumPartitions() < 20
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+    counts = {
+        r.word: r.cnt
+        for r in df.select(F.explode(F.split("value", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert sum(counts.values()) == 40 and set(counts) == set(words)
