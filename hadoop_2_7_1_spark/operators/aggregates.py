@@ -125,3 +125,18 @@ def exact_median(df: DataFrame, col: str, out_name: str = "median") -> DataFrame
         cum.filter(F.col("cum") >= target)
         .agg(F.min("v").cast("bigint").alias(out_name))
     )
+
+
+def grouped_agg_udaf(returnType: str = "double"):
+    """Combiner-as-UDAF surface (SURVEY.md §2.10: Job.setCombinerClass,
+    MRC/mapreduce/Job.java:875): decorator turning a plain
+    ``Series -> scalar`` function into a GROUPED_AGG pandas UDF usable in
+    ``groupBy(...).agg(...)``. Spark runs it with map-side partial batches +
+    Arrow transfer — the combiner pattern without user-visible plumbing.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def deco(fn):
+        return pandas_udf(fn, returnType, PandasUDFType.GROUPED_AGG)
+
+    return deco

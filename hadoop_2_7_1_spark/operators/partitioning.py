@@ -78,3 +78,25 @@ def hash_sample(df: DataFrame, col: str, modulus: int, keep: int = 0) -> DataFra
     from ..functions import hex_hash32
 
     return df.filter(hex_hash32(col) % modulus == keep)
+
+
+def binary_partition(
+    df: DataFrame,
+    col: str,
+    num_partitions: int,
+    left_offset: int = 0,
+    right_offset: int = -1,
+) -> DataFrame:
+    """BinaryPartitioner (MRC/mapreduce/lib/partition/BinaryPartitioner.java:71):
+    partition on a hash of a byte-range slice of a binary/string key.
+
+    Offsets follow the reference's convention: ``right_offset`` is inclusive
+    and may be negative (from the end). Expressed as repartition on a
+    substring slice — stays a plain hash exchange.
+    """
+    c = F.col(col).cast("string")
+    length = F.length(c)
+    left = F.lit(left_offset + 1)
+    right = length + right_offset + 1 if right_offset < 0 else F.lit(right_offset + 1)
+    slice_expr = F.substring(c, F.lit(left_offset + 1).cast("int"), (right - left + 1).cast("int"))
+    return df.repartition(num_partitions, slice_expr)

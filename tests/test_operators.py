@@ -178,3 +178,48 @@ def test_multifile_wordcount(spark, tmp_path):
         .collect()
     }
     assert sum(counts.values()) == 40 and set(counts) == set(words)
+
+
+def test_binary_partition(spark):
+    """BinaryPartitioner: rows with equal key slices land in one partition."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.operators.partitioning import binary_partition
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("pre_"), (F.col("id") % 7).cast("string"), F.lit("_suf")).alias("k")
+    )
+    # slice bytes [4, -5] -> the middle digit: 7 groups across 4 partitions
+    out = binary_partition(df, "k", 4, left_offset=4, right_offset=-5)
+    assert out.rdd.getNumPartitions() == 4
+    parts = (
+        out.select("k", F.spark_partition_id().alias("p"))
+        .groupBy(F.substring("k", 5, 1).alias("mid"))
+        .agg(F.countDistinct("p").alias("np"))
+        .collect()
+    )
+    assert all(r.np == 1 for r in parts)
+
+
+def test_grouped_agg_udaf(spark):
+    """Custom UDAF (combiner surface): geometric mean per key via pandas
+    GROUPED_AGG, compared against the closed-form JVM expression."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.operators.aggregates import grouped_agg_udaf
+
+    @grouped_agg_udaf("double")
+    def geo_mean(v):
+        return float(np.exp(np.log(v).mean()))
+
+    df = spark.range(1, 1001).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") + 0.5).alias("v")
+    )
+    got = {r.k: r.g for r in df.groupBy("k").agg(geo_mean("v").alias("g")).collect()}
+    want = {
+        r.k: r.g
+        for r in df.groupBy("k").agg(F.exp(F.avg(F.log("v"))).alias("g")).collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
