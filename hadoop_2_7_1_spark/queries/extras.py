@@ -470,3 +470,36 @@ def agg_uniq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.countDistinct("user_id"), F.lit(100)).cast("bigint").alias("uniq_capped"),
         F.countDistinct("user_id").cast("bigint").alias("uniq_exact"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value) AS DOUBLE) AS sum_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="skew-safe two-phase aggregation: 5 hot keys spread over 32 salt "
+        "buckets, partials merged per key (operators/skew.py)",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("sum", F.count("*")),
+            "sum_value": ("sum", F.sum("value")),
+            "max_value": ("max", F.max("value")),
+        },
+        salt_source="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )

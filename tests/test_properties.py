@@ -1,0 +1,49 @@
+"""Property-based tests (hypothesis) for the pure parsing/codegen helpers —
+deeper than the reference's example-based tests (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_2_7_1_spark.functions import sql_regex
+from hadoop_2_7_1_spark.operators import fieldsel, keyfield
+
+
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=8))
+def test_field_list_single_fields_roundtrip(nums):
+    spec = ",".join(str(n) for n in nums)
+    assert fieldsel.parse_field_list(spec) == [(n, n) for n in nums]
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=5))
+def test_field_list_ranges(pairs):
+    spec = ",".join(f"{a}-{b}" for a, b in pairs)
+    assert fieldsel.parse_field_list(spec) == [(a, b) for a, b in pairs]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 20), st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_keyfield_spec_roundtrip(fields):
+    spec = ",".join(
+        f"{n}{'n' if num else ''}{'r' if rev else ''}" for n, num, rev in fields
+    )
+    assert keyfield.parse_sort_spec(spec) == [
+        (n, num, rev) for n, num, rev in fields
+    ]
+
+
+@given(st.text(alphabet="abc\\sd+*.[]()|^$", max_size=20))
+def test_sql_regex_doubles_every_backslash(pat):
+    out = sql_regex(pat)
+    # unescaping once must give back the original pattern
+    assert out.replace("\\\\", "\\") == pat
+    # and the escaped form never contains a lone backslash
+    assert re.fullmatch(r"(?:[^\\]|\\\\)*", out)
