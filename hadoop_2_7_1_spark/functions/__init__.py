@@ -92,3 +92,17 @@ def oracle_word_shingles(col_expr: str, n: int) -> str:
         f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
         f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
     )
+
+
+def with_counters(df, *counters: Column, name: str = "counters"):
+    """Hadoop-counter analogue (TaskCounter.java:28, user counters via
+    context.getCounter): attach named aggregate metrics to a DataFrame with
+    ``observe``; they are collected by the existing action, costing no extra
+    pass. Read them from the returned Observation.
+
+    Returns (df_with_observation, observation).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *counters), obs

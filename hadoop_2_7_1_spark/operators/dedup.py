@@ -344,3 +344,71 @@ def oracle_embedding_neardup(
     FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {dot} / ({na} * {nb}) >= {threshold}
     """
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path (banded lookup): two 32-bit signatures within Hamming
+    distance 3 must agree exactly on at least one of 4 disjoint bytes
+    (pigeonhole), so candidates come from 4 equi-joins on (band_idx, byte)
+    — never an all-pairs scan. The exact popcount filter runs on candidates.
+    """
+    sig = simhash(df, id_col, text_col, bits)  # (id, simhash)
+    n_bands = 4
+    band_w = bits // n_bands
+    bands = sig.select(
+        F.col("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming).select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.col("hamming").cast("int"),
+    )
+
+
+def oracle_simhash_neardup(table: str, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 32) -> str:
+    """DuckDB twin of simhash_neardup_pairs (plain all-pairs + popcount —
+    the oracle checks the semantics; the banding is a Spark-side pruning
+    that cannot change the result set)."""
+    sig_sql = oracle_simhash(table, id_col, text_col, bits)
+    return f"""
+    WITH sig AS ({sig_sql})
+    SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -503,3 +503,38 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+@register(
+    "dd_simhash_pairs",
+    dedup.oracle_simhash_neardup("documents", "doc_id", "text", max_hamming=3),
+    doc="SimHash near-dup pairs (Hamming <= 3) via pigeonhole byte-band "
+        "lookup: 4 equi-joins on signature bytes, popcount on candidates only",
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "evt_sliding_window",
+    """
+    SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                       - INTERVAL '30 minutes']) AS win_start,
+             event_type
+      FROM events
+    ) GROUP BY win_start, event_type
+    """,
+    doc="sliding 1h/30m event-time window counts (streaming twin: "
+        "streaming.sliding_counts)",
+)
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )

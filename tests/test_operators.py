@@ -223,3 +223,22 @@ def test_grouped_agg_udaf(spark):
     }
     assert got.keys() == want.keys()
     assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+
+def test_with_counters(spark):
+    """Hadoop-counter analogue: observe() metrics collected by the action."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.functions import with_counters
+    from hadoop_2_7_1_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    observed, obs = with_counters(
+        li,
+        F.count(F.lit(1)).alias("input_records"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("high_discount"),
+    )
+    n_out = observed.filter(F.col("l_quantity") > 25).count()
+    assert obs.get["input_records"] == li.count()
+    assert 0 < obs.get["high_discount"] < li.count()
+    assert 0 < n_out < li.count()
