@@ -77,3 +77,32 @@ def test_pipeline_failure_names_stage(spark):
     p = Pipeline().add("bad", boom)
     with pytest.raises(RuntimeError, match="stage 'bad' failed"):
         p.run(spark)
+
+
+def test_streaming_cli_wordcount(spark, tmp_path):
+    """Entry point 2 parity: -mapper/-reducer pipeline == the classic
+    'hadoop-streaming wordcount' (tr + uniq -c shape done with awk)."""
+    import glob
+
+    from hadoop_2_7_1_spark import cli
+
+    src = tmp_path / "in.txt"
+    src.write_text("b a\na b\nc a\n")
+    out = str(tmp_path / "out")
+    cli.run(
+        [
+            "-input", str(src),
+            "-output", out,
+            "-mapper", "awk '{for(i=1;i<=NF;i++) print $i\"\\t\"1}'",
+            "-reducer", "awk -F'\\t' '{c[$1]+=$2} END {for(k in c) print k\"\\t\"c[k]}'",
+            "-numReduceTasks", "4",
+        ],
+        spark=spark,
+    )
+    counts = {}
+    for f in glob.glob(out + "/part-*"):
+        for line in open(f):
+            if line.strip():
+                k, v = line.strip().split("\t")
+                counts[k] = counts.get(k, 0) + int(v)
+    assert counts == {"a": 3, "b": 2, "c": 1}
