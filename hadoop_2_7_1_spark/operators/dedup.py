@@ -412,3 +412,73 @@ def oracle_simhash_neardup(table: str, id_col: str, text_col: str, max_hamming: 
     FROM sig a JOIN sig b ON a.id < b.id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for the undirected graph of near-dup pairs;
+    component = min node id reachable (the canonical survivor's id).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels; converged when nothing changes. Rounds
+    needed = graph diameter — tiny for dup clusters. Per round: one join +
+    one aggregate (both on the node key); localCheckpoint truncates lineage
+    so plans don't grow with iterations.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").cast("bigint"), F.col("component").cast("bigint")
+    )
+
+
+def oracle_connected_components(pairs_sql: str) -> str:
+    """DuckDB recursive-CTE twin: min reachable id per node via transitive
+    closure (exact; dup clusters are small, so the closure is bounded)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(src, dst) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT CAST(src AS BIGINT) AS node, CAST(min(dst) AS BIGINT) AS component
+    FROM reach GROUP BY src
+    """

@@ -538,3 +538,18 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n")
     )
+
+
+@register(
+    "dd_dup_clusters",
+    dedup.oracle_connected_components(
+        dedup.oracle_lsh_candidate_pairs("documents", "doc_id", "text")
+    ),
+    doc="duplicate clusters: connected components (iterative min-label "
+        "propagation) over MinHash-LSH candidate pairs; component id = "
+        "canonical survivor (min doc_id)",
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+    return dedup.connected_components(pairs)

@@ -242,3 +242,17 @@ def test_with_counters(spark):
     assert obs.get["input_records"] == li.count()
     assert 0 < obs.get["high_discount"] < li.count()
     assert 0 < n_out < li.count()
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and isolated pair all collapse to min-id components."""
+    from hadoop_2_7_1_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        ["id_a", "id_b"],
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
