@@ -728,3 +728,62 @@ def tq22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_acctbal").cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tq_window_topn",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    doc="top-3 orders per customer by price: ranking window, one shuffle on "
+        "the partition key; rank filter prunes before any downstream join",
+)
+def tq_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "tq_running_totals",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS c_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="per-customer running spend: cumulative window frame over event order",
+)
+def tq_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").cast("bigint").alias("c_custkey"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.sum("o_totalprice").over(w).cast("double").alias("running_spend"),
+    )

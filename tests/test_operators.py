@@ -256,3 +256,33 @@ def test_connected_components_shapes(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """SCALE.md's bucketing claim, proven on the plan: two tables bucketed on
+    the join key sort-merge-join with NO shuffle exchange (the reference's
+    CompositeInputFormat precondition — identical partitioning + sort —
+    made durable via bucketBy)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(10000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(10000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the fact-fact (sort-merge) path: tiny test tables would
+        # otherwise broadcast, which sidesteps what we're proving
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        a.write.bucketBy(8, "k").sortBy("k").option("path", str(tmp_path / "ta")).saveAsTable("bkt_a")
+        b.write.bucketBy(8, "k").sortBy("k").option("path", str(tmp_path / "tb")).saveAsTable("bkt_b")
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
