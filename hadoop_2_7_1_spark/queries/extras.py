@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
+from ..operators.profile import oracle_profile
+from ..operators.sampling import oracle_hash_threshold
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -553,3 +555,62 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text")
     return dedup.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Curation sampling + profiling
+# ---------------------------------------------------------------------------
+
+@register(
+    "smp_stratified",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE (lang = 'en' AND {oracle_hash_threshold('doc_id', 0.25)})
+       OR (lang = 'fr' AND {oracle_hash_threshold('doc_id', 0.5)})
+    """,
+    doc="content-stable stratified sampling (25% en, 50% fr, others dropped): "
+        "md5-threshold per stratum, reproducible across engines and reruns",
+)
+def smp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(docs, "doc_id", "lang", {"en": 0.25, "fr": 0.5})
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+@register(
+    "smp_train_test_split",
+    f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN {oracle_hash_threshold('doc_id', 0.1)}
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+    doc="deterministic 90/10 train-test split (hash of doc_id; stable under "
+        "reruns, row order, and partitioning)",
+)
+def smp_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.train_test_split(docs, "doc_id", 0.1)
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "prof_lineitem",
+    oracle_profile("lineitem", ["l_orderkey", "l_returnflag", "l_quantity"]),
+    doc="one-pass column profiling (rows/nulls/distinct/min/max per column)",
+)
+def prof_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_orderkey", "l_returnflag", "l_quantity"])
