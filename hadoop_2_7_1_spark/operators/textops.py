@@ -186,3 +186,38 @@ def oracle_fingerprint(table: str, id_col: str, text_col: str, ngram: int = 8, k
            array_to_string(list_sort(list_distinct({hashes}))[1:{keep}], ',') AS fp
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+REDACT_PATTERNS: dict[str, str] = {
+    # order matters: emails before bare domains would, e.g., double-redact
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}",
+    "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Replace common PII shapes with ``[TAG]`` placeholders.
+
+    Chained ``regexp_replace`` — stays in codegen, one pass over the string
+    per pattern. The pattern registry is deliberately conservative (high
+    precision); recall-oriented NER belongs in a Pandas-UDF stage.
+    """
+    out_col = out_col or text_col
+    expr = F.col(text_col)
+    for tag, pat in REDACT_PATTERNS.items():
+        expr = F.regexp_replace(expr, pat, f"[{tag}]")
+    return df.withColumn(out_col, expr)
+
+
+def oracle_redact(text_expr: str) -> str:
+    """DuckDB regexp_replace chain matching :func:`redact` ('g' = all hits)."""
+    expr = text_expr
+    for tag, pat in REDACT_PATTERNS.items():
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '[{tag}]', 'g')"
+    return expr

@@ -614,3 +614,70 @@ def prof_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile(li, ["l_orderkey", "l_returnflag", "l_quantity"])
+
+
+@register(
+    "txt_redact",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {textops.oracle_redact("text")} AS clean_text
+    FROM documents
+    WHERE {textops.oracle_redact("text")} <> text
+    """,
+    doc="PII redaction (email/phone/SSN shapes -> [TAG]); returns only docs "
+        "that changed (chained regexp_replace, codegen-only)",
+)
+def txt_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.redact(docs, "text", "clean_text")
+    return out.filter(F.col("clean_text") != F.col("text")).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "clean_text"
+    )
+
+
+@register(
+    "cur_pipeline_e2e",
+    f"""
+    WITH deduped AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), quality AS (
+      SELECT doc_id, lang FROM deduped
+      WHERE length(text) >= 100
+        AND length(regexp_split_to_array(trim(text), '\\s+')) >= 20
+    ), split AS (
+      SELECT doc_id, lang,
+             CASE WHEN {oracle_hash_threshold('doc_id', 0.1)} THEN 'test'
+                  ELSE 'train' END AS split
+      FROM quality
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM split GROUP BY lang, split
+    """,
+    doc="end-to-end curation pipeline: exact dedup (keep min doc_id) -> "
+        "length/token quality gate -> deterministic train/test split -> "
+        "per-(lang, split) accounting. One shuffle for dedup, one for the "
+        "final count; filter+split are scan-side",
+)
+def cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    quality = deduped.filter(
+        (F.length("text") >= 100) & (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 20)
+    )
+    split = sampling.train_test_split(quality, "doc_id", 0.1)
+    return split.groupBy("lang", "split").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
