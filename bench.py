@@ -37,8 +37,10 @@ HEADLINE = [
     # BENCH-1 terasort + north-star pipeline ops
     "bench_terasort_validate",
     "dd_minhash_lsh",
+    "dd_dup_clusters",
     "txt_quality",
     "evt_sessionize",
+    "cur_pipeline_e2e",
 ]
 
 

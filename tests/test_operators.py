@@ -286,3 +286,24 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_redact_pii(spark):
+    """Redaction on synthetic PII (the test corpus has none — the registry
+    query txt_redact proves parity, this proves the behavior)."""
+    from hadoop_2_7_1_spark.operators.textops import redact
+
+    df = spark.createDataFrame(
+        [
+            ("contact me at jane.doe+spam@example.co.uk thanks",),
+            ("call +1 555-867-5309 or 555 123 4567",),
+            ("ssn 123-45-6789 inline",),
+            ("nothing sensitive here",),
+        ],
+        ["text"],
+    )
+    out = [r.clean for r in redact(df, "text", "clean").collect()]
+    assert out[0] == "contact me at [EMAIL] thanks"
+    assert "[PHONE]" in out[1] and "5309" not in out[1] and "4567" not in out[1]
+    assert out[2] == "ssn [SSN] inline"
+    assert out[3] == "nothing sensitive here"
