@@ -53,6 +53,33 @@ def compact(
     df.coalesce(target_files).write.mode("overwrite").format(fmt).save(dst)
 
 
+def write_bloom_indexed(df: DataFrame, key: str, dst: str, n_files: int = 4) -> None:
+    """BloomMapFile analogue (IO/BloomMapFile.java:49): a key-sorted columnar
+    table with a per-file bloom filter on the key for fast negative lookups.
+
+    MapFile's sorted index → ``repartitionByRange`` + ``sortWithinPartitions``
+    (parquet min/max row-group stats become the index, so a point predicate
+    prunes to one file and a few row groups); BloomMapFile's filter →
+    parquet's native bloom filter, which serves scan-time membership tests
+    for keys that defeat min/max pruning (high-cardinality, non-clustered).
+    """
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{key}", "true")
+        .option(f"parquet.bloom.filter.expected.ndv#{key}", str(max(df.count(), 1)))
+        .parquet(dst)
+    )
+
+
+def point_lookup(spark: SparkSession, path: str, key: str, value) -> DataFrame:
+    """MapFile.Reader.get analogue: predicate-pushed point read over a
+    bloom-indexed table. The filter reaches the parquet scan (PushedFilters),
+    so non-matching files/row groups are skipped without decoding."""
+    return spark.read.parquet(path).filter(F.col(key) == F.lit(value))
+
+
 def listing(spark: SparkSession, path: str) -> DataFrame:
     """DistCp's listing phase as a first-class DataFrame (path, size, mtime)."""
     return (

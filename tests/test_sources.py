@@ -90,3 +90,19 @@ def test_filters_deterministic(spark):
     a = sorted(r.k for r in filters.percent_filter(df, "k", 7).collect())
     b = sorted(r.k for r in filters.md5_filter(df, "k", 7).collect())
     assert a == b and 80 <= len(a) <= 220  # ~1/7 of 1000, deterministic
+
+
+def test_bloom_indexed_point_lookup(spark, tmp_path):
+    df = spark.range(5000).selectExpr("id AS k", "md5(CAST(id AS STRING)) AS v")
+    dst = str(tmp_path / "bloomtab")
+    tools.write_bloom_indexed(df, "k", dst, n_files=4)
+    # range-partitioned + sorted: parquet files each cover a disjoint key range
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == 4
+    hit = tools.point_lookup(spark, dst, "k", 4321)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0].k == 4321
+    # the point predicate must be pushed to the scan, not applied post-read
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "4321" in plan
+    assert tools.point_lookup(spark, dst, "k", -1).count() == 0
