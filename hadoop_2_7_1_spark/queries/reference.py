@@ -735,6 +735,23 @@ def bench_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bench_teragen_gensort",
+    None,  # the 128-bit LCG is not DuckDB-expressible; validated instead
+    # byte-for-byte against the reference generator (tests/test_gensort.py)
+    doc="GenSort-exact TeraGen (EX/terasort/TeraGen.java:203-233, "
+        "Random16.java:374, Unsigned16.java:297, GenSort.java:38): "
+        "distributed 100-byte record generation, bit-identical to the "
+        "reference for every row id; returns the reference CHECKSUM counter "
+        "(128-bit sum of per-record CRC32). For 2000 rows the reference "
+        "emits 0x3f8c10b8d50 = 4366925532496.",
+)
+def bench_teragen_gensort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import gensort
+
+    return gensort.teragen_checksum(gensort.teragen(spark, 2000))
+
+
+@register(
     "q23_bbp_pi_digits",
     None,  # spigot math is not SQL-expressible; driver records rows-only
     doc="BaileyBorweinPlouffe (EX/BaileyBorweinPlouffe.java:89-112,459): "
