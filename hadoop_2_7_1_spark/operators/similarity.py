@@ -142,6 +142,104 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 2,
+    bucket_dims: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Big-to-big ANN join: top-k neighbors in ``emb_b`` for EVERY row of
+    ``emb_a``, with neither side broadcast.
+
+    Scale path: both sides get a sign-bucket key; the query side multi-probes
+    its own bucket plus every 1-bit flip (Hamming-1 neighbors), so recall
+    survives vectors that sit near a quantization boundary. The probe is a
+    plain equi-join on the bucket key — shuffle co-partitioned on both
+    sides, skew-split by AQE — followed by a per-query top-k window. Cost is
+    (dims+1) * Σ bucket_a × bucket_b, never |A| × |B|. A (q, c) pair can
+    match at most one probe (c has exactly one bucket), so no dedup stage.
+    """
+    c = emb_b.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    base = F.concat(
+        *[
+            F.when(F.expr(f"element_at({vec_col}, {i + 1})") >= 0, F.lit("+")).otherwise(
+                F.lit("-")
+            )
+            for i in range(bucket_dims)
+        ]
+    )
+    flips = [base]
+    for i in range(bucket_dims):
+        flipped = F.concat(
+            F.substring(base, 1, i),
+            F.when(F.substring(base, i + 1, 1) == "+", F.lit("-")).otherwise(F.lit("+")),
+            F.substring(base, i + 2, bucket_dims - i - 1),
+        )
+        flips.append(flipped)
+    q = emb_a.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*flips)).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", _cos_expr("vec", "q_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("vec_id").cast("bigint"),
+            "cos",
+            F.col("rnk").cast("bigint"),
+        )
+    )
+
+
+def oracle_knn_join(table: str, query_filter: str, k: int = 2, bucket_dims: int = 6) -> str:
+    def bucket(col: str) -> str:
+        parts = " || ".join(
+            f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '+' ELSE '-' END)" for i in range(bucket_dims)
+        )
+        return f"({parts})"
+
+    dot = ORACLE_DOT.format(a="c.embedding", b="p.embedding")
+    nc = ORACLE_NORM.format(a="c.embedding")
+    nq = ORACLE_NORM.format(a="p.embedding")
+    return f"""
+    WITH q AS (
+      SELECT vec_id, embedding, {bucket("embedding")} AS bucket
+      FROM {table} WHERE {query_filter}
+    ), p AS (
+      SELECT vec_id, embedding,
+             CASE WHEN i = 0 THEN bucket
+                  ELSE substr(bucket, 1, i - 1)
+                       || (CASE WHEN substr(bucket, i, 1) = '+' THEN '-' ELSE '+' END)
+                       || substr(bucket, i + 1)
+             END AS bucket
+      FROM q, generate_series(0, {bucket_dims}) AS t(i)
+    ), c AS (
+      SELECT vec_id, embedding, {bucket("embedding")} AS bucket FROM {table}
+    ), scored AS (
+      SELECT p.vec_id AS q_id, c.vec_id AS vec_id,
+             CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos
+      FROM c JOIN p ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= {k}
+    """
+
+
 def oracle_ivf_topk(table: str, query_filter: str, k: int = 3, bucket_dims: int = 8) -> str:
     def bucket(col: str) -> str:
         parts = " || ".join(

@@ -105,6 +105,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=3, bucket_dims=8)
 
 
+@register(
+    "sim_knn_join",
+    similarity.oracle_knn_join("embeddings", "vec_id % 25 = 0", k=2, bucket_dims=6),
+    doc="big-to-big ANN join (no broadcast): sign-bucket equi-join with "
+        "Hamming-1 multi-probe, per-query top-2 window",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.knn_join(queries, emb, k=2, bucket_dims=6)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

