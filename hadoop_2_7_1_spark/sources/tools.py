@@ -15,30 +15,67 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def distcp(spark: SparkSession, src: str, dst: str) -> int:
+def distcp(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    update: bool = False,
+    delete: bool = False,
+) -> int:
     """Parallel recursive copy: build the file listing (the reference's
     "listing job"), then copy files executor-side, one task per partition.
 
-    Bytes never flow through the driver; each task streams its files
-    directly. Returns the number of files copied.
+    ``update`` reproduces DistCp's ``-update`` sync (CopyMapper skips files
+    whose size already matches the target); ``delete`` reproduces
+    ``-delete`` (remove target files with no source counterpart). The
+    listing is metadata-only — file *bytes* never flow through the driver;
+    each task streams its own files. Returns the number of files copied.
     """
-    listing = (
+    src_root = src.replace("file:", "")
+
+    def rel_of(path: str) -> str:
+        return os.path.relpath(path.replace("file:", ""), src_root)
+
+    if update or delete:
+        src_meta = {rel_of(r.path): r.size for r in listing(spark, src).collect()}
+        dst_meta: dict[str, int] = {}
+        for base, _, files in os.walk(dst):
+            for f in files:
+                p = os.path.join(base, f)
+                dst_meta[os.path.relpath(p, dst)] = os.path.getsize(p)
+        if delete:
+            for rel in set(dst_meta) - set(src_meta):
+                os.remove(os.path.join(dst, rel))
+        to_copy = {
+            rel for rel, size in src_meta.items()
+            if not update or dst_meta.get(rel) != size
+        }
+        if not to_copy:
+            return 0
+        # scan only the files that actually need copying — skipped files'
+        # bytes are never read (the reference's CopyMapper skip is per-map;
+        # ours prunes at the scan)
+        load_paths = [os.path.join(src_root, rel) for rel in sorted(to_copy)]
+    else:
+        load_paths = [src]
+
+    files_df = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .load(src)
+        .load(load_paths)
         .select("path", "content")
     )
 
     def copy_partition(rows):
         for row in rows:
-            rel = os.path.relpath(row.path.replace("file:", ""), src.replace("file:", ""))
+            rel = rel_of(row.path)
             target = os.path.join(dst, rel)
             os.makedirs(os.path.dirname(target), exist_ok=True)
             with open(target, "wb") as f:
                 f.write(row.content)
             yield (row.path,)
 
-    copied = listing.rdd.mapPartitions(copy_partition).count()
+    copied = files_df.rdd.mapPartitions(copy_partition).count()
     return copied
 
 

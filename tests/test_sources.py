@@ -106,3 +106,30 @@ def test_bloom_indexed_point_lookup(spark, tmp_path):
     plan = hit._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "4321" in plan
     assert tools.point_lookup(spark, dst, "k", -1).count() == 0
+
+
+def test_distcp_update_and_delete(spark, tmp_path):
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("alpha")
+    (src / "sub" / "b.txt").write_text("beta")
+    assert tools.distcp(spark, str(src), str(dst)) == 2
+
+    # modify one file, add one; update copies exactly those two
+    (src / "a.txt").write_text("alpha-v2")  # size changed
+    (src / "c.txt").write_text("gamma")     # new
+    copied = tools.distcp(spark, str(src), str(dst), update=True)
+    assert copied == 2
+    assert (dst / "a.txt").read_text() == "alpha-v2"
+    assert (dst / "c.txt").read_text() == "gamma"
+    assert (dst / "sub" / "b.txt").read_text() == "beta"
+
+    # nothing changed -> nothing copied
+    assert tools.distcp(spark, str(src), str(dst), update=True) == 0
+
+    # remove a source file; delete-sync drops it from dst
+    (src / "sub" / "b.txt").unlink()
+    tools.distcp(spark, str(src), str(dst), update=True, delete=True)
+    assert not (dst / "sub" / "b.txt").exists()
+    assert (dst / "a.txt").exists() and (dst / "c.txt").exists()
