@@ -133,3 +133,22 @@ def test_distcp_update_and_delete(spark, tmp_path):
     tools.distcp(spark, str(src), str(dst), update=True, delete=True)
     assert not (dst / "sub" / "b.txt").exists()
     assert (dst / "a.txt").exists() and (dst / "c.txt").exists()
+
+
+def test_compression_codecs_roundtrip(spark, tmp_path):
+    """IO/compress parity (SURVEY §1.3): gzip + bzip2 text (bzip2 splittable,
+    as in the reference) and snappy/zstd parquet all round-trip through the
+    standard writer options."""
+    df = spark.range(1000).selectExpr("CAST(id AS STRING) AS value")
+    for codec in ("gzip", "bzip2"):
+        p = str(tmp_path / f"text_{codec}")
+        df.write.option("compression", codec).text(p)
+        ext = {"gzip": ".gz", "bzip2": ".bz2"}[codec]
+        assert any(f.endswith(ext) for f in os.listdir(p)), codec
+        back = spark.read.text(p)
+        assert back.count() == 1000
+        assert {r.value for r in back.collect()} == {str(i) for i in range(1000)}
+    for codec in ("snappy", "zstd"):
+        p = str(tmp_path / f"parq_{codec}")
+        df.write.option("compression", codec).parquet(p)
+        assert spark.read.parquet(p).count() == 1000
