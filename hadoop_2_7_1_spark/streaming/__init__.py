@@ -157,3 +157,26 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def exactly_once_sink(stream_df: DataFrame, path: str, checkpoint: str):
+    """Idempotent micro-batch sink: each batch lands in its own
+    ``batch_id=N`` directory with ``overwrite`` mode, so a replayed batch
+    (failure between write and checkpoint commit) overwrites its own output
+    instead of duplicating it — end-to-end exactly-once onto plain parquet,
+    the same write-then-commit discipline as the reference's
+    FileOutputCommitter temp-dir/rename protocol
+    (MRC/mapreduce/lib/output/FileOutputCommitter.java).
+
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

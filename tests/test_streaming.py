@@ -91,3 +91,20 @@ def test_stateful_running_totals(spark):
     assert (a["user_id"] == b["user_id"]).all()
     assert (a["n_events"] == b["n_events"]).all()
     assert abs(a["sum_value"] - b["sum_value"]).max() < 1e-6
+
+
+def test_exactly_once_sink_idempotent(spark, tmp_path):
+    src = streaming.stream_events(spark, SF_DIR).select("user_id", "event_type", "ts")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.exactly_once_sink(src, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.option("basePath", out).parquet(out + "/batch_id=*")
+    n_first = first.count()
+    assert n_first > 0
+    # restart over the same checkpoint: nothing new to process, and a
+    # replayed batch would overwrite its own directory, not append
+    q2 = streaming.exactly_once_sink(src, out, ckpt)
+    q2.awaitTermination(120)
+    again = spark.read.option("basePath", out).parquet(out + "/batch_id=*")
+    assert again.count() == n_first
