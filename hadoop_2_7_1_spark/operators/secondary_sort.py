@@ -14,18 +14,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def grouped_sorted_values(df: DataFrame, group_key: str, sort_key: str, value: str | None = None) -> DataFrame:
+def grouped_sorted_values(
+    df: DataFrame,
+    group_key: str,
+    sort_key: str,
+    value: str | None = None,
+    extra_aggs: list | None = None,
+) -> DataFrame:
     """Per group_key: array of values ordered by sort_key.
 
     Output: (group_key, values array). ``value`` defaults to the sort key
     itself (the SecondarySort example emits the sorted k2 stream).
+    ``extra_aggs`` ride along in the same groupBy so sibling per-group stats
+    cost no second scan/shuffle.
     """
     v = value or sort_key
-    return df.groupBy(group_key).agg(
-        F.expr(
-            f"transform(sort_array(collect_list(struct({sort_key} AS __s, {v} AS __v))), s -> s.__v)"
-        ).alias("values")
-    )
+    sorted_vals = F.expr(
+        f"transform(sort_array(collect_list(struct({sort_key} AS __s, {v} AS __v))), s -> s.__v)"
+    ).alias("values")
+    return df.groupBy(group_key).agg(sorted_vals, *(extra_aggs or []))
 
 
 def with_group_rank(df: DataFrame, group_key: str, sort_key: str, rank_col: str = "rnk") -> DataFrame:

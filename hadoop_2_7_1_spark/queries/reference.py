@@ -152,18 +152,21 @@ def q05_wordstddev(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q06_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    grouped = secondary_sort.grouped_sorted_values(li, "l_orderkey", "l_linenumber")
-    return grouped.select(
-        F.col("l_orderkey").cast("bigint").alias("okey"),
-        F.expr("array_join(transform(values, x -> cast(x as string)), ',')").alias("lines"),
-    ).join(
-        # lexicographic struct max: deterministic under duplicate (okey, line)
-        li.groupBy(F.col("l_orderkey").cast("bigint").alias("okey")).agg(
+    grouped = secondary_sort.grouped_sorted_values(
+        li,
+        "l_orderkey",
+        "l_linenumber",
+        extra_aggs=[
+            # lexicographic struct max: deterministic under duplicate (okey, line)
             F.expr(
                 "cast(max(struct(l_linenumber AS s, l_quantity AS q)).q as double)"
             ).alias("last_qty")
-        ),
-        "okey",
+        ],
+    )
+    return grouped.select(
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.expr("array_join(transform(values, x -> cast(x as string)), ',')").alias("lines"),
+        "last_qty",
     )
 
 
