@@ -152,3 +152,45 @@ def test_compression_codecs_roundtrip(spark, tmp_path):
         p = str(tmp_path / f"parq_{codec}")
         df.write.option("compression", codec).parquet(p)
         assert spark.read.parquet(p).count() == 1000
+
+
+def test_sequence_file_roundtrip(spark, tmp_path):
+    from hadoop_2_7_1_spark.sources import seqfile
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["k", "v"]
+    )
+    out = str(tmp_path / "seq")
+    seqfile.write_sequence_file(df, out, "k", "v")
+    back = seqfile.read_sequence_file(spark, out)
+    assert sorted((r.key, r.value) for r in back.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+        (3, "gamma"),
+    ]
+
+
+def test_sequence_file_as_text_and_binary_values(spark, tmp_path):
+    from hadoop_2_7_1_spark.sources import seqfile
+
+    # BytesWritable values (SequenceFileAsBinary semantics) round-trip raw
+    df = spark.createDataFrame(
+        [(10, bytearray(b"\x00\x01\xff")), (20, bytearray(b"ok"))], ["k", "v"]
+    )
+    out = str(tmp_path / "seqbin")
+    seqfile.write_sequence_file(df, out, "k", "v")
+    back = {r.key: bytes(r.value) for r in seqfile.read_sequence_file(spark, out).collect()}
+    assert back == {10: b"\x00\x01\xff", 20: b"ok"}
+
+    # AsText: stringified both sides
+    txt = seqfile.read_sequence_file_as_text(spark, out)
+    assert dict((r.key, type(r.value)) for r in txt.collect()) == {"10": str, "20": str}
+
+
+def test_sequence_file_compressed(spark, tmp_path):
+    from hadoop_2_7_1_spark.sources import seqfile
+
+    df = spark.createDataFrame([(i, "x" * 50) for i in range(100)], ["k", "v"])
+    out = str(tmp_path / "seqgz")
+    seqfile.write_sequence_file(df, out, "k", "v", codec="deflate")
+    assert seqfile.read_sequence_file(spark, out).count() == 100
