@@ -434,6 +434,9 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # every round joins edges; without this the whole upstream pipeline
+        # (e.g. MinHash+LSH candidate generation) re-executes per iteration
+        .localCheckpoint()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
