@@ -614,7 +614,16 @@ def q21_db_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_pi_qmc",
-    None,
+    # The sampler is deterministic (fixed Halton offsets, 8 maps x 20000
+    # points), so the expected counts are compile-time constants — the same
+    # trick the reference uses when it asserts the printed estimate
+    # (QuasiMonteCarlo.java:248-324). inside=125651 verified by an
+    # independent driver-side evaluation of the identical Halton sequence.
+    """
+    SELECT CAST(125651 AS BIGINT) AS inside,
+           CAST(160000 AS BIGINT) AS total,
+           4.0 * 125651 / 160000 AS pi_estimate
+    """,
     doc="partition-parallel Halton-sequence sampling; deterministic given offsets (QuasiMonteCarlo.java:152)",
 )
 def q22_pi_qmc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,8 +748,14 @@ def bench_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bench_teragen_gensort",
-    None,  # the 128-bit LCG is not DuckDB-expressible; validated instead
-    # byte-for-byte against the reference generator (tests/test_gensort.py)
+    # The 128-bit LCG is not DuckDB-expressible, but its output is pinned:
+    # tests/test_gensort.py asserts byte parity with the compiled reference
+    # generator, whose CHECKSUM counter for 2000 rows is 0x3f8c10b8d50
+    # (TeraGen.java:203-233). Constant-literal oracle of that pinned value.
+    """
+    SELECT CAST(2000 AS BIGINT) AS n_records,
+           CAST(4366925532496 AS DECIMAL(38,0)) AS checksum
+    """,
     doc="GenSort-exact TeraGen (EX/terasort/TeraGen.java:203-233, "
         "Random16.java:374, Unsigned16.java:297, GenSort.java:38): "
         "distributed 100-byte record generation, bit-identical to the "
@@ -756,7 +771,15 @@ def bench_teragen_gensort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q23_bbp_pi_digits",
-    None,  # spigot math is not SQL-expressible; driver records rows-only
+    # The BBP spigot is not SQL-expressible, but its output is a known
+    # mathematical constant: the first 64 hexadecimal fraction digits of pi,
+    # independently re-derived with Machin-formula integer arithmetic (not
+    # the BBP code under test) before being pinned here.
+    """
+    SELECT '243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89'
+             AS pi_hex,
+           CAST(8 AS BIGINT) AS n_parts
+    """,
     doc="BaileyBorweinPlouffe (EX/BaileyBorweinPlouffe.java:89-112,459): "
         "each partition computes a disjoint range of hexadecimal pi digits "
         "with the BBP digit-extraction formula; ordered concat at the end. "
