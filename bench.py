@@ -3,9 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is collected (count + full materialization to the driver via
-count() on the result) so the measured time covers the whole plan execution,
-not plan construction.
+Each query is fully materialized through a noop datasource write (every
+output column is produced and consumed executor-side), so Catalyst cannot
+prune the measured work down to a row count — a plain ``df.count()`` would
+let map-only queries degenerate to a parquet count. Row counts come from an
+``Observation`` attached to the same job.
 """
 
 from __future__ import annotations
@@ -61,12 +63,19 @@ def main() -> None:
     # Warm the JVM + file listing once so per-query times measure the plans.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
-        n = df.count()
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        n = obs.get["n"]
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 

@@ -441,6 +441,7 @@ def connected_components(
     nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
 
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -462,6 +463,14 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # Partially-propagated labels would silently split one cluster into
+        # several; fail loudly instead (caller raises max_iter — rounds
+        # needed = component diameter).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "labels would be wrong — raise max_iter (rounds needed = diameter)"
+        )
     return labels.select(
         F.col("node").cast("bigint"), F.col("component").cast("bigint")
     )

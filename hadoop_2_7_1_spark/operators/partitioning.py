@@ -52,9 +52,14 @@ def global_sort_with_rank(
     sort_exprs = [
         (F.col(c) if a else F.col(c).desc()) for c, a in zip(cols, asc)
     ]
-    # Pass 1: range partition + local sort.
-    part = df.repartitionByRange(num_partitions, *sort_exprs).withColumn(
-        "__pid", F.spark_partition_id()
+    # Pass 1: range partition + local sort. Pinned with localCheckpoint so
+    # both downstream consumers (the size scan and the ranked join) see the
+    # SAME partition assignment — without it, correctness relies on Spark
+    # reusing the sampled range exchange across the two computations.
+    part = (
+        df.repartitionByRange(num_partitions, *sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # Pass 2: per-partition counts -> cumulative offsets (tiny, broadcast).
     sizes = part.groupBy("__pid").agg(F.count("*").alias("__cnt"))

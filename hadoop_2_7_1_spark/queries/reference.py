@@ -729,21 +729,61 @@ def bench_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orderBy = sample -> repartitionByRange -> sortWithinPartitions, the
     # same physical strategy as the reference's sampled trie partitioner.
     sorted_df = gen.orderBy("key", "payload")
-    w = Window.orderBy("key", "payload")
-    validated = sorted_df.withColumn("prev_key", F.lag("key").over(w))
-    return validated.agg(
+    # Validation mirrors TeraValidate.java:63-140: each map task order-checks
+    # ONE sorted partition and emits its first/last record; a tiny reduce
+    # compares boundaries of adjacent partitions. No stage ever pulls the
+    # full dataset through one task. The physical row order is captured
+    # before any further exchange via partition index + per-partition
+    # monotonic id (partition indices of a range exchange follow range order).
+    rows = sorted_df.select(
+        "key",
+        "payload",
+        F.spark_partition_id().alias("pid"),
+        F.monotonically_increasing_id().alias("pos"),
+    )
+    w = Window.partitionBy("pid").orderBy("pos")
+    rec = F.struct("key", "payload")
+    flagged = rows.select(
+        "pid", "pos", "key", "payload", F.lag(rec).over(w).alias("prev")
+    )
+    per_part = flagged.groupBy("pid").agg(
         F.count("*").cast("bigint").alias("n_records"),
         F.sum(
-            F.when(
-                F.col("prev_key").isNotNull() & (F.col("prev_key") > F.col("key")), 1
-            ).otherwise(0)
+            F.when(F.col("prev").isNotNull() & (F.col("prev") > rec), 1).otherwise(0)
         )
         .cast("bigint")
         .alias("n_misorder"),
+        F.min_by(rec, F.col("pos")).alias("first_rec"),
+        F.max_by(rec, F.col("pos")).alias("last_rec"),
         F.expr(
             "bit_xor(cast(conv(substring(md5(concat(key, payload)), 1, 15), 16, 10) as bigint))"
-        ).alias("checksum"),
-    ).select("n_records", "n_misorder", F.col("checksum").cast("bigint").alias("checksum"))
+        ).alias("part_checksum"),
+    )
+    # Boundary check over one row per partition — metadata-sized at any data
+    # scale, so the ordered (single-partition) window here is safe.
+    wb = Window.orderBy("pid")
+    boundary = per_part.withColumn("prev_last", F.lag("last_rec").over(wb))
+    return (
+        boundary.agg(
+            F.sum("n_records").cast("bigint").alias("n_records"),
+            (
+                F.sum("n_misorder")
+                + F.sum(
+                    F.when(
+                        F.col("prev_last").isNotNull()
+                        & (F.col("prev_last") > F.col("first_rec")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_misorder"),
+            F.expr("bit_xor(part_checksum)").alias("checksum"),
+        )
+        .select(
+            "n_records", "n_misorder", F.col("checksum").cast("bigint").alias("checksum")
+        )
+    )
 
 
 @register(

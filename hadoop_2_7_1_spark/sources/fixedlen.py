@@ -43,11 +43,25 @@ def read_fixed_length_binary(
     """Undelimited fixed-length binary records → one ``binary`` column
     ``record`` plus provenance (file, record index).
 
-    Slice explosion happens executor-side per file; trailing partial records
-    are dropped exactly like FixedLengthRecordReader does.
+    Slice explosion happens executor-side per file; a trailing partial
+    record raises (matching FixedLengthRecordReader.java:161, which throws
+    ``IOException("Partial record...")`` on truncated input).
     """
     blobs = spark.read.format("binaryFile").load(path).select(
-        "path", F.col("content")
+        "path",
+        F.when(
+            F.length("content") % record_len != 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"Partial record: file length not a multiple of {record_len}: "
+                    ),
+                    F.col("path"),
+                )
+            ).cast("binary"),
+        )
+        .otherwise(F.col("content"))
+        .alias("content"),
     )
     return blobs.select(
         "path",

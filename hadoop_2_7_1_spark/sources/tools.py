@@ -9,10 +9,34 @@ Reference (SURVEY.md §2.12):
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_CHUNK = 1 << 20  # 1 MiB streaming buffer — files never materialize in memory
+
+
+def _file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while chunk := f.read(_CHUNK):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _rel_col(path_col, root: str):
+    """URI path column -> path relative to ``root`` (driver-free, codegen)."""
+    import re as _re
+
+    norm = F.regexp_replace(path_col, "^file:", "")
+    return F.regexp_replace(norm, "^" + _re.escape(root.rstrip("/") + "/"), "")
+
+
+def _empty_listing(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "path string, size bigint, mtime timestamp")
 
 
 def distcp(
@@ -21,62 +45,95 @@ def distcp(
     dst: str,
     update: bool = False,
     delete: bool = False,
+    skip_crc_check: bool = False,
 ) -> int:
-    """Parallel recursive copy: build the file listing (the reference's
-    "listing job"), then copy files executor-side, one task per partition.
+    """Parallel recursive copy, shaped like the reference's DistCp: a
+    metadata-only listing job, then one copy task per file batch
+    (CopyMapper.java:50,192 — RetriableFileCopyCommand streams bytes
+    FS→FS inside the map task).
 
-    ``update`` reproduces DistCp's ``-update`` sync (CopyMapper skips files
-    whose size already matches the target); ``delete`` reproduces
-    ``-delete`` (remove target files with no source counterpart). The
-    listing is metadata-only — file *bytes* never flow through the driver;
-    each task streams its own files. Returns the number of files copied.
+    Scale properties:
+    - File *bytes* never enter DataFrame rows or the driver; each executor
+      task opens its files and streams them in 1 MiB chunks (no 2 GB
+      row-size cap, no per-file memory spike).
+    - The ``-update``/``-delete`` diff is a join of the src and dst
+      *listings* (path, size) — metadata-sized, distributed — never a
+      driver-side dict (the old ``.collect()`` + ``os.walk`` approach dies
+      at tens of millions of files).
+    - ``-update`` skips a file only when size matches AND content checksums
+      match, per CopyMapper.canSkip; ``skip_crc_check=True`` reproduces
+      ``-skipcrccheck`` (size-only skip). Checksums are computed
+      executor-side, streaming, and only for size-matching candidates.
+
+    Returns the number of files copied.
     """
     src_root = src.replace("file:", "")
+    dst_root = dst.replace("file:", "")
 
-    def rel_of(path: str) -> str:
-        return os.path.relpath(path.replace("file:", ""), src_root)
-
-    if update or delete:
-        src_meta = {rel_of(r.path): r.size for r in listing(spark, src).collect()}
-        dst_meta: dict[str, int] = {}
-        for base, _, files in os.walk(dst):
-            for f in files:
-                p = os.path.join(base, f)
-                dst_meta[os.path.relpath(p, dst)] = os.path.getsize(p)
-        if delete:
-            for rel in set(dst_meta) - set(src_meta):
-                os.remove(os.path.join(dst, rel))
-        to_copy = {
-            rel for rel, size in src_meta.items()
-            if not update or dst_meta.get(rel) != size
-        }
-        if not to_copy:
-            return 0
-        # scan only the files that actually need copying — skipped files'
-        # bytes are never read (the reference's CopyMapper skip is per-map;
-        # ours prunes at the scan)
-        load_paths = [os.path.join(src_root, rel) for rel in sorted(to_copy)]
-    else:
-        load_paths = [src]
-
-    files_df = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .load(load_paths)
-        .select("path", "content")
+    src_ls = listing(spark, src).select(
+        _rel_col(F.col("path"), src_root).alias("rel"),
+        F.regexp_replace("path", "^file:", "").alias("src_path"),
+        F.col("size").alias("src_size"),
     )
+    try:
+        dst_ls = listing(spark, dst)
+    except Exception:  # destination does not exist yet
+        dst_ls = _empty_listing(spark)
+    dst_ls = dst_ls.select(
+        _rel_col(F.col("path"), dst_root).alias("rel"),
+        F.regexp_replace("path", "^file:", "").alias("dst_path"),
+        F.col("size").alias("dst_size"),
+        # pin the listing snapshot: the delete action below mutates dst, and
+        # the copy plan must join against the PRE-delete metadata, not
+        # re-scan (which would also fail on just-removed files)
+    ).localCheckpoint()
+
+    if delete:
+        # dst files with no src counterpart: anti-join on the relative path,
+        # removed executor-side (DistCp's CopyCommitter deleteMissing).
+        doomed = dst_ls.join(src_ls, "rel", "left_anti").select("dst_path")
+
+        def rm_partition(rows):
+            for row in rows:
+                try:
+                    os.remove(row.dst_path)
+                except FileNotFoundError:
+                    pass
+
+        doomed.foreachPartition(rm_partition)
+
+    plan = src_ls.join(dst_ls.select("rel", "dst_size"), "rel", "left_outer")
+    if update:
+        # Size mismatch / missing target always copies; size-equal pairs are
+        # checksum-verified executor-side below (unless -skipcrccheck).
+        if skip_crc_check:
+            plan = plan.where(
+                F.col("dst_size").isNull() | (F.col("dst_size") != F.col("src_size"))
+            )
+    else:
+        plan = plan.withColumn("dst_size", F.lit(None).cast("bigint"))
+
+    n_tasks = max(spark.sparkContext.defaultParallelism, 1)
+    verify_crc = update and not skip_crc_check
 
     def copy_partition(rows):
+        copied = 0
         for row in rows:
-            rel = rel_of(row.path)
-            target = os.path.join(dst, rel)
+            target = os.path.join(dst_root, row.rel)
+            if (
+                verify_crc
+                and row.dst_size is not None
+                and row.dst_size == row.src_size
+                and _file_md5(row.src_path) == _file_md5(target)
+            ):
+                continue  # CopyMapper.canSkip: same length AND same checksum
             os.makedirs(os.path.dirname(target), exist_ok=True)
-            with open(target, "wb") as f:
-                f.write(row.content)
-            yield (row.path,)
+            with open(row.src_path, "rb") as fsrc, open(target, "wb") as fdst:
+                shutil.copyfileobj(fsrc, fdst, _CHUNK)
+            copied += 1
+        yield copied
 
-    copied = files_df.rdd.mapPartitions(copy_partition).count()
-    return copied
+    return plan.repartition(n_tasks).rdd.mapPartitions(copy_partition).sum()
 
 
 def compact(

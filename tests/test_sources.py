@@ -13,18 +13,30 @@ from hadoop_2_7_1_spark.sources import filters, fixedlen, jdbc, tools, xml
 def test_fixed_length_binary(spark, tmp_path):
     raw = b"".join(f"{i:04d}AB".encode() for i in range(10))  # 6-byte records
     p = tmp_path / "fixed.bin"
-    p.write_bytes(raw + b"xx")  # trailing partial record must be dropped
+    p.write_bytes(raw)
     df = fixedlen.read_fixed_length_binary(spark, str(p), 6)
     recs = sorted(bytes(r.record) for r in df.collect())
     assert len(recs) == 10
     assert recs[0] == b"0000AB" and recs[-1] == b"0009AB"
 
 
-def test_fixed_length_binary_short_file(spark, tmp_path):
-    p = tmp_path / "tiny.bin"
-    p.write_bytes(b"abc")
+def test_fixed_length_binary_partial_record_raises(spark, tmp_path):
+    # FixedLengthRecordReader.java:161 throws IOException("Partial record...")
+    # on truncated input; silent acceptance would hide corruption.
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    p = tmp_path / "fixed.bin"
+    p.write_bytes(b"0000AB0001ABxx")  # trailing partial record
     df = fixedlen.read_fixed_length_binary(spark, str(p), 6)
-    assert df.count() == 0
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="Partial record"):
+        df.collect()
+
+    tiny = tmp_path / "tiny.bin"
+    tiny.write_bytes(b"abc")  # shorter than one record
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="Partial record"):
+        fixedlen.read_fixed_length_binary(spark, str(tiny), 6).collect()
 
 
 def test_fixed_width_lines(spark, tmp_path):
@@ -133,6 +145,25 @@ def test_distcp_update_and_delete(spark, tmp_path):
     tools.distcp(spark, str(src), str(dst), update=True, delete=True)
     assert not (dst / "sub" / "b.txt").exists()
     assert (dst / "a.txt").exists() and (dst / "c.txt").exists()
+
+
+def test_distcp_update_checksums_same_size_files(spark, tmp_path):
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    (src / "a.txt").write_text("aaaa")
+    assert tools.distcp(spark, str(src), str(dst)) == 1
+
+    # same size, different content: CopyMapper.canSkip compares checksums,
+    # so -update must re-sync it (the size-only shortcut silently wouldn't)
+    (src / "a.txt").write_text("bbbb")
+    assert tools.distcp(spark, str(src), str(dst), update=True) == 1
+    assert (dst / "a.txt").read_text() == "bbbb"
+
+    # -skipcrccheck reproduces the documented size-only fast path
+    (src / "a.txt").write_text("cccc")
+    assert tools.distcp(spark, str(src), str(dst), update=True, skip_crc_check=True) == 0
+    assert (dst / "a.txt").read_text() == "bbbb"
 
 
 def test_compression_codecs_roundtrip(spark, tmp_path):
