@@ -11,8 +11,10 @@ range predicates on ``partitionColumn`` between lower/upper bounds — which is
 the reference's better path (its LIMIT/OFFSET mode rescans on every split).
 These wrappers just pin that strategy and the write batching.
 
-No JDBC driver ships in this container, so everything here is exercised by
-construction-time tests only; the call shape is the public Spark API.
+Exercised live against embedded Apache Derby (which ships in Spark's jars)
+in tests/test_sources.py::test_jdbc_roundtrip_embedded_derby — the same
+write→read→aggregate→verify loop the reference runs against HSQLDB
+(DBCountPageView.java:350-416).
 """
 
 from __future__ import annotations

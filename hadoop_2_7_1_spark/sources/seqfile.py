@@ -29,6 +29,11 @@ CODECS = {
     "gzip": "org.apache.hadoop.io.compress.GzipCodec",
     "deflate": "org.apache.hadoop.io.compress.DefaultCodec",
     "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+    # IO/compress/SnappyCodec.java, Lz4Codec.java — the cluster defaults for
+    # SequenceFile interchange. Hadoop 3.3+ (bundled with Spark) backs these
+    # with pure-Java snappy-java / lz4-java, so no native libhadoop needed.
+    "snappy": "org.apache.hadoop.io.compress.SnappyCodec",
+    "lz4": "org.apache.hadoop.io.compress.Lz4Codec",
 }
 
 

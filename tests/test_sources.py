@@ -97,6 +97,33 @@ def test_jdbc_wrappers_construct(spark):
     assert w is not None
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Live-database round trip, mirroring the reference's HSQLDB-backed
+    TestDBJob / DBCountPageView.verify() (DBCountPageView.java:350-416):
+    batched-INSERT sink, then a data-driven partitioned read + aggregation.
+    Derby ships in Spark's own jars, so the embedded driver is always there.
+    """
+    from pyspark.sql import functions as F
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.range(100).selectExpr(
+        "id", "concat('/page', CAST(id % 5 AS STRING)) AS url"
+    )
+    jdbc.write_jdbc_batched(src, url, "access", batch_size=16, driver=driver).save()
+
+    back = jdbc.read_jdbc_partitioned(
+        spark, url, "access", "id", 0, 100, 4, driver=driver
+    ).load()
+    # data-driven splits: one balanced range predicate per partition
+    assert back.rdd.getNumPartitions() == 4
+    agg = {
+        r.url: r.n
+        for r in back.groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    assert agg == {f"/page{i}": 20 for i in range(5)}
+
+
 def test_filters_deterministic(spark):
     df = spark.range(1000).withColumnRenamed("id", "k")
     a = sorted(r.k for r in filters.percent_filter(df, "k", 7).collect())
@@ -222,6 +249,9 @@ def test_sequence_file_compressed(spark, tmp_path):
     from hadoop_2_7_1_spark.sources import seqfile
 
     df = spark.createDataFrame([(i, "x" * 50) for i in range(100)], ["k", "v"])
-    out = str(tmp_path / "seqgz")
-    seqfile.write_sequence_file(df, out, "k", "v", codec="deflate")
-    assert seqfile.read_sequence_file(spark, out).count() == 100
+    for codec in ("deflate", "snappy", "lz4"):
+        out = str(tmp_path / f"seq_{codec}")
+        seqfile.write_sequence_file(df, out, "k", "v", codec=codec)
+        back = seqfile.read_sequence_file(spark, out)
+        assert back.count() == 100
+        assert {r.value for r in back.collect()} == {"x" * 50}
