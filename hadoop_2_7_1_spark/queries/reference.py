@@ -252,6 +252,38 @@ def q08b_join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("k").cast("bigint").alias("k"), F.col("value").cast("double"))
 
 
+@register(
+    "q24_compose_join",
+    f"""
+    WITH {_OUTER_SIDES_SQL}
+    SELECT CAST(coalesce(a.k, b.k) AS BIGINT) AS k,
+           CAST(coalesce(b.tot, a.c_acctbal) AS DOUBLE) AS value
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+    doc="CompositeInputFormat expression-string surface "
+        "(CompositeInputFormat.java:85-179, Parser.java:78,151): materialize "
+        "the q08b sides as tables, then run the job from the DSL string — "
+        "same oracle as q08b, proving the parser lowers onto the same join",
+)
+def q24_compose_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.compose import compose
+
+    cust, orders = _outer_sides(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_compose", os.path.basename(sf_dir.rstrip("/"))
+    )
+    pa, pb = os.path.join(base, "a"), os.path.join(base, "b")
+    cust.select("k", F.col("c_acctbal").alias("v")).write.mode("overwrite").parquet(pa)
+    orders.select("k", F.col("tot").alias("v")).write.mode("overwrite").parquet(pb)
+    out = compose(
+        spark, f'override(tbl(parquet,"{pa}"),tbl(parquet,"{pb}"))', key="k", value_col="v"
+    )
+    return out.select(F.col("k").cast("bigint").alias("k"), F.col("v").cast("double").alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # Q9 AggregateWordCount — examples/AggregateWordCount.java:52 + aggregate lib
 # ---------------------------------------------------------------------------

@@ -337,3 +337,68 @@ def test_knn_join_multiprobe_recall(spark):
     # exact top-k, so widening probes can only improve recall)
     assert recall_multi >= recall_single
     assert recall_multi > 0
+
+
+# ---------------------------------------------------------------------------
+# CompositeInputFormat expression DSL (operators/compose.py)
+# ---------------------------------------------------------------------------
+
+
+def test_compose_parser_tree():
+    from hadoop_2_7_1_spark.operators.compose import Composite, Tbl, parse_join_expr
+
+    t = parse_join_expr('outer(inner(tbl(parquet,"/a"),tbl(csv,/b)),tbl(json,"/c,d"))')
+    assert isinstance(t, Composite) and t.verb == "outer"
+    inner, leaf = t.children
+    assert inner == Composite("inner", (Tbl("parquet", "/a"), Tbl("csv", "/b")))
+    assert leaf == Tbl("json", "/c,d")  # quoted path may contain commas
+
+
+def test_compose_parser_rejects_garbage():
+    from hadoop_2_7_1_spark.operators.compose import parse_join_expr
+
+    for bad in (
+        "frobnicate(tbl(parquet,/a),tbl(parquet,/b))",  # unknown verb
+        "inner(tbl(parquet,/a))",                        # arity < 2
+        "inner(tbl(parquet,/a),tbl(parquet,/b)",         # unbalanced
+        "inner(tbl(parquet,/a),tbl(parquet,/b)) extra",  # trailing input
+    ):
+        with pytest.raises(ValueError):
+            parse_join_expr(bad)
+
+
+def test_compose_matches_join_functions(spark, tmp_path):
+    from hadoop_2_7_1_spark.operators.compose import compose
+
+    a = spark.createDataFrame([(1, "a1"), (2, "a2"), (3, "a3")], ["k", "va"])
+    b = spark.createDataFrame([(2, "b2"), (3, "b3"), (4, "b4")], ["k", "vb"])
+    c = spark.createDataFrame([(3, "c3"), (5, "c5")], ["k", "vc"])
+    pa, pb, pc = (str(tmp_path / n) for n in "abc")
+    a.write.parquet(pa), b.write.parquet(pb), c.write.parquet(pc)
+
+    got = compose(spark, f"inner(tbl(parquet,{pa}),tbl(parquet,{pb}))", key="k")
+    assert {(r.k, r.va, r.vb) for r in got.collect()} == {(2, "a2", "b2"), (3, "a3", "b3")}
+
+    # nested composite: (a inner b) outer c — any source of the outer has key
+    got = compose(
+        spark, f"outer(inner(tbl(parquet,{pa}),tbl(parquet,{pb})),tbl(parquet,{pc}))", key="k"
+    )
+    rows = {r.k: (r.va, r.vb, r.vc) for r in got.collect()}
+    assert rows == {
+        2: ("a2", "b2", None),
+        3: ("a3", "b3", "c3"),
+        5: (None, None, "c5"),
+    }
+
+
+def test_compose_override_rightmost_wins(spark, tmp_path):
+    from hadoop_2_7_1_spark.operators.compose import compose
+
+    a = spark.createDataFrame([(1, "old1"), (2, "old2")], ["k", "v"])
+    b = spark.createDataFrame([(2, "new2"), (3, "new3")], ["k", "v"])
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(pa), b.write.parquet(pb)
+    got = compose(
+        spark, f"override(tbl(parquet,{pa}),tbl(parquet,{pb}))", key="k", value_col="v"
+    )
+    assert {(r.k, r.v) for r in got.collect()} == {(1, "old1"), (2, "new2"), (3, "new3")}
