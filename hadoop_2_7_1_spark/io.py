@@ -107,6 +107,26 @@ def write_tsv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("sep", "\t").csv(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8, sort: bool = True
+) -> None:
+    """Persist a table pre-partitioned AND pre-sorted on the join key.
+
+    This is the reference's map-side join *precondition* made durable:
+    CompositeInputFormat requires all sources to be identically partitioned
+    and key-sorted (CompositeInputFormat.java:93-95 — same partitioner, same
+    number of reduces). A Spark bucketed+sorted table carries exactly that
+    contract in the catalog, so every future join or aggregation on ``key``
+    between co-bucketed tables runs with ZERO shuffle exchange — at 100 TB
+    this converts the repeated fact-fact join shuffle into a one-time write
+    cost. Pair with a ``merge`` join hint to pin sort-merge.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)
+
+
 class MultiSink:
     """MultipleOutputs analogue: fan one cached DataFrame out to N named sinks.
 

@@ -717,3 +717,48 @@ def cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-partitioned join (the map-side join precondition made durable)
+# ---------------------------------------------------------------------------
+
+@register(
+    "src_bucketed_join",
+    """
+    SELECT CAST(o.o_orderpriority AS VARCHAR) AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="CompositeInputFormat.java:93-95 precondition as bucketed tables: "
+        "orders+lineitem bucketed AND sorted on orderkey, then a sort-merge "
+        "join with ZERO shuffle exchange on either side (plan-test pinned)",
+)
+def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+
+    from ..io import write_bucketed
+
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    t_orders, t_li = f"bkt_orders_{sf_tag}", f"bkt_lineitem_{sf_tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        t_orders, "o_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        t_li, "l_orderkey",
+    )
+    o, li = spark.table(t_orders), spark.table(t_li)
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -88,6 +88,18 @@ def test_terasort_validate_no_global_window_over_data(spark):
             assert "Aggregate" in lines[i + 1], plan
 
 
+def test_bucketed_join_has_no_shuffle_on_join_key(spark):
+    plan = plan_of(spark, "src_bucketed_join")
+    # co-bucketed + sorted tables satisfy SMJ's distribution requirement
+    # directly (the CompositeInputFormat.java:93-95 precondition): the join
+    # must introduce NO exchange on the join key — the only allowed shuffle
+    # is the final groupBy on o_orderpriority.
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "SelectedBucketsCount" in plan  # both scans are bucket-aware
+
+
 def test_knn_join_is_equi_join_no_cartesian(spark):
     plan = plan_of(spark, "sim_knn_join")
     assert "CartesianProduct" not in plan
