@@ -842,6 +842,30 @@ def bench_teragen_gensort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q25_random_text",
+    # Constant-literal oracle pinned from a compiled harness of the
+    # reference mapper loop (EX/RandomTextWriter.java:126-165) run with
+    # seeds 12345/12346 and a 10000-byte budget — see tests/test_randomtext.py.
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(20 AS BIGINT), CAST(10119 AS BIGINT),
+       'b1da6da66e88559fa5691bb3cef0677b'),
+      (CAST(1 AS BIGINT), CAST(14 AS BIGINT), CAST(10224 AS BIGINT),
+       '0122226ae31109521a41b4dc7b34f227')
+    ) AS t(map_id, n_records, n_bytes, stream_md5)
+    """,
+    doc="RandomTextWriter (EX/RandomTextWriter.java:102-165): per-map "
+        "sentence generation from the reference's 1000-word vocabulary via "
+        "a bit-exact java.util.Random; per-map stream digest matches the "
+        "compiled reference mapper for the same seed",
+)
+def q25_random_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.randomtext import random_text_summary
+
+    return random_text_summary(spark, n_maps=2, bytes_per_map=10_000, base_seed=12345)
+
+
+@register(
     "q23_bbp_pi_digits",
     # The BBP spigot is not SQL-expressible, but its output is a known
     # mathematical constant: the first 64 hexadecimal fraction digits of pi,
