@@ -38,6 +38,7 @@ HEADLINE = [
     "q17_distinct",
     # BENCH-1 terasort + north-star pipeline ops
     "bench_terasort_validate",
+    "bench_terasort_big",
     "dd_minhash_lsh",
     "dd_dup_clusters",
     "txt_quality",

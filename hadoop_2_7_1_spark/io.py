@@ -121,6 +121,20 @@ def write_bucketed(
     this converts the repeated fact-fact join shuffle into a one-time write
     cost. Pair with a ``merge`` join hint to pin sort-merge.
     """
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    # A fresh session's in-memory catalog doesn't know tables written by a
+    # previous run, but their managed locations survive in the warehouse dir
+    # and make CREATE fail with LOCATION_ALREADY_EXISTS — clear the leftover.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+
     w = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -757,7 +757,11 @@ def bench_teragen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(lag comparison) + xor content checksum, one row",
 )
 def bench_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gen = _teragen(spark, TERA_N)
+    return _terasort_validate(spark, TERA_N)
+
+
+def _terasort_validate(spark: SparkSession, n: int) -> DataFrame:
+    gen = _teragen(spark, n)
     # orderBy = sample -> repartitionByRange -> sortWithinPartitions, the
     # same physical strategy as the reference's sampled trie partitioner.
     sorted_df = gen.orderBy("key", "payload")
@@ -816,6 +820,41 @@ def bench_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_records", "n_misorder", F.col("checksum").cast("bigint").alias("checksum")
         )
     )
+
+
+# 10M rows (~420 MB sort payload) by default; override for quick correctness
+# loops (the oracle SQL is built from the same value at import, so Spark and
+# DuckDB always agree).
+import os as _os
+
+TERA_N_BIG = int(_os.environ.get("SPARK_GRAFT_TERA_BIG", "10000000"))
+
+
+@register(
+    "bench_terasort_big",
+    f"""
+    WITH gen AS (
+      SELECT substr(md5(CAST(range AS VARCHAR)), 1, 10) AS key,
+             lpad(CAST(range AS VARCHAR), 32, '0') AS payload
+      FROM range({TERA_N_BIG})
+    ), sorted AS (
+      SELECT key, payload, lag(key) OVER (ORDER BY key, payload) AS prev_key
+      FROM gen
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(*) FILTER (WHERE prev_key IS NOT NULL AND prev_key > key) AS BIGINT)
+             AS n_misorder,
+           CAST(bit_xor(CAST(('0x' || substr(md5(key || payload), 1, 15)) AS BIGINT)) AS BIGINT)
+             AS checksum
+    FROM sorted
+    """,
+    doc=f"TeraSort at {TERA_N_BIG:,} rows (~{TERA_N_BIG * 42 // 10**6} MB): the "
+        "round-over-round perf point that measures data movement rather than "
+        "the scheduling floor; same per-partition validation as "
+        "bench_terasort_validate",
+)
+def bench_terasort_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _terasort_validate(spark, TERA_N_BIG)
 
 
 @register(
