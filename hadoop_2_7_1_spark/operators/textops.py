@@ -221,3 +221,162 @@ def oracle_redact(text_expr: str) -> str:
         sql_pat = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{sql_pat}', '[{tag}]', 'g')"
     return expr
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher/C4-style corpus hygiene)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 3
+) -> DataFrame:
+    """Per-document repetition measures used by the standard LLM-corpus
+    quality rules (drop docs whose most-frequent 2-gram covers >20% of the
+    text, or whose duplicated 3-grams cover >X%):
+
+    - ``distinct_word_frac``: |distinct tokens| / |tokens| (array expression,
+      zero shuffle)
+    - ``top_ngram_frac``: occurrences of the most frequent ``top_n``-gram ×
+      top_n / |tokens|
+    - ``dup_ngram_frac``: total occurrences of ``dup_n``-grams appearing
+      more than once × dup_n / |tokens|
+
+    Scale shape: one explode per n-gram size feeding a two-level aggregate
+    (partial map-side combine on (id, gram)); the per-doc join keys are the
+    doc id, so skew equals the longest single document, not the corpus.
+    """
+    from ..functions import word_shingles
+
+    toks = _tok_array(text_col)
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_tokens"),
+        F.expr(f"cast(size(array_distinct({toks})) as bigint)").alias("n_distinct"),
+        F.col(text_col).alias("__text"),
+    )
+
+    def gram_stats(n: int, out: str, dup: bool) -> DataFrame:
+        grams = base.select(
+            "id", F.explode(word_shingles("__text", n)).alias("gram")
+        )
+        counts = grams.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
+        if dup:
+            agg = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        else:
+            agg = F.max("cnt")
+        return counts.groupBy("id").agg((agg * n).cast("bigint").alias(out))
+
+    top = gram_stats(top_n, "top_tok", dup=False)
+    dup = gram_stats(dup_n, "dup_tok", dup=True)
+    return (
+        base.drop("__text")
+        .join(top, "id", "left_outer")
+        .join(dup, "id", "left_outer")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_word_frac"),
+            (F.coalesce(F.col("top_tok"), F.lit(0)) / F.col("n_tokens")).alias(
+                "top_ngram_frac"
+            ),
+            (F.coalesce(F.col("dup_tok"), F.lit(0)) / F.col("n_tokens")).alias(
+                "dup_ngram_frac"
+            ),
+        )
+    )
+
+
+def oracle_repetition_stats(
+    table: str, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 3
+) -> str:
+    from ..functions import oracle_word_shingles
+
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    top_sh = oracle_word_shingles(text_col, top_n)
+    dup_sh = oracle_word_shingles(text_col, dup_n)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, len({toks}) AS n_tokens,
+             len(list_distinct({toks})) AS n_distinct
+      FROM {table}
+    ), topg AS (
+      SELECT id, max(cnt) * {top_n} AS top_tok FROM (
+        SELECT id, gram, count(*) AS cnt FROM (
+          SELECT {id_col} AS id, unnest({top_sh}) AS gram FROM {table}
+        ) GROUP BY 1, 2
+      ) GROUP BY id
+    ), dupg AS (
+      SELECT id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * {dup_n} AS dup_tok
+      FROM (
+        SELECT id, gram, count(*) AS cnt FROM (
+          SELECT {id_col} AS id, unnest({dup_sh}) AS gram FROM {table}
+        ) GROUP BY 1, 2
+      ) GROUP BY id
+    )
+    SELECT CAST(base.id AS BIGINT) AS id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_word_frac,
+           CAST(coalesce(top_tok, 0) AS DOUBLE) / n_tokens AS top_ngram_frac,
+           CAST(coalesce(dup_tok, 0) AS DOUBLE) / n_tokens AS dup_ngram_frac
+    FROM base
+    LEFT JOIN topg ON base.id = topg.id
+    LEFT JOIN dupg ON base.id = dupg.id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id, n_hits): training docs sharing at least one ``ngram``-gram with
+    the benchmark set — the standard test-set-decontamination pass run
+    before training.
+
+    Scale shape: inverted-index equi-join on the n-gram (never a cartesian).
+    Benchmark suites are small, so their distinct n-gram set broadcasts and
+    the corpus side is a single scan + map-side semi-join + one aggregate;
+    set ``broadcast_benchmark=False`` to fall back to a shuffle join when
+    the held-out side is itself corpus-sized.
+    """
+    from ..functions import word_shingles
+
+    d = docs.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(word_shingles(text_col, ngram)).alias("gram"),
+    ).distinct()
+    b = benchmark.select(
+        F.explode(word_shingles(text_col, ngram)).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        d.join(b, "gram")
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+
+
+def oracle_contamination(
+    docs_sql: str, bench_sql: str, id_col: str, text_col: str, ngram: int = 5
+) -> str:
+    from ..functions import oracle_word_shingles
+
+    sh = oracle_word_shingles(text_col, ngram)
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT {id_col} AS id, unnest({sh}) AS gram FROM ({docs_sql})
+    ), b AS (
+      SELECT DISTINCT unnest({sh}) AS gram FROM ({bench_sql})
+    )
+    SELECT CAST(d.id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM d JOIN b ON d.gram = b.gram
+    GROUP BY d.id
+    """

@@ -762,3 +762,67 @@ def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene additions: repetition filters, decontamination, mixing
+# ---------------------------------------------------------------------------
+
+@register(
+    "txt_repetition",
+    textops.oracle_repetition_stats("documents", "doc_id", "text"),
+    doc="Gopher/C4 repetition measures per doc: distinct-word fraction, "
+        "top-2-gram coverage, duplicated-3-gram coverage",
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_stats(docs, "doc_id", "text")
+
+
+_BENCH_SPLIT = "doc_id % 97 = 0"
+
+
+@register(
+    "cur_decontaminate",
+    textops.oracle_contamination(
+        f"SELECT * FROM documents WHERE NOT ({_BENCH_SPLIT})",
+        f"SELECT * FROM documents WHERE {_BENCH_SPLIT}",
+        "doc_id",
+        "text",
+    ),
+    doc="test-set decontamination: training docs sharing any 5-gram with "
+        "the held-out benchmark slice (broadcast inverted-index join)",
+)
+def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_BENCH_SPLIT))
+    train = docs.filter(~F.expr(_BENCH_SPLIT))
+    return textops.contamination(train, bench, "doc_id", "text")
+
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@register(
+    "smp_mixture",
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM ({{inner}}) GROUP BY source
+    """.format(
+        inner=__import__(
+            "hadoop_2_7_1_spark.operators.sampling", fromlist=["oracle_sample_mixture"]
+        ).oracle_sample_mixture("documents", "doc_id", "source", _MIX_WEIGHTS)
+    ),
+    doc="domain-mixing down-sample to a target source mixture "
+        "(deterministic hash thresholds; most-constrained source kept whole)",
+)
+def smp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_mixture(docs, "doc_id", "source", _MIX_WEIGHTS)
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )

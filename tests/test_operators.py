@@ -402,3 +402,61 @@ def test_compose_override_rightmost_wins(spark, tmp_path):
         spark, f"override(tbl(parquet,{pa}),tbl(parquet,{pb}))", key="k", value_col="v"
     )
     assert {(r.k, r.v) for r in got.collect()} == {(1, "old1"), (2, "new2"), (3, "new3")}
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: repetition, decontamination, mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_flags_repeats(spark):
+    from hadoop_2_7_1_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),  # one bigram dominates
+            (2, "all words here are fully distinct tokens"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1].top_ngram_frac > 0.8  # "spam ham" covers almost everything
+    assert rows[2].dup_ngram_frac == 0.0
+    assert rows[2].distinct_word_frac == 1.0
+    assert rows[1].distinct_word_frac == 2 / 8
+
+
+def test_contamination_inverted_index(spark):
+    from hadoop_2_7_1_spark.operators.textops import contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated content with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(99, "we ask about the quick brown fox jumps over questions")],
+        ["doc_id", "text"],
+    )
+    hits = {r.id: r.n_hits for r in contamination(train, bench, "doc_id", "text").collect()}
+    assert 1 in hits and 2 not in hits  # doc 1 shares "the quick brown fox jumps"
+
+
+def test_sample_mixture_proportions(spark):
+    from hadoop_2_7_1_spark.operators.sampling import sample_mixture
+
+    df = spark.range(3000).selectExpr(
+        "id", "concat('s', CAST(id % 3 AS STRING)) AS source"
+    )  # 1000 rows per source
+    kept = sample_mixture(df, "id", "source", {"s0": 0.6, "s1": 0.3, "s2": 0.1})
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # T = min(1000/0.6, ...) = 1666.7 -> targets 1000 / 500 / 166.7: the
+    # most-constrained source (s0) survives whole, others hash-sample to share
+    assert counts["s0"] == 1000
+    assert abs(counts["s1"] - 500) < 80
+    assert abs(counts["s2"] - 167) < 50
+    # deterministic: rerun selects identical rows
+    again = sample_mixture(df, "id", "source", {"s0": 0.6, "s1": 0.3, "s2": 0.1})
+    assert {r.id for r in kept.collect()} == {r.id for r in again.collect()}
