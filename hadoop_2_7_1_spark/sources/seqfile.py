@@ -45,6 +45,12 @@ def write_sequence_file(
 
     ``codec`` enables BLOCK compression (SequenceFile.java:228) with one of
     CODECS' short names or a fully-qualified codec class.
+
+    .. warning:: Interchange sink ONLY — rows cross JVM→Python→JVM via
+       Pyrolite (``df.rdd``), i.e. row-at-a-time Python in the write path.
+       Exporting a large table this way is 10-100× slower than the Parquet
+       sink; at scale, keep intermediates in Parquet and reserve
+       SequenceFiles for handing data to legacy Hadoop consumers.
     """
     pairs = df.select(key_col, value_col).rdd.map(tuple)
     codec_cls = CODECS.get(codec, codec) if codec else None
