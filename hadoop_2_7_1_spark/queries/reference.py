@@ -971,3 +971,71 @@ def q23_bbp_pi_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pi_hex"),
         F.count("*").cast("bigint").alias("n_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q26/Q27 Pentomino + Sudoku — EX/dancing/DistributedPentomino.java:45-71,
+# Sudoku.java. Distributed exact-cover via search-tree prefix fan-out.
+# ---------------------------------------------------------------------------
+
+# Board is env-tunable for quick loops (20x3 is ~4s of search; 15x4 ~105s
+# single-threaded, prefix-parallelized here). Solution counts are famous
+# public constants, independently confirmed for both supported boards.
+_PENT_W, _PENT_H = (
+    int(v) for v in _os.environ.get("SPARK_GRAFT_PENT", "15x4").split("x")
+)
+_PENT_COUNTS = {(20, 3): (8, 2), (15, 4): (1472, 368)}
+if (_PENT_W, _PENT_H) not in _PENT_COUNTS:
+    raise ValueError("SPARK_GRAFT_PENT must be 15x4 or 20x3")
+_PENT_RAW, _PENT_DISTINCT = _PENT_COUNTS[(_PENT_W, _PENT_H)]
+
+
+@register(
+    "q26_pentomino",
+    f"""
+    SELECT CAST({_PENT_DISTINCT} AS BIGINT) AS n_distinct,
+           CAST({_PENT_RAW} AS BIGINT) AS n_raw
+    """,
+    doc=f"DistributedPentomino on {_PENT_W}x{_PENT_H}: Algorithm X subtrees "
+        "fanned out one prefix per task; counts pinned to the public "
+        "pentomino solution constants (368 distinct on 4x15, 2 on 3x20)",
+)
+def q26_pentomino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dancing import solve_pentomino
+
+    sols = solve_pentomino(spark, width=_PENT_W, height=_PENT_H, depth=2)
+    return sols.agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum("n_raw").cast("bigint").alias("n_raw"),
+    )
+
+
+# The puzzle removes 30 cells from an independently-constructed valid grid
+# (row i = cyclic shift of 1..9); the solver must recover EXACTLY that grid,
+# so the oracle constant is not derived from the solver under test.
+_SUDOKU_PUZZLE = (
+    "123400089456089120009003456034060090060891204001204060045078900600910345012345678"
+)
+_SUDOKU_SOLUTION = (
+    "123456789456789123789123456234567891567891234891234567345678912678912345912345678"
+)
+
+
+@register(
+    "q27_sudoku",
+    f"""
+    SELECT CAST(0 AS BIGINT) AS puzzle_id,
+           '{_SUDOKU_SOLUTION}' AS solution,
+           CAST(1 AS INTEGER) AS n_solutions
+    """,
+    doc="Sudoku (EX/dancing/Sudoku.java): 9x9 exact cover (324 constraint "
+        "columns) over the same Algorithm X engine; the unique solution "
+        "must equal the independently-constructed source grid",
+)
+def q27_sudoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dancing import solve_sudokus
+
+    puzzles = spark.createDataFrame(
+        [(0, _SUDOKU_PUZZLE)], "puzzle_id bigint, puzzle string"
+    )
+    return solve_sudokus(spark, puzzles)
