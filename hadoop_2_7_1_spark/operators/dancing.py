@@ -162,7 +162,7 @@ def canonical_board(board: str, width: int, height: int) -> str:
 
 
 def solve_pentomino(
-    spark: SparkSession, width: int = 4, height: int = 15, depth: int = 3
+    spark: SparkSession, width: int = 15, height: int = 4, depth: int = 3
 ) -> DataFrame:
     """Distributed pentomino count: prefixes of the search tree fan out one
     task each (DistributedPentomino's getSplits); each task solves its

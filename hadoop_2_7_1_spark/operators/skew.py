@@ -52,3 +52,38 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(
         *[merge[fn](f"_p_{name}").alias(name) for name, (fn, _) in aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join when the small side is too large to broadcast
+    and the big side has hot keys: salt the big side's rows into
+    ``salt_buckets`` sub-keys and replicate every small-side row across all
+    buckets, so one hot key spreads over ``salt_buckets`` reducers instead
+    of funneling through one.
+
+    Cost model: small side shuffles ``salt_buckets×`` its size — worth it
+    exactly when the hot key's partition would otherwise dominate the stage
+    (AQE's skew-join split handles moderate skew automatically; salting is
+    the deterministic fix when one key exceeds a whole executor's capacity).
+    Exact for inner/left joins on any key distribution.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (replication-safe)")
+    salted_big = big.withColumn(
+        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets)
+    )
+    salted_small = small.join(
+        F.broadcast(
+            small.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    out = salted_big.join(salted_small, [key, "_salt"], how)
+    return out.drop("_salt")

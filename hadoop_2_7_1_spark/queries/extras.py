@@ -826,3 +826,57 @@ def smp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("chars_kept"),
     )
+
+
+@register(
+    "evt_correlate",
+    """
+    SELECT CAST(v.user_id AS BIGINT) AS user_id,
+           CAST(v.event_id AS BIGINT) AS left_id,
+           CAST(c.event_id AS BIGINT) AS right_id
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    doc="stream-stream event-time correlation (view->click within 30 min "
+        "per user), run through the SAME correlate_streams code path the "
+        "streaming layer uses — watermark bounds both state sides",
+)
+def evt_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import correlate_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return correlate_streams(views, clicks)
+
+
+@register(
+    "agg_salted_join",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(length(event_type) AS BIGINT) AS type_len
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(d.type_len) AS BIGINT) AS type_len
+    FROM events e JOIN d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    doc="skew-safe salted equi-join: 5 event types across the whole table "
+        "is the canonical hot-key case — big side salted into 16 sub-keys, "
+        "dim replicated per salt, result identical to the plain join",
+)
+def agg_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_len", F.length("event_type").cast("bigint")
+    )
+    joined = salted_join(ev.select("event_id", "event_type"), dim, "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("type_len").cast("bigint").alias("type_len"),
+    )

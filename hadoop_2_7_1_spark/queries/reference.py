@@ -1003,7 +1003,9 @@ _PENT_RAW, _PENT_DISTINCT = _PENT_COUNTS[(_PENT_W, _PENT_H)]
 def q26_pentomino(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dancing import solve_pentomino
 
-    sols = solve_pentomino(spark, width=_PENT_W, height=_PENT_H, depth=2)
+    # depth 3 ≈ 1.4k prefixes on 4x15: finer subtrees even out the heavy
+    # branches (9.5s vs 15.9s wall at depth 2 on 32 cores)
+    sols = solve_pentomino(spark, width=_PENT_W, height=_PENT_H, depth=3)
     return sols.agg(
         F.count("*").cast("bigint").alias("n_distinct"),
         F.sum("n_raw").cast("bigint").alias("n_raw"),

@@ -92,6 +92,52 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "event_type") -> DataFrame:
+    """Stream-static dimension enrichment: broadcast hash join against a
+    batch table, re-planned per micro-batch (so a refreshed dim parquet is
+    picked up without restarting the query). No streaming state at all —
+    the 100 TB/day shape for lookup joins."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time join: pair each left event with right events
+    of the same ``key`` occurring in ``[left.ts, left.ts + within]``.
+
+    Both sides are watermarked, and the time-range predicate bounds the join
+    state on BOTH sides (rows age out of the state store once the watermark
+    passes their join horizon) — without the range condition a stream-stream
+    join buffers forever. Works identically on batch inputs (withWatermark
+    is a no-op there), which is how the oracle checks it (evt_correlate).
+    """
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("rk"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"k = rk AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+    ).select(
+        F.col("k").cast("bigint").alias("user_id"),
+        F.col("l_id").cast("bigint").alias("left_id"),
+        F.col("r_id").cast("bigint").alias("right_id"),
+    )
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query on all currently-available input
     (availableNow trigger) into an in-memory table; returns the result as a

@@ -460,3 +460,21 @@ def test_sample_mixture_proportions(spark):
     # deterministic: rerun selects identical rows
     again = sample_mixture(df, "id", "source", {"s0": 0.6, "s1": 0.3, "s2": 0.1})
     assert {r.id for r in kept.collect()} == {r.id for r in again.collect()}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from hadoop_2_7_1_spark.operators.skew import salted_join
+
+    # hot key: 90% of the big side is one key
+    big = spark.range(10_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 7 END AS k", "id AS v"
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(7)], ["k", "name"]
+    )
+    got = salted_join(big, small, "k").groupBy("k", "name").count()
+    want = big.join(small, "k").groupBy("k", "name").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # left join keeps unmatched big-side rows exactly once
+    got_l = salted_join(big, small, "k", how="left").count()
+    assert got_l == big.join(small, "k", "left").count()

@@ -108,3 +108,41 @@ def test_exactly_once_sink_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     again = spark.read.option("basePath", out).parquet(out + "/batch_id=*")
     assert again.count() == n_first
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from hadoop_2_7_1_spark.queries import REGISTRY
+
+    sdf = streaming.stream_events(spark, SF_DIR)
+    views = sdf.filter(F.col("event_type") == "view")
+    clicks = sdf.filter(F.col("event_type") == "click")
+    out = streaming.run_to_memory(
+        streaming.correlate_streams(views, clicks), "t_corr", "append"
+    ).toPandas()
+
+    batch = REGISTRY["evt_correlate"].fn(spark, SF_DIR).toPandas()
+    assert_frames_match(out, batch, "stream_stream_join_vs_batch")
+
+
+def test_stream_static_enrichment(spark):
+    sdf = streaming.stream_events(spark, SF_DIR)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    out = streaming.run_to_memory(
+        streaming.enrich_stream(sdf, dim)
+        .groupBy("event_type")
+        .agg(F.sum("weight").alias("w"), F.count("*").alias("n")),
+        "t_enrich",
+        "complete",
+    ).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("event_type")
+        .agg(F.sum("weight").alias("w"), F.count("*").alias("n"))
+        .toPandas()
+    )
+    assert_frames_match(out, batch, "stream_static_enrich_vs_batch")
