@@ -787,3 +787,152 @@ def tq_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         F.sum("o_totalprice").over(w).cast("double").alias("running_spend"),
     )
+
+
+@register(
+    "tq2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT o.l_partkey, o.l_suppkey, o.unit_cost, s_name, n_name,
+             CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      FROM offers o
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY unit_cost, l_suppkey) AS rnk
+      FROM eligible
+    )
+    SELECT CAST(r.l_partkey AS BIGINT) AS p_partkey, p_brand,
+           s_name, n_name, s_acctbal,
+           CAST(r.unit_cost AS DOUBLE) AS unit_cost
+    FROM ranked r JOIN part ON r.l_partkey = p_partkey
+    WHERE rnk = 1 AND p_size <= 15
+    """,
+    doc="TPC-H Q2 shape (no partsupp: supplier offers derived from lineitem "
+        "unit prices): per-part minimum-cost supplier in a region — the "
+        "correlated-min subquery decorrelated into one aggregate + "
+        "deterministic rank-1 rejoin",
+)
+def tq2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    # region-filtered supplier dim is tiny: broadcast it into the offers agg
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(
+            load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name",
+                F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+    eligible = offers.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    # row_number, not a float-equality self-join against the per-part min:
+    # deterministic under ties and avoids comparing doubles across engines
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = eligible.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    return best.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        F.col("l_partkey").cast("bigint").alias("p_partkey"),
+        "p_brand", "s_name", "n_name", "s_acctbal",
+        F.col("unit_cost").cast("double").alias("unit_cost"),
+    )
+
+
+@register(
+    "tq11_important_stock",
+    """
+    WITH value_by_part AS (
+      SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'GERMANY'
+      GROUP BY l_partkey
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+           CAST(part_value AS BIGINT) AS part_value
+    FROM value_by_part
+    WHERE part_value * 10000 > (SELECT sum(part_value) FROM value_by_part)
+    """,
+    doc="TPC-H Q11 shape (no partsupp: stock value derived from shipped "
+        "quantities): parts whose national inventory share exceeds a global "
+        "threshold — scalar-aggregate subquery; integer arithmetic keeps the "
+        "threshold comparison exact across engines",
+)
+def tq11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    german_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(
+            load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    value_by_part = (
+        li.join(F.broadcast(german_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("part_value"))
+    )
+    # scalar global total: single-row aggregate, broadcast into the filter
+    total = value_by_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        value_by_part.join(F.broadcast(total))
+        .filter(F.col("part_value") * 10000 > F.col("total_value"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            F.col("part_value").cast("bigint").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tq12_shipping_priority_mix",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (no shipmode column: return flag stands in for "
+        "ship mode): conditional two-way counts after a fact-to-fact join "
+        "restricted by a pushed date range",
+)
+def tq12_shipping_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )

@@ -3,7 +3,8 @@ fresh plain SparkSession (no engine session factory), import __spark_entry__,
 run entry() + every queries() entry at the given sf, hash-compare against
 oracle_sql() in DuckDB with the driver's canonicalization.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [name_substr ...]
+(optional name substrings restrict which queries run — skips entry())
 """
 
 from __future__ import annotations
@@ -18,6 +19,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -64,16 +66,19 @@ def main() -> None:
     )
     import __spark_entry__ as e
 
-    t0 = time.time()
-    head = e.entry(spark)
-    rows = head.collect()
-    print(f"entry(): {len(rows)} rows, schema={[f.name for f in head.schema.fields]}, {time.time()-t0:.1f}s")
+    if not ONLY:
+        t0 = time.time()
+        head = e.entry(spark)
+        rows = head.collect()
+        print(f"entry(): {len(rows)} rows, schema={[f.name for f in head.schema.fields]}, {time.time()-t0:.1f}s")
 
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if ONLY:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
     n_ok = n_bad = 0
     for name, fn in sorted(qs.items()):
         t0 = time.time()
