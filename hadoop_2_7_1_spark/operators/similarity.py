@@ -265,3 +265,244 @@ def oracle_ivf_topk(table: str, query_filter: str, k: int = 3, bucket_dims: int 
            CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
     FROM scored QUALIFY rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) coarse quantizer + IVF search over the trained centroids.
+# The sign-bucket IVF above uses data-independent hyperplanes; this is the
+# real thing: centroids trained on the corpus, the same distributed shape
+# MLlib's KMeans uses — per-iteration broadcast of k*d doubles, map-only
+# assignment, partial-aggregated per-dimension means. The driver only ever
+# holds the model (k*d scalars), never data.
+# ---------------------------------------------------------------------------
+
+
+def _centroids_sql(cents: list[list[float]]) -> str:
+    """SQL literal array<array<double>> for a trained centroid set.
+
+    Values go through ``repr`` (shortest round-trip form) inside a string
+    CAST, so the JVM parses back the exact same IEEE double the driver
+    collected — no precision loss between iterations.
+    """
+    inner = ",".join(
+        "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in c) + ")" for c in cents
+    )
+    return f"array({inner})"
+
+
+def _dists_expr(vec_col: str, cents_sql: str) -> str:
+    """Squared-L2 distance from ``vec_col`` to every centroid (array<double>)."""
+    return (
+        f"transform({cents_sql}, c -> aggregate(zip_with({vec_col}, c, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "0D, (acc, v) -> acc + v))"
+    )
+
+
+def assign_clusters(
+    emb: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add an int ``cluster`` column = argmin squared-L2 over ``cents``.
+
+    Map-only: the centroid set rides inside the expression (broadcast with
+    the plan), ties break to the lowest cluster index (array_position finds
+    the first minimum) — same tiebreak the oracle's ORDER BY dist, cluster
+    uses.
+    """
+    d = _dists_expr(vec_col, _centroids_sql(cents))
+    return (
+        emb.withColumn("_dists", F.expr(d))
+        .withColumn(
+            "cluster",
+            (F.expr("array_position(_dists, array_min(_dists))") - 1).cast("int"),
+        )
+        .drop("_dists")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's algorithm with deterministic init (the k lowest-id vectors).
+
+    Each iteration is one assignment pass (map-only, centroids broadcast in
+    the plan) plus one per-dimension mean (posexplode -> partial+final
+    HashAggregate over k*d cells; the shuffle moves k*d*partitions rows, not
+    data). Only the k*d centroid doubles are collected per iteration —
+    at 100 TB the data never funnels anywhere. Empty clusters keep their
+    previous centroid (same guard MLlib applies).
+    """
+    seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in row[0]] for row in seeds]
+    dim = len(cents[0])
+    for _ in range(n_iter):
+        assigned = assign_clusters(emb, cents, vec_col)
+        rows = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        cents = [
+            [by_cluster[c][i] for i in range(dim)] if c in by_cluster else cents[c]
+            for c in range(k)
+        ]
+    return cents
+
+
+def kmeans_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against trained centroids: rank cells per query, probe the
+    ``nprobe`` nearest, exact cosine top-k inside the probed cells.
+
+    Corpus assignment is map-only; the probe is an equi-join on the cluster
+    key (queries broadcast; for big-to-big use the same shape shuffled).
+    Scanned fraction ~= nprobe/k of the corpus per query.
+    """
+    corpus = assign_clusters(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")), cents, "vec"
+    )
+    d = _dists_expr("q_vec", _centroids_sql(cents))
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("_d", F.expr(d))
+        .select("q_id", "q_vec", F.posexplode("_d").alias("cluster", "cdist"))
+    )
+    wp = Window.partitionBy("q_id").orderBy("cdist", "cluster")
+    probes = (
+        q.withColumn("prb", F.row_number().over(wp))
+        .filter(F.col("prb") <= nprobe)
+        .select("q_id", "q_vec", F.col("cluster").cast("int").alias("cluster"))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", _cos_expr("vec", "q_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("vec_id").cast("bigint"),
+            "cos",
+            F.col("rnk").cast("bigint"),
+        )
+    )
+
+
+def _oracle_kmeans_ctes(table: str, k: int, n_iter: int, dim: int) -> str:
+    """Shared CTE chain replaying Lloyd's algorithm in DuckDB: seeds ->
+    (assign -> per-dimension means -> next centroids) * n_iter."""
+    dist = (
+        "list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), ct.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    sql = f"""
+    WITH cent0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             CAST(embedding AS DOUBLE[]) AS c
+      FROM (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {k})
+    )"""
+    for i in range(n_iter):
+        sql += f""",
+    assign{i} AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, ct.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, ct.cluster) AS rn
+        FROM {table} e CROSS JOIN cent{i} ct
+      ) WHERE rn = 1
+    ),
+    means{i} AS (
+      SELECT cluster, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM assign{i}, range(1, {dim + 1}) t(i)
+      GROUP BY cluster, i
+    ),
+    cent{i + 1} AS (
+      SELECT ct.cluster, coalesce(mm.c, ct.c) AS c
+      FROM cent{i} ct LEFT JOIN (
+        SELECT cluster, list(m ORDER BY pos) AS c FROM means{i} GROUP BY cluster
+      ) mm USING (cluster)
+    )"""
+    final = f"cent{n_iter}"
+    sql += f""",
+    assign_final AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, ct.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, ct.cluster) AS rn
+        FROM {table} e CROSS JOIN {final} ct
+      ) WHERE rn = 1
+    )"""
+    return sql
+
+
+def oracle_kmeans_sizes(table: str, k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    return (
+        _oracle_kmeans_ctes(table, k, n_iter, dim)
+        + f"""
+    SELECT CAST(ct.cluster AS BIGINT) AS cluster,
+           CAST(coalesce(sz.n, 0) AS BIGINT) AS n,
+           CAST(ct.c[1] AS DOUBLE) AS c0
+    FROM cent{n_iter} ct LEFT JOIN (
+      SELECT cluster, count(*) AS n FROM assign_final GROUP BY cluster
+    ) sz USING (cluster)
+    """
+    )
+
+
+def oracle_kmeans_ivf(
+    table: str,
+    query_filter: str,
+    k: int = 3,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> str:
+    qdist = (
+        "list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), ct.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    dot = ORACLE_DOT.format(a="c.embedding", b="p.embedding")
+    nc = ORACLE_NORM.format(a="c.embedding")
+    nq = ORACLE_NORM.format(a="p.embedding")
+    return (
+        _oracle_kmeans_ctes(table, n_clusters, n_iter, dim)
+        + f""",
+    probes AS (
+      SELECT q_id, embedding, cluster FROM (
+        SELECT q.vec_id AS q_id, q.embedding, ct.cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {qdist}, ct.cluster) AS prb
+        FROM {table} q CROSS JOIN cent{n_iter} ct
+        WHERE {query_filter.replace('vec_id', 'q.vec_id')}
+      ) WHERE prb <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.q_id, c.vec_id,
+             CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos
+      FROM assign_final c JOIN probes p ON c.cluster = p.cluster
+                                       AND c.vec_id <> p.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= {k}
+    """
+    )

@@ -880,3 +880,44 @@ def agg_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.max("type_len").cast("bigint").alias("type_len"),
     )
+
+
+@register(
+    "sim_kmeans_sizes",
+    similarity.oracle_kmeans_sizes("embeddings", k=8, n_iter=2, dim=64),
+    doc="k-means (Lloyd, 2 iterations, deterministic lowest-id seeds) as the "
+        "trained coarse quantizer: final cluster sizes + first centroid "
+        "coordinate; the DuckDB oracle replays the identical iteration",
+)
+def sim_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
+    assigned = similarity.assign_clusters(emb, cents)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").cast("bigint").alias("n"))
+    cent_df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cents)], ["cluster", "c0"]
+    )
+    return (
+        cent_df.join(sizes, "cluster", "left")
+        .select(
+            F.col("cluster").cast("bigint"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.col("c0").cast("double"),
+        )
+    )
+
+
+@register(
+    "sim_kmeans_ivf",
+    similarity.oracle_kmeans_ivf(
+        "embeddings", "vec_id < 5", k=3, nprobe=2, n_clusters=8, n_iter=2, dim=64
+    ),
+    doc="IVF ANN over TRAINED k-means centroids (vs sim_ivf_topk's fixed "
+        "hyperplanes): per-query cell ranking, nprobe=2 probe join, exact "
+        "cosine top-3 inside probed cells",
+)
+def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.kmeans_ivf_topk(emb, queries, cents, k=3, nprobe=2)

@@ -478,3 +478,56 @@ def test_salted_join_matches_plain_join(spark):
     # left join keeps unmatched big-side rows exactly once
     got_l = salted_join(big, small, "k", how="left").count()
     assert got_l == big.join(small, "k", "left").count()
+
+
+def test_kmeans_fit_and_ivf(spark):
+    """Trained-centroid IVF: centroids must actually be means of their
+    members, assignment must be the true argmin, and nprobe=2 recall must
+    beat the single-cell probe."""
+    from hadoop_2_7_1_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.kmeans_fit(emb, k=4, n_iter=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+
+    assigned = similarity.assign_clusters(emb, cents).cache()
+    n_total = emb.count()
+    assert assigned.count() == n_total
+    # every row's cluster is the argmin over the centroid set (driver check
+    # on a sample)
+    import numpy as np
+
+    ca = np.array(cents)
+    for r in assigned.limit(50).collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        d = ((ca - v) ** 2).sum(axis=1)
+        assert r.cluster == int(d.argmin())
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=2).collect()
+    }
+    got1 = {
+        (r.q_id, r.vec_id)
+        for r in similarity.kmeans_ivf_topk(emb, queries, cents, k=2, nprobe=1).collect()
+    }
+    got2 = {
+        (r.q_id, r.vec_id)
+        for r in similarity.kmeans_ivf_topk(emb, queries, cents, k=2, nprobe=2).collect()
+    }
+    r1 = len(got1 & exact) / len(exact)
+    r2 = len(got2 & exact) / len(exact)
+    assert r2 >= r1
+    assert r2 > 0
+    assigned.unpersist()
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """The assignment pass must not shuffle: centroids ride in the plan."""
+    from hadoop_2_7_1_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.kmeans_fit(emb, k=4, n_iter=1)
+    plan = similarity.assign_clusters(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
