@@ -1,0 +1,88 @@
+"""Sequence packing for LLM pre-training (north-star addition).
+
+GPT-style block packing: documents are concatenated in a deterministic
+order and the token stream is chunked into fixed-length training sequences;
+a document may span a block boundary. The operator computes, fully
+distributed, each document's global token start offset and the range of
+sequence ids it lands in.
+
+Scale shape: the global offset is NOT a global window (which would funnel
+100 TB through one task). Same two-phase scheme as
+``partitioning.global_sort_with_rank``: range-partition by id, per-partition
+token totals (tiny: one row per partition) become broadcast prefix offsets,
+then a per-partition cumulative sum adds the local part. The only
+single-partition step touches ``num_partitions`` rows of metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Assign each doc its token ``start_offset`` in the concatenated corpus
+    stream (ordered by ``id_col``) and the sequence ids ``seq_first`` /
+    ``seq_last`` its tokens fall into for blocks of ``seq_len`` tokens.
+
+    Zero-token docs get ``seq_last = seq_first`` (they occupy no tokens but
+    sit at their offset's block).
+    """
+    part = (
+        docs.select(
+            F.col(id_col).alias("id"), F.col(token_col).cast("bigint").alias("toks")
+        )
+        .repartitionByRange(num_partitions, "id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partition assignment for both passes
+    )
+    sizes = part.groupBy("__pid").agg(F.sum("toks").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn("start_offset", (F.sum("toks").over(w_local) + F.col("__off") - F.col("toks")))
+        .drop("__pid", "__off")
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias(id_col),
+        F.col("toks").cast("bigint").alias(token_col),
+        F.col("start_offset").cast("bigint"),
+        F.expr(f"start_offset DIV {seq_len}").cast("bigint").alias("seq_first"),
+        F.expr(
+            f"(start_offset + greatest(toks - 1, 0L)) DIV {seq_len}"
+        ).cast("bigint").alias("seq_last"),
+    )
+
+
+def oracle_pack_sequences(
+    table: str, seq_len: int, id_col: str, token_expr: str
+) -> str:
+    """DuckDB twin: one global window (fine at oracle scale)."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col} AS id, CAST({token_expr} AS BIGINT) AS toks FROM {table}
+    ), c AS (
+      SELECT id, toks,
+             sum(toks) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) - toks AS start_off
+      FROM t
+    )
+    SELECT CAST(id AS BIGINT) AS {id_col}, CAST(toks AS BIGINT) AS n_tokens,
+           CAST(start_off AS BIGINT) AS start_offset,
+           CAST(start_off // {seq_len} AS BIGINT) AS seq_first,
+           CAST((start_off + greatest(toks - 1, 0)) // {seq_len} AS BIGINT) AS seq_last
+    FROM c
+    """

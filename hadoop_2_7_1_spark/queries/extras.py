@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
+from ..operators.packing import oracle_pack_sequences
 from ..operators.profile import oracle_profile
 from ..operators.sampling import oracle_hash_threshold
 from . import register
@@ -921,3 +922,26 @@ def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.kmeans_ivf_topk(emb, queries, cents, k=3, nprobe=2)
+
+
+@register(
+    "cur_pack_sequences",
+    oracle_pack_sequences(
+        "documents",
+        2048,
+        "doc_id",
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))",
+    ),
+    doc="GPT-style sequence packing: concatenated token stream (doc_id "
+        "order) chunked into 2048-token blocks; per-doc global start offset "
+        "and spanned sequence range, computed WITHOUT a global window "
+        "(two-phase prefix offsets, same scheme as global_sort_with_rank)",
+)
+def cur_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = textops.token_stats(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+    return pack_sequences(with_tokens, seq_len=2048)

@@ -531,3 +531,37 @@ def test_kmeans_assignment_is_map_only(spark):
     cents = similarity.kmeans_fit(emb, k=4, n_iter=1)
     plan = similarity.assign_clusters(emb, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_matches_global_window(spark):
+    """Two-phase packing must equal the naive global-window computation,
+    and the big-side window must be partitioned (no full-data funnel)."""
+    from hadoop_2_7_1_spark.operators.packing import pack_sequences
+    from pyspark.sql import Window
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 * 13 + 1).alias("n_tokens")
+    )
+    got = pack_sequences(docs, seq_len=256, num_partitions=8)
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = docs.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint").alias("start_offset"),
+    ).selectExpr(
+        "doc_id", "n_tokens", "start_offset",
+        "CAST(start_offset DIV 256 AS BIGINT) AS seq_first",
+        "CAST((start_offset + greatest(n_tokens - 1, 0L)) DIV 256 AS BIGINT) AS seq_last",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+    # zero-token docs keep seq_last == seq_first
+    z = spark.createDataFrame([(0, 5), (1, 0), (2, 3)], ["doc_id", "n_tokens"])
+    rows = {r.doc_id: r for r in pack_sequences(z, seq_len=4, num_partitions=2).collect()}
+    assert rows[1].seq_first == rows[1].seq_last
+
+    # scale guard: the data-bearing window partitions by __pid; the only
+    # SinglePartition exchange allowed feeds the per-partition size rows
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__pid" in plan, plan
