@@ -19,7 +19,7 @@ DuckDB oracle reproduces signatures bit-for-bit (see functions.hex_hash32).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import WS, hex_hash32, oracle_hash32, word_shingles
@@ -493,4 +493,87 @@ def oracle_connected_components(pairs_sql: str) -> str:
     )
     SELECT CAST(src AS BIGINT) AS node, CAST(min(dst) AS BIGINT) AS component
     FROM reach GROUP BY src
+    """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span removal ("paragraph dedup" at token-chunk
+# granularity — the scalable form of exact substring dedup from the public
+# train-data-dedup literature: repeated spans are found by hashing fixed
+# token windows instead of building a corpus suffix array).
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each doc's whitespace token stream into consecutive
+    ``chunk_tokens``-token chunks, dedupe chunks globally (first occurrence
+    by (doc_id, chunk_idx) wins), report per-doc survival stats.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, tokens_kept).
+
+    Scale shape: the explode produces ~n_tokens/chunk_tokens rows per doc;
+    the single shuffle keys on the chunk md5 — uniform by construction, so
+    no hot reducers. Same plan at 100 TB, just more partitions.
+    """
+    from ..functions import WS_SQL
+
+    w = chunk_tokens
+    toks = f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t <> '')"
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size({toks}) / {w}.0) as int) - 1), "
+                f"i -> array_join(slice({toks}, i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).filter(F.col("chunk") != "")
+    win = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    ranked = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"size(filter(split(chunk, '{WS_SQL}'), t -> t <> ''))").alias("chunk_toks"),
+        F.row_number().over(win).alias("rn"),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("rn") == 1, F.col("chunk_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
+def oracle_chunk_dedup(table: str, chunk_tokens: int = 20) -> str:
+    w = chunk_tokens
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+      FROM {table}
+    ), idx AS (
+      SELECT doc_id, tk,
+             unnest(range(CAST(ceil(len(tk) / {w}.0) AS INT))) AS chunk_idx
+      FROM toks WHERE len(tk) > 0
+    ), chunks AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(list_slice(tk, chunk_idx * {w} + 1, chunk_idx * {w} + {w}), ' ') AS chunk,
+             len(list_slice(tk, chunk_idx * {w} + 1, chunk_idx * {w} + {w})) AS chunk_toks
+      FROM idx
+    ), ranked AS (
+      SELECT doc_id, chunk_idx, chunk_toks,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks WHERE chunk <> ''
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN chunk_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM ranked GROUP BY doc_id
     """

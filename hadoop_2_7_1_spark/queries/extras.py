@@ -945,3 +945,15 @@ def cur_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "n_tokens"
     )
     return pack_sequences(with_tokens, seq_len=2048)
+
+
+@register(
+    "dd_chunk_dedup",
+    dedup.oracle_chunk_dedup("documents", chunk_tokens=20),
+    doc="cross-doc repeated-span removal (exact substring dedup at 20-token "
+        "chunk granularity, first occurrence wins): per-doc chunk survival "
+        "stats; one uniform shuffle keyed on chunk md5",
+)
+def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup(docs, chunk_tokens=20)

@@ -565,3 +565,23 @@ def test_pack_sequences_matches_global_window(spark):
     # SinglePartition exchange allowed feeds the per-partition size rows
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(__pid" in plan, plan
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from hadoop_2_7_1_spark.operators.dedup import chunk_dedup
+
+    shared = " ".join(f"w{i}" for i in range(20))  # one full shared chunk
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(5))  # partial tail chunk
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + uniq_a),  # chunks: [shared, uniq_a]
+            (2, shared + " " + uniq_b),  # chunks: [shared(dup), uniq_b]
+            (3, shared),                 # chunks: [shared(dup)]
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in chunk_dedup(df, chunk_tokens=20).collect()}
+    assert rows[1].n_chunks == 2 and rows[1].n_dup_chunks == 0 and rows[1].tokens_kept == 40
+    assert rows[2].n_chunks == 2 and rows[2].n_dup_chunks == 1 and rows[2].tokens_kept == 5
+    assert rows[3].n_chunks == 1 and rows[3].n_dup_chunks == 1 and rows[3].tokens_kept == 0
