@@ -380,3 +380,161 @@ def oracle_contamination(
     FROM d JOIN b ON d.gram = b.gram
     GROUP BY d.id
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus term weighting: TF-IDF and BM25 — the inverted-index shape (term-
+# keyed aggregation + join back) that underlies retrieval-based curation.
+# ---------------------------------------------------------------------------
+
+
+def _terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = _tok_array(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.expr(toks)).alias("term")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (idf = ln(N/df), ties by term).
+
+    Scale shape: tf is a (doc, term) partial+final aggregate over the token
+    explode; df aggregates tf again keyed by term (tiny: vocabulary-sized);
+    the scalar N broadcasts. The join back to tf is term-keyed — vocabulary
+    is orders of magnitude smaller than the corpus, so it broadcasts in
+    practice; here it stays a plain equi-join so the plan is the same at any
+    vocabulary size.
+    """
+    terms = _terms(df, id_col, text_col)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double")
+             * F.log(F.col("n_docs").cast("double") / F.col("df"))).cast("double"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "term",
+            F.col("tf").cast("bigint"),
+            F.col("df").cast("bigint"),
+            "tfidf",
+            F.col("rnk").cast("bigint"),
+        )
+    )
+
+
+def oracle_tfidf_top_terms(table: str, id_col: str, text_col: str, k: int = 5) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id,
+             unnest(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
+                                t -> t <> '')) AS term
+      FROM {table}
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM {table}),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= {k}
+    """
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a bag-of-terms query.
+
+    idf uses the standard +1 form (always positive); dl/avgdl come from the
+    same token array as tf. Query terms ride in a broadcast filter; scoring
+    is one term-keyed aggregate per doc — no per-row Python anywhere.
+
+    The score column is named so the unique doc_id leads the oracle
+    comparator's alphabetical column sort: ln() can differ at the last ulp
+    across engines, and a float-led row sort would flip neighbors.
+    """
+    terms = _terms(df, id_col, text_col)
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = terms.filter(F.col("term").isin(query_terms)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").cast("double").alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("part", (idf * tf_part).cast("double"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("part").cast("double").alias("score_bm25")
+    ).select(F.col("doc_id").cast("bigint"), "score_bm25")
+
+
+def oracle_bm25_scores(
+    table: str, id_col: str, text_col: str, query_terms: list[str],
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id,
+             unnest(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
+                                t -> t <> '')) AS term
+      FROM {table}
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * ({k1} + 1))
+             / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)) AS part
+      FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(part) AS DOUBLE) AS score_bm25
+    FROM scored GROUP BY doc_id
+    """

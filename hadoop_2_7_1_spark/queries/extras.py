@@ -957,3 +957,27 @@ def cur_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.chunk_dedup(docs, chunk_tokens=20)
+
+
+@register(
+    "txt_tfidf_topterms",
+    textops.oracle_tfidf_top_terms("documents", "doc_id", "text", k=5),
+    doc="top-5 TF-IDF terms per doc: (doc,term) aggregate, vocabulary-keyed "
+        "df join-back, deterministic (score, term) ranking",
+)
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+@register(
+    "txt_bm25",
+    textops.oracle_bm25_scores(
+        "documents", "doc_id", "text", ["spark", "join", "window"]
+    ),
+    doc="BM25 relevance of every doc to a 3-term query (k1=1.2, b=0.75): "
+        "term-filtered tf + broadcast df/avgdl scalars, one doc-keyed sum",
+)
+def txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bm25_scores(docs, ["spark", "join", "window"], "doc_id", "text")

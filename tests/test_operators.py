@@ -585,3 +585,30 @@ def test_chunk_dedup_first_occurrence_wins(spark):
     assert rows[1].n_chunks == 2 and rows[1].n_dup_chunks == 0 and rows[1].tokens_kept == 40
     assert rows[2].n_chunks == 2 and rows[2].n_dup_chunks == 1 and rows[2].tokens_kept == 5
     assert rows[3].n_chunks == 1 and rows[3].n_dup_chunks == 1 and rows[3].tokens_kept == 0
+
+
+def test_tfidf_and_bm25_basics(spark):
+    from hadoop_2_7_1_spark.operators.textops import bm25_scores, tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = {(r.doc_id, r.rnk): r for r in tfidf_top_terms(df, k=1).collect()}
+    # the rarest in-doc term wins: 'apple' (df=1, tf=2) for doc 1
+    assert top[(1, 1)].term == "apple" and top[(1, 1)].df == 1 and top[(1, 1)].tf == 2
+    # ubiquitous terms get idf ln(1)=0 when df == N
+    import math
+
+    all_rows = tfidf_top_terms(df, k=10).collect()
+    for r in all_rows:
+        if r.df == 3:
+            assert math.isclose(r.tfidf, 0.0)
+
+    scores = {r.doc_id: r.score_bm25 for r in bm25_scores(df, ["cherry"]).collect()}
+    assert set(scores) == {2, 3}  # only docs containing the query term
+    assert scores[3] > scores[2]  # higher tf wins at comparable length
