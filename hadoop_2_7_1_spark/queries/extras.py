@@ -981,3 +981,70 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.bm25_scores(docs, ["spark", "join", "window"], "doc_id", "text")
+
+
+@register(
+    "cur_global_shuffle",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)))
+                AS BIGINT) AS rank
+    FROM documents
+    """,
+    doc="deterministic global training shuffle: content-stable md5 permutation "
+        "key, total-order rank via two-phase offsets (no global window); "
+        "reproducible across runs and engines",
+)
+def cur_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import global_sort_with_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))),
+    )
+    return global_sort_with_rank(keyed, ["shuffle_key"], rank_col="rank").select(
+        F.col("doc_id").cast("bigint"),
+        "shuffle_key",
+        F.col("rank").cast("bigint"),
+    )
+
+
+@register(
+    "cur_upsert_merge",
+    """
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT o_custkey AS k, o_totalprice AS new_val,
+               (o_orderstatus = 'F') AS is_del,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT CAST(coalesce(c_custkey, l.k) AS BIGINT) AS c_custkey,
+           CAST(coalesce(l.new_val, c_acctbal) AS DOUBLE) AS c_acctbal,
+           CASE WHEN l.k IS NULL THEN 'kept'
+                WHEN c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS src
+    FROM customer FULL OUTER JOIN latest l ON c_custkey = l.k
+    WHERE NOT coalesce(l.is_del, FALSE)
+    """,
+    doc="CDC compaction (MERGE semantics): orders as a changelog over the "
+        "customer snapshot — latest-per-key window, co-partitioned "
+        "full-outer resolve, latest 'F'-status change deletes the key",
+)
+def cur_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import merge_changelog
+
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        (F.col("o_orderstatus") == "F").alias("is_del"),
+        "o_orderdate", "o_orderkey",
+    )
+    return merge_changelog(
+        base, changes, "c_custkey", ["o_orderdate", "o_orderkey"], "c_acctbal", "is_del"
+    )

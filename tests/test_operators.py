@@ -612,3 +612,24 @@ def test_tfidf_and_bm25_basics(spark):
     scores = {r.doc_id: r.score_bm25 for r in bm25_scores(df, ["cherry"]).collect()}
     assert set(scores) == {2, 3}  # only docs containing the query term
     assert scores[3] > scores[2]  # higher tf wins at comparable length
+
+
+def test_merge_changelog_semantics(spark):
+    from hadoop_2_7_1_spark.operators.cdc import merge_changelog
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"])
+    changes = spark.createDataFrame(
+        [
+            (1, 11.0, False, 1),  # superseded update
+            (1, 12.0, False, 2),  # winning update
+            (2, 0.0, True, 1),    # delete base key
+            (4, 40.0, False, 1),  # insert new key
+            (5, 0.0, True, 1),    # delete nonexistent key -> no row
+        ],
+        ["k", "v", "is_del", "seq"],
+    )
+    rows = {r.k: r for r in merge_changelog(base, changes, "k", ["seq"], "v", "is_del").collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[1].v == 12.0 and rows[1].src == "updated"
+    assert rows[3].v == 30.0 and rows[3].src == "kept"
+    assert rows[4].v == 40.0 and rows[4].src == "inserted"
