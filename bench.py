@@ -41,9 +41,11 @@ HEADLINE = [
     "bench_terasort_big",
     "dd_minhash_lsh",
     "dd_dup_clusters",
+    "dd_chunk_dedup",
     "txt_quality",
     "evt_sessionize",
     "cur_pipeline_e2e",
+    "cur_pack_sequences",
 ]
 
 
