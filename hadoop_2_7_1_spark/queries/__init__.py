@@ -57,12 +57,12 @@ _DRIVER_WINDOW = [
     "q13_field_selection", "q14_multiple_inputs", "q15_partitioned_write",
     "q16_chain", "q17_distinct", "q18_semi_anti", "q19_intersect_except",
     "q20_pipe_wordcount", "q21_db_pageview", "q22_pi_qmc",
-    "bench_teragen", "bench_terasort_validate", "bench_teragen_gensort",
+    "bench_terasort_validate", "bench_teragen_gensort",
     "q23_bbp_pi_digits",
     "dd_exact_dup_props", "dd_exact_dup_docs", "dd_minhash_lsh",
-    "dd_ngram_jaccard", "dd_simhash", "dd_simhash_pairs",
-    "dd_embedding_neardup", "dd_dup_clusters",
-    "sim_topk_cosine", "sim_ivf_topk", "sim_knn_join",
+    "dd_ngram_jaccard", "dd_simhash",
+    "dd_embedding_neardup", "dd_dup_clusters", "dd_chunk_dedup",
+    "sim_topk_cosine", "sim_ivf_topk", "sim_knn_join", "sim_kmeans_ivf",
     "txt_token_stats", "txt_quality", "txt_langid", "txt_fingerprint",
     "txt_redact",
     "evt_tumbling_window", "evt_sliding_window", "evt_sessionize",
