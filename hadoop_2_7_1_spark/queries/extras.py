@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
 from ..operators.packing import oracle_pack_sequences
+from ..operators.sketches import oracle_kmv_distinct
 from ..operators.profile import oracle_profile
 from ..operators.sampling import oracle_hash_threshold
 from . import register
@@ -1048,3 +1049,18 @@ def cur_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_changelog(
         base, changes, "c_custkey", ["o_orderdate", "o_orderkey"], "c_acctbal", "is_del"
     )
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle_kmv_distinct("events", "event_type", "user_id", k=64),
+    doc="KMV (k-minimum-values) distinct-user sketch per event type, k=64: "
+        "deterministic cross-engine estimate (md5 fractions, (k-1)/h_k) "
+        "next to the exact count — the mergeable-sketch path HLL can't "
+        "oracle-check",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)

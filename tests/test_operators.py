@@ -633,3 +633,27 @@ def test_merge_changelog_semantics(spark):
     assert rows[1].v == 12.0 and rows[1].src == "updated"
     assert rows[3].v == 30.0 and rows[3].src == "kept"
     assert rows[4].v == 40.0 and rows[4].src == "inserted"
+
+
+def test_kmv_sketch_accuracy_and_merge(spark):
+    from hadoop_2_7_1_spark.operators.sketches import kmv_distinct, merge_kmv, _frac
+
+    # 2000 distinct values in one group, k=64: expect ~12% relative error
+    df = spark.range(2000).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+    row = kmv_distinct(df, "g", "v", k=64).collect()[0]
+    assert row.n_exact == 2000 and row.n_seen == 64
+    assert abs(row.kmv_estimate - 2000) / 2000 < 0.35  # 1/sqrt(62) ~ 13% sd
+
+    # small group is exact
+    small = spark.range(10).selectExpr("'s' AS g", "CAST(id AS STRING) AS v")
+    r2 = kmv_distinct(small, "g", "v", k=64).collect()[0]
+    assert r2.kmv_estimate == 10.0 and r2.n_seen == 10
+
+    # mergeability: sketch(all) == merge(sketch(half1), sketch(half2))
+    fr = df.select(_frac("v").alias("f")).collect()
+    fracs = sorted(r.f for r in fr)
+    whole = fracs[:64]
+    h1, h2 = sorted(fracs[i] for i in range(0, 2000, 2)), sorted(
+        fracs[i] for i in range(1, 2000, 2)
+    )
+    assert merge_kmv([h1[:64], h2[:64]], 64) == whole
