@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
+from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences
 from ..operators.sketches import oracle_kmv_distinct
 from ..operators.profile import oracle_profile
@@ -1064,3 +1065,29 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+@register(
+    "bench_rumen_digest",
+    oracle_trace_digest(),
+    doc="Rumen-style trace digest (LoggedJob fields, discrete-CDF "
+        "percentiles from the duration histogram): per-priority job counts, "
+        "map totals, exact p50/p90 without a data-sized sort",
+)
+def bench_rumen_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.loadmodel import job_trace, trace_digest
+
+    return trace_digest(job_trace(load_table(spark, sf_dir, "orders")))
+
+
+@register(
+    "bench_gridmix_load",
+    oracle_concurrency_curve(),
+    doc="Gridmix/SLS-style cluster load curve via sweep-line: per-day job "
+        "starts/finishes and end-of-day running concurrency; cumulative "
+        "pass touches only bucket aggregates",
+)
+def bench_gridmix_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.loadmodel import concurrency_curve, job_trace
+
+    return concurrency_curve(job_trace(load_table(spark, sf_dir, "orders")))

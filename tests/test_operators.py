@@ -657,3 +657,26 @@ def test_kmv_sketch_accuracy_and_merge(spark):
         fracs[i] for i in range(1, 2000, 2)
     )
     assert merge_kmv([h1[:64], h2[:64]], 64) == whole
+
+
+def test_concurrency_curve_sweepline(spark):
+    """Concurrency must rise on starts, fall on finishes, and end at zero."""
+    from hadoop_2_7_1_spark.operators.loadmodel import concurrency_curve
+
+    trace = spark.createDataFrame(
+        [
+            (1, "2020-01-01 10:00:00", "2020-01-02 10:00:00"),
+            (2, "2020-01-01 11:00:00", "2020-01-03 11:00:00"),
+            (3, "2020-01-02 09:00:00", "2020-01-02 23:00:00"),
+        ],
+        ["job_id", "submit_ts", "finish_ts"],
+    ).selectExpr(
+        "job_id",
+        "CAST(submit_ts AS TIMESTAMP) AS submit_ts",
+        "CAST(finish_ts AS TIMESTAMP) AS finish_ts",
+    )
+    rows = {str(r.bucket_ts)[:10]: r for r in concurrency_curve(trace).collect()}
+    assert rows["2020-01-01"].n_start == 2 and rows["2020-01-01"].concurrency_eob == 2
+    assert rows["2020-01-02"].n_start == 1 and rows["2020-01-02"].n_end == 2
+    assert rows["2020-01-02"].concurrency_eob == 1
+    assert rows["2020-01-03"].concurrency_eob == 0  # all jobs drained
