@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import WS, hex_hash32, oracle_hash32, word_shingles
+from ..functions import WS, WS_SQL, hex_hash32, oracle_hash32, word_shingles
 
 
 # ---------------------------------------------------------------------------
@@ -504,6 +504,30 @@ def oracle_connected_components(pairs_sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def doc_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): consecutive ``chunk_tokens``-token spans
+    of the whitespace token stream (shared by chunk_dedup and the
+    incremental-ingest index)."""
+    from ..functions import WS_SQL
+
+    w = chunk_tokens
+    toks = f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t <> '')"
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size({toks}) / {w}.0) as int) - 1), "
+                f"i -> array_join(slice({toks}, i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).filter(F.col("chunk") != "")
+
+
 def chunk_dedup(
     docs: DataFrame,
     chunk_tokens: int = 20,
@@ -520,19 +544,7 @@ def chunk_dedup(
     the single shuffle keys on the chunk md5 — uniform by construction, so
     no hot reducers. Same plan at 100 TB, just more partitions.
     """
-    from ..functions import WS_SQL
-
-    w = chunk_tokens
-    toks = f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t <> '')"
-    chunks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size({toks}) / {w}.0) as int) - 1), "
-                f"i -> array_join(slice({toks}, i * {w} + 1, {w}), ' '))"
-            )
-        ).alias("chunk_idx", "chunk"),
-    ).filter(F.col("chunk") != "")
+    chunks = doc_chunks(docs, chunk_tokens, id_col, text_col)
     win = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
     ranked = chunks.select(
         "doc_id",
@@ -576,4 +588,110 @@ def oracle_chunk_dedup(table: str, chunk_tokens: int = 20) -> str:
            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
            CAST(sum(CASE WHEN rn = 1 THEN chunk_toks ELSE 0 END) AS BIGINT) AS tokens_kept
     FROM ranked GROUP BY doc_id
+    """
+
+
+def incremental_ingest(
+    delta: DataFrame,
+    corpus: DataFrame,
+    chunk_tokens: int = 20,
+    max_known_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedupe an incoming batch against the existing corpus — the daily-
+    ingest shape: a delta is admitted unless its exact hash is already
+    indexed, or too much of it is made of spans the corpus already has.
+
+    Output per delta doc: (doc_id, n_chunks, n_known, exact_dup, kept) with
+    kept = NOT exact_dup AND n_known/n_chunks < max_known_frac.
+
+    Scale shape: the corpus never re-shuffles against itself — only its two
+    indexes (distinct text md5s; distinct chunk md5s) participate, each an
+    equi-join against the (much smaller) delta side. In production the
+    indexes are materialized once and appended per ingest, not recomputed.
+    """
+    fp_index = corpus.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    chunk_index = (
+        doc_chunks(corpus, chunk_tokens, id_col, text_col)
+        .select(F.md5("chunk").alias("ch"))
+        .distinct()
+    )
+    delta_chunks = doc_chunks(delta, chunk_tokens, id_col, text_col).select(
+        "doc_id", F.md5("chunk").alias("ch")
+    )
+    known = (
+        delta_chunks.join(
+            chunk_index.withColumn("__hit", F.lit(True)), "ch", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("bigint").alias("n_known"),
+        )
+    )
+    exact = delta.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
+    ).join(fp_index.withColumn("__dup", F.lit(True)), "fp", "left")
+    return (
+        known.join(exact.select("doc_id", "__dup"), "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "n_chunks",
+            "n_known",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("exact_dup"),
+            (
+                F.coalesce(~F.col("__dup"), F.lit(True))
+                & (F.col("n_known") / F.col("n_chunks") < max_known_frac)
+            ).alias("kept"),
+        )
+    )
+
+
+def oracle_incremental_ingest(
+    delta_sql: str,
+    corpus_sql: str,
+    chunk_tokens: int = 20,
+    max_known_frac: float = 0.5,
+) -> str:
+    w = chunk_tokens
+    def chunk_cte(src: str, name: str) -> str:
+        return f"""
+    {name}_toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+      FROM {src}
+    ), {name}_idx AS (
+      SELECT doc_id, tk,
+             unnest(range(CAST(ceil(len(tk) / {w}.0) AS INT))) AS chunk_idx
+      FROM {name}_toks WHERE len(tk) > 0
+    ), {name}_chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(tk, chunk_idx * {w} + 1, chunk_idx * {w} + {w}), ' ')) AS ch
+      FROM {name}_idx
+      WHERE array_to_string(list_slice(tk, chunk_idx * {w} + 1, chunk_idx * {w} + {w}), ' ') <> ''
+    )"""
+    return f"""
+    WITH delta AS ({delta_sql}), corpus AS ({corpus_sql}),
+    {chunk_cte('delta', 'd')},
+    {chunk_cte('corpus', 'c')},
+    chunk_index AS (SELECT DISTINCT ch FROM c_chunks),
+    fp_index AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+    known AS (
+      SELECT d.doc_id, count(*) AS n_chunks,
+             sum(CASE WHEN ci.ch IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+      FROM d_chunks d LEFT JOIN chunk_index ci ON d.ch = ci.ch
+      GROUP BY d.doc_id
+    ), exact AS (
+      SELECT doc_id, (fp_index.fp IS NOT NULL) AS exact_dup
+      FROM (SELECT doc_id, md5(text) AS fp FROM delta) x
+      LEFT JOIN fp_index ON x.fp = fp_index.fp
+    )
+    SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_known AS BIGINT) AS n_known,
+           e.exact_dup,
+           (NOT e.exact_dup AND n_known / CAST(n_chunks AS DOUBLE) < {max_known_frac})
+             AS kept
+    FROM known k JOIN exact e ON k.doc_id = e.doc_id
     """

@@ -7,7 +7,7 @@ is no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import WS, WS_SQL, oracle_hash32, sql_regex
@@ -537,4 +537,99 @@ def oracle_bm25_scores(
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(part) AS DOUBLE) AS score_bm25
     FROM scored GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction + out-of-vocabulary profiling — the tokenizer-prep
+# step of a pre-training pipeline (frequency-ranked subword vocabulary,
+# then corpus OOV rates against it).
+# ---------------------------------------------------------------------------
+
+
+def _subtokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all({text_col}, '{sql_regex(SUBTOKEN_RE)}', 0)"
+            )
+        ).alias("tok"),
+    )
+
+
+def induce_vocab(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", size: int = 256
+) -> DataFrame:
+    """Top-``size`` subtokens by corpus frequency with deterministic ids
+    (rank by count desc, token asc — id 0 is the most frequent).
+
+    Scale shape: the count is the wordcount aggregate (map-side partial);
+    top-V selection is a distributed sort + limit; the id-assigning window
+    runs over the V selected rows only (vocabulary scale, not data scale).
+    """
+    counts = _subtokens(df, id_col, text_col).groupBy("tok").agg(
+        F.count("*").alias("n")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(size)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return top.withColumn("token_id", (F.row_number().over(w) - 1).cast("bigint")).select(
+        F.col("tok").alias("token"), F.col("n").cast("bigint"), "token_id"
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc subtoken count, OOV count, and OOV rate against ``vocab``
+    (broadcast — a vocabulary fits in memory by definition)."""
+    toks = _subtokens(df, id_col, text_col)
+    marked = toks.join(
+        F.broadcast(vocab.select(F.col("token").alias("tok"), F.lit(True).alias("__in"))),
+        "tok",
+        "left",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sub"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        (
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            / F.count("*")
+        ).cast("double").alias("rate_oov"),
+    )
+
+
+def oracle_vocab_ctes(table: str, text_col: str, size: int) -> str:
+    """Shared CTEs: subtoken stream + ranked top-``size`` vocabulary."""
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(regexp_extract_all({text_col}, '{SUBTOKEN_RE}')) AS tok
+      FROM {table}
+    ), vocab AS (
+      SELECT tok AS token, n, CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT) AS token_id
+      FROM (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+      QUALIFY token_id < {size}
+    )"""
+
+
+def oracle_induce_vocab(table: str, text_col: str = "text", size: int = 256) -> str:
+    return f"""
+    WITH {oracle_vocab_ctes(table, text_col, size)}
+    SELECT token, CAST(n AS BIGINT) AS n, token_id FROM vocab
+    """
+
+
+def oracle_oov_stats(table: str, text_col: str = "text", size: int = 256) -> str:
+    return f"""
+    WITH {oracle_vocab_ctes(table, text_col, size)}
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_sub,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS rate_oov
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.token
+    GROUP BY t.doc_id
     """

@@ -1091,3 +1091,45 @@ def bench_gridmix_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.loadmodel import concurrency_curve, job_trace
 
     return concurrency_curve(job_trace(load_table(spark, sf_dir, "orders")))
+
+
+@register(
+    "txt_vocab",
+    textops.oracle_induce_vocab("documents", "text", size=64),
+    doc="tokenizer-prep vocabulary induction: top-64 subtokens by corpus "
+        "frequency, deterministic ids (count desc, token asc); wordcount "
+        "aggregate + sort-limit, id window over vocab rows only",
+)
+def txt_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.induce_vocab(docs, "doc_id", "text", size=64)
+
+
+@register(
+    "txt_oov",
+    textops.oracle_oov_stats("documents", "text", size=64),
+    doc="per-doc OOV profile against the induced top-64 vocabulary "
+        "(broadcast left join over the subtoken stream)",
+)
+def txt_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = textops.induce_vocab(docs, "doc_id", "text", size=64)
+    return textops.oov_stats(docs, vocab, "doc_id", "text")
+
+
+@register(
+    "dd_incremental_ingest",
+    dedup.oracle_incremental_ingest(
+        "SELECT * FROM documents WHERE doc_id % 5 = 0",
+        "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+    ),
+    doc="daily-ingest dedup: a delta batch admitted against the corpus's "
+        "exact-hash + 20-token-chunk indexes (kept = not exact dup and "
+        "known-span fraction < 0.5); corpus participates only via its "
+        "distinct-hash indexes",
+)
+def dd_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_ingest(delta, corpus)

@@ -680,3 +680,25 @@ def test_concurrency_curve_sweepline(spark):
     assert rows["2020-01-02"].n_start == 1 and rows["2020-01-02"].n_end == 2
     assert rows["2020-01-02"].concurrency_eob == 1
     assert rows["2020-01-03"].concurrency_eob == 0  # all jobs drained
+
+
+def test_incremental_ingest_semantics(spark):
+    from hadoop_2_7_1_spark.operators.dedup import incremental_ingest
+
+    span = " ".join(f"s{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(100, span + " " + " ".join(f"c{i}" for i in range(20)))],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, span + " " + " ".join(f"c{i}" for i in range(20))),  # exact dup
+            (2, span + " " + " ".join(f"n{i}" for i in range(20))),  # 50% known
+            (3, " ".join(f"x{i}" for i in range(40))),               # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in incremental_ingest(delta, corpus).collect()}
+    assert rows[1].exact_dup and not rows[1].kept
+    assert not rows[2].exact_dup and rows[2].n_known == 1 and not rows[2].kept
+    assert rows[3].n_known == 0 and rows[3].kept
