@@ -1,0 +1,89 @@
+"""Iterative graph analytics over DataFrames (beyond-reference addition,
+complementing dedup.connected_components).
+
+PageRank with a fixed iteration count: per iteration, every node ships
+rank/out_degree along its out-edges and the destination sums arrivals —
+two keyed shuffles per round, the textbook distributed shape. Lineage is
+truncated each round with localCheckpoint (same guard as
+connected_components) so plan depth stays constant at any iteration count.
+
+A fixed iteration count (rather than convergence detection) keeps the
+result deterministic and lets an external engine replay the exact same
+computation as unrolled CTEs — which is how the oracle checks it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Ranks after ``iterations`` synchronous PageRank rounds.
+
+    ``edges`` is a directed edge list; every node must have at least one
+    out-edge (undirect the graph first if it may have sinks — dangling-mass
+    redistribution is deliberately out of scope to keep the computation
+    engine-replayable). Output: (node, rank_pr).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint()
+    n = nodes.count()  # one metadata-scale scalar, like MLlib's initialization
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank_pr", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select("dst", (F.col("rank_pr") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce(F.col("in_sum"), F.lit(0.0)))
+                .cast("double")
+                .alias("rank_pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def oracle_pagerank(
+    edges_sql: str, iterations: int = 3, damping: float = 0.85
+) -> str:
+    """Unrolled-CTE replay of the identical fixed-iteration computation."""
+    sql = f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    n_cte AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n AS rank_pr FROM nodes CROSS JOIN n_cte)"""
+    for i in range(iterations):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst, sum(r.rank_pr / o.outdeg) AS in_sum
+      FROM e JOIN r{i} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT nodes.node,
+             (1.0 - {damping}) / n + {damping} * coalesce(c{i}.in_sum, 0.0) AS rank_pr
+      FROM nodes CROSS JOIN n_cte LEFT JOIN c{i} ON nodes.node = c{i}.dst
+    )"""
+    sql += f"""
+    SELECT node, CAST(rank_pr AS DOUBLE) AS rank_pr FROM r{iterations}
+    """
+    return sql

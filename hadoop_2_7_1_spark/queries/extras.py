@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
+from ..operators.graph import oracle_pagerank
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences
 from ..operators.sketches import oracle_kmv_distinct
@@ -1133,3 +1134,33 @@ def dd_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup.incremental_ingest(delta, corpus)
+
+
+_PR_EDGES_SQL = """
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem
+"""
+
+
+@register(
+    "grf_pagerank",
+    oracle_pagerank(_PR_EDGES_SQL),
+    doc="PageRank (3 synchronous rounds, d=0.85) over the undirected "
+        "supplier-part co-occurrence graph; fixed iteration count keeps the "
+        "computation engine-replayable — oracle is the unrolled CTE chain",
+)
+def grf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=3, damping=0.85)

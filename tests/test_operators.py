@@ -702,3 +702,24 @@ def test_incremental_ingest_semantics(spark):
     assert rows[1].exact_dup and not rows[1].kept
     assert not rows[2].exact_dup and rows[2].n_known == 1 and not rows[2].kept
     assert rows[3].n_known == 0 and rows[3].kept
+
+
+def test_pagerank_invariants(spark):
+    from hadoop_2_7_1_spark.operators.graph import pagerank
+
+    # 4-cycle: perfectly symmetric -> uniform ranks summing to 1
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"]
+    )
+    rows = pagerank(edges, iterations=5).collect()
+    assert len(rows) == 4
+    total = sum(r.rank_pr for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r.rank_pr - 0.25) < 1e-12
+
+    # star: hub collects more rank than leaves (undirected star)
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    sdf = spark.createDataFrame(star, ["src", "dst"])
+    ranks = {r.node: r.rank_pr for r in pagerank(sdf, iterations=3).collect()}
+    assert ranks[0] > max(ranks[i] for i in range(1, 6))
