@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from hadoop_2_7_1_spark.sources import filters, fixedlen, jdbc, tools, xml
 
 
@@ -255,3 +257,24 @@ def test_sequence_file_compressed(spark, tmp_path):
         back = seqfile.read_sequence_file(spark, out)
         assert back.count() == 100
         assert {r.value for r in back.collect()} == {"x" * 50}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC is the built-in columnar alternative to SequenceFile-era
+    containers: round-trip plus filter/column pushdown into the scan."""
+    from hadoop_2_7_1_spark.io import write_partitioned
+
+    df = spark.range(1000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS STRING) AS payload"
+    )
+    path = str(tmp_path / "orc_rt")
+    write_partitioned(df, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == 1000
+    assert sorted(back.columns) == ["id", "k", "payload"]
+
+    q = back.filter(F.col("k") == 3).select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)" in plan, plan
+    assert "ReadSchema: struct<id:bigint,k:bigint>" in plan, plan
+    assert q.count() == len([i for i in range(1000) if i % 7 == 3])
