@@ -633,3 +633,63 @@ def oracle_oov_stats(table: str, text_col: str = "text", size: int = 256) -> str
     FROM toks t LEFT JOIN vocab v ON t.tok = v.token
     GROUP BY t.doc_id
     """
+
+
+def encode_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every doc's subtoken stream to vocabulary ids (OOV = -1),
+    preserving order; emits the id-sequence digest rather than the raw
+    array so the output stays row-sized regardless of document length.
+
+    Scale shape: posexplode + broadcast vocab join (a vocabulary fits in
+    memory by definition), then one per-doc aggregate whose collect_list is
+    bounded by the doc's own length — the same memory envelope as holding
+    the document.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all({text_col}, '{sql_regex(SUBTOKEN_RE)}', 0)")
+        ).alias("pos", "tok"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select(F.col("token").alias("tok"), "token_id")),
+        "tok",
+        "left",
+    ).select(
+        "doc_id", "pos", F.coalesce(F.col("token_id"), F.lit(-1)).alias("tid")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_ids"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, tid))), x -> cast(x.tid as string))"),
+                ",",
+            ).cast("binary")
+        ).alias("ids_md5"),
+    ).select(F.col("doc_id").cast("bigint"), "ids_md5", "n_ids")
+
+
+def oracle_encode_ids(table: str, text_col: str = "text", size: int = 256) -> str:
+    return f"""
+    WITH {oracle_vocab_ctes(table, text_col, size)},
+    tl AS (
+      SELECT doc_id, regexp_extract_all({text_col}, '{SUBTOKEN_RE}') AS tk
+      FROM {table}
+    ), idx AS (
+      SELECT doc_id, tk, unnest(range(len(tk))) AS pos FROM tl WHERE len(tk) > 0
+    ), tok_rows AS (
+      SELECT doc_id, pos, tk[pos + 1] AS tok FROM idx
+    ), ids AS (
+      SELECT t.doc_id, t.pos, coalesce(v.token_id, -1) AS tid
+      FROM tok_rows t LEFT JOIN vocab v ON t.tok = v.token
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5,
+           CAST(count(*) AS BIGINT) AS n_ids
+    FROM ids GROUP BY doc_id
+    """

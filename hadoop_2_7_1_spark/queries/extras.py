@@ -1164,3 +1164,16 @@ def grf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(edges, iterations=3, damping=0.85)
+
+
+@register(
+    "txt_encode_ids",
+    textops.oracle_encode_ids("documents", "text", size=64),
+    doc="corpus tokenization: order-preserving encode to top-64 vocab ids "
+        "(OOV=-1) via posexplode + broadcast vocab join; emits the "
+        "id-sequence digest so output stays row-sized",
+)
+def txt_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = textops.induce_vocab(docs, "doc_id", "text", size=64)
+    return textops.encode_ids(docs, vocab, "doc_id", "text")

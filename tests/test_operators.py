@@ -723,3 +723,18 @@ def test_pagerank_invariants(spark):
     sdf = spark.createDataFrame(star, ["src", "dst"])
     ranks = {r.node: r.rank_pr for r in pagerank(sdf, iterations=3).collect()}
     assert ranks[0] > max(ranks[i] for i in range(1, 6))
+
+
+def test_encode_ids_order_and_oov(spark):
+    from hadoop_2_7_1_spark.operators.textops import encode_ids
+
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "a b a z")], ["doc_id", "text"])
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1)], ["token", "token_id"]
+    )
+    row = encode_ids(docs, vocab).collect()[0]
+    # stream 'a b a z' -> ids 0,1,0,-1 in order
+    assert row.n_ids == 4
+    assert row.ids_md5 == hashlib.md5(b"0,1,0,-1").hexdigest()
