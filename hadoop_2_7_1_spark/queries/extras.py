@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
+from ..operators.funnel import oracle_funnel, oracle_retention
 from ..operators.graph import oracle_pagerank
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences
@@ -1177,3 +1178,30 @@ def txt_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = textops.induce_vocab(docs, "doc_id", "text", size=64)
     return textops.encode_ids(docs, vocab, "doc_id", "text")
+
+
+@register(
+    "evt_funnel",
+    oracle_funnel("events", ["view", "click", "purchase"]),
+    doc="ordered conversion funnel view->click->purchase: per-stage earliest "
+        "qualifying time via user-keyed min + co-partitioned join, no "
+        "per-user sorting anywhere",
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "evt_retention",
+    oracle_retention("events"),
+    doc="monthly cohort retention matrix: first-event cohort x active-month "
+        "distinct-user counts; the matrix is periods^2, metadata-sized",
+)
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention(ev)

@@ -738,3 +738,24 @@ def test_encode_ids_order_and_oov(spark):
     # stream 'a b a z' -> ids 0,1,0,-1 in order
     assert row.n_ids == 4
     assert row.ids_md5 == hashlib.md5(b"0,1,0,-1").hexdigest()
+
+
+def test_funnel_ordering_strictness(spark):
+    from hadoop_2_7_1_spark.operators.funnel import funnel
+
+    rows = [
+        # u1 completes in order
+        (1, "view", "2020-01-01 10:00:00"),
+        (1, "click", "2020-01-01 10:05:00"),
+        (1, "purchase", "2020-01-01 10:10:00"),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, "click", "2020-01-01 09:00:00"),
+        (2, "view", "2020-01-01 10:00:00"),
+        # u3 views only
+        (3, "view", "2020-01-01 08:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r.stage: r.n_users for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 1, 3: 1}
