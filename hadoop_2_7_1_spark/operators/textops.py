@@ -473,20 +473,29 @@ def bm25_scores(
     """BM25 relevance of every document to a bag-of-terms query.
 
     idf uses the standard +1 form (always positive); dl/avgdl come from the
-    same token array as tf. Query terms ride in a broadcast filter; scoring
-    is one term-keyed aggregate per doc — no per-row Python anywhere.
+    same token array as tf. The corpus is exploded ONCE: document length and
+    per-query-term tf come out of a single doc-keyed aggregate (the query
+    terms pivot into columns, then stack back to rows), so the scan+explode
+    — the dominant cost — is not repeated per statistic.
 
     The score column is named so the unique doc_id leads the oracle
     comparator's alphabetical column sort: ln() can differ at the last ulp
     across engines, and a float-led row sort would flip neighbors.
     """
     terms = _terms(df, id_col, text_col)
-    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = terms.filter(F.col("term").isin(query_terms)).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"__tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
     )
+    stack_args = ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(query_terms))
+    tf = per_doc.selectExpr(
+        "doc_id", "dl", f"stack({len(query_terms)}, {stack_args}) AS (term, tf)"
+    ).filter(F.col("tf") > 0)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = dl.agg(
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"), F.avg("dl").cast("double").alias("avgdl")
     )
     idf = F.log(
@@ -498,7 +507,6 @@ def bm25_scores(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .withColumn("part", (idf * tf_part).cast("double"))
     )
