@@ -47,3 +47,19 @@ def test_sql_regex_doubles_every_backslash(pat):
     assert out.replace("\\\\", "\\") == pat
     # and the escaped form never contains a lone backslash
     assert re.fullmatch(r"(?:[^\\]|\\\\)*", out)
+
+
+@given(
+    st.lists(st.floats(0, 1, allow_nan=False), max_size=60),
+    st.lists(st.floats(0, 1, allow_nan=False), max_size=60),
+    st.integers(1, 16),
+)
+def test_kmv_merge_equals_sketch_of_union(a, b, k):
+    """The property that makes KMV a sketch: merging per-partition sketches
+    gives exactly the sketch of the union — so partial aggregation is
+    lossless."""
+    from hadoop_2_7_1_spark.operators.sketches import merge_kmv
+
+    sk_a = sorted(set(a))[:k]
+    sk_b = sorted(set(b))[:k]
+    assert merge_kmv([sk_a, sk_b], k) == sorted(set(a) | set(b))[:k]
