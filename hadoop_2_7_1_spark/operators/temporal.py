@@ -27,10 +27,15 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_prefix: str = "r_",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (per ``by`` group); left rows keep NULLs when no
     right row precedes them (ASOF LEFT JOIN semantics).
+
+    ``tolerance_seconds`` bounds how stale the match may be (pandas
+    merge_asof tolerance): a carried right row older than the bound is
+    nulled out after the window pass — same single-shuffle plan.
 
     ``right`` must be unique per (by, right_ts) — pre-aggregate if not.
     """
@@ -65,6 +70,15 @@ def asof_join(
     merged = lside.unionByName(rside).withColumn(
         "_carried", F.last("_rpay", ignorenulls=True).over(w)
     )
+    if tolerance_seconds is not None:
+        within = (
+            F.unix_micros(F.col("_ts"))
+            - F.unix_micros(F.col(f"_carried.{right_ts}"))
+        ) <= tolerance_seconds * 1_000_000
+        merged = merged.withColumn(
+            "_carried",
+            F.when(within, F.col("_carried")).otherwise(F.lit(None).cast(rpay_type)),
+        )
     out_cols = [F.col(f"_lpay.{c}").alias(c) for c in lcols] + [
         F.col(f"_carried.{c}").alias(f"{right_prefix}{c}") for c in rcols
     ]

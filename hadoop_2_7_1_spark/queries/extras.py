@@ -1205,3 +1205,46 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return retention(ev)
+
+
+@register(
+    "tmp_asof_tolerance",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, max(value) AS value, max(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT CAST(c.event_id AS BIGINT) AS event_id, CAST(c.user_id AS BIGINT) AS user_id,
+           c.ts,
+           CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN p.ts END AS r_ts,
+           CAST(CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN p.value END AS DOUBLE) AS r_value,
+           CAST(CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN p.event_id END AS BIGINT) AS r_event_id
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="as-of join with staleness tolerance (merge_asof semantics): latest "
+        "preceding purchase only if within 1 hour — same single-shuffle "
+        "carry-forward plan, bound applied after the window pass",
+)
+def tmp_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("value").cast("double").alias("value"),
+            F.max("event_id").cast("bigint").alias("event_id"),
+        )
+        .select(F.col("user_id").cast("bigint").alias("user_id"), "ts", "value", "event_id")
+    )
+    return temporal.asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", tolerance_seconds=3600
+    )
