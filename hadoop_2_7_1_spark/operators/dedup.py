@@ -442,6 +442,7 @@ def connected_components(
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
 
     changed = 1
+    prev_ckpt = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -460,6 +461,9 @@ def connected_components(
             .localCheckpoint()
         )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        if prev_ckpt is not None:  # superseded round's blocks can go
+            prev_ckpt.unpersist(False)
+        prev_ckpt = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
