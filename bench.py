@@ -17,6 +17,12 @@ import os
 import sys
 import time
 
+# The big terasort point measures data movement: 10M rows under the 8g
+# session factory. Correctness contexts (plain 1g driver sessions) keep the
+# registry default of 2M. Must be set before the registry import builds the
+# oracle strings.
+os.environ.setdefault("SPARK_GRAFT_TERA_BIG", "10000000")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [

@@ -822,12 +822,15 @@ def _terasort_validate(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-# 10M rows (~420 MB sort payload) by default; override for quick correctness
-# loops (the oracle SQL is built from the same value at import, so Spark and
-# DuckDB always agree).
+# 2M rows (~85 MB sort payload) by default: safe headroom in a PLAIN
+# 1g-heap SparkSession (the external driver's environment — a 10M-row sort
+# through the validation window can OOM there and take every later query
+# down with the JVM). bench.py raises this to 10M via SPARK_GRAFT_TERA_BIG,
+# running under our 8g session factory. The oracle SQL is built from the
+# same value at import, so Spark and DuckDB always agree.
 import os as _os
 
-TERA_N_BIG = int(_os.environ.get("SPARK_GRAFT_TERA_BIG", "10000000"))
+TERA_N_BIG = int(_os.environ.get("SPARK_GRAFT_TERA_BIG", "2000000"))
 
 
 @register(
