@@ -120,3 +120,79 @@ def oracle_sample_mixture(
     SELECT t.* FROM {table} t JOIN f ON t.{source_col} = f.src
     WHERE {hash32} < frac * {HASH_SPACE}
     """
+
+
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    total: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled domain resampling WITH replacement — the standard
+    multilingual/multi-domain pre-training mix: source s is drawn with
+    probability ∝ n_s^alpha (alpha < 1 upweights rare domains), so a doc of
+    source s appears on average rate_s = target_s / n_s times. Whole copies
+    replicate deterministically; the fractional copy is kept by the same
+    content-stable hash threshold as every sampler here — reruns and other
+    engines agree row-for-row.
+
+    Output rows carry a ``copy`` index (0-based) alongside the original
+    columns. ``total`` defaults to the corpus size (pure re-mix).
+
+    Scale shape: source stats are a tiny aggregate joined back by
+    broadcast; replication is a JVM-side explode of `ceil(rate)` ints; no
+    shuffle beyond the stats aggregate.
+    """
+    stats = df.groupBy(F.col(source_col).alias("__s")).agg(F.count("*").alias("__n"))
+    rows = stats.collect()  # one row per domain — model-scale
+    n_total = sum(r["__n"] for r in rows) if total is None else total
+    wsum = sum(r["__n"] ** alpha for r in rows)
+    rates = {r["__s"]: (r["__n"] ** alpha / wsum) * n_total / r["__n"] for r in rows}
+    rate_expr = F.lit(None).cast("double")
+    for s, rate in rates.items():
+        rate_expr = F.when(F.col(source_col) == s, F.lit(rate)).otherwise(rate_expr)
+    with_rate = df.withColumn("__rate", rate_expr)
+    # copies 0..floor(rate)-1 always kept; copy floor(rate) kept when the
+    # content hash falls under the fractional part
+    frac_keep = hex_hash32(key_col) < (
+        (F.col("__rate") - F.floor("__rate")) * HASH_SPACE
+    ).cast("bigint")
+    return (
+        with_rate.withColumn(
+            "copy",
+            F.explode(
+                F.expr("sequence(0, cast(floor(__rate) as int) - 1 + 1)")
+            ),
+        )
+        .filter((F.col("copy") < F.floor("__rate")) | frac_keep)
+        .drop("__rate")
+        .withColumn("copy", F.col("copy").cast("bigint"))
+    )
+
+
+def oracle_temperature_counts(
+    table: str, key_expr: str, source_col: str, alpha: float = 0.5
+) -> str:
+    """DuckDB twin of the per-source resampled counts (total defaults to
+    corpus size, matching temperature_resample)."""
+    return f"""
+    WITH stats AS (
+      SELECT {source_col} AS s, count(*) AS n FROM {table} GROUP BY {source_col}
+    ), rates AS (
+      SELECT s, n,
+             (pow(n, {alpha}) / (SELECT sum(pow(n, {alpha})) FROM stats))
+               * (SELECT sum(n) FROM stats) / n AS rate
+      FROM stats
+    ), frac_kept AS (
+      SELECT t.{source_col} AS s, count(*) AS n_frac
+      FROM {table} t JOIN rates r ON t.{source_col} = r.s
+      WHERE CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT)
+            < CAST((r.rate - floor(r.rate)) * {HASH_SPACE} AS BIGINT)
+      GROUP BY t.{source_col}
+    )
+    SELECT r.s AS source, CAST(r.n AS BIGINT) AS n_orig,
+           CAST(r.n * CAST(floor(r.rate) AS BIGINT) + coalesce(f.n_frac, 0) AS BIGINT)
+             AS n_sampled
+    FROM rates r LEFT JOIN frac_kept f ON r.s = f.s
+    """

@@ -17,7 +17,7 @@ from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences
 from ..operators.sketches import oracle_kmv_distinct
 from ..operators.profile import oracle_profile
-from ..operators.sampling import oracle_hash_threshold
+from ..operators.sampling import oracle_hash_threshold, oracle_temperature_counts
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -1247,4 +1247,71 @@ def tmp_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return temporal.asof_join(
         clicks, purchases, ["user_id"], "ts", "ts", tolerance_seconds=3600
+    )
+
+
+@register(
+    "smp_temperature",
+    oracle_temperature_counts("documents", "doc_id", "source", alpha=0.5),
+    doc="temperature-scaled domain resampling with replacement (alpha=0.5 "
+        "upweights rare sources): whole copies replicate, fractional copy "
+        "kept by content-stable hash; per-source sampled counts oracled",
+)
+def smp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_resample(docs, "doc_id", "source", alpha=0.5)
+    return (
+        out.groupBy(F.col("source"))
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+        .join(
+            docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_orig")),
+            "source",
+        )
+        .select("source", "n_orig", "n_sampled")
+    )
+
+
+@register(
+    "evt_anomaly",
+    """
+    WITH stats AS (
+      SELECT user_id, avg(value) AS mu,
+             sqrt(avg(value * value) - avg(value) * avg(value)) AS sigma,
+             count(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           CAST(e.user_id AS BIGINT) AS user_id,
+           CAST(e.value AS DOUBLE) AS value,
+           CAST((e.value - s.mu) / s.sigma AS DOUBLE) AS zscore
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE s.n >= 20 AND s.sigma > 0 AND abs(e.value - s.mu) > 3 * s.sigma
+    """,
+    doc="per-user outlier events (|z| > 3 against the user's own "
+        "mean/stddev, min 20 events): two keyed aggregates + join — the "
+        "data-quality gate shape; population stddev via the same "
+        "avg(v*v)-avg(v)^2 formula on both engines",
+)
+def evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value")).alias("sigma"),
+        F.count("*").alias("n"),
+    )
+    return (
+        ev.join(stats, "user_id")
+        .filter(
+            (F.col("n") >= 20)
+            & (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        )
+        .select(
+            F.col("event_id").cast("bigint"),
+            F.col("user_id").cast("bigint"),
+            F.col("value").cast("double"),
+            ((F.col("value") - F.col("mu")) / F.col("sigma")).cast("double").alias("zscore"),
+        )
     )

@@ -759,3 +759,22 @@ def test_funnel_ordering_strictness(spark):
     )
     out = {r.stage: r.n_users for r in funnel(ev, ["view", "click", "purchase"]).collect()}
     assert out == {1: 3, 2: 1, 3: 1}
+
+
+def test_temperature_resample_rates(spark):
+    from hadoop_2_7_1_spark.operators.sampling import temperature_resample
+
+    # 900 'big' vs 100 'small': alpha=0.5 upweights the rare domain 3:1
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id < 900 THEN 'big' ELSE 'small' END AS src"
+    )
+    out = temperature_resample(df, "id", "src", alpha=0.5)
+    counts = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    # expected rates: w_big = 30/(30+10)=0.75 -> 750 rows; w_small = 0.25 -> 250
+    assert abs(counts["big"] - 750) < 40
+    assert abs(counts["small"] - 250) < 40
+    # rare domain replicated with replacement: copies beyond 0 exist
+    assert out.filter((F.col("src") == "small") & (F.col("copy") > 0)).count() > 0
+    # deterministic: identical on rerun
+    again = temperature_resample(df, "id", "src", alpha=0.5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
