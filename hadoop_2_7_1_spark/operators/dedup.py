@@ -699,3 +699,63 @@ def oracle_incremental_ingest(
              AS kept
     FROM known k JOIN exact e ON k.doc_id = e.doc_id
     """
+
+
+def ngram_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric near-dup: ordered pairs (id_a, id_b) where
+    containment(A in B) = |A∩B| / |A| ≥ threshold — catches a document
+    swallowed whole by a larger one, which symmetric Jaccard dilutes away.
+
+    Same inverted-index join as ngram_jaccard_pairs; only the normalizer
+    and the pair orientation differ (both directions are emitted).
+    """
+    from . import fan_out
+
+    sh = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .withColumn("containment", (F.col("inter") / F.col("sz_a")).cast("double"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            "containment",
+        )
+    )
+
+
+def oracle_ngram_containment_pairs(
+    table: str, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.8
+) -> str:
+    from ..functions import oracle_word_shingles
+
+    shingles = oracle_word_shingles(text_col, shingle_n)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(inter / sa.sz AS DOUBLE) AS containment
+    FROM inter JOIN sizes sa ON sa.id = inter.id_a
+    WHERE inter / sa.sz >= {threshold}
+    """

@@ -1315,3 +1315,61 @@ def evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") - F.col("mu")) / F.col("sigma")).cast("double").alias("zscore"),
         )
     )
+
+
+@register(
+    "dd_containment",
+    dedup.oracle_ngram_containment_pairs(
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0)", "doc_id", "text", 3, 0.8
+    ),
+    doc="asymmetric containment pairs (|A∩B|/|A| >= 0.8 over 3-gram sets, "
+        "10% sample): catches docs swallowed whole by larger ones, which "
+        "symmetric Jaccard dilutes; same inverted-index join",
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.ngram_containment_pairs(docs, "doc_id", "text", 3, 0.8)
+
+
+@register(
+    "cur_length_buckets",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rnk,
+             count(*) OVER () AS n
+      FROM t
+    )
+    SELECT CAST((rnk - 1) * 8 // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM ranked GROUP BY 1
+    """,
+    doc="length-quantile bucketing for batch efficiency (8 equal-count "
+        "buckets by token length): total-order rank via two-phase offsets, "
+        "never a global window over data",
+)
+def cur_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import global_sort_with_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = textops.token_stats(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+    n = with_tokens.count()
+    ranked = global_sort_with_rank(with_tokens, ["n_tokens", "doc_id"], rank_col="rnk")
+    return (
+        ranked.withColumn("bucket", F.expr(f"(rnk - 1) * 8 DIV {n}").cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
