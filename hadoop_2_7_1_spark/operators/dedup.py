@@ -442,7 +442,6 @@ def connected_components(
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
 
     changed = 1
-    prev_ckpt = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -461,9 +460,8 @@ def connected_components(
             .localCheckpoint()
         )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        if prev_ckpt is not None:  # superseded round's blocks can go
-            prev_ckpt.unpersist(False)
-        prev_ckpt = new_labels
+        # superseded rounds' checkpoint blocks: reclaimed by ContextCleaner
+        # when the reassignment below drops the last reference
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
@@ -517,8 +515,6 @@ def doc_chunks(
     """(doc_id, chunk_idx, chunk): consecutive ``chunk_tokens``-token spans
     of the whitespace token stream (shared by chunk_dedup and the
     incremental-ingest index)."""
-    from ..functions import WS_SQL
-
     w = chunk_tokens
     toks = f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t <> '')"
     return docs.select(

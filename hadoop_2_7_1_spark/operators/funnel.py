@@ -23,9 +23,10 @@ def funnel(
 
     Output: (stage, step, n_users) — stage is 1-based. Each stage is one
     filter + user-keyed min + co-partitioned join; nothing is ever sorted
-    per user, so there is no per-user state beyond one timestamp.
+    per user, so there is no per-user state beyond one timestamp. Each
+    stage's frontier is checkpointed so stage k's count does not re-execute
+    stages 1..k-1's scans (k scans total, not k²/2).
     """
-    spark = events.sparkSession
     reached = None
     stage_counts = []
     for i, step in enumerate(steps):
@@ -41,6 +42,7 @@ def funnel(
                 .groupBy("u")
                 .agg(F.min("t").alias("t_prev"))
             )
+        reached = reached.localCheckpoint()
         stage_counts.append(
             reached.agg(
                 F.lit(i + 1).cast("bigint").alias("stage"),

@@ -40,7 +40,6 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("rank_pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    prev_ckpt = None
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -59,11 +58,10 @@ def pagerank(
             )
             .localCheckpoint()
         )
-        # the checkpoint is eager, so the superseded round's blocks can go —
-        # keeps storage memory flat over long sessions running many queries
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist(False)
-        prev_ckpt = ranks
+        # Superseded rounds' checkpoint blocks are reclaimed by the
+        # ContextCleaner once this reassignment drops the only reference
+        # (Dataset.unpersist would be a no-op here: localCheckpoint blocks
+        # are not CacheManager entries).
     return ranks
 
 

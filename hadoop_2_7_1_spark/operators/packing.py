@@ -16,7 +16,7 @@ single-partition step touches ``num_partitions`` rows of metadata.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -34,29 +34,14 @@ def pack_sequences(
     Zero-token docs get ``seq_last = seq_first`` (they occupy no tokens but
     sit at their offset's block).
     """
-    part = (
-        docs.select(
-            F.col(id_col).alias("id"), F.col(token_col).cast("bigint").alias("toks")
-        )
-        .repartitionByRange(num_partitions, "id")
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()  # pin partition assignment for both passes
+    from .partitioning import two_phase_prefix
+
+    keyed = docs.select(
+        F.col(id_col).alias("id"), F.col(token_col).cast("bigint").alias("toks")
     )
-    sizes = part.groupBy("__pid").agg(F.sum("toks").alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn(
-        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-    ).select("__pid", "__off")
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = (
-        part.join(F.broadcast(offsets), "__pid")
-        .withColumn("start_offset", (F.sum("toks").over(w_local) + F.col("__off") - F.col("toks")))
-        .drop("__pid", "__off")
-    )
+    out = two_phase_prefix(
+        keyed, [F.col("id")], F.col("toks"), "__end", num_partitions
+    ).withColumn("start_offset", F.col("__end") - F.col("toks")).drop("__end")
     return out.select(
         F.col("id").cast("bigint").alias(id_col),
         F.col("toks").cast("bigint").alias(token_col),

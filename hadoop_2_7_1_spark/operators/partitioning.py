@@ -36,6 +36,47 @@ def total_order_sort(df: DataFrame, cols: Sequence[Column | str], num_partitions
     return df.orderBy(*exprs)
 
 
+def two_phase_prefix(
+    df: DataFrame,
+    sort_exprs: Sequence[Column],
+    value: Column,
+    out_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Inclusive running total of ``value`` in the global ``sort_exprs``
+    order, without a data-sized global window: range partition + local
+    cumulative sums, plus broadcast prefix offsets from the per-partition
+    totals (one metadata row each). Shared scaffolding for global ranks
+    (value = 1) and token-offset packing (value = n_tokens).
+
+    Pass 1 is pinned with localCheckpoint so both downstream consumers (the
+    totals scan and the prefixed join) see the SAME partition assignment —
+    without it, correctness relies on Spark reusing the sampled range
+    exchange across the two computations.
+    """
+    part = (
+        df.withColumn("__v", value.cast("bigint"))
+        .repartitionByRange(num_partitions, *sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = part.groupBy("__pid").agg(F.sum("__v").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.sum("__v").over(w_local) + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__off", "__v")
+    )
+
+
 def global_sort_with_rank(
     df: DataFrame,
     cols: Sequence[str],
@@ -47,33 +88,13 @@ def global_sort_with_rank(
 
     ``cols`` must form a total order (unique combination) for the rank to be
     deterministic. Descending fields supported via ``ascending`` flags.
+    Rank = two-phase prefix of the constant 1.
     """
     asc = ascending or [True] * len(cols)
     sort_exprs = [
         (F.col(c) if a else F.col(c).desc()) for c, a in zip(cols, asc)
     ]
-    # Pass 1: range partition + local sort. Pinned with localCheckpoint so
-    # both downstream consumers (the size scan and the ranked join) see the
-    # SAME partition assignment — without it, correctness relies on Spark
-    # reusing the sampled range exchange across the two computations.
-    part = (
-        df.repartitionByRange(num_partitions, *sort_exprs)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    # Pass 2: per-partition counts -> cumulative offsets (tiny, broadcast).
-    sizes = part.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))).select(
-        "__pid", "__off"
-    )
-    w_local = Window.partitionBy("__pid").orderBy(*sort_exprs)
-    ranked = (
-        part.join(F.broadcast(offsets), "__pid")
-        .withColumn(rank_col, (F.row_number().over(w_local) + F.col("__off")).cast("bigint"))
-        .drop("__pid", "__off")
-    )
-    return ranked
+    return two_phase_prefix(df, sort_exprs, F.lit(1), rank_col, num_partitions)
 
 
 def hash_sample(df: DataFrame, col: str, modulus: int, keep: int = 0) -> DataFrame:

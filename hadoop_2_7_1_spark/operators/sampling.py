@@ -155,7 +155,10 @@ def temperature_resample(
     with_rate = df.withColumn("__rate", rate_expr)
     # copies 0..floor(rate)-1 always kept; copy floor(rate) kept when the
     # content hash falls under the fractional part
-    frac_keep = hex_hash32(key_col) < (
+    # floor() before the bigint comparison on BOTH engines: Spark's cast
+    # truncates but DuckDB's rounds, so the explicit floor keeps thresholds
+    # identical
+    frac_keep = hex_hash32(key_col) < F.floor(
         (F.col("__rate") - F.floor("__rate")) * HASH_SPACE
     ).cast("bigint")
     return (
@@ -188,7 +191,7 @@ def oracle_temperature_counts(
       SELECT t.{source_col} AS s, count(*) AS n_frac
       FROM {table} t JOIN rates r ON t.{source_col} = r.s
       WHERE CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT)
-            < CAST((r.rate - floor(r.rate)) * {HASH_SPACE} AS BIGINT)
+            < CAST(floor((r.rate - floor(r.rate)) * {HASH_SPACE}) AS BIGINT)
       GROUP BY t.{source_col}
     )
     SELECT r.s AS source, CAST(r.n AS BIGINT) AS n_orig,

@@ -43,7 +43,9 @@ def kmv_distinct(
     merge into a partial-aggregate UDAF; the estimator and its determinism
     are identical.
     """
-    d = df.select(group_col, value_col).distinct()
+    # NULL values hash to NULL and would rank NULLS FIRST in Spark but
+    # NULLS LAST in the oracle — exclude them on both engines
+    d = df.select(group_col, value_col).filter(F.col(value_col).isNotNull()).distinct()
     hashed = d.withColumn("__frac", _frac(value_col))
     w = Window.partitionBy(group_col).orderBy("__frac")
     topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
@@ -81,6 +83,7 @@ def oracle_kmv_distinct(table: str, group_col: str, value_col: str, k: int = 64)
     return f"""
     WITH d AS (
       SELECT DISTINCT {group_col}, {value_col} FROM {table}
+      WHERE {value_col} IS NOT NULL
     ), h AS (
       SELECT {group_col}, {frac} AS frac FROM d
     ), r AS (

@@ -75,8 +75,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (replication-safe)")
+    # pmod, not abs(hash) % n: abs(Int.MinValue) overflows back to MinValue
+    # and would produce a negative salt with no small-side partner
     salted_big = big.withColumn(
-        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets)
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )
     salted_small = small.join(
         F.broadcast(

@@ -420,8 +420,6 @@ def tfidf_top_terms(
              * F.log(F.col("n_docs").cast("double") / F.col("df"))).cast("double"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

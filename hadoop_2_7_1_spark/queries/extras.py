@@ -1262,14 +1262,20 @@ def smp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     out = temperature_resample(docs, "doc_id", "source", alpha=0.5)
+    # left join from the stats side: a source whose every row is dropped
+    # must still appear with n_sampled = 0 (the oracle emits it)
     return (
-        out.groupBy(F.col("source"))
-        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+        docs.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_orig"))
         .join(
-            docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_orig")),
+            out.groupBy("source").agg(F.count("*").cast("bigint").alias("n_sampled")),
             "source",
+            "left",
         )
-        .select("source", "n_orig", "n_sampled")
+        .select(
+            "source", "n_orig",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
     )
 
 
@@ -1278,7 +1284,7 @@ def smp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT user_id, avg(value) AS mu,
-             sqrt(avg(value * value) - avg(value) * avg(value)) AS sigma,
+             sqrt(greatest(avg(value * value) - avg(value) * avg(value), 0)) AS sigma,
              count(*) AS n
       FROM events GROUP BY user_id
     )
@@ -1298,7 +1304,12 @@ def evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("user_id").agg(
         F.avg("value").alias("mu"),
-        F.sqrt(F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value")).alias("sigma"),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value"),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
         F.count("*").alias("n"),
     )
     return (
