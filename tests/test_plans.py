@@ -104,3 +104,39 @@ def test_knn_join_is_equi_join_no_cartesian(spark):
     plan = plan_of(spark, "sim_knn_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registry_wide_plan_audit(spark):
+    """Every lazily-built registry query must be free of CartesianProduct,
+    and Python eval nodes may appear only in the documented whitelist
+    (subprocess pipes, multimodal decode, compute generators) — the
+    SCALE.md Python-boundary policy, enforced.
+    """
+    from hadoop_2_7_1_spark.queries import REGISTRY
+
+    # These run driver-side actions (model fits, checkpointed passes,
+    # iterative solvers) at build time — their plan shapes are asserted by
+    # their own dedicated tests instead.
+    build_time_actions = {
+        "sim_kmeans_sizes", "sim_kmeans_ivf", "grf_pagerank",
+        "cur_global_shuffle", "cur_pack_sequences", "cur_length_buckets",
+        "dd_dup_clusters", "evt_funnel", "smp_temperature",
+        "q26_pentomino", "q27_sudoku", "q21_db_pageview",
+        "q15_partitioned_write", "src_bucketed_join", "bench_terasort_big",
+    }
+    python_ok = {
+        "q20_pipe_wordcount", "mm_decode_meta", "q22_pi_qmc",
+        "q23_bbp_pi_digits", "bench_teragen", "bench_teragen_gensort",
+        "bench_terasort_validate", "q25_random_text",
+    }
+    audited = 0
+    for name, spec in REGISTRY.items():
+        if name in build_time_actions:
+            continue
+        plan = spec.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+        if name not in python_ok:
+            for node in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+                assert node not in plan, f"{name} has unexpected Python node {node}"
+        audited += 1
+    assert audited >= 100, f"only {audited} queries audited"
