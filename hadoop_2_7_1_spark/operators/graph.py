@@ -65,6 +65,89 @@ def pagerank(
     return ranks
 
 
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle count over an undirected graph, given as a directed
+    edge list (both directions or either; self-loops dropped).
+
+    Classic two-join shape with *degree orientation* (Cohen's MapReduce
+    algorithm / Suri-Vassilvitskii): canonicalize each edge to point from
+    the lower-(degree, id) endpoint to the higher, so every wedge is
+    enumerated exactly once at its lowest-degree vertex. This caps per-key
+    wedge fan-out at O(sqrt(|E|)) even on power-law graphs — the skew
+    guard that makes the self-join survive at scale; orienting by id alone
+    would square the hub degree. Output: one row
+    (n_nodes, n_edges, n_triangles).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orient a->b iff (deg(a), a) < (deg(b), b); total order, so exactly one
+    # direction per edge survives.
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    w1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("lo", "hi").alias("x"), F.greatest("lo", "hi").alias("y")
+    )
+    n_tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").cast("bigint").alias("n_edges"))
+    # Three single-row aggregates; the cross joins are broadcast nested
+    # loops over one row each, never a real cartesian.
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def oracle_triangle_count(edges_sql: str) -> str:
+    """Oracle: same canonicalized edge set, plain closed-wedge count
+    (orientation is a physical optimization — the triangle set is
+    identical, so the oracle counts each triangle once via a<b<c)."""
+    return f"""
+    WITH und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({edges_sql}) WHERE src <> dst
+    ),
+    nodes AS (SELECT DISTINCT v FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM und e1 JOIN und e2 ON e2.a = e1.b
+                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """
+
+
 def oracle_pagerank(
     edges_sql: str, iterations: int = 3, damping: float = 0.85
 ) -> str:

@@ -75,6 +75,221 @@ def merge_kmv(sketches: list[list[float]], k: int) -> list[float]:
     return sorted(set().union(*map(set, sketches)))[:k]
 
 
+def _hash60(expr: F.Column) -> F.Column:
+    """Low 60 bits of md5 over the column's string bytes, as a non-negative
+    bigint — the shared cross-engine hash primitive (same formula the KMV
+    sketch and the DuckDB oracles use)."""
+    return F.conv(F.substring(F.md5(expr.cast("string").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def cms_cells(df: DataFrame, key_col: str, depth: int = 4, width: int = 512) -> DataFrame:
+    """Count-min sketch of a key column as its distributed representation:
+    one row per non-empty (row, col) cell with the collision-summed count.
+
+    Each of the ``depth`` rows uses an independently salted hash
+    h_j(x) = md5(j || ':' || x) mod width. The cell table is *mergeable by
+    summing counts* — partial sketches from shards union + groupBy-sum into
+    the corpus sketch, which is exactly Spark's partial→final HashAggregate,
+    so at 100 TB the sketch build is one map-side-combined shuffle of at
+    most depth*width*partitions rows (data volume never matters).
+    """
+    rows = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    return (
+        df.select(F.col(key_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .select("__k", rows)
+        .select(
+            "j",
+            F.pmod(_hash60(F.concat_ws(":", F.col("j"), F.col("__k"))), F.lit(width)).alias(
+                "col"
+            ),
+        )
+        .groupBy("j", "col")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Heavy hitters by count-min estimate: keys whose CMS estimate
+    (min over the depth rows of the probed cell) reaches ``threshold``,
+    with the exact count alongside (estimate >= exact always — the one-sided
+    CMS error; the gap is the collision mass).
+
+    The probe is an equi-join of the candidate keys' (j, col) coordinates
+    against the cell table — broadcast-sized (depth*width cells), so probing
+    N candidates never shuffles the sketch. Output: (key, n_exact, cms_est).
+    """
+    cells = cms_cells(df, key_col, depth, width)
+    exact = (
+        df.select(F.col(key_col).alias("key"))
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    probes = exact.select(
+        "key",
+        "n_exact",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).withColumn(
+        "col", F.pmod(_hash60(F.concat_ws(":", F.col("j"), F.col("key"))), F.lit(width))
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "col"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )
+    return est.filter(F.col("cms_est") >= threshold).select("key", "n_exact", "cms_est")
+
+
+def oracle_cms_heavy_hitters(
+    table: str, key_col: str, threshold: int, depth: int = 4, width: int = 512
+) -> str:
+    h = (
+        "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST({k} AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % {w}"
+    )
+    return f"""
+    WITH keys AS (
+      SELECT {key_col} AS key FROM {table} WHERE {key_col} IS NOT NULL
+    ), hashed AS (
+      SELECT key, j, {h.format(k="key", w=width)} AS col
+      FROM keys CROSS JOIN range({depth}) t(j)
+    ), cells AS (
+      SELECT j, col, count(*) AS cnt FROM hashed GROUP BY j, col
+    ), exact AS (
+      SELECT key, count(*) AS n_exact FROM keys GROUP BY key
+    ), probes AS (
+      SELECT e.key, e.n_exact, j, {h.format(k="e.key", w=width)} AS col
+      FROM exact e CROSS JOIN range({depth}) t(j)
+    ), est AS (
+      SELECT p.key, p.n_exact, min(c.cnt) AS cms_est
+      FROM probes p JOIN cells c USING (j, col)
+      GROUP BY p.key, p.n_exact
+    )
+    SELECT key, CAST(n_exact AS BIGINT) AS n_exact, CAST(cms_est AS BIGINT) AS cms_est
+    FROM est WHERE cms_est >= {threshold}
+    """
+
+
+def _sql_hash60(expr: str) -> str:
+    """Spark-SQL string form of the 60-bit md5 hash over ``expr`` (a SQL
+    expression yielding a string)."""
+    return f"cast(conv(substring(md5(cast(({expr}) as binary)), 1, 15), 16, 10) as bigint)"
+
+
+def _sql_bloom_pos(key_col: str, j: int, m_bits: int) -> str:
+    """Spark-SQL expression for the j-th Kirsch-Mitzenmacher probe position:
+    (h1 + j*h2) mod m, with h2 salted by a chr(1) prefix."""
+    h1 = _sql_hash60(f"cast({key_col} as string)")
+    h2 = _sql_hash60(f"concat(chr(1), cast({key_col} as string))")
+    return f"pmod({h1} + {j} * {h2}, {m_bits})"
+
+
+def bloom_build(dim: DataFrame, key_col: str, m_bits: int = 128, k_hashes: int = 3) -> list[int]:
+    """Distributed Bloom-filter build over the (small) dim side's keys.
+
+    Kirsch-Mitzenmacher double hashing: two md5-derived 60-bit hashes h1, h2
+    give position_j = (h1 + j*h2) mod m. The bitmap is built as a
+    groupBy(word)–bit_or aggregation (map-side combined), and only the
+    m/64 longs are collected — the classic runtime-filter shape: the build
+    side streams once, the result is plan-literal-sized.
+    """
+    positions = ",".join(_sql_bloom_pos("__k", j, m_bits) for j in range(k_hashes))
+    words = (
+        dim.select(F.col(key_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .selectExpr(f"explode(array({positions})) as pos")
+        .selectExpr(
+            # 32-bit words (not 64): keeps every shift < 32 so the identical
+            # arithmetic runs on engines that overflow-check 1<<63 (DuckDB).
+            "cast(pos div 32 as int) as word",
+            "shiftleft(1L, cast(pos % 32 as int)) as bit",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 32)
+    for r in words:
+        bitmap[r.word] = r.bits
+    return bitmap
+
+
+def bloom_might_contain(
+    key_col: str, bitmap: list[int], m_bits: int = 128, k_hashes: int = 3
+) -> F.Column:
+    """Membership-test Column against a built bitmap: true iff all k probed
+    bits are set. The bitmap rides in the plan as a literal array (element_at
+    on a 2–256 element array — whole-stage-codegen-friendly), so the probe
+    side is a map-only filter: no join, no shuffle, exactly how a runtime
+    bloom filter prunes a fact scan before the real join."""
+    arr = "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
+    checks = []
+    for j in range(k_hashes):
+        pos = _sql_bloom_pos(key_col, j, m_bits)
+        checks.append(
+            f"(element_at({arr}, cast(({pos}) div 32 as int) + 1)"
+            f" & shiftleft(1L, cast(({pos}) % 32 as int))) != 0"
+        )
+    return F.expr(" AND ".join(checks))
+
+
+def oracle_bloom_prune(
+    fact: str,
+    fact_key: str,
+    dim: str,
+    dim_key: str,
+    m_bits: int = 128,
+    k_hashes: int = 3,
+) -> str:
+    """Oracle for the bloom-prune demo query: replays the same double-hashed
+    bitmap in SQL and reports (n_pass, n_true, n_false_pos)."""
+
+    def h(col: str, salt: bool) -> str:
+        inner = f"chr(1) || CAST({col} AS VARCHAR)" if salt else f"CAST({col} AS VARCHAR)"
+        return f"CAST(('0x' || substr(md5({inner}), 1, 15)) AS BIGINT)"
+
+    def pos(col: str, j: int) -> str:
+        return f"(({h(col, False)} + {j} * {h(col, True)}) % {m_bits})"
+
+    pos_union = " UNION ALL ".join(
+        f"SELECT {dim_key} AS k, {pos(dim_key, j)} AS pos FROM dimkeys" for j in range(k_hashes)
+    )
+    fact_checks = " AND ".join(
+        f"((SELECT bits FROM bitmap WHERE word = {pos(fact_key, j)} // 32)"
+        f" & (CAST(1 AS BIGINT) << CAST({pos(fact_key, j)} % 32 AS INTEGER))) <> 0"
+        for j in range(k_hashes)
+    )
+    return f"""
+    WITH dimkeys AS (
+      SELECT DISTINCT {dim_key} FROM {dim}
+    ), positions AS (
+      {pos_union}
+    ), bitmap AS (
+      SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+      FROM positions GROUP BY pos // 32
+    ), passed AS (
+      SELECT f.{fact_key},
+             f.{fact_key} IN (SELECT {dim_key} FROM dimkeys) AS is_true
+      FROM {fact} f
+      WHERE {fact_checks}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN is_true THEN 0 ELSE 1 END) AS BIGINT) AS n_false_pos
+    FROM passed
+    """
+
+
 def oracle_kmv_distinct(table: str, group_col: str, value_col: str, k: int = 64) -> str:
     frac = (
         f"CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT)"

@@ -1384,3 +1384,84 @@ def cur_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency sketches, runtime filters, graph structure (round-2 additions)
+# ---------------------------------------------------------------------------
+
+from ..operators.graph import oracle_triangle_count
+from ..operators.sketches import oracle_bloom_prune, oracle_cms_heavy_hitters
+
+
+@register(
+    "agg_cms_heavy",
+    oracle_cms_heavy_hitters("lineitem", "l_partkey", threshold=45, depth=4, width=512),
+    doc="count-min sketch heavy hitters over lineitem part keys (d=4, "
+        "w=512, salted-md5 rows): mergeable cell table built by one "
+        "map-side-combined shuffle; estimate = min over rows, one-sided "
+        "error visible next to the exact count",
+)
+def agg_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cms_heavy_hitters(li, "l_partkey", threshold=45, depth=4, width=512)
+
+
+@register(
+    "agg_bloom_prune",
+    oracle_bloom_prune(
+        "lineitem",
+        "l_suppkey",
+        "(SELECT * FROM supplier WHERE s_nationkey < 5)",
+        "s_suppkey",
+        m_bits=128,
+        k_hashes=3,
+    ),
+    doc="bloom-filter runtime pruning: bitmap of low-nation suppliers built "
+        "by groupBy-bit_or (m=128, k=3 double hashing), broadcast as a plan "
+        "literal, fact scan filtered map-only; reports pass/true/false-"
+        "positive counts against the exact semi-join",
+)
+def agg_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_build, bloom_might_contain
+
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    li = load_table(spark, sf_dir, "lineitem")
+    bitmap = bloom_build(sup, "s_suppkey", m_bits=128, k_hashes=3)
+    passed = li.filter(bloom_might_contain("l_suppkey", bitmap, m_bits=128, k_hashes=3))
+    truth = sup.select(F.col("s_suppkey").alias("l_suppkey")).distinct()
+    flagged = passed.join(
+        truth.withColumn("__true", F.lit(1)), "l_suppkey", "left"
+    ).select(F.coalesce(F.col("__true"), F.lit(0)).alias("is_true"))
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("n_pass"),
+        F.sum("is_true").cast("bigint").alias("n_true"),
+        F.sum(1 - F.col("is_true")).cast("bigint").alias("n_false_pos"),
+    )
+
+
+_TRI_EDGES_SQL = """
+    SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey <> l2.l_partkey
+"""
+
+
+@register(
+    "grf_triangles",
+    oracle_triangle_count(_TRI_EDGES_SQL),
+    doc="triangle counting over the parts-in-same-order co-occurrence "
+        "graph: degree-oriented wedge enumeration (Suri-Vassilvitskii) so "
+        "per-key fan-out is O(sqrt(E)) on power-law graphs, closed by one "
+        "equi-join against the canonical edge set",
+)
+def grf_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    return triangle_count(edges)

@@ -778,3 +778,67 @@ def test_temperature_resample_rates(spark):
     # deterministic: identical on rerun
     again = temperature_resample(df, "id", "src", alpha=0.5)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 sketches and graph structure
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_is_one_sided_and_mergeable(spark):
+    from hadoop_2_7_1_spark.operators.sketches import cms_cells, cms_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(200)] + [(99,)] * 50, "k int"
+    )
+    hh = cms_heavy_hitters(df, "k", threshold=1, depth=4, width=32).collect()
+    assert len(hh) == 8  # every key probed, threshold 1 keeps all
+    for r in hh:
+        assert r.cms_est >= r.n_exact  # CMS error is strictly one-sided
+    big = {r.key: r for r in hh}[99]
+    assert big.n_exact == 50
+
+    # Mergeability: cells(shard1) + cells(shard2), summed, == cells(union).
+    rows = [(i % 7,) for i in range(200)] + [(99,)] * 50
+    s1 = spark.createDataFrame(rows[:100], "k int")
+    s2 = spark.createDataFrame(rows[100:], "k int")
+    from pyspark.sql import functions as F
+
+    merged = (
+        cms_cells(s1, "k", 4, 32).union(cms_cells(s2, "k", 4, 32))
+        .groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_cells(df, "k", 4, 32)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_bloom_no_false_negatives_and_plan_is_joinless(spark):
+    from hadoop_2_7_1_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    dim = spark.createDataFrame([(i * 3,) for i in range(40)], "k bigint")
+    fact = spark.createDataFrame([(i,) for i in range(400)], "k bigint")
+    bitmap = bloom_build(dim, "k", m_bits=256, k_hashes=3)
+    passed = fact.filter(bloom_might_contain("k", bitmap, m_bits=256, k_hashes=3))
+    got = {r.k for r in passed.collect()}
+    truth = {i * 3 for i in range(40)}
+    assert truth <= got  # a Bloom filter never drops a member
+    assert len(got - truth) < 40  # and collisions stay bounded at this m/n
+
+    # The probe must be a map-only filter: no join/exchange in its plan.
+    plan = passed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_triangle_count_known_graphs(spark):
+    from hadoop_2_7_1_spark.operators.graph import triangle_count
+
+    # K4: every pair connected -> C(4,3) = 4 triangles.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    r = triangle_count(spark.createDataFrame(k4, "src int, dst int")).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    # Square with one diagonal -> 2 triangles; self-loops ignored.
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (1, 1)]
+    r = triangle_count(spark.createDataFrame(sq, "src int, dst int")).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 5, 2)
