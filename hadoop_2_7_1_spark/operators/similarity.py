@@ -506,3 +506,214 @@ def oracle_kmeans_ivf(
     FROM scored QUALIFY rnk <= {k}
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into ``m`` contiguous subspaces
+    and run the deterministic Lloyd fit (kmeans_fit) independently in each.
+
+    Returns m codebooks of k centroids of dim/m doubles. Each subspace fit
+    has the kmeans_fit scale shape (assignment map-only, means a k*(dim/m)
+    cell aggregate); the m fits share nothing, so a production run launches
+    them as m concurrent tiny jobs over the same cached sample. Codebook
+    bytes collected to the driver: m*k*(dim/m) = k*dim doubles — constant.
+    """
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = emb.select(
+            F.col(id_col).alias("vec_id"), F.slice(F.col(vec_col), s * sub + 1, sub).alias("sub")
+        )
+        books.append(kmeans_fit(sliced, k=k, n_iter=n_iter, id_col="vec_id", vec_col="sub"))
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m subspace code ids (argmin squared-L2
+    against the subspace codebook). Map-only: the codebooks ride in the plan
+    as literals; output is (vec_id, codes array<int>) — at 100 TB this is
+    the compressed representation you persist (m bytes per vector instead
+    of dim floats, a 32x shrink at the defaults here).
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    code_cols = []
+    for s in range(m):
+        d = _dists_expr(f"slice({vec_col}, {s * sub + 1}, {sub})", _centroids_sql(books[s]))
+        code_cols.append(
+            (F.expr(f"array_position({d}, array_min({d}))") - 1).cast("int").alias(f"c{s}")
+        )
+    coded = emb.select(F.col(id_col).alias("vec_id"), *code_cols)
+    return coded.select(
+        "vec_id", F.array(*[F.col(f"c{s}") for s in range(m)]).alias("codes")
+    )
+
+
+def pq_search_adc(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search: exact query subvectors against the corpus's PQ codes.
+
+    approx_dist(q, x) = sum_s ||q_s - codebook_s[code_s(x)]||^2 — the
+    query-side distance table (m*k doubles per query) is computed map-only
+    and carried with the broadcast query row; the corpus side touches ONLY
+    the m-byte codes, never the original vectors. That asymmetry is the
+    whole point at 100 TB: the scan reads the 32x-compressed table and the
+    accurate (uncompressed-query) distances come from table lookups.
+    Output: (id_q, id_vec, score_adc, rnk) — integer ids lead the sorted
+    column order so cross-engine float ulps can't flip canonical row order.
+    """
+    m = len(books)
+    coded = pq_encode(emb, books, id_col, vec_col)
+    sub = len(books[0][0])
+    table_cols = [
+        F.expr(_dists_expr(f"slice(q_vec, {s * sub + 1}, {sub})", _centroids_sql(books[s])))
+        .alias(f"t{s}")
+        for s in range(m)
+    ]
+    q = queries.select(F.col(id_col).alias("id_q"), F.col(vec_col).alias("q_vec")).select(
+        "id_q", *table_cols
+    )
+    scored = (
+        coded.join(F.broadcast(q), coded["vec_id"] != q["id_q"])
+        .withColumn(
+            "score_adc",
+            sum(
+                (F.element_at(F.col(f"t{s}"), F.element_at("codes", s + 1) + 1))
+                for s in range(m)
+            ).cast("double"),
+        )
+        .select("id_q", F.col("vec_id").alias("id_vec"), "score_adc")
+    )
+    w = Window.partitionBy("id_q").orderBy(F.asc("score_adc"), F.asc("id_vec"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id_q").cast("bigint"),
+            F.col("id_vec").cast("bigint"),
+            "score_adc",
+            F.col("rnk").cast("bigint"),
+        )
+    )
+
+
+def _oracle_pq_ctes(table: str, m: int, k: int, n_iter: int, dim: int) -> str:
+    """Per-subspace unrolled kmeans CTE chains (prefix s{i}_) over sliced
+    vectors, ending in s{i}_assign_final (vec_id, cluster)."""
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        sl = f"CAST(embedding[{lo}:{hi}] AS DOUBLE[])"
+        dist = (
+            f"list_sum(list_transform(list_zip({sl.replace('embedding', 'e.embedding')}, ct.c), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+        chain = f"""
+    s{s}_cent0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, {sl} AS c
+      FROM (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {k})
+    )"""
+        for i in range(n_iter):
+            chain += f""",
+    s{s}_assign{i} AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, ct.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, ct.cluster) AS rn
+        FROM {table} e CROSS JOIN s{s}_cent{i} ct
+      ) WHERE rn = 1
+    ),
+    s{s}_means{i} AS (
+      SELECT cluster, i AS pos, avg(CAST(embedding[{lo} + i - 1] AS DOUBLE)) AS m
+      FROM s{s}_assign{i}, range(1, {sub + 1}) t(i)
+      GROUP BY cluster, i
+    ),
+    s{s}_cent{i + 1} AS (
+      SELECT ct.cluster, coalesce(mm.c, ct.c) AS c
+      FROM s{s}_cent{i} ct LEFT JOIN (
+        SELECT cluster, list(m ORDER BY pos) AS c FROM s{s}_means{i} GROUP BY cluster
+      ) mm USING (cluster)
+    )"""
+        chain += f""",
+    s{s}_assign_final AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, ct.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, ct.cluster) AS rn
+        FROM {table} e CROSS JOIN s{s}_cent{n_iter} ct
+      ) WHERE rn = 1
+    )"""
+        parts.append(chain)
+    return "WITH " + ",".join(parts)
+
+
+def oracle_pq_search(
+    table: str,
+    query_filter: str,
+    m: int = 4,
+    k_codebook: int = 8,
+    n_iter: int = 2,
+    k: int = 3,
+    dim: int = 64,
+) -> str:
+    sub = dim // m
+    qdist_ctes = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        qd = (
+            f"list_sum(list_transform(list_zip(CAST(q.embedding[{lo}:{hi}] AS DOUBLE[]), ct.c), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+        qdist_ctes.append(f"""
+    qd{s} AS (
+      SELECT q.vec_id AS id_q, ct.cluster, {qd} AS d
+      FROM {table} q CROSS JOIN s{s}_cent{n_iter} ct
+      WHERE {query_filter.replace('vec_id', 'q.vec_id')}
+    )""")
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.id_q = qq.id_q AND qd{s}.cluster = a{s}.cluster" for s in range(m)
+    )
+    total = " + ".join(f"qd{s}.d" for s in range(m))
+    return (
+        _oracle_pq_ctes(table, m, k_codebook, n_iter, dim)
+        + ","
+        + ",".join(qdist_ctes)
+        + f""",
+    qids AS (SELECT DISTINCT vec_id AS id_q FROM {table} q
+             WHERE {query_filter.replace('vec_id', 'q.vec_id')}),
+    scored AS (
+      SELECT qq.id_q, cc.vec_id AS id_vec, CAST({total} AS DOUBLE) AS score_adc
+      FROM (SELECT DISTINCT vec_id FROM {table}) cc CROSS JOIN qids qq
+      {" ".join(f"JOIN s{s}_assign_final a{s} ON a{s}.vec_id = cc.vec_id" for s in range(m))}
+      {qd_joins}
+      WHERE cc.vec_id <> qq.id_q
+    )
+    SELECT CAST(id_q AS BIGINT) AS id_q, CAST(id_vec AS BIGINT) AS id_vec, score_adc,
+           CAST(row_number() OVER (PARTITION BY id_q ORDER BY score_adc, id_vec) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= {k}
+    """
+    )

@@ -1465,3 +1465,20 @@ def grf_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "ok").filter(F.col("src") != F.col("dst")).select("src", "dst")
     return triangle_count(edges)
+
+
+@register(
+    "sim_pq_adc",
+    similarity.oracle_pq_search(
+        "embeddings", "vec_id < 3", m=4, k_codebook=8, n_iter=2, k=3, dim=64
+    ),
+    doc="product-quantization ANN (m=4 subspaces, k=8 codes, 2 Lloyd "
+        "rounds per subspace): corpus compressed to 4 code bytes per "
+        "vector, queries scored by ADC table lookups — the scan touches "
+        "the 32x-compressed codes, never the raw vectors",
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=4, k=8, n_iter=2, dim=64)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.pq_search_adc(emb, qs, books, k=3)

