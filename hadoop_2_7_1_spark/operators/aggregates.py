@@ -140,3 +140,61 @@ def grouped_agg_udaf(returnType: str = "double"):
         return pandas_udf(fn, returnType, PandasUDFType.GROUPED_AGG)
 
     return deco
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group quantiles by rank selection: the q-quantile is the
+    value at row_number ceil(q*n) in the group's value order (the same
+    "nearest-rank, no interpolation" definition the exact-median pattern
+    (q04) uses, so it is engine-replayable — unlike percentile_approx's
+    engine-specific sketch).
+
+    Scale shape: ONE group-keyed window (partitionBy group — balanced as
+    long as groups are; for a single giant group use the two-phase rank in
+    operators/partitioning.py) and one conditional aggregation. No global
+    sort, no driver collection.
+    """
+    w = Window.partitionBy(group_col).orderBy("__v")
+    ranked = df.select(group_col, F.col(value_col).alias("__v")).select(
+        group_col,
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("__rn") == F.ceil(F.lit(float(q)) * F.col("__n")), F.col("__v"))
+        )
+        .cast("double")
+        .alias(f"p{str(q)[2:].ljust(2, '0')}")
+        for q in quantiles
+    ]
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def oracle_group_quantiles(
+    table: str,
+    group_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> str:
+    sels = ",\n           ".join(
+        f"CAST(max(CASE WHEN rn = ceil({q} * n) THEN v END) AS DOUBLE)"
+        f" AS p{str(q)[2:].ljust(2, '0')}"
+        for q in quantiles
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col}, {value_col} AS v,
+             row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}) AS rn,
+             count(*) OVER (PARTITION BY {group_col}) AS n
+      FROM {table}
+    )
+    SELECT {group_col}, {sels}
+    FROM ranked GROUP BY {group_col}
+    """

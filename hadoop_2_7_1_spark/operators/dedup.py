@@ -755,3 +755,93 @@ def oracle_ngram_containment_pairs(
     FROM inter JOIN sizes sa ON sa.id = inter.id_a
     WHERE inter / sa.sz >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood candidate pairing (Hernandez-Stolfo merge/purge)
+# ---------------------------------------------------------------------------
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_chars: int = 8,
+    window: int = 3,
+    prefix_chars: int = 40,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Near-dup candidate pairs by the sorted-neighborhood method: sort
+    records on a blocking key (first ``block_chars`` characters), slide a
+    window of ``window`` records, and verify each record against its
+    window successors with edit distance over a ``prefix_chars`` prefix.
+
+    Complements the set-similarity paths (MinHash/SimHash): SNM catches
+    near-identical PREFIXES (truncation dups, re-crawls with appended
+    boilerplate) that shingle sketches dilute. Scale shape: the window is
+    partitioned BY the block key — each block sorts independently, no
+    global-order single-partition window; pair fan-out is window-1 per
+    row; the levenshtein verify runs only on candidate pairs, codegen-side.
+    Output: (id_a, id_b, dist) with id_a < id_b order within the block sort.
+    """
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("pfx"),
+        F.substring(F.col(text_col), 1, block_chars).alias("blk"),
+    )
+    w = Window.partitionBy("blk").orderBy("pfx", "id")
+    leads = base.select(
+        "id",
+        "pfx",
+        *[F.lead("id", i).over(w).alias(f"nid{i}") for i in range(1, window)],
+        *[F.lead("pfx", i).over(w).alias(f"npfx{i}") for i in range(1, window)],
+    )
+    pairs = None
+    for i in range(1, window):
+        p = (
+            leads.filter(F.col(f"nid{i}").isNotNull())
+            .select(
+                F.col("id").alias("id_a"),
+                F.col(f"nid{i}").alias("id_b"),
+                F.levenshtein("pfx", f"npfx{i}").cast("bigint").alias("dist"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.filter(F.col("dist") <= max_dist).distinct()
+
+
+def oracle_sorted_neighborhood_pairs(
+    table: str,
+    id_col: str,
+    text_col: str,
+    block_chars: int = 8,
+    window: int = 3,
+    prefix_chars: int = 40,
+    max_dist: int = 20,
+) -> str:
+    nid = ", ".join(
+        f"lead({id_col}, {i}) OVER w AS nid{i}, lead(pfx, {i}) OVER w AS npfx{i}"
+        for i in range(1, window)
+    )
+    arms = "\n      UNION ALL\n".join(
+        f"""      SELECT {id_col} AS id_a, nid{i} AS id_b,
+             CAST(levenshtein(pfx, npfx{i}) AS BIGINT) AS dist
+      FROM leads WHERE nid{i} IS NOT NULL"""
+        for i in range(1, window)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             substr({text_col}, 1, {prefix_chars}) AS pfx,
+             substr({text_col}, 1, {block_chars}) AS blk
+      FROM {table}
+    ),
+    leads AS (
+      SELECT {id_col}, pfx, {nid}
+      FROM base
+      WINDOW w AS (PARTITION BY blk ORDER BY pfx, {id_col})
+    ),
+    pairs AS (
+{arms}
+    )
+    SELECT DISTINCT id_a, id_b, dist FROM pairs WHERE dist <= {max_dist}
+    """

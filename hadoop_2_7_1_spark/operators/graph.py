@@ -174,3 +174,70 @@ def oracle_pagerank(
     SELECT node, CAST(rank_pr AS DOUBLE) AS rank_pr FROM r{iterations}
     """
     return sql
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degrees of the subgraph left after ``rounds`` synchronous k-core
+    peeling steps: each step drops every vertex whose current degree is
+    below ``k`` (and its incident edges), simultaneously.
+
+    Like :func:`pagerank`, the iteration count is FIXED rather than
+    convergence-detected so the computation is engine-replayable — the
+    oracle unrolls the same rounds as a CTE chain. (True k-core is the
+    fixpoint; callers wanting it raise ``rounds`` until the output stops
+    changing — each extra round is idempotent once converged.)
+
+    Per round: one degree aggregation plus two semi-join filters, all
+    equi-keyed on vertex ids — the textbook distributed peeling shape.
+    localCheckpoint truncates lineage per round; superseded rounds'
+    blocks are reclaimed by the ContextCleaner when the reference drops.
+    Output: (node, deg) over the surviving subgraph.
+    """
+    alive = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        alive = (
+            alive.join(keep, "src", "semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
+            .localCheckpoint()
+        )
+    return alive.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+
+
+def oracle_kcore(edges_sql: str, k: int = 2, rounds: int = 5) -> str:
+    """Unrolled-CTE replay of the identical fixed-round peeling."""
+    sql = f"""
+    WITH a0 AS (
+      SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+    )"""
+    for i in range(rounds):
+        sql += f""",
+    k{i} AS (SELECT src FROM a{i} GROUP BY src HAVING count(*) >= {k}),
+    a{i + 1} AS (
+      SELECT a.src, a.dst FROM a{i} a
+      JOIN k{i} s ON a.src = s.src
+      JOIN k{i} d ON a.dst = d.src
+    )"""
+    sql += f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM a{rounds} GROUP BY src
+    """
+    return sql

@@ -699,3 +699,85 @@ def oracle_encode_ids(table: str, text_col: str = "text", size: int = 256) -> st
            CAST(count(*) AS BIGINT) AS n_ids
     FROM ids GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (positional fingerprint selection, Schleimer-Wilkerson-Aiken)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 8, window: int = 16
+) -> DataFrame:
+    """Winnowed fingerprint set per document: hash every character
+    ``ngram``, then keep the minimum hash of every sliding window of
+    ``window`` consecutive hashes.
+
+    Unlike the global min-k sketch (:func:`fingerprint`), winnowing is
+    *positional*: any shared substring of length >= window + ngram - 1
+    between two documents is guaranteed to contribute at least one common
+    fingerprint — the local-match guarantee that makes it the standard
+    scheme for plagiarism/overlap detection. Density ~= 2/(window+1).
+
+    Per-row work is O(n_chars * window) over in-row arrays (sequence +
+    transform + array_min), no explode, no shuffle; the output sketch is
+    join-friendly: (id, n_fp, fp_set as sorted comma string).
+
+    The gram/hash arrays are STAGED as intermediate projections — each
+    downstream stage references its input array several times, and Spark's
+    CollapseProject deliberately refuses to inline non-cheap expressions
+    used more than once, so each array is materialized once per row instead
+    of the expression tree re-expanding multiplicatively (the naive single
+    expression is ~50x slower).
+    """
+    t = "__t"
+    grams = (
+        f"CASE WHEN length({t}) >= {ngram} THEN "
+        f"transform(sequence(1, length({t}) - {ngram - 1}), i -> substring({t}, i, {ngram})) "
+        f"ELSE array() END"
+    )
+    hashes = "transform(__grams, g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"
+    mins = (
+        f"CASE WHEN size(__hs) >= {window} THEN "
+        f"array_distinct(transform(sequence(1, size(__hs) - {window - 1}),"
+        f" j -> array_min(slice(__hs, j, {window})))) "
+        f"ELSE array_distinct(array(array_min(__hs))) END"
+    )
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("__t"))
+        .select("id", F.expr(grams).alias("__grams"))
+        .select("id", F.expr(hashes).alias("__hs"))
+        .select("id", F.expr(mins).alias("__mins"))
+        .select("id", F.expr("array_sort(__mins)").alias("__sel"))
+        .select(
+            "id",
+            F.expr("cast(size(__sel) as bigint)").alias("n_fp"),
+            F.expr("array_join(transform(__sel, x -> cast(x as string)), ',')").alias("fp_set"),
+        )
+    )
+
+
+def oracle_winnow_fingerprints(
+    table: str, id_col: str, text_col: str, ngram: int = 8, window: int = 16
+) -> str:
+    t = text_col
+    h = oracle_hash32("g")
+    grams = (
+        f"list_transform(range(1, greatest(length({t}) - {ngram - 1}, 0) + 1),"
+        f" i -> substr({t}, i, {ngram}))"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT {id_col} AS id, list_transform({grams}, g -> {h}) AS hs FROM {table}
+    ), sel AS (
+      SELECT id,
+             list_sort(list_distinct(
+               CASE WHEN len(hs) >= {window}
+                    THEN list_transform(range(1, len(hs) - {window - 1} + 1),
+                                        j -> list_min(hs[j:j+{window - 1}]))
+                    ELSE [list_min(hs)] END)) AS fps
+      FROM hashed
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(len(fps) AS BIGINT) AS n_fp,
+           array_to_string(fps, ',') AS fp_set
+    FROM sel
+    """

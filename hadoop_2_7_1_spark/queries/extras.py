@@ -1482,3 +1482,97 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_fit(emb, m=4, k=8, n_iter=2, dim=64)
     qs = emb.filter(F.col("vec_id") < 3)
     return similarity.pq_search_adc(emb, qs, books, k=3)
+
+
+@register(
+    "txt_winnow",
+    textops.oracle_winnow_fingerprints("documents", "doc_id", "text", ngram=8, window=16),
+    doc="winnowing fingerprint selection (Schleimer-Wilkerson-Aiken): min "
+        "hash of every 16-hash sliding window over char 8-grams — the "
+        "positional sketch with the shared-substring guarantee; one codegen "
+        "expression per row, no explode",
+)
+def txt_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.winnow_fingerprints(docs, "doc_id", "text", ngram=8, window=16)
+
+
+@register(
+    "agg_group_quantiles",
+    None,  # set below — needs the operator import
+    doc="exact per-group quantiles (p50/p90/p99 of extended price per "
+        "return flag) by nearest-rank selection: one group-keyed window + "
+        "conditional agg, engine-replayable unlike percentile_approx",
+)
+def agg_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import group_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_quantiles(li, "l_returnflag", "l_extendedprice")
+
+
+@register(
+    "cur_dataset_card",
+    """
+    WITH dup AS (
+      SELECT md5(text) AS fp, count(*) AS n FROM documents GROUP BY md5(text)
+    ), per_doc AS (
+      SELECT d.source, d.lang,
+             len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), t -> t <> '')) AS n_tokens,
+             d.n_chars, dup.n > 1 AS is_dup
+      FROM documents d JOIN dup ON md5(d.text) = dup.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM per_doc GROUP BY source
+    """,
+    doc="dataset datasheet per source: doc/token/char totals, exact-dup doc "
+        "count (via content-hash join), language diversity — the one-pass "
+        "corpus summary a training run records before ingestion",
+)
+def cur_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dup = (
+        docs.select(F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"))
+    )
+    toks = "filter(split(trim(text), '\\\\s+'), t -> t <> '')"
+    per_doc = (
+        docs.withColumn("fp", F.md5("text"))
+        .join(dup, "fp")
+        .select(
+            "source",
+            "lang",
+            F.expr(f"size({toks})").alias("n_tokens"),
+            "n_chars",
+            (F.col("n") > 1).alias("is_dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+def _attach_group_quantiles_oracle() -> None:
+    from ..operators.aggregates import oracle_group_quantiles
+    from . import REGISTRY, QuerySpec
+
+    spec = REGISTRY["agg_group_quantiles"]
+    REGISTRY["agg_group_quantiles"] = QuerySpec(
+        spec.name,
+        spec.fn,
+        oracle_group_quantiles("lineitem", "l_returnflag", "l_extendedprice"),
+        spec.doc,
+    )
+
+
+_attach_group_quantiles_oracle()
