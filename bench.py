@@ -70,7 +70,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + file listing once so per-query times measure the plans.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# warmup failed: {exc}", file=sys.stderr)
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -81,34 +84,41 @@ def main() -> None:
     # Both passes do identical work (noop write of every output column).
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # Per-query isolation: one broken query must never take down the whole
+    # artifact (round 2 lost ALL bench numbers to a single AnalysisException).
     for name in HEADLINE:
         spec = REGISTRY[name]
         best, n = None, 0
-        for _ in range(n_passes):
-            t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            obs = Observation()
-            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            n = obs.get["n"]
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+        try:
+            for _ in range(n_passes):
+                t0 = time.time()
+                df = spec.fn(spark, sf_dir)
+                obs = Observation()
+                df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                n = obs.get["n"]
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {errors[name][:120]}", file=sys.stderr)
+            continue
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_num,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_num,
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
     spark.stop()
 
 

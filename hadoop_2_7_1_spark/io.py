@@ -48,11 +48,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Driver-owned sessions don't come through our factory: pin the runtime
     # confs result-parity depends on (UTC timestamps, nanos-typed parquet).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Depending on environment confs, parquet TIMESTAMP columns may surface as
+    # TIMESTAMP_NTZ, which functions like unix_micros() reject. The reference
+    # models all times as zone-less long millis (SURVEY §1.2); with the session
+    # pinned to UTC the instant semantics are identical, so normalize every
+    # ntz column to plain TIMESTAMP at the source.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

@@ -93,11 +93,23 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 500,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Docs agreeing on all rows of any band collide in a bucket; the join is on
     (band_idx, band_key) so work is proportional to bucket sizes, never |D|².
+
+    Degenerate-band cap (the 100 TB skew guard): a bucket of n docs emits
+    n(n-1)/2 pairs, so one pathological bucket — all-empty docs, a boilerplate
+    shingle set, an adversarial crawl — turns the equi-join quadratic. Buckets
+    larger than ``max_bucket`` are dropped *before* the self-join via a
+    pre-count (one extra aggregation on the same (band, key) shuffle key).
+    Dropping is semantically safe for the dedup pipeline: byte-identical docs
+    belong to ``exact_dedup`` (run first), and a >max_bucket LSH bucket of
+    non-identical docs is hash degeneracy, not signal. The same pre-count also
+    removes singleton buckets, which shrinks the join input by the ~long tail
+    of unique docs. Deterministic, so the DuckDB oracle replicates it exactly.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -110,8 +122,15 @@ def lsh_candidate_pairs(
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ok_buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .select("band", "key")
+    )
+    pruned = banded.join(ok_buckets, ["band", "key"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
@@ -130,6 +149,7 @@ def oracle_lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 500,
 ) -> str:
     """DuckDB SQL reproducing lsh_candidate_pairs bit-for-bit."""
     from ..functions import oracle_word_shingles
@@ -153,9 +173,14 @@ def oracle_lsh_candidate_pairs(
       SELECT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
     ), sig AS (
       SELECT id, {mins} FROM sh GROUP BY id
-    ), banded AS ({banded})
+    ), banded AS ({banded}), ok AS (
+      SELECT band, key FROM banded GROUP BY band, key
+      HAVING count(*) >= 2 AND count(*) <= {max_bucket}
+    ), pruned AS (
+      SELECT banded.* FROM banded JOIN ok USING (band, key)
+    )
     SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
-    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    FROM pruned a JOIN pruned b ON a.band = b.band AND a.key = b.key AND a.id < b.id
     """
 
 

@@ -327,7 +327,14 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Lloyd's algorithm with deterministic init (the k lowest-id vectors).
+    """Lloyd's algorithm with deterministic init.
+
+    Seeding: the k lowest-id vectors among a deterministic ~1/16 hash sample
+    (md5-gate on the id, same gate in the DuckDB oracle). The ordered-limit
+    then runs on the small gated subset instead of ranking the whole corpus —
+    at 100 TB the seed step reads every row once (map-side filter) but sorts
+    almost nothing. Degenerate corpora with fewer than k gated rows fall back
+    to the ungated ordered-limit (count check is one map-side pass).
 
     Each iteration is one assignment pass (map-only, centroids broadcast in
     the plan) plus one per-dimension mean (posexplode -> partial+final
@@ -336,7 +343,11 @@ def kmeans_fit(
     at 100 TB the data never funnels anywhere. Empty clusters keep their
     previous centroid (same guard MLlib applies).
     """
-    seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    from ..functions import hex_hash32
+
+    cand = emb.filter(hex_hash32(F.col(id_col)) % 16 == 0)
+    src = cand if cand.count() >= k else emb
+    seeds = src.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in row[0]] for row in seeds]
     dim = len(cents[0])
     for _ in range(n_iter):
@@ -413,11 +424,21 @@ def _oracle_kmeans_ctes(table: str, k: int, n_iter: int, dim: int) -> str:
         "list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), ct.c), "
         "p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
+    gate = (
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 16 = 0"
+    )
     sql = f"""
-    WITH cent0 AS (
+    WITH seed_src AS (
+      SELECT vec_id, embedding FROM {table} WHERE {gate}
+        AND (SELECT count(*) FROM {table} WHERE {gate}) >= {k}
+      UNION ALL
+      SELECT vec_id, embedding FROM {table}
+        WHERE (SELECT count(*) FROM {table} WHERE {gate}) < {k}
+    ), cent0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
              CAST(embedding AS DOUBLE[]) AS c
-      FROM (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {k})
+      FROM (SELECT vec_id, embedding FROM seed_src ORDER BY vec_id LIMIT {k})
     )"""
     for i in range(n_iter):
         sql += f""",
@@ -635,7 +656,7 @@ def _oracle_pq_ctes(table: str, m: int, k: int, n_iter: int, dim: int) -> str:
         chain = f"""
     s{s}_cent0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, {sl} AS c
-      FROM (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {k})
+      FROM (SELECT vec_id, embedding FROM pq_seed_src ORDER BY vec_id LIMIT {k})
     )"""
         for i in range(n_iter):
             chain += f""",
@@ -668,7 +689,20 @@ def _oracle_pq_ctes(table: str, m: int, k: int, n_iter: int, dim: int) -> str:
       ) WHERE rn = 1
     )"""
         parts.append(chain)
-    return "WITH " + ",".join(parts)
+    # same md5-gated deterministic seed sample as kmeans_fit/_oracle_kmeans_ctes
+    gate = (
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 16 = 0"
+    )
+    seed_src = f"""
+    pq_seed_src AS (
+      SELECT vec_id, embedding FROM {table} WHERE {gate}
+        AND (SELECT count(*) FROM {table} WHERE {gate}) >= {k}
+      UNION ALL
+      SELECT vec_id, embedding FROM {table}
+        WHERE (SELECT count(*) FROM {table} WHERE {gate}) < {k}
+    )"""
+    return "WITH " + seed_src + "," + ",".join(parts)
 
 
 def oracle_pq_search(

@@ -71,9 +71,11 @@ def asof_join(
         "_carried", F.last("_rpay", ignorenulls=True).over(w)
     )
     if tolerance_seconds is not None:
+        # cast: no-op on TIMESTAMP, converts TIMESTAMP_NTZ (UTC session) so
+        # unix_micros accepts either
         within = (
-            F.unix_micros(F.col("_ts"))
-            - F.unix_micros(F.col(f"_carried.{right_ts}"))
+            F.unix_micros(F.col("_ts").cast("timestamp"))
+            - F.unix_micros(F.col(f"_carried.{right_ts}").cast("timestamp"))
         ) <= tolerance_seconds * 1_000_000
         merged = merged.withColumn(
             "_carried",
@@ -100,11 +102,12 @@ def range_self_join(
     never a full per-key cross product.
     """
     gap_us = gap_seconds * 1_000_000
+    ts = F.col(ts_col).cast("timestamp")  # tolerate TIMESTAMP_NTZ inputs
     e = df.select(
         *by,
         F.col(id_col).alias("_id"),
-        F.unix_micros(F.col(ts_col)).alias("_us"),
-        F.floor(F.unix_micros(F.col(ts_col)) / gap_us).alias("_bucket"),
+        F.unix_micros(ts).alias("_us"),
+        F.floor(F.unix_micros(ts) / gap_us).alias("_bucket"),
     )
     probe = e.select(
         *by,

@@ -168,16 +168,22 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_meta",
+    # Blob sizes are structural constants of the three builders: PNG
+    # sig+IHDR+IEND = 45, GIF87a hdr+LSD+trailer = 14, JPEG SOI+SOF0+EOI =
+    # 17 (multimodal.make_png/make_gif/make_jpeg); dims are md5-derived by
+    # documents_as_media and re-read from the actual format bytes by the
+    # real header parser.
     """
     SELECT CAST(doc_id AS BIGINT) AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 14 ELSE 17 END AS BIGINT) AS n_bytes,
            CAST(64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 512 AS BIGINT) AS width,
            CAST(64 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 512 AS BIGINT) AS height,
-           'fake' AS fmt
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt
     FROM documents
     """,
-    doc="binary media decode plumbing: Arrow-batched mapInPandas over blob column "
-        "(codec stubbed deterministically; see operators/multimodal.py)",
+    doc="binary media metadata decode: Arrow-batched mapInPandas over a blob "
+        "column with a REAL pure-stdlib header parser (PNG IHDR / GIF LSD / "
+        "JPEG SOF scan / BMP DIB; operators/multimodal.py)",
 )
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -244,8 +250,12 @@ def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("prev_ts").isNull()
             # microsecond-exact gap comparison, matching the oracle's
-            # INTERVAL arithmetic
-            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1800 * 1_000_000),
+            # INTERVAL arithmetic (cast tolerates TIMESTAMP_NTZ inputs)
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                > 1800 * 1_000_000
+            ),
             1,
         ).otherwise(0),
     )

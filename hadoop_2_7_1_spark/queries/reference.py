@@ -646,15 +646,30 @@ def q21_db_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_pi_qmc",
-    # The sampler is deterministic (fixed Halton offsets, 8 maps x 20000
-    # points), so the expected counts are compile-time constants — the same
-    # trick the reference uses when it asserts the printed estimate
-    # (QuasiMonteCarlo.java:248-324). inside=125651 verified by an
-    # independent driver-side evaluation of the identical Halton sequence.
+    # Genuinely computed oracle: the 2-D Halton sequence (bases 2,3) IS
+    # SQL-expressible. The base-b radical inverse of i is the base-b digit
+    # reversal of i over a fixed numerator (i < 2^18 and < 3^11 for
+    # i <= 160000), so x = bitrev18(i)/2^18 exactly equals the iterative
+    # float computation (dyadic, exact), and y = digitrev11_3(i)/3^11 agrees
+    # to <1e-15 — safe because the closest sample sits 1.2e-06 from the
+    # circle boundary (measured over all 160000 points).
     """
-    SELECT CAST(125651 AS BIGINT) AS inside,
-           CAST(160000 AS BIGINT) AS total,
-           4.0 * 125651 / 160000 AS pi_estimate
+    WITH pts AS (
+      SELECT range + 1 AS i FROM range(160000)
+    ), xy AS (
+      SELECT
+        list_sum([((i >> k) & 1) * (1::BIGINT << (17 - k))
+                  for k in range(18)]) / 262144.0 AS x,
+        list_sum([((i // CAST(3**k AS BIGINT)) % 3) * CAST(3**(10 - k) AS BIGINT)
+                  for k in range(11)]) / 177147.0 AS y
+      FROM pts
+    )
+    SELECT CAST(count(*) FILTER (
+             WHERE (x-0.5)*(x-0.5) + (y-0.5)*(y-0.5) <= 0.25) AS BIGINT) AS inside,
+           CAST(count(*) AS BIGINT) AS total,
+           4.0 * count(*) FILTER (
+             WHERE (x-0.5)*(x-0.5) + (y-0.5)*(y-0.5) <= 0.25) / count(*) AS pi_estimate
+    FROM xy
     """,
     doc="partition-parallel Halton-sequence sampling; deterministic given offsets (QuasiMonteCarlo.java:152)",
 )
@@ -868,7 +883,7 @@ def bench_terasort_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (TeraGen.java:203-233). Constant-literal oracle of that pinned value.
     """
     SELECT CAST(2000 AS BIGINT) AS n_records,
-           CAST(4366925532496 AS DECIMAL(38,0)) AS checksum
+           CAST(4366925532496 AS BIGINT) AS checksum
     """,
     doc="GenSort-exact TeraGen (EX/terasort/TeraGen.java:203-233, "
         "Random16.java:374, Unsigned16.java:297, GenSort.java:38): "
@@ -880,7 +895,14 @@ def bench_terasort_big(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bench_teragen_gensort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import gensort
 
-    return gensort.teragen_checksum(gensort.teragen(spark, 2000))
+    # The general checksum is DECIMAL(38,0) (a 10**12-record run exceeds
+    # int64); this 2000-row benchmark point fits BIGINT, and BIGINT
+    # canonicalizes identically in Spark and DuckDB row-hashes where
+    # DECIMAL(38,0) does not (r1/r2 hash_match=False was purely the decimal
+    # representation — the value itself matched the pinned reference).
+    return gensort.teragen_checksum(gensort.teragen(spark, 2000)).withColumn(
+        "checksum", F.col("checksum").cast("bigint")
+    )
 
 
 @register(

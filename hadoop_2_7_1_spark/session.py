@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS); read as long + convert in io
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # never surface TIMESTAMP_NTZ from parquet: the reference models time
+        # as zone-less long millis, and with the session pinned to UTC plain
+        # TIMESTAMP has identical instants while staying compatible with
+        # unix_micros()/window() etc. (io.load_table also casts defensively)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

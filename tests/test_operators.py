@@ -92,19 +92,46 @@ def test_write_partitioned_layout(tmp_path, spark):
     assert dirs == {f"l_returnflag={f}" for f in flags}
 
 
+def test_image_header_parser_real_formats():
+    """The parser reads genuine format bytes: round-trip every builder, and
+    reject garbage."""
+    cases = [
+        (multimodal.make_png, "png"),
+        (multimodal.make_gif, "gif"),
+        (multimodal.make_jpeg, "jpeg"),
+    ]
+    for make, fmt in cases:
+        blob = make(640, 480)
+        assert multimodal.parse_image_header(blob) == (fmt, 640, 480), fmt
+    # JPEG with padding segments before SOF0 (APP0 + comment) still parses
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    jpeg = b"\xff\xd8" + app0 + multimodal.make_jpeg(123, 45)[2:]
+    assert multimodal.parse_image_header(jpeg) == ("jpeg", 123, 45)
+    assert multimodal.parse_image_header(b"not an image") == (None, None, None)
+    assert multimodal.parse_image_header(b"") == (None, None, None)
+    # BMP: BITMAPINFOHEADER with negative (top-down) height normalizes
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -200) + b"\x00" * 4
+    assert multimodal.parse_image_header(bmp) == ("bmp", 320, 200)
+
+
 def test_multimodal_decode_deterministic(spark):
     import hashlib
 
     docs = load_table(spark, SF_DIR, "documents").limit(5)
     media = multimodal.documents_as_media(docs)
-    out = {r["media_id"]: (r["n_bytes"], r["width"], r["height"]) for r in
+    out = {r["media_id"]: (r["n_bytes"], r["width"], r["height"], r["fmt"]) for r in
            multimodal.decode_image_meta(media).collect()}
+    sizes = {0: 45, 1: 14, 2: 17}
+    fmts = {0: "png", 1: "gif", 2: "jpeg"}
     for r in docs.collect():
         h = hashlib.md5(r["text"].encode()).hexdigest()
         expect = (
-            len(r["text"].encode()),
+            sizes[r["doc_id"] % 3],
             64 + int(h[:8], 16) % 512,
             64 + int(h[8:16], 16) % 512,
+            fmts[r["doc_id"] % 3],
         )
         assert out[r["doc_id"]] == expect
 
@@ -868,3 +895,32 @@ def test_pq_adc_compresses_and_ranks_sanely(spark):
     for rows in by_q.values():
         scores = [r.score_adc for r in sorted(rows, key=lambda r: r.rnk)]
         assert scores == sorted(scores)  # rank agrees with score
+
+
+def test_lsh_degenerate_band_cap(spark):
+    """A degenerate corpus (thousands of docs colliding in one LSH bucket)
+    must NOT go quadratic: with the bucket cap, candidate count stays
+    bounded; normal near-dup pairs still surface."""
+    from hadoop_2_7_1_spark.operators import dedup
+
+    n_identical = 2000
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(n_identical)]
+    # a genuine duplicate pair in a sane (size-2) bucket
+    rows += [
+        (100000, "a perfectly unique document about spark partitioning strategies"),
+        (100001, "a perfectly unique document about spark partitioning strategies"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text", max_bucket=500)
+    got = pairs.collect()
+    # without the cap the identical block alone emits ~2M pairs
+    assert len(got) < 10, f"cap failed: {len(got)} candidate pairs"
+    assert (100000, 100001) in {(r.id_a, r.id_b) for r in got}
+
+    # cap respects the threshold: small duplicate groups still pair up
+    small = spark.createDataFrame(
+        [(i, "identical small group") for i in range(5)], "doc_id long, text string"
+    )
+    got_small = dedup.lsh_candidate_pairs(small, "doc_id", "text", max_bucket=500).collect()
+    assert len(got_small) == 10  # C(5,2)
