@@ -1,19 +1,44 @@
 """Hadoop-Streaming-style CLI (SURVEY.md §3 entry point 2).
 
 Reference: ``hadoop jar hadoop-streaming.jar -input … -output … -mapper cmd
--reducer cmd`` (ST/StreamJob.java, ~30 flags; protocol in
-HadoopStreaming.md.vm:75-77). This shim accepts the core flag set and lowers
-to the same engine operators the API exposes:
+-reducer cmd`` (ST/StreamJob.java:1098, flag table in
+HadoopStreaming.md.vm:101-156; line protocol at :75-77, separator configs at
+:232-239). This CLI accepts the documented flag surface and lowers each flag
+onto the engine operator that implements its semantics:
 
-    python -m hadoop_2_7_1_spark.cli \
-        -input /data/in.txt -output /data/out \
-        -mapper "tr a-z A-Z" -reducer "uniq -c" \
-        [-separator $'\t'] [-numReduceTasks 32] [-inputformat text|kv|parquet]
+======================  =====================================================
+Streaming flag          Lowering
+======================  =====================================================
+-input (repeatable)     union of sources (MultipleInputs)
+-output                 text sink (TextOutputFormat) or SequenceFile
+-mapper / -reducer      ``pipes.pipe_transform`` subprocess per partition
+-combiner               map-side pipe over key-sorted partition pre-shuffle
+-reducer aggregate      ValueAggregator registry (aggregates.value_aggregate
+                        semantics over "Type:id<TAB>value" records)
+-reducer NONE           map-only job (also -numReduceTasks 0)
+-file/-files            ``sc.addFile`` + subprocess cwd = SparkFiles root —
+                        shipped artifacts are in the task working directory
+                        exactly like the reference's file packaging
+-cmdenv name=value      subprocess environment overlay
+-inputformat            text | kv | seqtext | auto | parquet
+-outputformat           text | seq (SequenceFile via sources.seqfile)
+-partitioner kf         KeyFieldBasedPartitioner (+keypartitioner.options)
+-numReduceTasks         shuffle partition count
+-io typedbytes          typed-bytes pipe (operators.typedbytes)
+-lazyOutput             skip write when the result is empty (LazyOutputFormat)
+-verbose                plan + row-count echo
+-D name=value           stream.map.output.field.separator,
+                        stream.num.map.output.key.fields,
+                        map.output.key.field.separator,
+                        mapreduce.partition.keypartitioner.options,
+                        mapreduce.partition.keycomparator.options,
+                        mapreduce.job.reduces
+======================  =====================================================
 
-Semantics, matching the reference pipeline: mapper runs over input lines;
-its ``key<TAB>value`` output is shuffled (repartition by key + sort within
-partitions, ≈ the MR sort/shuffle); the reducer process sees each
-partition's records grouped by key on stdin, exactly like PipeReducer.
+Shuffle semantics match the reference pipeline: mapper output is
+repartitioned on the (configured) key fields and key-sorted within each
+partition (the MR sort/shuffle); the reducer subprocess consumes each
+partition's grouped stream exactly like PipeReducer.java:40.
 """
 
 from __future__ import annotations
@@ -23,17 +48,118 @@ import shlex
 
 from pyspark.sql import functions as F
 
+#: -D keys we honor (names from mapred-default.xml / HadoopStreaming.md.vm)
+_D_MAP_OUT_SEP = "stream.map.output.field.separator"
+_D_REDUCE_OUT_SEP = "stream.reduce.output.field.separator"
+_D_NUM_KEY_FIELDS = "stream.num.map.output.key.fields"
+_D_KEY_FIELD_SEP = "map.output.key.field.separator"
+_D_PARTITIONER_OPTS = "mapreduce.partition.keypartitioner.options"
+_D_COMPARATOR_OPTS = "mapreduce.partition.keycomparator.options"
+_D_NUM_REDUCES = "mapreduce.job.reduces"
+
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="hadoop_2_7_1_spark.cli", description=__doc__)
-    p.add_argument("-input", required=True, dest="input")
+    p = argparse.ArgumentParser(
+        prog="hadoop_2_7_1_spark.cli",
+        description="Hadoop Streaming flag surface on the Spark engine",
+    )
+    p.add_argument("-input", action="append", required=True, dest="inputs")
     p.add_argument("-output", required=True, dest="output")
     p.add_argument("-mapper", default=None)
     p.add_argument("-reducer", default=None)
+    p.add_argument("-combiner", default=None)
+    p.add_argument("-file", "-files", action="append", default=[], dest="files")
+    p.add_argument("-cmdenv", action="append", default=[], dest="cmdenv")
     p.add_argument("-separator", default="\t")
-    p.add_argument("-numReduceTasks", type=int, default=32, dest="num_reduce")
-    p.add_argument("-inputformat", default="text", choices=["text", "kv", "parquet"])
+    p.add_argument("-numReduceTasks", type=int, default=None, dest="num_reduce")
+    p.add_argument(
+        "-inputformat",
+        default="text",
+        choices=["text", "kv", "seqtext", "auto", "parquet",
+                 "TextInputFormat", "KeyValueTextInputFormat",
+                 "SequenceFileAsTextInputFormat", "AutoInputFormat"],
+    )
+    p.add_argument("-outputformat", default="text", choices=["text", "seq"])
+    p.add_argument("-partitioner", default=None)
+    p.add_argument("-io", default="text", choices=["text", "typedbytes"], dest="io_mode")
+    p.add_argument("-lazyOutput", action="store_true", dest="lazy_output")
+    p.add_argument("-verbose", action="store_true")
+    p.add_argument("-background", action="store_true")  # accepted; no-op locally
+    p.add_argument("-D", action="append", default=[], dest="defines")
     return p
+
+
+_INPUTFORMAT_ALIASES = {
+    "TextInputFormat": "text",
+    "KeyValueTextInputFormat": "kv",
+    "SequenceFileAsTextInputFormat": "seqtext",
+    "AutoInputFormat": "auto",
+}
+
+
+def _kspec_to_fieldspec(opts: str) -> str:
+    """Translate sort-style ``-k`` options ("-k2,2nr -k1") into the keyfield
+    module's field spec ("2nr,1"). ``-kA,B`` ranges expand to every field
+    A..B with the shared flags (KeyFieldBasedComparator.java:53 semantics;
+    character offsets within a field are not supported)."""
+    import re
+
+    parts = []
+    for tok in opts.split():
+        if not tok.startswith("-k"):
+            continue
+        m = re.match(r"^(\d+)(?:\.\d+)?(?:,(\d+)(?:\.\d+)?)?([nr]*)$", tok[2:])
+        if not m:
+            raise ValueError(f"bad -k option {tok!r}")
+        start, end, flags = int(m.group(1)), int(m.group(2) or m.group(1)), m.group(3)
+        parts.extend(f"{fno}{flags}" for fno in range(start, end + 1))
+    return ",".join(parts)
+
+
+def _read_one(spark, fmt: str, path: str, sep: str):
+    from .io import load_auto, read_kv_text, read_text
+    from .sources.seqfile import read_sequence_file_as_text
+
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "kv":
+        return read_kv_text(spark, path, sep)
+    if fmt == "seqtext":
+        return read_sequence_file_as_text(spark, path)
+    if fmt == "auto":
+        return load_auto(spark, path)
+    return read_text(spark, path)
+
+
+def _aggregate_reduce(df):
+    """``-reducer aggregate`` (ValueAggregatorReducer, VA/ValueAggregatorJob
+    .java:119): mapper emits ``Type:id<TAB>value`` records; each aggregator
+    type folds its ids' values; output is ``id<TAB>result``."""
+    parsed = df.select(
+        F.substring_index("key", ":", 1).alias("typ"),
+        F.expr("substring(key, instr(key, ':') + 1)").alias("id"),
+        F.col("value"),
+    )
+    stats = parsed.groupBy("typ", "id").agg(
+        F.sum(F.col("value").cast("long")).alias("lsum"),
+        F.max(F.col("value").cast("long")).alias("lmax"),
+        F.min(F.col("value").cast("long")).alias("lmin"),
+        F.sum(F.col("value").cast("double")).alias("dsum"),
+        F.max("value").alias("smax"),
+        F.min("value").alias("smin"),
+        F.count_distinct("value").alias("uniq"),
+    )
+    result = (
+        F.when(F.col("typ") == "LongValueSum", F.col("lsum").cast("string"))
+        .when(F.col("typ") == "LongValueMax", F.col("lmax").cast("string"))
+        .when(F.col("typ") == "LongValueMin", F.col("lmin").cast("string"))
+        .when(F.col("typ") == "DoubleValueSum", F.col("dsum").cast("string"))
+        .when(F.col("typ") == "StringValueMax", F.col("smax"))
+        .when(F.col("typ") == "StringValueMin", F.col("smin"))
+        .when(F.col("typ") == "UniqValueCount", F.col("uniq").cast("string"))
+        .otherwise(F.lit(None))
+    )
+    return stats.select(F.col("id").alias("key"), result.alias("value"))
 
 
 def run(argv: list[str] | None = None, spark=None) -> str:
@@ -43,27 +169,115 @@ def run(argv: list[str] | None = None, spark=None) -> str:
 
         spark = get_spark("streaming-cli")
 
-    from .io import read_kv_text, read_text
+    from .operators.keyfield import parse_sort_spec, sort_exprs
     from .operators.pipes import pipe_transform
+    from .operators.typedbytes import pipe_transform_typed
 
-    if args.inputformat == "parquet":
-        df = spark.read.parquet(args.input)
-    elif args.inputformat == "kv":
-        df = read_kv_text(spark, args.input, args.separator)
+    conf = dict(d.split("=", 1) for d in args.defines)
+    map_out_sep = conf.get(_D_MAP_OUT_SEP, "\t")
+    reduce_out_sep = conf.get(_D_REDUCE_OUT_SEP, "\t")
+    num_key_fields = int(conf.get(_D_NUM_KEY_FIELDS, "1"))
+    key_field_sep = conf.get(_D_KEY_FIELD_SEP, "\t")
+    num_reduce = args.num_reduce
+    if num_reduce is None:
+        num_reduce = int(conf.get(_D_NUM_REDUCES, "32"))
+
+    # -files: ship via the Spark files mechanism; subprocesses run with
+    # cwd = the files root, so "python mapper.py" finds its script exactly
+    # like a reference streaming task finds its packaged files.
+    pipe_cwd = None
+    if args.files:
+        from pyspark import SparkFiles
+
+        for f in args.files:
+            spark.sparkContext.addFile(f)
+        pipe_cwd = SparkFiles.getRootDirectory()
+    env = dict(e.split("=", 1) for e in args.cmdenv) or None
+
+    fmt = _INPUTFORMAT_ALIASES.get(args.inputformat, args.inputformat)
+    paths = [p for arg in args.inputs for p in arg.split(",")]
+    df = _read_one(spark, fmt, paths[0], args.separator)
+    for path in paths[1:]:  # MultipleInputs: union of sources
+        df = df.unionByName(_read_one(spark, fmt, path, args.separator))
+
+    def pipe(frame, cmd_str, **kw):
+        if args.io_mode == "typedbytes":
+            return pipe_transform_typed(frame, shlex.split(cmd_str))
+        return pipe_transform(
+            frame, shlex.split(cmd_str), env=env, cwd=pipe_cwd, **kw
+        )
+
+    if args.mapper and args.mapper not in ("cat", "NONE",
+                                           "org.apache.hadoop.mapred.lib.IdentityMapper"):
+        df = pipe(
+            df, args.mapper,
+            sep=args.separator, out_sep=map_out_sep,
+            num_key_fields=num_key_fields,
+        )
+    elif df.columns == ["value"]:  # identity mapper over a text source
+        df = df.select(F.col("value").alias("key"), F.lit("").alias("value"))
+
+    if args.num_reduce == 0 or args.reducer == "NONE":
+        out = df  # map-only: no shuffle, no sort (reference: numReduceTasks=0)
     else:
-        df = read_text(spark, args.input)
+        import re
 
-    if args.mapper:
-        df = pipe_transform(df, shlex.split(args.mapper), sep=args.separator)
-
-    if args.reducer:
-        # MR shuffle: partition by key, key-sorted within partition, then the
-        # reducer executable consumes each partition's grouped stream.
         key = df.columns[0]
-        df = df.repartition(args.num_reduce, key).sortWithinPartitions(key)
-        df = pipe_transform(df, shlex.split(args.reducer), sep=args.separator)
+        if args.combiner:
+            # map-side combine: key-group within each *input* partition and
+            # pipe before any shuffle (the reference combines at spill time,
+            # MapTask.java sortAndSpill) — the shuffle then moves combined
+            # records and the reduce-side sort restores grouping.
+            df = pipe(
+                df.sortWithinPartitions(key), args.combiner,
+                sep=args.separator, out_sep=map_out_sep,
+                num_key_fields=num_key_fields,
+            )
+        # Partition key: KeyFieldBasedPartitioner restricts to key fields
+        # a..b of the key (split on map.output.key.field.separator).
+        part_expr = F.col(key)
+        if args.partitioner or _D_PARTITIONER_OPTS in conf:
+            opts = _kspec_to_fieldspec(conf.get(_D_PARTITIONER_OPTS, "-k1,1"))
+            specs = parse_sort_spec(opts)
+            fields = F.split(F.col(key), re.escape(key_field_sep))
+            part_expr = F.concat_ws(
+                "\x01", *[fields.getItem(f - 1) for f, _, _ in specs]
+            )
+        shuffled = df.repartition(num_reduce, part_expr)
+        if _D_COMPARATOR_OPTS in conf:
+            shuffled = shuffled.sortWithinPartitions(
+                *sort_exprs(key, _kspec_to_fieldspec(conf[_D_COMPARATOR_OPTS]),
+                            key_field_sep)
+            )
+        else:
+            shuffled = shuffled.sortWithinPartitions(key)
+        if args.reducer == "aggregate":
+            out = _aggregate_reduce(shuffled)
+        elif args.reducer and args.reducer != "org.apache.hadoop.mapred.lib.IdentityReducer":
+            out = pipe(
+                shuffled, args.reducer,
+                sep=args.separator, out_sep=reduce_out_sep,
+            )
+        else:
+            out = shuffled  # IdentityReducer: sorted pass-through
 
-    df.write.mode("overwrite").option("sep", args.separator).csv(args.output)
+    if args.verbose:
+        out.explain()
+    if args.lazy_output and out.limit(1).count() == 0:
+        return args.output
+    if args.outputformat == "seq":
+        from .sources.seqfile import write_sequence_file
+
+        write_sequence_file(out, args.output, out.columns[0], out.columns[1])
+    else:
+        # TextOutputFormat: raw key<sep>value lines, never quoted (the csv
+        # sink would quote any field containing the separator).
+        lines = out.select(
+            F.concat_ws(
+                args.separator, *[F.col(c).cast("string") for c in out.columns]
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(args.output)
     return args.output
 
 

@@ -34,14 +34,29 @@ def pipe_transform(
     cmd: list[str],
     input_cols: list[str] | None = None,
     sep: str = "\t",
+    out_sep: str | None = None,
+    num_key_fields: int = 1,
+    env: dict[str, str] | None = None,
+    cwd: str | None = None,
 ) -> DataFrame:
     """Pipe each partition's rows through ``cmd`` (argv list), one line per
     row (columns joined by ``sep``); parse stdout lines into (key, value).
 
-    Lines whose output has no separator get value "" (streaming's behavior:
-    whole line becomes the key, KeyValueLineRecordReader.java:39).
+    Streaming separator semantics (HadoopStreaming.md.vm:232-239 /
+    PipeMapRed.java:303): output lines split at ``out_sep`` (defaults to
+    ``sep``); the first ``num_key_fields`` fields join back into the key
+    (``stream.num.map.output.key.fields``), the rest is the value. Lines
+    with fewer fields get value "" (whole line becomes the key,
+    KeyValueLineRecordReader.java:39).
+
+    ``env`` entries overlay ``os.environ`` for the subprocess (streaming's
+    ``-cmdenv``); ``cwd`` sets its working directory (where ``-files``
+    shipped artifacts land, StreamJob.java's file-packaging contract).
     """
+    import os
+
     cols = input_cols or df.columns
+    osep = sep if out_sep is None else out_sep
     lines_df = df.select(
         F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]).alias("line")
     )
@@ -53,6 +68,8 @@ def pipe_transform(
             stdout=subprocess.PIPE,
             text=True,
             bufsize=1 << 20,
+            env={**os.environ, **env} if env else None,
+            cwd=cwd,
         )
 
         def feed() -> None:
@@ -70,9 +87,14 @@ def pipe_transform(
         vals: list[str] = []
         for out_line in proc.stdout:
             out_line = out_line.rstrip("\n")
-            k, s, v = out_line.partition(sep)
-            keys.append(k)
-            vals.append(v if s else "")
+            if num_key_fields == 1:
+                k, s, v = out_line.partition(osep)
+                keys.append(k)
+                vals.append(v if s else "")
+            else:
+                parts = out_line.split(osep)
+                keys.append(osep.join(parts[:num_key_fields]))
+                vals.append(osep.join(parts[num_key_fields:]))
             if len(keys) >= 10_000:
                 yield pd.DataFrame({"key": keys, "value": vals})
                 keys, vals = [], []

@@ -46,6 +46,8 @@ def distcp(
     update: bool = False,
     delete: bool = False,
     skip_crc_check: bool = False,
+    preserve: str = "",
+    atomic: bool = False,
 ) -> int:
     """Parallel recursive copy, shaped like the reference's DistCp: a
     metadata-only listing job, then one copy task per file batch
@@ -64,11 +66,31 @@ def distcp(
       match, per CopyMapper.canSkip; ``skip_crc_check=True`` reproduces
       ``-skipcrccheck`` (size-only skip). Checksums are computed
       executor-side, streaming, and only for size-matching candidates.
+    - ``preserve`` reproduces ``-p[ptug]``
+      (DistCpOptions.FileAttribute / CopyMapper.java:192 preserve calls):
+      ``p`` permissions, ``t`` timestamps, ``u``/``g`` owner ids — applied
+      executor-side from the source file's stat after each copy.
+    - ``atomic`` reproduces ``-atomic``: every file lands in a hidden work
+      directory next to ``dst`` and one final rename commits the whole tree
+      — a killed run leaves NO partial destination (reference: copy to
+      ``-tmp`` work path, CopyCommitter commit-by-rename). Incompatible
+      with ``update``/``delete``, as in the reference CLI.
+      Independently of ``atomic``, each individual file is written to a
+      ``.__distcp_tmp__`` sibling and ``os.replace``d, so even a plain copy
+      never exposes a half-written file.
 
     Returns the number of files copied.
     """
+    if atomic and (update or delete):
+        raise ValueError("-atomic is incompatible with -update/-delete")
     src_root = src.replace("file:", "")
     dst_root = dst.replace("file:", "")
+    final_root = None
+    if atomic:
+        if os.path.exists(dst_root):
+            raise FileExistsError(f"-atomic requires missing target: {dst_root}")
+        final_root = dst_root
+        dst_root = dst_root.rstrip("/") + ".__distcp_work__"
 
     src_ls = listing(spark, src).select(
         _rel_col(F.col("path"), src_root).alias("rel"),
@@ -128,12 +150,42 @@ def distcp(
             ):
                 continue  # CopyMapper.canSkip: same length AND same checksum
             os.makedirs(os.path.dirname(target), exist_ok=True)
-            with open(row.src_path, "rb") as fsrc, open(target, "wb") as fdst:
+            tmp = target + ".__distcp_tmp__"
+            with open(row.src_path, "rb") as fsrc, open(tmp, "wb") as fdst:
                 shutil.copyfileobj(fsrc, fdst, _CHUNK)
+            # fault-injection hook (Hadoop's fi test framework analogue):
+            # lets crash-consistency tests kill a run between the temp write
+            # and the publish rename. Zero cost unless the env var is set.
+            _delay = os.environ.get("SPARK_GRAFT_DISTCP_TEST_DELAY")
+            if _delay:
+                import time
+
+                time.sleep(float(_delay))
+            if preserve:
+                st = os.stat(row.src_path)
+                if "p" in preserve:
+                    os.chmod(tmp, st.st_mode)
+                if "u" in preserve or "g" in preserve:
+                    try:
+                        os.chown(
+                            tmp,
+                            st.st_uid if "u" in preserve else -1,
+                            st.st_gid if "g" in preserve else -1,
+                        )
+                    except PermissionError:
+                        pass  # reference logs + continues without ownership
+                if "t" in preserve:
+                    os.utime(tmp, (st.st_atime, st.st_mtime))
+            os.replace(tmp, target)  # never expose a half-written file
             copied += 1
         yield copied
 
-    return plan.repartition(n_tasks).rdd.mapPartitions(copy_partition).sum()
+    n_copied = plan.repartition(n_tasks).rdd.mapPartitions(copy_partition).sum()
+    if final_root is not None:
+        # commit: one rename publishes the whole tree (CopyCommitter)
+        os.makedirs(dst_root, exist_ok=True)  # empty source still commits
+        os.rename(dst_root, final_root)
+    return n_copied
 
 
 def compact(

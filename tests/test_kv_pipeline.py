@@ -106,3 +106,173 @@ def test_streaming_cli_wordcount(spark, tmp_path):
                 k, v = line.strip().split("\t")
                 counts[k] = counts.get(k, 0) + int(v)
     assert counts == {"a": 3, "b": 2, "c": 1}
+
+
+def _read_kv_output(out_dir):
+    import glob
+
+    rows = []
+    for f in sorted(glob.glob(out_dir + "/part-*")):
+        for line in open(f):
+            if line.strip():
+                rows.append(tuple(line.rstrip("\n").split("\t")))
+    return rows
+
+
+def test_streaming_cli_files_and_cmdenv(spark, tmp_path):
+    """The documented python-script invocation (HadoopStreaming.md.vm:101):
+    -files ships mapper.py/reducer.py into the task working directory;
+    -cmdenv reaches the subprocess environment."""
+    mapper = tmp_path / "wc_mapper.py"
+    mapper.write_text(
+        "import os, sys\n"
+        "mark = os.environ['WC_MARK']\n"
+        "for line in sys.stdin:\n"
+        "    for w in line.split():\n"
+        "        print(f'{mark}{w}\\t1')\n"
+    )
+    reducer = tmp_path / "wc_reducer.py"
+    reducer.write_text(
+        "import sys\n"
+        "cur, tot = None, 0\n"
+        "for line in sys.stdin:\n"
+        "    k, v = line.rstrip('\\n').split('\\t')\n"
+        "    if k != cur:\n"
+        "        if cur is not None: print(f'{cur}\\t{tot}')\n"
+        "        cur, tot = k, 0\n"
+        "    tot += int(v)\n"
+        "if cur is not None: print(f'{cur}\\t{tot}')\n"
+    )
+    src = tmp_path / "in.txt"
+    src.write_text("hello world\nhello streaming\n")
+    out = str(tmp_path / "out_files")
+
+    from hadoop_2_7_1_spark import cli
+
+    cli.run(
+        [
+            "-input", str(src),
+            "-output", out,
+            "-files", str(mapper),
+            "-files", str(reducer),
+            "-cmdenv", "WC_MARK=m_",
+            "-mapper", "python3 wc_mapper.py",
+            "-reducer", "python3 wc_reducer.py",
+            "-numReduceTasks", "2",
+        ],
+        spark=spark,
+    )
+    counts = dict(_read_kv_output(out))
+    assert counts == {"m_hello": "2", "m_world": "1", "m_streaming": "1"}
+
+
+def test_streaming_cli_aggregate_reducer(spark, tmp_path):
+    """'-reducer aggregate' (ValueAggregatorReducer): mapper emits
+    Type:key<TAB>value records, framework folds them."""
+    src = tmp_path / "in.txt"
+    src.write_text("x x y\nx z\n")
+    out = str(tmp_path / "out_agg")
+
+    from hadoop_2_7_1_spark import cli
+
+    cli.run(
+        [
+            "-input", str(src),
+            "-output", out,
+            "-mapper", "awk '{for(i=1;i<=NF;i++) print \"LongValueSum:\"$i\"\\t\"1}'",
+            "-reducer", "aggregate",
+            "-numReduceTasks", "2",
+        ],
+        spark=spark,
+    )
+    counts = dict(_read_kv_output(out))
+    assert counts == {"x": "3", "y": "1", "z": "1"}
+
+
+def test_streaming_cli_keyfield_separators(spark, tmp_path):
+    """The documented separator/key-field configs: 2-field keys via
+    stream.num.map.output.key.fields, partitioning on the primary key field
+    via keypartitioner.options, numeric-reverse secondary sort via
+    keycomparator.options (HadoopStreaming.md.vm:232-264)."""
+    src = tmp_path / "in.txt"
+    src.write_text("a.2\na.10\nb.1\na.1\nb.3\n")
+    out = str(tmp_path / "out_kf")
+
+    from hadoop_2_7_1_spark import cli
+
+    cli.run(
+        [
+            "-input", str(src),
+            "-output", out,
+            # mapper rewrites a.N -> "a<TAB>N<TAB>_" : 2-field key + value
+            "-mapper", "awk -F'.' '{print $1\"\\t\"$2\"\\t_\"}'",
+            "-D", "stream.num.map.output.key.fields=2",
+            "-D", "mapreduce.partition.keypartitioner.options=-k1,1",
+            "-D", "mapreduce.partition.keycomparator.options=-k1,1 -k2,2nr",
+            "-partitioner", "KeyFieldBasedPartitioner",
+            "-numReduceTasks", "2",
+        ],
+        spark=spark,
+    )
+    rows = _read_kv_output(out)
+    # all rows of one primary key land in one partition, ordered N desc
+    by_primary = {}
+    for k1, k2, _ in rows:
+        by_primary.setdefault(k1, []).append(int(k2))
+    assert by_primary["a"] == [10, 2, 1]
+    assert by_primary["b"] == [3, 1]
+
+
+def test_streaming_cli_map_only_and_seq_output(spark, tmp_path):
+    """-reducer NONE -> map-only job; -outputformat seq writes a
+    SequenceFile readable by the Hadoop reader."""
+    from hadoop_2_7_1_spark import cli
+    from hadoop_2_7_1_spark.sources import seqfile
+
+    src = tmp_path / "in.txt"
+    src.write_text("one\ntwo\n")
+    out = str(tmp_path / "out_seq")
+    cli.run(
+        [
+            "-input", str(src),
+            "-output", out,
+            "-mapper", "awk '{print toupper($0)\"\\tv\"}'",
+            "-reducer", "NONE",
+            "-outputformat", "seq",
+        ],
+        spark=spark,
+    )
+    back = seqfile.read_sequence_file(spark, out)
+    assert sorted((r.key, r.value) for r in back.collect()) == [
+        ("ONE", "v"),
+        ("TWO", "v"),
+    ]
+
+
+def test_streaming_cli_combiner_and_multi_input(spark, tmp_path):
+    """-combiner runs map-side over key-grouped streams; repeated -input
+    unions sources (MultipleInputs)."""
+    a = tmp_path / "a.txt"
+    a.write_text("p p q\n")
+    b = tmp_path / "b.txt"
+    b.write_text("q r\n")
+    out = str(tmp_path / "out_comb")
+
+    from hadoop_2_7_1_spark import cli
+
+    cli.run(
+        [
+            "-input", str(a),
+            "-input", str(b),
+            "-output", out,
+            "-mapper", "awk '{for(i=1;i<=NF;i++) print $i\"\\t\"1}'",
+            "-combiner", "awk -F'\\t' '{c[$1]+=$2} END {for(k in c) print k\"\\t\"c[k]}'",
+            "-reducer", "awk -F'\\t' '{c[$1]+=$2} END {for(k in c) print k\"\\t\"c[k]}'",
+            "-numReduceTasks", "2",
+        ],
+        spark=spark,
+    )
+    counts = {}
+    for k, v in _read_kv_output(out):
+        counts[k] = counts.get(k, 0) + int(v)
+    assert counts == {"p": 2, "q": 2, "r": 1}

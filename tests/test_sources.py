@@ -333,3 +333,149 @@ def test_sequence_file_sync_markers_and_no_rdd(spark, tmp_path):
     # default (uncompressed) path starts at os.makedirs; no .rdd after it
     src = inspect.getsource(seqfile.write_sequence_file)
     assert ".rdd" not in src.split("os.makedirs", 1)[1]
+
+
+def test_distcp_preserve_attributes(spark, tmp_path):
+    """-p[pt] (DistCpOptions.FileAttribute): permissions and mtime survive
+    the copy."""
+    import os
+    import stat
+
+    from hadoop_2_7_1_spark.sources import tools
+
+    src = tmp_path / "psrc"
+    src.mkdir()
+    f = src / "a.txt"
+    f.write_text("payload")
+    os.chmod(f, 0o741)
+    old = 1_500_000_000
+    os.utime(f, (old, old))
+
+    dst = tmp_path / "pdst"
+    assert tools.distcp(spark, str(src), str(dst), preserve="pt") == 1
+    st = os.stat(dst / "a.txt")
+    assert stat.S_IMODE(st.st_mode) == 0o741
+    assert int(st.st_mtime) == old
+    # without preserve, default umask-mode copy (no 0o741)
+    dst2 = tmp_path / "pdst2"
+    assert tools.distcp(spark, str(src), str(dst2)) == 1
+    assert stat.S_IMODE(os.stat(dst2 / "a.txt").st_mode) != 0o741
+
+
+def test_distcp_atomic_commit_and_guards(spark, tmp_path):
+    """-atomic: whole-tree staged copy committed by one rename; incompatible
+    with -update/-delete and an existing target (DistCp.java option
+    validation)."""
+    import os
+
+    import pytest
+
+    from hadoop_2_7_1_spark.sources import tools
+
+    src = tmp_path / "asrc"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("x")
+    (src / "sub" / "b.txt").write_text("y")
+
+    dst = tmp_path / "adst"
+    assert tools.distcp(spark, str(src), str(dst), atomic=True) == 2
+    assert (dst / "a.txt").read_text() == "x"
+    assert (dst / "sub" / "b.txt").read_text() == "y"
+    assert not os.path.exists(str(dst) + ".__distcp_work__")
+    # no per-file temp debris either
+    assert not list(dst.rglob("*.__distcp_tmp__"))
+
+    with pytest.raises(ValueError):
+        tools.distcp(spark, str(src), str(dst), atomic=True, update=True)
+    with pytest.raises(FileExistsError):
+        tools.distcp(spark, str(src), str(dst), atomic=True)
+
+
+def test_distcp_atomic_killed_run_leaves_no_target(tmp_path):
+    """Kill a copy mid-flight (fault-injection delay holds every copy task
+    between its temp write and the publish rename): the destination must not
+    exist afterwards — the atomic work dir absorbed everything
+    (CopyCommitter commit-by-rename)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    src = tmp_path / "ksrc"
+    src.mkdir()
+    (src / "real.txt").write_text("data" * 100)
+    (src / "more.txt").write_text("more" * 100)
+    dst = tmp_path / "kdst"
+
+    script = tmp_path / "runner.py"
+    script.write_text(
+        "import os, sys\n"
+        f"sys.path.insert(0, {str(os.getcwd())!r})\n"
+        "os.environ['SPARK_GRAFT_DISTCP_TEST_DELAY'] = '300'\n"
+        "from hadoop_2_7_1_spark.session import get_spark\n"
+        "from hadoop_2_7_1_spark.sources import tools\n"
+        "spark = get_spark('kill-test', extra_conf={'spark.master': 'local[2]'})\n"
+        f"tools.distcp(spark, {str(src)!r}, {str(dst)!r}, atomic=True)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    work = str(dst) + ".__distcp_work__"
+    try:
+        deadline = time.time() + 180
+        # wait until copy tasks have written into the work dir, then kill
+        started = False
+        while time.time() < deadline:
+            if os.path.isdir(work) and any(
+                f for _, _, fs in os.walk(work) for f in fs
+            ):
+                started = True
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.25)
+        assert started, "copy never started (or finished early)"
+    finally:
+        if proc.poll() is None:
+            os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+    assert not dst.exists(), "killed atomic copy must leave no target"
+
+
+def test_har_archive_format_compatible(spark, tmp_path):
+    """HadoopArchives .har format (HadoopArchives.java:664-790): the archive
+    our writer produces must be readable by Hadoop's OWN HarFileSystem via
+    har:// URIs — format parity, not just a functional analogue."""
+    import pytest
+
+    from hadoop_2_7_1_spark.sources import har
+
+    src = tmp_path / "asrc"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("alpha\nbeta\n")
+    (src / "sub" / "b.txt").write_text("gamma\n")
+    dst = str(tmp_path / "arch.har")
+
+    assert har.har_create(spark, str(src), dst) == 2
+    import os
+
+    assert sorted(os.listdir(dst)) == ["_index", "_masterindex", "part-0"]
+    # hash function parity with HarFileSystem.getHarHash
+    jvm = spark.sparkContext._jvm
+    for p in ["/", "/a.txt", "/sub/b.txt"]:
+        jhash = jvm.org.apache.hadoop.fs.HarFileSystem.getHarHash(
+            jvm.org.apache.hadoop.fs.Path(p)
+        )
+        assert jhash == har.har_hash(p), p
+    # the real proof: Hadoop's HarFileSystem reads our bytes
+    got = [r.value for r in har.har_read_file(spark, dst, "a.txt").collect()]
+    assert got == ["alpha", "beta"]
+    got2 = [r.value for r in har.har_read_file(spark, dst, "sub/b.txt").collect()]
+    assert got2 == ["gamma"]
+
+    with pytest.raises(ValueError):
+        har.har_create(spark, str(src), str(tmp_path / "notanarchive"))
