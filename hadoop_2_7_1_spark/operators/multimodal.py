@@ -144,6 +144,19 @@ def make_gif(width: int, height: int) -> bytes:
     return b"GIF87a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
 
 
+def make_png_with_pixels(width: int, height: int, seed: int) -> bytes:
+    """Complete valid PNG with a deterministic RGB gradient — the pixel
+    fixture for the real decode/resize path (and for any external PNG
+    reader; the stream is spec-conformant)."""
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px.append((x * 7 + seed) % 256)
+            px.append((y * 11 + seed * 3) % 256)
+            px.append((x + y + seed * 5) % 256)
+    return png_encode(width, height, 3, bytes(px))
+
+
 def make_jpeg(width: int, height: int) -> bytes:
     """SOI + single-component SOF0 frame header + EOI. 17 bytes."""
     sof0 = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
@@ -156,12 +169,138 @@ def make_jpeg(width: int, height: int) -> bytes:
     )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real implementation needs an image codec (PIL/opencv)."""
-    raise NotImplementedError(
-        "image resize requires an image codec not present in this container; "
-        "the decode/meta path (decode_image_meta) demonstrates the plumbing"
-    )
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (zlib + struct): decode -> unfilter -> resize ->
+# re-encode. Full pixel path for 8-bit gray/RGB/RGBA PNGs; enough for a real
+# distributed resize stage without PIL in the container. JPEG/GIF pixel
+# decode stays out of scope (entropy coders), detected and skipped cleanly.
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit depth only)
+
+
+def png_decode(payload: bytes):
+    """(width, height, channels, bytearray pixels) from a real PNG stream.
+
+    Implements the PNG spec's five scanline filters (None/Sub/Up/Average/
+    Paeth, spec §9) over the zlib-inflated IDAT stream. Returns None for
+    non-PNG input or unsupported bit depths / interlacing.
+    """
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height = struct.unpack_from(">II", data, 0)
+            depth, color, _, _, interlace = data[8:13]
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                return None
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        return None
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    src = 0
+    for y in range(height):
+        ftype = raw[src]
+        line = bytearray(raw[src + 1 : src + 1 + stride])
+        src += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, ch, out
+
+
+def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal valid PNG (filter 0 scanlines, one zlib IDAT)."""
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    out = [b"\x89PNG\r\n\x1a\n"]
+    for typ, data in ((b"IHDR", ihdr), (b"IDAT", zlib.compress(bytes(raw), 6)),
+                      (b"IEND", b"")):
+        out.append(struct.pack(">I", len(data)))
+        out.append(typ)
+        out.append(data)
+        out.append(struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def png_resize(payload: bytes, width: int, height: int) -> bytes | None:
+    """Nearest-neighbor resize of a PNG payload; None if not decodable."""
+    decoded = png_decode(payload)
+    if decoded is None:
+        return None
+    sw, sh, ch, px = decoded
+    sstride, dstride = sw * ch, width * ch
+    dst = bytearray(height * dstride)
+    for y in range(height):
+        sy = min(sh - 1, y * sh // height)
+        row = sy * sstride
+        drow = y * dstride
+        for x in range(width):
+            sx = min(sw - 1, x * sw // width) * ch
+            dst[drow + x * ch : drow + (x + 1) * ch] = px[row + sx : row + sx + ch]
+    return png_encode(width, height, ch, bytes(dst))
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+    """Distributed image resize: Arrow-batched ``mapInPandas`` over binary
+    blobs, real PNG pixel path (decode → unfilter → nearest-neighbor →
+    re-encode) in pure stdlib. Non-PNG payloads pass through with
+    resized=false (pixel decode for JPEG/GIF needs entropy coders — out of
+    scope without PIL/ffmpeg, declared)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, flags = [], [], []
+            for media_id, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                resized = png_resize(b, width, height)
+                ids.append(int(media_id))
+                blobs.append(resized if resized is not None else b)
+                flags.append(resized is not None)
+            yield pd.DataFrame(
+                {"media_id": ids, "content": blobs, "resized": flags}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(content_col)
+    ).mapInPandas(run, "media_id long, content binary, resized boolean")
 
 
 def sample_video_frames(df: DataFrame, every_n: int) -> DataFrame:

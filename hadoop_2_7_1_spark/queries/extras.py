@@ -191,6 +191,84 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_meta(media)
 
 
+@register(
+    "mm_resize_pixels",
+    # The full pixel path is oracle-predictable because the source image is
+    # a deterministic gradient: pixel (x,y) = ((x*7+s)%256, (y*11+3s)%256,
+    # (x+y+5s)%256) with s = doc_id % 251, source dims from md5(text), and
+    # nearest-neighbor sampling sx = min(sw-1, x*sw//16). The oracle
+    # replays that arithmetic; Spark gets the value by actually decoding
+    # the resized PNG bytes.
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 251 AS s,
+             8 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 24 AS sw,
+             8 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 24 AS sh
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           'png' AS fmt,
+           CAST(list_sum([
+             list_sum([
+               ((least(sw-1, (x*sw)//16)*7 + s) % 256)
+               + ((least(sh-1, (y*sh)//16)*11 + s*3) % 256)
+               + ((least(sw-1, (x*sw)//16) + least(sh-1, (y*sh)//16) + s*5) % 256)
+             for x in range(16) ]) for y in range(16) ]) AS BIGINT) AS pixel_sum
+    FROM dims
+    """,
+    doc="REAL image pixel path, distributed: build gradient PNGs -> "
+        "pure-stdlib decode/unfilter -> nearest-neighbor resize to 16x16 -> "
+        "re-encode -> re-decode and checksum the pixels "
+        "(operators/multimodal.py png_decode/png_resize; north-star "
+        "multimodal stage with no reference analogue)",
+)
+def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5(str(text).encode("utf-8")).hexdigest()
+                sw = 8 + int(h[:8], 16) % 24
+                sh = 8 + int(h[8:16], 16) % 24
+                ids.append(int(doc_id))
+                blobs.append(
+                    multimodal.make_png_with_pixels(sw, sh, int(doc_id) % 251)
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(build, "media_id long, content binary")
+    resized = multimodal.resize_images(media, 16, 16)
+
+    def checksum(batches):
+        for pdf in batches:
+            ids, ws, hs, fmts, sums = [], [], [], [], []
+            for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, ch, px = multimodal.png_decode(bytes(blob))
+                ids.append(int(media_id))
+                ws.append(w)
+                hs.append(h)
+                fmts.append(multimodal.parse_image_header(bytes(blob))[0])
+                sums.append(sum(px))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "fmt": fmts,
+                 "pixel_sum": sums}
+            )
+
+    return resized.mapInPandas(
+        checksum,
+        "media_id long, width long, height long, fmt string, pixel_sum long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows / sessions / JSON (batch forms; streaming parity in
 # hadoop_2_7_1_spark/streaming with tests)

@@ -48,6 +48,7 @@ def distcp(
     skip_crc_check: bool = False,
     preserve: str = "",
     atomic: bool = False,
+    bandwidth_mb: float | None = None,
 ) -> int:
     """Parallel recursive copy, shaped like the reference's DistCp: a
     metadata-only listing job, then one copy task per file batch
@@ -70,6 +71,10 @@ def distcp(
       (DistCpOptions.FileAttribute / CopyMapper.java:192 preserve calls):
       ``p`` permissions, ``t`` timestamps, ``u``/``g`` owner ids — applied
       executor-side from the source file's stat after each copy.
+    - ``bandwidth_mb`` reproduces ``-bandwidth``: each copy task paces its
+      reads to N MB/s (ThrottledInputStream.java:40 token pacing) so a bulk
+      copy cannot saturate shared storage; total throughput ≈ N x tasks,
+      as in the reference (per-map cap).
     - ``atomic`` reproduces ``-atomic``: every file lands in a hidden work
       directory next to ``dst`` and one final rename commits the whole tree
       — a killed run leaves NO partial destination (reference: copy to
@@ -151,8 +156,21 @@ def distcp(
                 continue  # CopyMapper.canSkip: same length AND same checksum
             os.makedirs(os.path.dirname(target), exist_ok=True)
             tmp = target + ".__distcp_tmp__"
-            with open(row.src_path, "rb") as fsrc, open(tmp, "wb") as fdst:
-                shutil.copyfileobj(fsrc, fdst, _CHUNK)
+            if bandwidth_mb:
+                import time
+
+                budget = bandwidth_mb * (1 << 20)  # bytes/sec for this task
+                t0, done = time.monotonic(), 0
+                with open(row.src_path, "rb") as fsrc, open(tmp, "wb") as fdst:
+                    while chunk := fsrc.read(_CHUNK):
+                        fdst.write(chunk)
+                        done += len(chunk)
+                        ahead = done / budget - (time.monotonic() - t0)
+                        if ahead > 0:  # ThrottledInputStream: sleep off the surplus
+                            time.sleep(ahead)
+            else:
+                with open(row.src_path, "rb") as fsrc, open(tmp, "wb") as fdst:
+                    shutil.copyfileobj(fsrc, fdst, _CHUNK)
             # fault-injection hook (Hadoop's fi test framework analogue):
             # lets crash-consistency tests kill a run between the temp write
             # and the publish rename. Zero cost unless the env var is set.

@@ -136,13 +136,81 @@ def test_multimodal_decode_deterministic(spark):
         assert out[r["doc_id"]] == expect
 
 
-def test_multimodal_stubs_raise(spark):
+def test_multimodal_video_stub_raises(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(1)
     media = multimodal.documents_as_media(docs)
     with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, 64, 64)
-    with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(media, 10)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-stdlib PNG codec: encode->decode round-trip, plus decode of
+    streams using every spec filter type (Sub/Up/Average/Paeth), built
+    by hand-filtering known pixels."""
+    import struct
+    import zlib
+
+    w, h, ch = 5, 4, 3
+    px = bytes((x * 31 + y * 7 + c * 3) % 256 for y in range(h) for x in range(w) for c in range(ch))
+    blob = multimodal.png_encode(w, h, ch, px)
+    assert multimodal.parse_image_header(blob) == ("png", w, h)
+    dw, dh, dch, dpx = multimodal.png_decode(blob)
+    assert (dw, dh, dch, bytes(dpx)) == (w, h, ch, px)
+
+    # hand-filter each row with a different filter type, rebuild the stream
+    stride = w * ch
+    rows = [bytearray(px[y * stride:(y + 1) * stride]) for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, ftype in zip(range(h), (1, 2, 3, 4)):
+        line = rows[y]
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif ftype == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif ftype == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                enc[i] = (line[i] - paeth(a, b, c)) & 0xFF
+        raw.append(ftype)
+        raw += enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = [b"\x89PNG\r\n\x1a\n"]
+    for typ, data in ((b"IHDR", ihdr), (b"IDAT", zlib.compress(bytes(raw))), (b"IEND", b"")):
+        out += [struct.pack(">I", len(data)), typ, data,
+                struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)]
+    filtered_blob = b"".join(out)
+    fw, fh, fch, fpx = multimodal.png_decode(filtered_blob)
+    assert (fw, fh, fch, bytes(fpx)) == (w, h, ch, px)
+
+
+def test_png_resize_nearest_neighbor():
+    """Resize halves a gradient exactly per nearest-neighbor arithmetic."""
+    src = multimodal.make_png_with_pixels(8, 8, seed=3)
+    resized = multimodal.png_resize(src, 4, 4)
+    assert multimodal.parse_image_header(resized) == ("png", 4, 4)
+    _, _, ch, px = multimodal.png_decode(resized)
+    for y in range(4):
+        sy = y * 8 // 4
+        for x in range(4):
+            sx = x * 8 // 4
+            got = px[(y * 4 + x) * 3:(y * 4 + x) * 3 + 3]
+            expect = bytes(((sx * 7 + 3) % 256, (sy * 11 + 9) % 256, (sx + sy + 15) % 256))
+            assert bytes(got) == expect
+    # non-PNG input passes through as None
+    assert multimodal.png_resize(b"not an image", 4, 4) is None
 
 
 def test_sort_validator_invariants(spark):

@@ -479,3 +479,31 @@ def test_har_archive_format_compatible(spark, tmp_path):
 
     with pytest.raises(ValueError):
         har.har_create(spark, str(src), str(tmp_path / "notanarchive"))
+
+
+def test_distcp_bandwidth_throttle(spark, tmp_path):
+    """-bandwidth (ThrottledInputStream): a 4 MB copy capped at 2 MB/s per
+    task must take ~2s; uncapped it is near-instant."""
+    import time
+
+    from hadoop_2_7_1_spark.sources import tools
+
+    src = tmp_path / "bwsrc"
+    src.mkdir()
+    (src / "big.bin").write_bytes(os.urandom(8 << 20))
+
+    # first-use warmup (binaryFile listing, checkpoint dirs) — not timed
+    tools.distcp(spark, str(src), str(tmp_path / "bw0"))
+
+    t0 = time.time()
+    assert tools.distcp(spark, str(src), str(tmp_path / "bw1")) == 1
+    unthrottled = time.time() - t0
+
+    t0 = time.time()
+    assert (
+        tools.distcp(spark, str(src), str(tmp_path / "bw2"), bandwidth_mb=2) == 1
+    )
+    throttled = time.time() - t0
+    assert (tmp_path / "bw2" / "big.bin").stat().st_size == 8 << 20
+    # 8 MB at 2 MB/s adds >= ~3.5s of pure pacing on top of job overhead
+    assert throttled >= unthrottled + 2.0
