@@ -125,7 +125,8 @@ def test_registry_wide_plan_audit(spark):
         "q15_partitioned_write", "src_bucketed_join", "bench_terasort_big",
     }
     python_ok = {
-        "q20_pipe_wordcount", "mm_decode_meta", "q22_pi_qmc",
+        "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",
+        "q22_pi_qmc",
         "q23_bbp_pi_digits", "bench_teragen", "bench_teragen_gensort",
         "bench_terasort_validate", "q25_random_text",
     }
@@ -140,3 +141,38 @@ def test_registry_wide_plan_audit(spark):
                 assert node not in plan, f"{name} has unexpected Python node {node}"
         audited += 1
     assert audited >= 100, f"only {audited} queries audited"
+
+
+def test_kmeans_seed_no_global_sort(spark):
+    """Round-3 seeding: the seed query must be a hash-gated filter +
+    TakeOrdered, never a full range-repartition sort of the corpus."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.functions import hex_hash32
+    from hadoop_2_7_1_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cand = emb.filter(hex_hash32(F.col("vec_id")) % 16 == 0)
+    seeds = cand.orderBy("vec_id").limit(8).select("embedding")
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_lsh_cap_single_extra_shuffle(spark):
+    """The degenerate-band cap must not add a new shuffle key: every
+    exchange in the candidate-pair plan hashes on the same (band, key)
+    pair, so AQE/exchange-reuse keeps the extra pre-count cheap."""
+    import re
+
+    from hadoop_2_7_1_spark.io import load_table
+    from hadoop_2_7_1_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # all hash exchanges partition on band+key (the distinct at the end adds
+    # its own id_a/id_b exchange, which is expected)
+    band_key_exchanges = re.findall(r"hashpartitioning\(band[^)]*key", plan)
+    assert band_key_exchanges, "expected (band, key) hash exchanges"
