@@ -781,3 +781,145 @@ def oracle_winnow_fingerprints(
            array_to_string(fps, ',') AS fp_set
     FROM sel
     """
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring — the classic cheap LM-quality signal for
+# corpus filtering (per-doc mean log p(token) under the corpus unigram
+# distribution; low scores flag gibberish / OCR noise / wrong-language docs).
+# No reference analogue (north-star text analysis).
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, avg_logprob): mean ln p(tok) per doc under the
+    corpus-wide unigram MLE.
+
+    Plan shape at 100 TB: one token-count aggregation (map-side combined,
+    vocab-sized result), the scalar total broadcast via a 1-row cross join,
+    then one shuffle of the token stream on `tok` for the count join and a
+    final per-doc aggregation. The corpus is never collected; the only
+    driver-sized object is the plan itself.
+    """
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(F.expr(_tok_array(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("id", F.log(F.col("cnt") / F.col("tot")).alias("lp"))
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.avg("lp").cast("double").alias("avg_logprob"),
+    )
+
+
+def oracle_unigram_logprob(table: str, id_col: str, text_col: str) -> str:
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id, unnest({toks}) AS tok FROM {table}
+    ), counts AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), total AS (SELECT sum(cnt) AS tot FROM counts)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(avg(ln(cnt / tot)) AS DOUBLE) AS avg_logprob
+    FROM toks JOIN counts USING (tok), total
+    GROUP BY id
+    """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — tokenizer-prep's core loop (Sennrich et al. 2016,
+# "Neural Machine Translation of Rare Words with Subword Units", public):
+# repeatedly merge the most frequent adjacent symbol pair. Iterative
+# corpus-scale algorithm in the same family as pagerank/dup-clusters.
+# ---------------------------------------------------------------------------
+
+def bpe_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns (rank, left,
+    right, pair_count) — the ordered merge table a tokenizer would ship.
+
+    Distributed shape per round (the part that must survive 100 TB):
+    - The corpus compresses to a WORD-FREQUENCY table once (one shuffle,
+      vocab-sized — Zipf makes this tiny relative to the corpus) and the
+      loop runs over that table, exactly how production BPE trainers work.
+    - Each round: explode adjacent symbol pairs weighted by word count →
+      map-side-combined count → global top-1 (count desc, pair asc for
+      determinism) — a k-element reduce, not a sort.
+    - The merge is applied with a JVM-side aggregate expression
+      (no Python in the loop); ``localCheckpoint`` keeps lineage flat.
+
+    Only the merge table (n_merges rows) ever reaches the driver.
+    """
+    words = (
+        df.select(F.explode(F.expr(_tok_array(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        # '' is the scanner's no-carry sentinel below; keep it out of syms
+        .select(F.expr("filter(split(w, ''), s -> s <> '')").alias("syms"), "wc")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(n_merges):
+        pairs = words.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                )
+            ).alias("p"),
+            "wc",
+        ).where(F.col("p.l").isNotNull() & F.col("p.r").isNotNull())
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0].p.l, top[0].p.r, top[0].cnt
+        merges.append((rank, l, r, int(cnt)))
+        # apply the merge JVM-side: left-to-right greedy pair join, the
+        # standard BPE application order
+        merged = f"""
+        aggregate(
+          syms,
+          struct(CAST(array() AS ARRAY<STRING>) AS acc, CAST('' AS STRING) AS carry),
+          (st, s) -> CASE
+            WHEN st.carry = '' THEN struct(st.acc AS acc, s AS carry)
+            WHEN st.carry = {_sq(l)} AND s = {_sq(r)}
+              THEN struct(st.acc AS acc, {_sq(l + r)} AS carry)
+            ELSE struct(array_append(st.acc, st.carry) AS acc, s AS carry)
+          END,
+          st -> CASE WHEN st.carry = '' THEN st.acc
+                     ELSE array_append(st.acc, st.carry) END
+        )
+        """
+        words = words.select(
+            F.expr(merged).alias("syms"), "wc"
+        ).localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    ).select(
+        F.col("rank").cast("bigint"),
+        "left",
+        "right",
+        F.col("pair_count").cast("bigint"),
+    )
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

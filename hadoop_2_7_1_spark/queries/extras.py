@@ -1196,6 +1196,35 @@ def txt_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_bpe_merges",
+    # Not SQL-expressible (data-dependent iterative merges) -> rows-only
+    # driver check; exact-output parity against an independent in-memory
+    # BPE trainer in tests/test_operators.py::test_bpe_merges_match_reference_impl.
+    None,
+    doc="BPE merge training (Sennrich 2016): 6 most-frequent-pair merges "
+        "learned over the word-frequency table; per round one map-side "
+        "combined pair count + top-1 reduce, merge applied JVM-side "
+        "(aggregate expression), corpus never collected",
+)
+def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_merges(docs, "doc_id", "text", n_merges=6)
+
+
+@register(
+    "txt_unigram_logprob",
+    textops.oracle_unigram_logprob("documents", "doc_id", "text"),
+    doc="unigram LM quality score: per-doc mean ln p(token) under the "
+        "corpus unigram MLE — the classic cheap LM filter signal; one "
+        "vocab-sized count aggregate + one token-stream join, corpus never "
+        "collected",
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.unigram_logprob(docs, "doc_id", "text")
+
+
+@register(
     "txt_oov",
     textops.oracle_oov_stats("documents", "text", size=64),
     doc="per-doc OOV profile against the induced top-64 vocabulary "

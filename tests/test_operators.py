@@ -992,3 +992,58 @@ def test_lsh_degenerate_band_cap(spark):
     )
     got_small = dedup.lsh_candidate_pairs(small, "doc_id", "text", max_bucket=500).collect()
     assert len(got_small) == 10  # C(5,2)
+
+
+def test_bpe_merges_match_reference_impl(spark):
+    """The distributed BPE trainer must produce the exact merge table an
+    independent in-memory BPE implementation learns from the same corpus
+    (count desc, pair asc tie-break; left-to-right merge application)."""
+    from collections import Counter
+
+    from hadoop_2_7_1_spark.operators import textops
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in textops.bpe_merges(docs, "doc_id", "text", n_merges=6)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    # independent trainer: plain dict/Counter, no Spark
+    words = Counter()
+    for row in docs.select("text").collect():
+        for w in row.text.split():
+            words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+
+    def top_pair(vocab):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            return None
+        return min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+
+    def apply_merge(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    expect = []
+    for rank in range(6):
+        best = top_pair(vocab)
+        if best is None:
+            break
+        (l, r), cnt = best
+        expect.append((rank, l, r, cnt))
+        vocab = {apply_merge(s, l, r): c for s, c in vocab.items()}
+
+    assert got == expect
