@@ -126,3 +126,47 @@ def binary_partition(
     right = length + right_offset + 1 if right_offset < 0 else F.lit(right_offset + 1)
     slice_expr = F.substring(c, F.lit(left_offset + 1).cast("int"), (right - left + 1).cast("int"))
     return df.repartition(num_partitions, slice_expr)
+
+
+def zorder_value(col_a: str, col_b: str, bits: int = 16) -> Column:
+    """Morton/Z-order key: interleave the low ``bits`` of two integer
+    columns (a even positions, b odd) — JVM-side aggregate expression, no
+    UDF. Clustering a table by this key gives BOTH columns locality, so
+    parquet min/max stats prune point/range scans on either dimension.
+    (Public lakehouse technique — Delta/Iceberg OPTIMIZE ZORDER; the
+    reference has no analogue, its layouts are single-key MapFiles.)"""
+    # bound variable named to never collide with user column names
+    return F.expr(
+        f"""aggregate(sequence(0, {bits - 1}), 0L, (acc, zb_) ->
+              acc + shiftleft(shiftright(CAST({col_a} AS BIGINT), zb_) & 1, 2 * zb_)
+                  + shiftleft(shiftright(CAST({col_b} AS BIGINT), zb_) & 1, 2 * zb_ + 1))"""
+    )
+
+
+def oracle_zorder_value(col_a: str, col_b: str, bits: int = 16) -> str:
+    """DuckDB fragment computing the identical Morton key."""
+    return (
+        f"list_sum([ (({col_a} >> zb_) & 1) * (1::BIGINT << (2*zb_))"
+        f" + (({col_b} >> zb_) & 1) * (1::BIGINT << (2*zb_ + 1))"
+        f" for zb_ in range({bits}) ])"
+    )
+
+
+def zorder_layout(
+    df: DataFrame, col_a: str, col_b: str, path: str, n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered by the Morton key of (col_a, col_b):
+    repartitionByRange + sortWithinPartitions on the z-value, so each
+    parquet file covers a compact 2-D tile and row-group min/max stats
+    serve point predicates on either column. One range shuffle — the same
+    cost as a plain sort-by-one-key layout."""
+    z = zorder_value(col_a, col_b, bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

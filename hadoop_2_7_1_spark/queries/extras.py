@@ -15,6 +15,7 @@ from ..operators.funnel import oracle_funnel, oracle_retention
 from ..operators.graph import oracle_pagerank
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences
+from ..operators.partitioning import oracle_zorder_value
 from ..operators.sketches import oracle_kmv_distinct
 from ..operators.profile import oracle_profile
 from ..operators.sampling import oracle_hash_threshold, oracle_temperature_counts
@@ -1626,6 +1627,31 @@ def agg_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return group_quantiles(li, "l_returnflag", "l_extendedprice")
+
+
+@register(
+    "cur_zorder_key",
+    f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST({oracle_zorder_value("l_orderkey", "l_linenumber")} AS BIGINT) AS zval
+    FROM lineitem
+    """,
+    doc="Morton/Z-order clustering key over (l_orderkey, l_linenumber): the "
+        "multi-dimensional data-layout primitive (Delta/Iceberg OPTIMIZE "
+        "ZORDER shape) — bit interleave as a JVM aggregate expression; "
+        "zorder_layout writes range-partitioned tiles so parquet min/max "
+        "prunes on either column (layout test in test_operators)",
+)
+def cur_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("bigint"),
+        F.col("l_linenumber").cast("bigint"),
+        zorder_value("l_orderkey", "l_linenumber").cast("bigint").alias("zval"),
+    )
 
 
 @register(

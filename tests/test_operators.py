@@ -1047,3 +1047,39 @@ def test_bpe_merges_match_reference_impl(spark):
         vocab = {apply_merge(s, l, r): c for s, c in vocab.items()}
 
     assert got == expect
+
+
+def test_zorder_layout_tiles_both_dimensions(spark, tmp_path):
+    """Z-order layout: every parquet file must cover a COMPACT range of
+    both key columns (2-D tiles), so point predicates on either column
+    prune most files — unlike a single-key sort where the secondary column
+    spans every file."""
+    import glob
+
+    from hadoop_2_7_1_spark.operators.partitioning import zorder_layout
+
+    df = spark.range(1 << 14).selectExpr(
+        "CAST(id % 128 AS BIGINT) AS a", "CAST(id DIV 128 AS BIGINT) AS b"
+    )
+    out = str(tmp_path / "ztab")
+    zorder_layout(df, "a", "b", out, n_files=16, bits=7)
+
+    def span_fraction(col):
+        spans = []
+        for f in glob.glob(out + "/part-*.parquet"):
+            pdf = spark.read.parquet(f).toPandas()
+            spans.append((pdf[col].max() - pdf[col].min() + 1) / 128.0)
+        return sum(spans) / len(spans)
+
+    # both dimensions tile: mean per-file span well under the full range
+    assert span_fraction("a") <= 0.5
+    assert span_fraction("b") <= 0.5
+
+    # single-key sort control: the secondary column spans ~everything
+    ctrl = str(tmp_path / "sorted_a")
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(ctrl)
+    spans_b = []
+    for f in glob.glob(ctrl + "/part-*.parquet"):
+        pdf = spark.read.parquet(f).toPandas()
+        spans_b.append((pdf["b"].max() - pdf["b"].min() + 1) / 128.0)
+    assert sum(spans_b) / len(spans_b) > 0.9
