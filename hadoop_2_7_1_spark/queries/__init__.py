@@ -51,11 +51,13 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # Round-3 window = the three queries fixed this round (TIMESTAMP_NTZ
 # normalization: evt_sessionize/tmp_range_join; checksum BIGINT:
 # bench_teragen_gensort) so the fixes earn green driver rows, followed by 47
-# never-sampled queries. 8 close siblings of already-green queries
-# (agg_cube/agg_grouping_sets ~ agg_rollup, src_regex_filter ~
-# src_md5_sample, smp_train_test_split ~ smp_stratified, txt_vocab ~
-# txt_oov, bench_gridmix_load ~ bench_rumen_digest, evt_retention ~
-# evt_funnel, dd_incremental_ingest ~ dd_chunk_dedup) rotate in next round.
+# never-sampled queries. Rotate in round 4: the 8 deferred close siblings
+# of already-green queries (agg_cube/agg_grouping_sets ~ agg_rollup,
+# src_regex_filter ~ src_md5_sample, smp_train_test_split ~ smp_stratified,
+# txt_vocab ~ txt_oov, bench_gridmix_load ~ bench_rumen_digest,
+# evt_retention ~ evt_funnel, dd_incremental_ingest ~ dd_chunk_dedup) plus
+# the queries added during round 3 (mm_resize_pixels, txt_unigram_logprob,
+# txt_bpe_merges, cur_zorder_key).
 _DRIVER_WINDOW = [
     # fixed this round — re-verify
     "evt_sessionize", "tmp_range_join", "bench_teragen_gensort",
