@@ -202,7 +202,9 @@ def run(argv: list[str] | None = None, spark=None) -> str:
 
     def pipe(frame, cmd_str, **kw):
         if args.io_mode == "typedbytes":
-            return pipe_transform_typed(frame, shlex.split(cmd_str))
+            return pipe_transform_typed(
+                frame, shlex.split(cmd_str), env=env, cwd=pipe_cwd
+            )
         return pipe_transform(
             frame, shlex.split(cmd_str), env=env, cwd=pipe_cwd, **kw
         )
@@ -217,22 +219,27 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     elif df.columns == ["value"]:  # identity mapper over a text source
         df = df.select(F.col("value").alias("key"), F.lit("").alias("value"))
 
-    if args.num_reduce == 0 or args.reducer == "NONE":
+    if num_reduce == 0 or args.reducer == "NONE":
         out = df  # map-only: no shuffle, no sort (reference: numReduceTasks=0)
+    elif args.reducer == "aggregate":
+        # ValueAggregator is a DataFrame groupBy — it shuffles on its own
+        # (typ, id) key, so the MR-style repartition+sort would only add a
+        # second, wasted shuffle of the full mapper output.
+        out = _aggregate_reduce(df)
     else:
         import re
 
-        key = df.columns[0]
         if args.combiner:
             # map-side combine: key-group within each *input* partition and
             # pipe before any shuffle (the reference combines at spill time,
             # MapTask.java sortAndSpill) — the shuffle then moves combined
             # records and the reduce-side sort restores grouping.
             df = pipe(
-                df.sortWithinPartitions(key), args.combiner,
+                df.sortWithinPartitions(df.columns[0]), args.combiner,
                 sep=args.separator, out_sep=map_out_sep,
                 num_key_fields=num_key_fields,
             )
+        key = df.columns[0]  # after any pipe: always the key column
         # Partition key: KeyFieldBasedPartitioner restricts to key fields
         # a..b of the key (split on map.output.key.field.separator).
         part_expr = F.col(key)
@@ -251,9 +258,7 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             )
         else:
             shuffled = shuffled.sortWithinPartitions(key)
-        if args.reducer == "aggregate":
-            out = _aggregate_reduce(shuffled)
-        elif args.reducer and args.reducer != "org.apache.hadoop.mapred.lib.IdentityReducer":
+        if args.reducer and args.reducer != "org.apache.hadoop.mapred.lib.IdentityReducer":
             out = pipe(
                 shuffled, args.reducer,
                 sep=args.separator, out_sep=reduce_out_sep,
@@ -263,8 +268,14 @@ def run(argv: list[str] | None = None, spark=None) -> str:
 
     if args.verbose:
         out.explain()
-    if args.lazy_output and out.limit(1).count() == 0:
-        return args.output
+    if args.lazy_output:
+        # LazyOutputFormat: skip the sink only when the result is empty.
+        # persist so the emptiness probe and the write share one execution
+        # (subprocess pipes must not run twice over the data).
+        out = out.persist()
+        if len(out.take(1)) == 0:
+            out.unpersist()
+            return args.output
     if args.outputformat == "seq":
         from .sources.seqfile import write_sequence_file
 

@@ -73,9 +73,15 @@ def parse_image_header(payload: bytes) -> tuple[str | None, int | None, int | No
         while i + 4 <= n:
             if payload[i] != 0xFF:
                 break
+            # ISO 10918 §B.1.1.2: any number of 0xFF fill bytes may precede
+            # a marker — skip them instead of misreading one as a length
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
+            if marker == 0xD9:  # EOI: no frame header found
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # standalone markers carry no length
                 continue
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):

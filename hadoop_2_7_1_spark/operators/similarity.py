@@ -346,7 +346,10 @@ def kmeans_fit(
     from ..functions import hex_hash32
 
     cand = emb.filter(hex_hash32(F.col(id_col)) % 16 == 0)
-    src = cand if cand.count() >= k else emb
+    # degenerate-corpus guard: take(k) on the id column early-terminates as
+    # soon as k gated rows exist — never a full count of the gated subset
+    enough = len(cand.select(id_col).take(k)) >= k
+    src = cand if enough else emb
     seeds = src.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in row[0]] for row in seeds]
     dim = len(cents[0])

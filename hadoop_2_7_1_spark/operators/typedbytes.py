@@ -119,6 +119,8 @@ def pipe_transform_typed(
     cmd: list[str],
     key_col: str | None = None,
     output_schema: str = "key string, value string",
+    env: dict[str, str] | None = None,
+    cwd: str | None = None,
 ) -> DataFrame:
     """Streaming ``-io typedbytes``: pipe rows to ``cmd`` as typed (key,
     value) pairs, decode the typed pairs it emits.
@@ -126,13 +128,23 @@ def pipe_transform_typed(
     The first column (or ``key_col``) is the key; the remaining columns are
     the value (a single value for one column, a vector for several). The
     subprocess must write alternating typed key/value pairs to stdout; they
-    land in the two fields of ``output_schema``.
+    land in the two fields of ``output_schema``. ``env``/``cwd`` mirror
+    ``pipe_transform`` (streaming ``-cmdenv`` and the ``-files`` working
+    directory).
     """
+    import os
+
     key_col = key_col or df.columns[0]
     val_cols = [c for c in df.columns if c != key_col]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        proc = subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+        proc = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            env={**os.environ, **env} if env else None,
+            cwd=cwd,
+        )
 
         def feed() -> None:
             try:

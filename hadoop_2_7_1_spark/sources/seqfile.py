@@ -162,6 +162,11 @@ def _enc_object_writable(v) -> bytes:
     payload. Java primitives write their boxed wire form; String writes UTF.
     (DataOutput.writeUTF = 2-byte BE length + modified-utf8; plain utf-8 is
     byte-identical for the class names and BMP text we emit.)"""
+    # pandas hands numpy scalars (np.int64/np.bool_/np.float64), which fail
+    # plain isinstance checks against int/bool — unwrap to Python first so
+    # numeric columns don't get mis-tagged as java.lang.String
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if isinstance(v, bool):
         name, payload = "boolean", struct.pack(">?", v)
     elif isinstance(v, int):

@@ -276,3 +276,50 @@ def test_streaming_cli_combiner_and_multi_input(spark, tmp_path):
     for k, v in _read_kv_output(out):
         counts[k] = counts.get(k, 0) + int(v)
     assert counts == {"p": 2, "q": 2, "r": 1}
+
+
+def test_streaming_cli_map_only_via_D_reduces_zero(spark, tmp_path):
+    """-D mapreduce.job.reduces=0 is the documented map-only switch; it must
+    behave exactly like -reducer NONE (no shuffle, no crash)."""
+    src = tmp_path / "in.txt"
+    src.write_text("b\na\n")
+    out = str(tmp_path / "out_d0")
+
+    from hadoop_2_7_1_spark import cli
+
+    cli.run(
+        [
+            "-input", str(src),
+            "-output", out,
+            "-mapper", "awk '{print $0\"\\tm\"}'",
+            "-D", "mapreduce.job.reduces=0",
+        ],
+        spark=spark,
+    )
+    assert sorted(_read_kv_output(out)) == [("a", "m"), ("b", "m")]
+
+
+def test_streaming_cli_combiner_kv_input_no_mapper(spark, tmp_path):
+    """Combiner with a kv source and no mapper: the post-combiner column
+    names (key/value) must be used for the shuffle, not the source's."""
+    src = tmp_path / "in.tsv"
+    src.write_text("k1\t1\nk1\t2\nk2\t3\n")
+    out = str(tmp_path / "out_kvcomb")
+
+    from hadoop_2_7_1_spark import cli
+
+    cli.run(
+        [
+            "-input", str(src),
+            "-output", out,
+            "-inputformat", "kv",
+            "-combiner", "awk -F'\\t' '{c[$1]+=$2} END {for(k in c) print k\"\\t\"c[k]}'",
+            "-reducer", "awk -F'\\t' '{c[$1]+=$2} END {for(k in c) print k\"\\t\"c[k]}'",
+            "-numReduceTasks", "2",
+        ],
+        spark=spark,
+    )
+    counts = {}
+    for k, v in _read_kv_output(out):
+        counts[k] = counts.get(k, 0) + int(v)
+    assert counts == {"k1": 3, "k2": 3}

@@ -507,3 +507,18 @@ def test_distcp_bandwidth_throttle(spark, tmp_path):
     assert (tmp_path / "bw2" / "big.bin").stat().st_size == 8 << 20
     # 8 MB at 2 MB/s adds >= ~3.5s of pure pacing on top of job overhead
     assert throttled >= unthrottled + 2.0
+
+
+def test_sequence_file_object_writable_numeric_types(spark, tmp_path):
+    """ObjectWritable must tag numeric columns as their Java primitive
+    classes, not java.lang.String (pandas hands numpy scalars)."""
+    from hadoop_2_7_1_spark.sources import seqfile
+
+    df = spark.createDataFrame([(1, 42), (2, 77)], ["k", "v"])
+    out = str(tmp_path / "seqobjnum")
+    seqfile.write_sequence_file(df, out, "k", "v", value_kind="object")
+    rows = seqfile.read_sequence_file_object_values(spark, out).collect()
+    assert sorted((r.key, r.value_class, r.value) for r in rows) == [
+        ("1", "long", "42"),
+        ("2", "long", "77"),
+    ]
