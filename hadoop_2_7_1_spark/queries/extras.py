@@ -1630,6 +1630,81 @@ def agg_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_frame_sample",
+    # Deterministic motion fixture: each doc becomes an animated GIF with
+    # nf = 2 + doc_id % 5 gradient frames (pixel(x,y,k) = (3x + 5y + 17k +
+    # s) % 256, s = doc_id % 251) and md5-derived dims; Spark LZW-decodes
+    # every 2nd frame and checksums the actual pixels, the oracle replays
+    # the gradient arithmetic.
+    """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 251 AS s,
+             6 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10 AS w,
+             4 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 10 AS h,
+             2 + doc_id % 5 AS nf
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, s, w, h, unnest(range(nf)) AS k FROM dims
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(list_sum([
+             list_sum([ (x*3 + y*5 + k*17 + s) % 256 for x in range(w) ])
+           for y in range(h) ]) AS BIGINT) AS pix_sum
+    FROM frames WHERE k % 2 = 0
+    """,
+    doc="REAL motion-frame sampling, distributed: animated-GIF fixtures -> "
+        "pure-stdlib LZW frame decode (every 2nd frame) -> per-frame pixel "
+        "checksum (operators/multimodal.py gif_decode_frames / "
+        "sample_video_frames; north-star multimodal stage)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hashlib.md5(str(text).encode("utf-8")).hexdigest()
+                w = 6 + int(hx[:8], 16) % 10
+                h = 4 + int(hx[8:16], 16) % 10
+                s = int(doc_id) % 251
+                nf = 2 + int(doc_id) % 5
+                frames = [
+                    bytes((x * 3 + y * 5 + k * 17 + s) % 256
+                          for y in range(h) for x in range(w))
+                    for k in range(nf)
+                ]
+                ids.append(int(doc_id))
+                blobs.append(multimodal.make_gif_animated(frames, w, h))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(build, "media_id long, content binary")
+    sampled = multimodal.sample_video_frames(media, every_n=2)
+
+    def checksum(batches):
+        for pdf in batches:
+            sums = []
+            for blob in pdf["frame_png"]:
+                _, _, _, px = multimodal.png_decode(bytes(blob))
+                sums.append(sum(px))
+            out = pdf[["media_id", "frame_idx", "width", "height"]].copy()
+            out["pix_sum"] = sums
+            yield out
+
+    return sampled.mapInPandas(
+        checksum,
+        "media_id long, frame_idx long, width long, height long, pix_sum long",
+    )
+
+
+@register(
     "cur_zorder_key",
     f"""
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,

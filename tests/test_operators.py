@@ -136,11 +136,37 @@ def test_multimodal_decode_deterministic(spark):
         assert out[r["doc_id"]] == expect
 
 
-def test_multimodal_video_stub_raises(spark):
-    docs = load_table(spark, SF_DIR, "documents").limit(1)
-    media = multimodal.documents_as_media(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_video_frames(media, 10)
+def test_video_frame_sampling_real_gif(spark):
+    """sample_video_frames is a REAL decode path now: animated GIFs are
+    LZW-decoded frame by frame, every Nth frame re-encoded as PNG; pixel
+    bytes must round-trip exactly."""
+    w, h, n_frames = 9, 6, 6
+
+    def frame(k):
+        return bytes((x * 3 + y * 5 + k * 17) % 256 for y in range(h) for x in range(w))
+
+    rows = [
+        (mid, bytearray(multimodal.make_gif_animated(
+            [frame(k + mid) for k in range(n_frames)], w, h)))
+        for mid in (0, 1)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = multimodal.sample_video_frames(media, every_n=2).collect()
+
+    assert {(r.media_id, r.frame_idx) for r in out} == {
+        (0, 0), (0, 2), (0, 4), (1, 0), (1, 2), (1, 4)
+    }
+    for r in out:
+        assert (r.width, r.height) == (w, h)
+        dw, dh, ch, px = multimodal.png_decode(bytes(r.frame_png))
+        assert (dw, dh, ch) == (w, h, 1)
+        assert bytes(px) == frame(r.frame_idx + r.media_id)
+
+    # non-GIF blobs contribute zero rows, cleanly
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"not a gif"))], "media_id long, content binary"
+    )
+    assert multimodal.sample_video_frames(junk, 2).count() == 0
 
 
 def test_png_codec_roundtrip_and_filters():
