@@ -1,14 +1,19 @@
 """Multimodal column plumbing (north-star addition).
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
-struct. The Spark-side machinery — schema, Arrow-batched ``mapInPandas``
-UDFs, partition sizing — is real and tested. Metadata decode
-(``decode_image_meta``) is a REAL header parser: PNG IHDR, GIF logical
-screen descriptor, JPEG SOF marker scan, and BMP DIB header, all pure
-stdlib (``struct``/``zlib``) — it reads actual format bytes and works on
-any real image file. Only pixel-level work (resize, frame sampling) stays
-stubbed behind ``NotImplementedError`` because the container ships no
-PIL/ffmpeg.
+struct, processed by REAL pure-stdlib codecs (``struct``/``zlib``):
+
+- image metadata: PNG IHDR / GIF LSD / JPEG SOF marker walk / BMP DIB
+  header parsing (``parse_image_header``) — works on any real image file;
+- image pixels: full PNG decode (all five spec scanline filters),
+  nearest-neighbor resize, re-encode (``png_decode``/``png_resize``);
+- video: animated-GIF frame extraction via a complete LZW decoder
+  (``gif_decode_frames``/``sample_video_frames``);
+- audio: RIFF/WAVE PCM parsing + windowed RMS / zero-crossing features
+  (``parse_wav``/``audio_features``).
+
+JPEG entropy decode and MP4/H.264 stay out of scope (they need libjpeg/
+ffmpeg, absent from this container) and are detected and skipped cleanly.
 
 Scale notes: binary payloads ride in Arrow record batches (zero-copy to
 pandas); keep ``spark.sql.files.maxPartitionBytes`` at the default 128 MB so
@@ -527,3 +532,88 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").cast("long").alias("media_id"), F.col("text")
     ).mapInPandas(run, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality (pure stdlib): RIFF/WAVE PCM parsing + windowed features.
+# The classic first stage of an audio data pipeline — format metadata, then
+# frame-level energy/zero-crossing features over fixed windows.
+# ---------------------------------------------------------------------------
+
+def make_wav(samples: list[int], rate: int = 16000) -> bytes:
+    """Canonical RIFF/WAVE, 16-bit PCM mono. Spec-conformant (fmt + data
+    chunks); readable by any WAV tool."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    riff_len = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def parse_wav(payload: bytes):
+    """(rate, channels, bits, samples list) from RIFF/WAVE PCM bytes; walks
+    chunks so extra chunks (LIST, fact, ...) are tolerated. None if not a
+    PCM WAV."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = channels = bits = None
+    samples: list[int] = []
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1:
+                return None  # compressed WAV needs codec libs
+        elif cid == b"data" and bits == 16:
+            samples = [
+                struct.unpack_from("<h", body, i)[0] for i in range(0, len(body) - 1, 2)
+            ]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None:
+        return None
+    return rate, channels, bits, samples
+
+
+def audio_features(
+    df: DataFrame, window: int = 64, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Windowed RMS energy + zero-crossing count per full ``window`` of
+    samples — the standard cheap audio featurization (VAD/energy gating in
+    speech pipelines). Arrow-batched; non-WAV blobs yield no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, rmss, zcs = [], [], [], []
+            for media_id, blob in zip(pdf[id_col], pdf[content_col]):
+                parsed = parse_wav(bytes(blob))
+                if parsed is None:
+                    continue
+                _, _, _, samples = parsed
+                for w in range(len(samples) // window):
+                    seg = samples[w * window : (w + 1) * window]
+                    ids.append(int(media_id))
+                    widx.append(w)
+                    rmss.append((sum(s * s for s in seg) / window) ** 0.5)
+                    zcs.append(
+                        sum(
+                            1
+                            for j in range(1, window)
+                            if (seg[j] >= 0) != (seg[j - 1] >= 0)
+                        )
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "win_idx": widx, "rms": rmss, "zero_crossings": zcs}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(content_col)
+    ).mapInPandas(
+        run, "media_id long, win_idx long, rms double, zero_crossings long"
+    )

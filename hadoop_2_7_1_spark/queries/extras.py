@@ -1705,6 +1705,63 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_features",
+    # Deterministic PCM fixture: sample s(k) = (k*(7+sd)) % 20001 - 10000
+    # with sd = doc_id % 97 and n = 192 + md5(text) % 128 samples; Spark
+    # parses the actual RIFF/WAVE bytes and computes windowed RMS +
+    # zero-crossings from decoded samples; the oracle replays the waveform
+    # arithmetic.
+    """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 97 AS sd,
+             192 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 128 AS n
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, sd, unnest(range(n // 64)) AS w FROM dims
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(w AS BIGINT) AS win_idx,
+           CAST(sqrt(list_sum([
+             pow(((64*w + j) * (7 + sd)) % 20001 - 10000, 2)
+           for j in range(64) ]) / 64.0) AS DOUBLE) AS rms,
+           CAST(list_sum([
+             CASE WHEN ((((64*w + j) * (7 + sd)) % 20001 - 10000 >= 0)
+                        <> (((64*w + j - 1) * (7 + sd)) % 20001 - 10000 >= 0))
+                  THEN 1 ELSE 0 END
+           for j in range(1, 64) ]) AS BIGINT) AS zero_crossings
+    FROM wins
+    """,
+    doc="REAL audio featurization, distributed: RIFF/WAVE PCM fixtures -> "
+        "pure-stdlib chunk-walking parse -> windowed RMS energy + "
+        "zero-crossing counts (operators/multimodal.py parse_wav / "
+        "audio_features; the VAD/energy-gating stage of a speech pipeline)",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hashlib.md5(str(text).encode("utf-8")).hexdigest()
+                n = 192 + int(hx[:8], 16) % 128
+                sd = int(doc_id) % 97
+                samples = [(k * (7 + sd)) % 20001 - 10000 for k in range(n)]
+                ids.append(int(doc_id))
+                blobs.append(multimodal.make_wav(samples))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(build, "media_id long, content binary")
+    return multimodal.audio_features(media, window=64).select(
+        "media_id", "win_idx", "rms", "zero_crossings"
+    )
+
+
+@register(
     "cur_zorder_key",
     f"""
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,

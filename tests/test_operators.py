@@ -1109,3 +1109,36 @@ def test_zorder_layout_tiles_both_dimensions(spark, tmp_path):
         pdf = spark.read.parquet(f).toPandas()
         spans_b.append((pdf["b"].max() - pdf["b"].min() + 1) / 128.0)
     assert sum(spans_b) / len(spans_b) > 0.9
+
+
+def test_wav_codec_and_audio_features(spark):
+    """RIFF/WAVE round-trip (including extra chunks) + windowed RMS /
+    zero-crossing features over actually-decoded samples."""
+    import math
+    import struct
+
+    samples = [((k * 13) % 20001) - 10000 for k in range(128)]
+    wav = multimodal.make_wav(samples, rate=8000)
+    rate, ch, bits, back = multimodal.parse_wav(wav)
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert back == samples
+
+    # extra LIST chunk between fmt and data must be skipped
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    wav2 = wav[:fmt_end] + extra + wav[fmt_end:]
+    assert multimodal.parse_wav(wav2)[3] == samples
+    assert multimodal.parse_wav(b"RIFFxxxxNOPE") is None
+
+    media = spark.createDataFrame(
+        [(7, bytearray(wav))], "media_id long, content binary"
+    )
+    out = multimodal.audio_features(media, window=64).orderBy("win_idx").collect()
+    assert [r.win_idx for r in out] == [0, 1]
+    for r in out:
+        seg = samples[r.win_idx * 64 : (r.win_idx + 1) * 64]
+        assert math.isclose(r.rms, (sum(s * s for s in seg) / 64) ** 0.5, rel_tol=1e-12)
+        expect_zc = sum(
+            1 for j in range(1, 64) if (seg[j] >= 0) != (seg[j - 1] >= 0)
+        )
+        assert r.zero_crossings == expect_zc
