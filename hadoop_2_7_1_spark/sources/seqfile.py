@@ -285,7 +285,24 @@ def write_sequence_file(
         yield pd.DataFrame({"part": [pid], "n_records": [n]})
 
     counts = sel.mapInPandas(run, "part int, n_records long").collect()
-    del counts  # side-effect write; counts only force execution
+    if not any(r.n_records for r in counts):
+        # Hadoop's SequenceFileOutputFormat emits header-only part files for
+        # empty outputs; match that so readers see a valid (empty) file
+        # rather than an empty directory.
+        with open(os.path.join(path, "part-00000"), "wb") as fh:
+            _SeqWriter(fh, key_class, value_class, "hadoop_2_7_1_spark:empty")
+
+
+_SPARK_TYPE_FOR_WRITABLE = {
+    "org.apache.hadoop.io.Text": "string",
+    "org.apache.hadoop.io.LongWritable": "bigint",
+    "org.apache.hadoop.io.IntWritable": "int",
+    "org.apache.hadoop.io.DoubleWritable": "double",
+    "org.apache.hadoop.io.FloatWritable": "float",
+    "org.apache.hadoop.io.BooleanWritable": "boolean",
+    "org.apache.hadoop.io.BytesWritable": "binary",
+    "org.apache.hadoop.io.MapWritable": "map<string,string>",
+}
 
 
 def read_sequence_file(
@@ -296,9 +313,32 @@ def read_sequence_file(
     min_splits: int | None = None,
 ) -> DataFrame:
     """SequenceFileInputFormat analogue: (key, value) DataFrame with native
-    types (Writables auto-converted; MapWritable → dict → MapType)."""
+    types (Writables auto-converted; MapWritable → dict → MapType).
+
+    Empty files are handled: ``toDF`` cannot infer a schema from zero rows,
+    so the Writable class names are read from the file header and mapped to
+    Spark types instead."""
     rdd = spark.sparkContext.sequenceFile(path, minSplits=min_splits)
-    return rdd.toDF([key_name, value_name])
+    try:
+        return rdd.toDF([key_name, value_name])
+    except ValueError:  # "RDD is empty" — derive schema from the header
+        import glob as _glob
+
+        local = path.replace("file:", "")
+        parts = sorted(_glob.glob(os.path.join(local, "part-*"))) or [local]
+        with open(parts[0], "rb") as fh:
+            head = fh.read(4096)
+        pos = 4
+        klen, pos = read_vlong(head, pos)
+        key_class = head[pos : pos + klen].decode()
+        pos += klen
+        vlen, pos = read_vlong(head, pos)
+        value_class = head[pos : pos + vlen].decode()
+        schema = (
+            f"{key_name} {_SPARK_TYPE_FOR_WRITABLE.get(key_class, 'string')}, "
+            f"{value_name} {_SPARK_TYPE_FOR_WRITABLE.get(value_class, 'string')}"
+        )
+        return spark.createDataFrame([], schema)
 
 
 def read_sequence_file_as_text(

@@ -522,3 +522,16 @@ def test_sequence_file_object_writable_numeric_types(spark, tmp_path):
         ("1", "long", "42"),
         ("2", "long", "77"),
     ]
+
+
+def test_sequence_file_empty_dataframe(spark, tmp_path):
+    """Empty output must still produce a valid header-only SequenceFile
+    (Hadoop emits empty part files), so downstream readers get 0 rows, not
+    a read error on an empty directory."""
+    from hadoop_2_7_1_spark.sources import seqfile
+
+    df = spark.createDataFrame([], "k long, v string")
+    out = str(tmp_path / "seqempty")
+    seqfile.write_sequence_file(df, out, "k", "v")
+    assert os.listdir(out)  # at least one part file exists
+    assert seqfile.read_sequence_file(spark, out).count() == 0
