@@ -63,3 +63,66 @@ def test_kmv_merge_equals_sketch_of_union(a, b, k):
     sk_a = sorted(set(a))[:k]
     sk_b = sorted(set(b))[:k]
     assert merge_kmv([sk_a, sk_b], k) == sorted(set(a) | set(b))[:k]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pure codecs: PNG / GIF-LZW / WAV / vlong — property round-trips
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(w, h, ch, rnd):
+    from hadoop_2_7_1_spark.operators import multimodal
+
+    px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    blob = multimodal.png_encode(w, h, ch, px)
+    assert multimodal.parse_image_header(blob) == ("png", w, h)
+    dw, dh, dch, dpx = multimodal.png_decode(blob)
+    assert (dw, dh, dch, bytes(dpx)) == (w, h, ch, px)
+
+
+@given(
+    st.integers(1, 16),
+    st.integers(1, 16),
+    st.integers(1, 4),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_animation_roundtrip_property(w, h, n_frames, rnd):
+    from hadoop_2_7_1_spark.operators import multimodal
+
+    frames = [
+        bytes(rnd.randrange(256) for _ in range(w * h)) for _ in range(n_frames)
+    ]
+    gif = multimodal.make_gif_animated(frames, w, h)
+    dec = multimodal.gif_decode_frames(gif)
+    assert len(dec) == n_frames
+    for k, (fw, fh, px) in enumerate(dec):
+        assert (fw, fh) == (w, h)
+        assert bytes(px) == frames[k]
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(samples):
+    from hadoop_2_7_1_spark.operators import multimodal
+
+    wav = multimodal.make_wav(samples, rate=22050)
+    rate, ch, bits, back = multimodal.parse_wav(wav)
+    assert (rate, ch, bits) == (22050, 1, 16)
+    assert back == samples
+
+
+@given(st.integers(-(2**62), 2**62))
+@settings(max_examples=200, deadline=None)
+def test_hadoop_vlong_roundtrip_property(i):
+    from hadoop_2_7_1_spark.sources import seqfile
+
+    buf = seqfile.write_vlong(i)
+    val, pos = seqfile.read_vlong(buf, 0)
+    assert val == i and pos == len(buf)
