@@ -75,8 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-inputformat",
         default="text",
-        choices=["text", "kv", "seqtext", "auto", "parquet",
+        choices=["text", "kv", "seq", "seqtext", "auto", "parquet",
                  "TextInputFormat", "KeyValueTextInputFormat",
+                 "SequenceFileInputFormat",
                  "SequenceFileAsTextInputFormat", "AutoInputFormat"],
     )
     p.add_argument("-outputformat", default="text", choices=["text", "seq"])
@@ -92,6 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
 _INPUTFORMAT_ALIASES = {
     "TextInputFormat": "text",
     "KeyValueTextInputFormat": "kv",
+    "SequenceFileInputFormat": "seq",
     "SequenceFileAsTextInputFormat": "seqtext",
     "AutoInputFormat": "auto",
 }
@@ -118,12 +120,14 @@ def _kspec_to_fieldspec(opts: str) -> str:
 
 def _read_one(spark, fmt: str, path: str, sep: str):
     from .io import load_auto, read_kv_text, read_text
-    from .sources.seqfile import read_sequence_file_as_text
+    from .sources.seqfile import read_sequence_file, read_sequence_file_as_text
 
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt == "kv":
         return read_kv_text(spark, path, sep)
+    if fmt == "seq":
+        return read_sequence_file(spark, path)
     if fmt == "seqtext":
         return read_sequence_file_as_text(spark, path)
     if fmt == "auto":

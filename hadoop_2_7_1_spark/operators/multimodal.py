@@ -617,3 +617,79 @@ def audio_features(
     ).mapInPandas(
         run, "media_id long, win_idx long, rms double, zero_crossings long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Image augmentation (training-data variants): crop / horizontal flip /
+# 90-degree rotation over the decoded PNG pixel path. Deterministic given
+# parameters, so the full chain stays oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def _px_crop(px, w, h, ch, x0, y0, cw, chh):
+    out = bytearray()
+    for y in range(y0, y0 + chh):
+        row = y * w * ch
+        out += px[row + x0 * ch : row + (x0 + cw) * ch]
+    return bytes(out), cw, chh
+
+
+def _px_flip_h(px, w, h, ch):
+    out = bytearray()
+    for y in range(h):
+        row = y * w * ch
+        for x in range(w - 1, -1, -1):
+            out += px[row + x * ch : row + (x + 1) * ch]
+    return bytes(out), w, h
+
+
+def _px_rot90(px, w, h, ch):
+    """Clockwise 90°: out(x, y) = in(y, h-1-x); result is h wide, w tall."""
+    out = bytearray()
+    for y in range(w):
+        for x in range(h):
+            sx, sy = y, h - 1 - x
+            row = sy * w * ch
+            out += px[row + sx * ch : row + (sx + 1) * ch]
+    return bytes(out), h, w
+
+
+def augment_images(
+    df: DataFrame,
+    crop: tuple[int, int, int, int] | None = None,
+    flip_h: bool = False,
+    rotate90: bool = False,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Apply a deterministic augmentation chain (crop → flip → rotate) to
+    PNG blobs, Arrow-batched; output is re-encoded PNG plus final dims.
+    Non-decodable blobs are dropped (same contract as the decode stages)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, blobs = [], [], [], []
+            for media_id, blob in zip(pdf[id_col], pdf[content_col]):
+                decoded = png_decode(bytes(blob))
+                if decoded is None:
+                    continue
+                w, h, ch, px = decoded
+                if crop is not None:
+                    x0, y0, cw, chh = crop
+                    if x0 + cw > w or y0 + chh > h:
+                        continue  # out-of-bounds crop: skip, don't pad
+                    px, w, h = _px_crop(px, w, h, ch, x0, y0, cw, chh)
+                if flip_h:
+                    px, w, h = _px_flip_h(px, w, h, ch)
+                if rotate90:
+                    px, w, h = _px_rot90(px, w, h, ch)
+                ids.append(int(media_id))
+                ws.append(w)
+                hs.append(h)
+                blobs.append(png_encode(w, h, ch, bytes(px)))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "content": blobs}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(content_col)
+    ).mapInPandas(run, "media_id long, width long, height long, content binary")

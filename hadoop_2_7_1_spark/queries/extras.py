@@ -1705,6 +1705,63 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_augment_chain",
+    # crop(2,1,8,6) -> horizontal flip -> rotate90: flip/rot permute pixels
+    # (sum-invariant) and swap dims, so the oracle checks final dims (6x8)
+    # plus the crop-region gradient sum; byte-exact flip/rot mappings are
+    # pinned in tests/test_operators.py.
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(6 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(list_sum([
+             list_sum([
+               ((x*7 + doc_id % 251) % 256)
+               + ((y*11 + (doc_id % 251)*3) % 256)
+               + ((x + y + (doc_id % 251)*5) % 256)
+             for x in range(2, 10) ]) for y in range(1, 7) ]) AS BIGINT) AS pix_sum
+    FROM documents
+    """,
+    doc="image augmentation chain, distributed: gradient PNG -> crop -> "
+        "horizontal flip -> rotate90 -> re-encode -> re-decode + pixel "
+        "checksum (operators/multimodal.py augment_images; the "
+        "training-variant stage of an image data pipeline)",
+)
+def mm_augment_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                s = int(doc_id) % 251
+                ids.append(int(doc_id))
+                blobs.append(multimodal.make_png_with_pixels(12, 10, s))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(build, "media_id long, content binary")
+    aug = multimodal.augment_images(
+        media, crop=(2, 1, 8, 6), flip_h=True, rotate90=True
+    )
+
+    def checksum(batches):
+        for pdf in batches:
+            sums = []
+            for blob in pdf["content"]:
+                _, _, _, px = multimodal.png_decode(bytes(blob))
+                sums.append(sum(px))
+            out = pdf[["media_id", "width", "height"]].copy()
+            out["pix_sum"] = sums
+            yield out
+
+    return aug.mapInPandas(
+        checksum, "media_id long, width long, height long, pix_sum long"
+    )
+
+
+@register(
     "mm_audio_features",
     # Deterministic PCM fixture: sample s(k) = (k*(7+sd)) % 20001 - 10000
     # with sd = doc_id % 97 and n = 192 + md5(text) % 128 samples; Spark

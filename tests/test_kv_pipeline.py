@@ -323,3 +323,24 @@ def test_streaming_cli_combiner_kv_input_no_mapper(spark, tmp_path):
     for k, v in _read_kv_output(out):
         counts[k] = counts.get(k, 0) + int(v)
     assert counts == {"k1": 3, "k2": 3}
+
+
+def test_streaming_cli_seq_inputformat(spark, tmp_path):
+    """-inputformat seq: native-typed SequenceFile source into the pipeline."""
+    from hadoop_2_7_1_spark import cli
+    from hadoop_2_7_1_spark.sources import seqfile
+
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], ["k", "v"])
+    seq = str(tmp_path / "seqin")
+    seqfile.write_sequence_file(df, seq, "k", "v")
+    out = str(tmp_path / "out_seqin")
+    cli.run(
+        [
+            "-input", seq,
+            "-output", out,
+            "-inputformat", "seq",
+            "-numReduceTasks", "2",
+        ],
+        spark=spark,
+    )
+    assert sorted(_read_kv_output(out)) == [("a", "1"), ("b", "2")]

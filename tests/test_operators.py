@@ -1142,3 +1142,39 @@ def test_wav_codec_and_audio_features(spark):
             1 for j in range(1, 64) if (seg[j] >= 0) != (seg[j - 1] >= 0)
         )
         assert r.zero_crossings == expect_zc
+
+
+def test_augment_images_exact_mappings(spark):
+    """Byte-exact augmentation semantics: crop picks the right window,
+    flip mirrors columns, rotate90 is the clockwise coordinate map; the
+    full chain composes them in order."""
+    w, h, s = 12, 10, 5
+    src = multimodal.make_png_with_pixels(w, h, s)
+
+    def pixel(x, y):
+        return (
+            (x * 7 + s) % 256,
+            (y * 11 + s * 3) % 256,
+            (x + y + s * 5) % 256,
+        )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(src))], "media_id long, content binary"
+    )
+    out = multimodal.augment_images(
+        media, crop=(2, 1, 8, 6), flip_h=True, rotate90=True
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (6, 8)
+    _, _, ch, px = multimodal.png_decode(bytes(r.content))
+    # chain: crop c(x,y)=src(2+x,1+y); flip f(x,y)=c(7-x,y);
+    # rot90 o(x,y)=f(y, 5-x)  => o(x,y) = src(2+(7-y), 1+(5-x))
+    for y in range(8):
+        for x in range(6):
+            got = tuple(px[(y * 6 + x) * 3 : (y * 6 + x) * 3 + 3])
+            assert got == pixel(2 + (7 - y), 1 + (5 - x)), (x, y)
+
+    # out-of-bounds crop drops the row rather than padding
+    bad = multimodal.augment_images(media, crop=(8, 8, 8, 8)).count()
+    assert bad == 0
