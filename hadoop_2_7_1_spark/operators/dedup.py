@@ -870,3 +870,82 @@ def oracle_sorted_neighborhood_pairs(
     )
     SELECT DISTINCT id_a, id_b, dist FROM pairs WHERE dist <= {max_dist}
     """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup — the web-corpus ingest step (same URL
+# crawled under case/port/fragment/tracking-param/param-order variants must
+# collapse to ONE document). Canonicalization is 100% JVM expressions.
+# ---------------------------------------------------------------------------
+
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(url_col: str):
+    """Column expression: canonical form of a URL column.
+
+    Rules (the standard crawl-dedup set): lowercase scheme+host, strip
+    default ports (http:80 / https:443), drop the fragment, drop tracking
+    query params (utm_*, fbclid, gclid, msclkid, ref), sort the remaining
+    params, strip trailing path slashes (bare host keeps '/').
+    """
+    u = f"regexp_replace({url_col}, '#.*$', '')"  # fragment off first
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    host = f"lower(regexp_extract({u}, '://([^/?#]+)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"ELSE {host} END"
+    )
+    path = f"regexp_extract({u}, '://[^/?#]+([^?#]*)', 1)"
+    path = f"CASE WHEN regexp_replace({path}, '/+$', '') = '' THEN '/' ELSE regexp_replace({path}, '/+$', '') END"
+    query = f"regexp_extract({u}, '\\\\?([^#]*)', 1)"
+    kept = (
+        f"array_join(array_sort(filter(split({query}, '&'), "
+        f"p -> p != '' AND NOT p RLIKE '{_TRACKING_RE}')), '&')"
+    )
+    return F.expr(
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {kept} != '' THEN concat('?', {kept}) ELSE '' END)"
+    )
+
+
+def oracle_canonical_url(url_expr: str) -> str:
+    """DuckDB fragment computing the identical canonical form."""
+    u = f"regexp_replace({url_expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    host = f"lower(regexp_extract({u}, '://([^/?#]+)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"ELSE {host} END"
+    )
+    path = f"regexp_extract({u}, '://[^/?#]+([^?#]*)', 1)"
+    path = (
+        f"CASE WHEN regexp_replace({path}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({path}, '/+$', '') END"
+    )
+    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    kept = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))), '&')"
+    )
+    return (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {kept} <> '' THEN concat('?', {kept}) ELSE '' END)"
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """(canonical_url, n_variants, keep_id): collapse URL variants; one
+    hash-groupBy shuffle on the canonical form (uniform md5-like key mix at
+    corpus scale — hosts are high-cardinality)."""
+    return (
+        df.select(F.col(id_col).alias("id"), canonical_url(url_col).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min("id").cast("bigint").alias("keep_id"),
+        )
+        .select(F.col("curl").alias("canonical_url"), "n_variants", "keep_id")
+    )

@@ -1704,6 +1704,53 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_VARIANTS_SQL = """
+    CASE doc_id % 6
+      WHEN 0 THEN 'http://site' || CAST(doc_id // 6 AS VARCHAR) || '.com/path?b=2&a=1'
+      WHEN 1 THEN 'HTTP://SITE' || CAST(doc_id // 6 AS VARCHAR) || '.com:80/path?a=1&b=2#frag'
+      WHEN 2 THEN 'http://site' || CAST(doc_id // 6 AS VARCHAR) || '.com/path?utm_source=x&a=1&b=2'
+      WHEN 3 THEN 'https://Site' || CAST(doc_id // 6 AS VARCHAR) || '.com/other?z=9'
+      WHEN 4 THEN 'https://site' || CAST(doc_id // 6 AS VARCHAR) || '.com:443/other/?z=9'
+      ELSE 'https://site' || CAST(doc_id // 6 AS VARCHAR) || '.com/other?z=9&fbclid=abc'
+    END
+"""
+
+_URL_VARIANTS_SPARK = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN concat('http://site', CAST(doc_id div 6 AS STRING), '.com/path?b=2&a=1')
+      WHEN 1 THEN concat('HTTP://SITE', CAST(doc_id div 6 AS STRING), '.com:80/path?a=1&b=2#frag')
+      WHEN 2 THEN concat('http://site', CAST(doc_id div 6 AS STRING), '.com/path?utm_source=x&a=1&b=2')
+      WHEN 3 THEN concat('https://Site', CAST(doc_id div 6 AS STRING), '.com/other?z=9')
+      WHEN 4 THEN concat('https://site', CAST(doc_id div 6 AS STRING), '.com:443/other/?z=9')
+      ELSE concat('https://site', CAST(doc_id div 6 AS STRING), '.com/other?z=9&fbclid=abc')
+    END
+"""
+
+
+@register(
+    "dd_url_dedup",
+    f"""
+    WITH urls AS (
+      SELECT doc_id, {_URL_VARIANTS_SQL} AS url FROM documents
+    )
+    SELECT {dedup.oracle_canonical_url("url")} AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM urls GROUP BY 1
+    """,
+    doc="URL canonicalization + dedup (web-corpus ingest): lowercase "
+        "scheme/host, strip default ports + fragments + tracking params, "
+        "sort query params, strip trailing slashes — all JVM expressions; "
+        "collapse crawl variants with one hash-groupBy on the canonical "
+        "form (operators/dedup.py canonical_url/url_dedup)",
+)
+def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_VARIANTS_SPARK).alias("url")
+    )
+    return dedup.url_dedup(docs, "doc_id", "url")
+
+
 @register(
     "mm_augment_chain",
     # crop(2,1,8,6) -> horizontal flip -> rotate90: flip/rot permute pixels

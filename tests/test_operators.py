@@ -1178,3 +1178,41 @@ def test_augment_images_exact_mappings(spark):
     # out-of-bounds crop drops the row rather than padding
     bad = multimodal.augment_images(media, crop=(8, 8, 8, 8)).count()
     assert bad == 0
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule on its own tricky case."""
+    from hadoop_2_7_1_spark.operators import dedup
+
+    cases = [
+        ("HTTP://Example.COM:80/A/B?x=1#frag", "http://example.com/A/B?x=1"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://e.com/p?b=2&a=1", "http://e.com/p?a=1&b=2"),
+        ("http://e.com/p?utm_source=x&utm_medium=y&a=1", "http://e.com/p?a=1"),
+        ("http://e.com/p?fbclid=zz", "http://e.com/p"),
+        ("http://e.com/dir///", "http://e.com/dir"),
+        ("http://e.com", "http://e.com/"),
+        ("http://e.com/p?ref=home&gclid=1&z=2", "http://e.com/p?z=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in df.select(dedup.canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_collapses_variants(spark):
+    from hadoop_2_7_1_spark.operators import dedup
+
+    rows = [
+        (0, "http://a.com/x?b=2&a=1"),
+        (1, "HTTP://A.com:80/x?a=1&b=2#f"),
+        (2, "http://a.com/x?utm_source=s&a=1&b=2"),
+        (3, "https://b.org/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.canonical_url: (r.n_variants, r.keep_id)
+           for r in dedup.url_dedup(df, "doc_id", "url").collect()}
+    assert out == {
+        "http://a.com/x?a=1&b=2": (3, 0),
+        "https://b.org/y": (1, 3),
+    }
