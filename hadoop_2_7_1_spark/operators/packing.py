@@ -71,3 +71,76 @@ def oracle_pack_sequences(
            CAST((start_off + greatest(toks - 1, 0)) // {seq_len} AS BIGINT) AS seq_last
     FROM c
     """
+
+
+def split_long_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking: docs longer than ``max_tokens`` split into
+    chunks of ``max_tokens`` with ``overlap`` tokens of stride-back — the
+    standard long-document prep for a fixed context window (each chunk
+    starts at k*(max_tokens-overlap)).
+
+    Pure JVM expressions: tokenize once, explode a chunk-index sequence,
+    slice the token array per chunk. Map-side only — zero shuffles; at
+    100 TB this is embarrassingly parallel.
+    """
+    from ..functions import WS_SQL
+
+    stride = max_tokens - overlap
+    toks = f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t <> '')"
+    n = f"size({toks})"
+    n_chunks = f"1 + CAST(ceil(greatest({n} - {max_tokens}, 0) / {stride}.0) AS INT)"
+    return (
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.expr(toks).alias("_toks"),
+            F.expr(n_chunks).alias("_nc"),
+        )
+        .select(
+            "id",
+            F.expr("explode(sequence(0, _nc - 1))").alias("chunk_idx"),
+            "_toks",
+        )
+        .select(
+            "id",
+            F.col("chunk_idx").cast("bigint"),
+            (F.col("chunk_idx") * stride).cast("bigint").alias("start_tok"),
+            F.expr(
+                f"array_join(slice(_toks, chunk_idx * {stride} + 1, {max_tokens}), ' ')"
+            ).alias("chunk_text"),
+            F.expr(
+                f"size(slice(_toks, chunk_idx * {stride} + 1, {max_tokens}))"
+            ).cast("bigint").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def oracle_split_long_docs(
+    table: str, id_col: str, text_col: str, max_tokens: int = 64, overlap: int = 16
+) -> str:
+    from ..functions import WS
+
+    stride = max_tokens - overlap
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, {toks} AS toks,
+             1 + CAST(ceil(greatest(len({toks}) - {max_tokens}, 0) / {stride}.0) AS INT) AS nc
+      FROM {table}
+    ), chunks AS (
+      SELECT id, toks, unnest(range(nc)) AS chunk_idx FROM base
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {stride} AS BIGINT) AS start_tok,
+           array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {max_tokens}], ' ')
+             AS chunk_text,
+           CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {max_tokens}]) AS BIGINT)
+             AS n_chunk_tokens
+    FROM chunks
+    """

@@ -14,7 +14,7 @@ from ..operators import dedup, multimodal, similarity, textops
 from ..operators.funnel import oracle_funnel, oracle_retention
 from ..operators.graph import oracle_pagerank
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
-from ..operators.packing import oracle_pack_sequences
+from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
 from ..operators.sketches import oracle_kmv_distinct
 from ..operators.profile import oracle_profile
@@ -1888,6 +1888,21 @@ def cur_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("bigint"),
         zorder_value("l_orderkey", "l_linenumber").cast("bigint").alias("zval"),
     )
+
+
+@register(
+    "cur_split_long_docs",
+    oracle_split_long_docs("documents", "doc_id", "text", 64, 16),
+    doc="sliding-window chunking of long docs into 64-token chunks with "
+        "16-token overlap (context-window prep): tokenize once, explode a "
+        "chunk-index sequence, slice per chunk — map-only, zero shuffles "
+        "(operators/packing.py split_long_docs)",
+)
+def cur_split_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import split_long_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_long_docs(docs, "doc_id", "text", max_tokens=64, overlap=16)
 
 
 @register(

@@ -1216,3 +1216,29 @@ def test_url_dedup_collapses_variants(spark):
         "http://a.com/x?a=1&b=2": (3, 0),
         "https://b.org/y": (1, 3),
     }
+
+
+def test_split_long_docs_chunk_boundaries(spark):
+    """Chunk windows: stride = max - overlap; last chunk may be short;
+    short docs yield exactly one chunk; reassembling stride-prefixes
+    reconstructs the document."""
+    from hadoop_2_7_1_spark.operators.packing import split_long_docs
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words), (2, "just five words in here")],
+        "doc_id long, text string",
+    )
+    out = split_long_docs(df, "doc_id", "text", max_tokens=64, overlap=16)
+    rows = sorted(
+        ((r.id, r.chunk_idx, r.start_tok, r.n_chunk_tokens, r.chunk_text) for r in out.collect())
+    )
+    # doc 1: 100 tokens -> chunks at 0..64 and 48..100
+    doc1 = [r for r in rows if r[0] == 1]
+    assert [(r[1], r[2], r[3]) for r in doc1] == [(0, 0, 64), (1, 48, 52)]
+    assert doc1[0][4].split() == [f"w{i}" for i in range(64)]
+    assert doc1[1][4].split() == [f"w{i}" for i in range(48, 100)]
+    # doc 2: short -> one whole chunk
+    doc2 = [r for r in rows if r[0] == 2]
+    assert [(r[1], r[2], r[3]) for r in doc2] == [(0, 0, 5)]
+    assert doc2[0][4] == "just five words in here"
