@@ -923,3 +923,64 @@ def bpe_merges(
 
 def _sq(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction — the crawl-to-text step (strip script/style/tags,
+# unescape entities, collapse whitespace). Regex-only (RE2-safe patterns,
+# no backreferences), so the identical chain runs JVM-side and in DuckDB.
+# ---------------------------------------------------------------------------
+
+_HTML_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level closers become hard breaks before tag stripping
+    (r"(?i)</(p|div|h[1-6]|li|tr|table)>", "\n"),
+    (r"(?i)<br[^>]*>", "\n"),
+    (r"(?s)<[^>]+>", " "),
+]
+
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST, so &amp;lt; decodes to &lt; not <
+]
+
+
+def html_to_text(col):
+    """Column expression: visible text of an HTML column.
+
+    Mirrors the standard crawl-extraction chain (script/style/comment
+    removal, block tags → newlines, tag strip, entity unescape, whitespace
+    collapse). Pure JVM ``regexp_replace``/``replace`` — stays in codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _HTML_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    # trim() strips spaces only — take leading/trailing newlines too
+    return F.regexp_replace(F.trim(c), r"^\n+|\n+$", "")
+
+
+def oracle_html_to_text(expr: str) -> str:
+    """DuckDB fragment: the identical extraction chain (RE2 regexes)."""
+    c = expr
+    for pat, rep in _HTML_STEPS:
+        c = f"regexp_replace({c}, '{pat}', '{rep}', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{ch_sql}')"
+    c = f"regexp_replace({c}, '[ \\t\\r\\f]+', ' ', 'g')"
+    # DuckDB/RE2 interprets '\n' in the PATTERN but not in the REPLACEMENT
+    # string — use chr(10) there
+    c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n+', chr(10), 'g')"
+    return f"regexp_replace(trim({c}), '^\\n+|\\n+$', '', 'g')"

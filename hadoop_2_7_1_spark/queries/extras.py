@@ -1212,6 +1212,46 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_merges(docs, "doc_id", "text", n_merges=6)
 
 
+_HTML_WRAP_SQL = (
+    "'<html><head><style>body{color:red}</style>"
+    "<script>var a = 1 < 2;</script></head>"
+    "<body><!-- crawler noise --><h1>Title &amp; more</h1><p>' "
+    "|| text || '</p><div>tail&nbsp;&lt;ok&gt;</div></body></html>'"
+)
+
+
+@register(
+    "txt_html_extract",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           {textops.oracle_html_to_text(_HTML_WRAP_SQL)} AS clean_text,
+           CAST(length({textops.oracle_html_to_text(_HTML_WRAP_SQL)}) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="HTML-to-text extraction (crawl ingest): script/style/comment "
+        "removal, block tags to newlines, tag strip, entity unescape, "
+        "whitespace collapse — all JVM regexp_replace, RE2-safe so the "
+        "DuckDB oracle runs the identical chain "
+        "(operators/textops.py html_to_text)",
+)
+def txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>body{color:red}</style>"
+              "<script>var a = 1 < 2;</script></head>"
+              "<body><!-- crawler noise --><h1>Title &amp; more</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail&nbsp;&lt;ok&gt;</div></body></html>"),
+    )
+    wrapped = docs.select(F.col("doc_id"), html.alias("html"))
+    clean = textops.html_to_text("html")
+    return wrapped.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("n_chars"),
+    )
+
+
 @register(
     "txt_unigram_logprob",
     textops.oracle_unigram_logprob("documents", "doc_id", "text"),

@@ -1242,3 +1242,27 @@ def test_split_long_docs_chunk_boundaries(spark):
     doc2 = [r for r in rows if r[0] == 2]
     assert [(r[1], r[2], r[3]) for r in doc2] == [(0, 0, 5)]
     assert doc2[0][4] == "just five words in here"
+
+
+def test_html_to_text_extraction(spark):
+    """Each extraction rule: script/style/comment removal, block breaks,
+    entity decode (incl. double-encoded &amp;lt;), whitespace collapse."""
+    from hadoop_2_7_1_spark.operators import textops
+
+    html = (
+        "<html><head><title>T</title><style>p {x}</style>"
+        "<script>if (1<2) { alert('hi') }</script></head>"
+        "<body><!-- hidden -->"
+        "<h1>Big   News</h1>"
+        "<p>Tom &amp; Jerry say &quot;hello&quot;</p>"
+        "<p>math: 1 &lt; 2 and literal &amp;lt; stays</p>"
+        "<div>end&nbsp;bit</div></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    got = df.select(textops.html_to_text("html").alias("t")).collect()[0].t
+    assert got == (
+        "T Big News\n"
+        'Tom & Jerry say "hello"\n'
+        "math: 1 < 2 and literal &lt; stays\n"
+        "end bit"
+    )
