@@ -887,7 +887,10 @@ def canonical_url(url_col: str):
     Rules (the standard crawl-dedup set): lowercase scheme+host, strip
     default ports (http:80 / https:443), drop the fragment, drop tracking
     query params (utm_*, fbclid, gclid, msclkid, ref), sort the remaining
-    params, strip trailing path slashes (bare host keeps '/').
+    params, strip trailing path slashes (bare host keeps '/'). Values
+    without a ``scheme://`` authority form (mailto:, relative paths,
+    javascript:) pass through UNCHANGED — collapsing them all to one
+    degenerate key would merge unrelated rows.
     """
     u = f"regexp_replace({url_col}, '#.*$', '')"  # fragment off first
     scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
@@ -905,8 +908,9 @@ def canonical_url(url_col: str):
         f"p -> p != '' AND NOT p RLIKE '{_TRACKING_RE}')), '&')"
     )
     return F.expr(
-        f"concat({scheme}, '://', {host}, {path}, "
-        f"CASE WHEN {kept} != '' THEN concat('?', {kept}) ELSE '' END)"
+        f"CASE WHEN {scheme} = '' OR {host} = '' THEN {url_col} "
+        f"ELSE concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {kept} != '' THEN concat('?', {kept}) ELSE '' END) END"
     )
 
 
@@ -931,8 +935,9 @@ def oracle_canonical_url(url_expr: str) -> str:
         f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))), '&')"
     )
     return (
-        f"concat({scheme}, '://', {host}, {path}, "
-        f"CASE WHEN {kept} <> '' THEN concat('?', {kept}) ELSE '' END)"
+        f"CASE WHEN {scheme} = '' OR {host} = '' THEN {url_expr} "
+        f"ELSE concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {kept} <> '' THEN concat('?', {kept}) ELSE '' END) END"
     )
 
 

@@ -429,16 +429,19 @@ def make_gif_animated(frames: list[bytes], width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def gif_decode_frames(payload: bytes) -> list[tuple[int, int, bytearray]]:
-    """All frames of a GIF as (width, height, gray/index bytes). Pure
-    stdlib; handles GCT, extensions, sub-block framing, per-frame LZW."""
+def _gif_frames_raw(payload: bytes):
+    """Yield (idx, width, height, min_code_size, lzw_bytes) per
+    NON-interlaced frame without decoding — the cheap sub-block walk.
+    Interlaced frames (fpacked & 0x40: 4-pass row order) are skipped, like
+    png_decode skips interlaced PNGs. Truncated/corrupt streams raise
+    (callers guard)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
-        return []
-    sw, sh, packed, _, _ = struct.unpack("<HHBBB", payload[6:13])
+        return
+    packed = struct.unpack("<HHBBB", payload[6:13])[2]
     pos = 13
     if packed & 0x80:
         pos += 3 * (2 << (packed & 0x07))  # skip global color table
-    frames = []
+    idx = 0
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
@@ -463,7 +466,22 @@ def gif_decode_frames(payload: bytes) -> list[tuple[int, int, bytearray]]:
             lzw += payload[pos + 1 : pos + 1 + n]
             pos += 1 + n
         pos += 1
-        frames.append((fw, fh, _lzw_decode(bytes(lzw), mcs, fw * fh)))
+        if not fpacked & 0x40:  # skip interlaced frames
+            yield idx, fw, fh, bytes(lzw), mcs
+        idx += 1
+
+
+def gif_decode_frames(payload: bytes) -> list[tuple[int, int, bytearray]]:
+    """All non-interlaced frames of a GIF as (width, height, gray/index
+    bytes). Pure stdlib; handles GCT, extensions, sub-block framing,
+    per-frame LZW. Truncated/corrupt payloads yield the frames parsed so
+    far (never raise — crawl data contains cut-off files)."""
+    frames = []
+    try:
+        for _, fw, fh, lzw, mcs in _gif_frames_raw(payload):
+            frames.append((fw, fh, _lzw_decode(lzw, mcs, fw * fh)))
+    except (struct.error, IndexError):
+        pass
     return frames
 
 
@@ -481,14 +499,19 @@ def sample_video_frames(
         for pdf in batches:
             ids, idxs, ws, hs, pngs = [], [], [], [], []
             for media_id, blob in zip(pdf[id_col], pdf[content_col]):
-                for i, (fw, fh, px) in enumerate(gif_decode_frames(bytes(blob))):
-                    if i % every_n:
-                        continue
-                    ids.append(int(media_id))
-                    idxs.append(i)
-                    ws.append(fw)
-                    hs.append(fh)
-                    pngs.append(png_encode(fw, fh, 1, bytes(px)))
+                try:
+                    # walk all frames cheaply; LZW-decode ONLY sampled ones
+                    for i, fw, fh, lzw, mcs in _gif_frames_raw(bytes(blob)):
+                        if i % every_n:
+                            continue
+                        px = _lzw_decode(lzw, mcs, fw * fh)
+                        ids.append(int(media_id))
+                        idxs.append(i)
+                        ws.append(fw)
+                        hs.append(fh)
+                        pngs.append(png_encode(fw, fh, 1, bytes(px)))
+                except (struct.error, IndexError):
+                    continue  # truncated blob: keep frames gathered so far
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "width": ws,
                  "height": hs, "frame_png": pngs}
@@ -555,30 +578,36 @@ def make_wav(samples: list[int], rate: int = 16000) -> bytes:
 
 def parse_wav(payload: bytes):
     """(rate, channels, bits, samples list) from RIFF/WAVE PCM bytes; walks
-    chunks so extra chunks (LIST, fact, ...) are tolerated. None if not a
-    PCM WAV."""
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    chunks so extra chunks (LIST, fact, ...) and any fmt/data order are
+    tolerated. None for anything that isn't 16-bit PCM WAVE — including
+    truncated/corrupt streams (crawl data; never raises)."""
+    try:
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos = 12
+        rate = channels = bits = None
+        data_body: bytes | None = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+                if audio_fmt != 1:
+                    return None  # compressed WAV needs codec libs
+            elif cid == b"data":
+                data_body = body  # decoded after the walk: order-independent
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if rate is None or bits != 16 or data_body is None:
+            return None
+        samples = [
+            struct.unpack_from("<h", data_body, i)[0]
+            for i in range(0, len(data_body) - 1, 2)
+        ]
+        return rate, channels, bits, samples
+    except struct.error:
         return None
-    pos = 12
-    rate = channels = bits = None
-    samples: list[int] = []
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt ":
-            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
-            bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1:
-                return None  # compressed WAV needs codec libs
-        elif cid == b"data" and bits == 16:
-            samples = [
-                struct.unpack_from("<h", body, i)[0] for i in range(0, len(body) - 1, 2)
-            ]
-        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if rate is None:
-        return None
-    return rate, channels, bits, samples
 
 
 def audio_features(
@@ -595,7 +624,11 @@ def audio_features(
                 parsed = parse_wav(bytes(blob))
                 if parsed is None:
                     continue
-                _, _, _, samples = parsed
+                _, channels, _, samples = parsed
+                if channels and channels > 1:
+                    # features are defined over ONE stream; take channel 0
+                    # of the interleaved frames rather than mixing L/R
+                    samples = samples[::channels]
                 for w in range(len(samples) // window):
                     seg = samples[w * window : (w + 1) * window]
                     ids.append(int(media_id))

@@ -321,19 +321,19 @@ def read_sequence_file(
     rdd = spark.sparkContext.sequenceFile(path, minSplits=min_splits)
     try:
         return rdd.toDF([key_name, value_name])
-    except ValueError:  # "RDD is empty" — derive schema from the header
+    except ValueError:
+        # toDF raises ValueError both for empty RDDs and for undeterminable
+        # types (e.g. NullWritable values). Only the EMPTY case may fall
+        # back to a header-derived schema — anything else must surface.
+        if not rdd.isEmpty():
+            raise
         import glob as _glob
 
-        local = path.replace("file:", "")
+        local = path[5:] if path.startswith("file:") else path
         parts = sorted(_glob.glob(os.path.join(local, "part-*"))) or [local]
         with open(parts[0], "rb") as fh:
             head = fh.read(4096)
-        pos = 4
-        klen, pos = read_vlong(head, pos)
-        key_class = head[pos : pos + klen].decode()
-        pos += klen
-        vlen, pos = read_vlong(head, pos)
-        value_class = head[pos : pos + vlen].decode()
+        key_class, value_class, _ = _read_seq_header(head)
         schema = (
             f"{key_name} {_SPARK_TYPE_FOR_WRITABLE.get(key_class, 'string')}, "
             f"{value_name} {_SPARK_TYPE_FOR_WRITABLE.get(value_class, 'string')}"
@@ -361,8 +361,8 @@ def read_sequence_file_as_text(
 # format's second, independent implementation for round-trip tests.
 # ---------------------------------------------------------------------------
 
-def _parse_seq_stream(buf: bytes):
-    """Yield (key_bytes, value_bytes, key_class, value_class) records."""
+def _read_seq_header(buf: bytes) -> tuple[str, str, int]:
+    """(key_class, value_class, pos_after_classnames) from a v6 stream."""
     if buf[:4] != b"SEQ\x06":
         raise ValueError("not a SequenceFile v6 stream")
     pos = 4
@@ -371,7 +371,12 @@ def _parse_seq_stream(buf: bytes):
     pos += klen
     vlen, pos = read_vlong(buf, pos)
     value_class = buf[pos : pos + vlen].decode()
-    pos += vlen
+    return key_class, value_class, pos + vlen
+
+
+def _parse_seq_stream(buf: bytes):
+    """Yield (key_bytes, value_bytes, key_class, value_class) records."""
+    key_class, value_class, pos = _read_seq_header(buf)
     compressed, block = struct.unpack_from(">??", buf, pos)
     pos += 2
     if compressed or block:

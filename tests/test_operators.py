@@ -1266,3 +1266,60 @@ def test_html_to_text_extraction(spark):
         "math: 1 < 2 and literal &lt; stays\n"
         "end bit"
     )
+
+
+def test_media_parsers_tolerate_truncated_blobs(spark):
+    """Crawl blobs are routinely cut off: truncated GIF/WAV streams must
+    yield no rows (or partial frames), never crash the task."""
+    truncated_gif = multimodal.make_gif_animated(
+        [bytes(range(64)) * 1], 8, 8
+    )[:20]  # cut inside the first frame
+    cases = [
+        bytearray(b"GIF89a"),             # header only
+        bytearray(truncated_gif),
+        bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"),  # cut fmt
+        bytearray(b"RIFFxxxxWAVE"),
+    ]
+    media = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(cases)], "media_id long, content binary"
+    )
+    assert multimodal.sample_video_frames(media, 2).count() == 0
+    assert multimodal.audio_features(media, window=16).count() == 0
+    # pure functions agree
+    assert multimodal.gif_decode_frames(b"GIF89a") == []
+    assert multimodal.parse_wav(bytes(cases[2])) is None
+
+
+def test_canonical_url_schemeless_passthrough(spark):
+    """mailto:/relative/javascript values must NOT collapse to one
+    degenerate key — they pass through unchanged."""
+    from hadoop_2_7_1_spark.operators import dedup
+
+    urls = ["mailto:a@b.com", "/about", "javascript:void(0)", "not a url"]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r.c for r in df.select(dedup.canonical_url("url").alias("c")).collect()]
+    assert got == urls
+
+
+def test_wav_stereo_uses_channel_zero(spark):
+    """Interleaved stereo: features must come from one channel, not a
+    mixed L/R stream."""
+    import struct as _s
+
+    left = [1000 * ((i % 4) - 2) for i in range(64)]
+    right = [0] * 64
+    inter = [v for pair in zip(left, right) for v in pair]
+    data = b"".join(_s.pack("<h", s) for s in inter)
+    fmt = _s.pack("<HHIIHH", 1, 2, 16000, 16000 * 4, 4, 16)
+    wav = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame([(1, bytearray(wav))], "media_id long, content binary")
+    rows = multimodal.audio_features(media, window=64).collect()
+    assert len(rows) == 1
+    expect_rms = (sum(s * s for s in left) / 64) ** 0.5
+    import math
+
+    assert math.isclose(rows[0].rms, expect_rms, rel_tol=1e-12)
