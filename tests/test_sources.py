@@ -535,3 +535,27 @@ def test_sequence_file_empty_dataframe(spark, tmp_path):
     seqfile.write_sequence_file(df, out, "k", "v")
     assert os.listdir(out)  # at least one part file exists
     assert seqfile.read_sequence_file(spark, out).count() == 0
+
+
+def test_har_multiblock_masterindex(spark, tmp_path):
+    """>1000 index entries forces multiple _masterindex blocks; Hadoop's
+    HarFileSystem must still resolve entries via its hash-range binary
+    search over our block table."""
+    from hadoop_2_7_1_spark.sources import har
+
+    src = tmp_path / "many"
+    src.mkdir()
+    n = 1200
+    for i in range(n):
+        (src / f"f{i:04d}.txt").write_text(f"payload-{i}")
+    dst = str(tmp_path / "many.har")
+    assert har.har_create(spark, str(src), dst, num_parts=4) == n
+
+    master = open(dst + "/_masterindex").read().strip().splitlines()
+    assert master[0].strip() == "3"
+    assert len(master) >= 3  # version + >=2 hash-range blocks
+
+    # spot-read entries that land in different blocks through har://
+    for i in (0, 599, 1199):
+        got = [r.value for r in har.har_read_file(spark, dst, f"f{i:04d}.txt").collect()]
+        assert got == [f"payload-{i}"]
