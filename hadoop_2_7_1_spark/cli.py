@@ -20,7 +20,8 @@ Streaming flag          Lowering
                         shipped artifacts are in the task working directory
                         exactly like the reference's file packaging
 -cmdenv name=value      subprocess environment overlay
--inputformat            text | kv | seqtext | auto | parquet
+-inputformat            text | kv | seqtext | auto | parquet | xml
+-inputreader            StreamXmlRecordReader,begin=B,end=E → sources.xml
 -outputformat           text | seq (SequenceFile via sources.seqfile)
 -partitioner kf         KeyFieldBasedPartitioner (+keypartitioner.options)
 -numReduceTasks         shuffle partition count
@@ -75,11 +76,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-inputformat",
         default="text",
-        choices=["text", "kv", "seq", "seqtext", "auto", "parquet",
+        choices=["text", "kv", "seq", "seqtext", "auto", "parquet", "xml",
                  "TextInputFormat", "KeyValueTextInputFormat",
                  "SequenceFileInputFormat",
-                 "SequenceFileAsTextInputFormat", "AutoInputFormat"],
+                 "SequenceFileAsTextInputFormat", "AutoInputFormat",
+                 "StreamInputFormat"],
     )
+    # -inputreader "StreamXmlRecordReader,begin=<tag>,end=</tag>"
+    # (ST/StreamJob.java -inputreader flag; reader semantics
+    # ST/StreamXmlRecordReader.java:40). Implies the xml input format.
+    p.add_argument("-inputreader", default=None, dest="inputreader")
     p.add_argument("-outputformat", default="text", choices=["text", "seq"])
     p.add_argument("-partitioner", default=None)
     p.add_argument("-io", default="text", choices=["text", "typedbytes"], dest="io_mode")
@@ -96,7 +102,19 @@ _INPUTFORMAT_ALIASES = {
     "SequenceFileInputFormat": "seq",
     "SequenceFileAsTextInputFormat": "seqtext",
     "AutoInputFormat": "auto",
+    "StreamInputFormat": "xml",
 }
+
+
+def _parse_inputreader(spec: str) -> tuple[str, str]:
+    """``StreamXmlRecordReader,begin=B,end=E`` → (B, E)."""
+    parts = spec.split(",")
+    if not parts[0].strip().endswith("StreamXmlRecordReader"):
+        raise ValueError(f"unsupported -inputreader {parts[0]!r}")
+    kv = dict(p.split("=", 1) for p in parts[1:] if "=" in p)
+    if "begin" not in kv or "end" not in kv:
+        raise ValueError("-inputreader StreamXmlRecordReader needs begin=/end=")
+    return kv["begin"], kv["end"]
 
 
 def _kspec_to_fieldspec(opts: str) -> str:
@@ -118,7 +136,7 @@ def _kspec_to_fieldspec(opts: str) -> str:
     return ",".join(parts)
 
 
-def _read_one(spark, fmt: str, path: str, sep: str):
+def _read_one(spark, fmt: str, path: str, sep: str, xml_tags=None):
     from .io import load_auto, read_kv_text, read_text
     from .sources.seqfile import read_sequence_file, read_sequence_file_as_text
 
@@ -132,6 +150,15 @@ def _read_one(spark, fmt: str, path: str, sep: str):
         return read_sequence_file_as_text(spark, path)
     if fmt == "auto":
         return load_auto(spark, path)
+    if fmt == "xml":
+        from .sources.xml import read_xml_records
+
+        begin, end = xml_tags or ("<record>", "</record>")
+        # one record per span, presented like a text source so the mapper
+        # pipe / identity paths treat it uniformly
+        return read_xml_records(spark, path, begin, end).withColumnRenamed(
+            "record", "value"
+        )
     return read_text(spark, path)
 
 
@@ -199,10 +226,14 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     env = dict(e.split("=", 1) for e in args.cmdenv) or None
 
     fmt = _INPUTFORMAT_ALIASES.get(args.inputformat, args.inputformat)
+    xml_tags = None
+    if args.inputreader:
+        xml_tags = _parse_inputreader(args.inputreader)
+        fmt = "xml"
     paths = [p for arg in args.inputs for p in arg.split(",")]
-    df = _read_one(spark, fmt, paths[0], args.separator)
+    df = _read_one(spark, fmt, paths[0], args.separator, xml_tags)
     for path in paths[1:]:  # MultipleInputs: union of sources
-        df = df.unionByName(_read_one(spark, fmt, path, args.separator))
+        df = df.unionByName(_read_one(spark, fmt, path, args.separator, xml_tags))
 
     def pipe(frame, cmd_str, **kw):
         if args.io_mode == "typedbytes":
@@ -272,27 +303,33 @@ def run(argv: list[str] | None = None, spark=None) -> str:
 
     if args.verbose:
         out.explain()
+    persisted = False
     if args.lazy_output:
         # LazyOutputFormat: skip the sink only when the result is empty.
         # persist so the emptiness probe and the write share one execution
         # (subprocess pipes must not run twice over the data).
         out = out.persist()
+        persisted = True
         if len(out.take(1)) == 0:
             out.unpersist()
             return args.output
-    if args.outputformat == "seq":
-        from .sources.seqfile import write_sequence_file
+    try:
+        if args.outputformat == "seq":
+            from .sources.seqfile import write_sequence_file
 
-        write_sequence_file(out, args.output, out.columns[0], out.columns[1])
-    else:
-        # TextOutputFormat: raw key<sep>value lines, never quoted (the csv
-        # sink would quote any field containing the separator).
-        lines = out.select(
-            F.concat_ws(
-                args.separator, *[F.col(c).cast("string") for c in out.columns]
-            ).alias("value")
-        )
-        lines.write.mode("overwrite").text(args.output)
+            write_sequence_file(out, args.output, out.columns[0], out.columns[1])
+        else:
+            # TextOutputFormat: raw key<sep>value lines, never quoted (the csv
+            # sink would quote any field containing the separator).
+            lines = out.select(
+                F.concat_ws(
+                    args.separator, *[F.col(c).cast("string") for c in out.columns]
+                ).alias("value")
+            )
+            lines.write.mode("overwrite").text(args.output)
+    finally:
+        if persisted:
+            out.unpersist()  # don't leak cached blocks for the session lifetime
     return args.output
 
 

@@ -41,10 +41,22 @@ def pagerank(
     ranks = nodes.withColumn("rank_pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iterations):
+        # Contributions accumulate as SCALED BIGINT (x1e15): round(c*1e15) is
+        # the same IEEE double product and the same half-up rounding on both
+        # engines (positive values), the integer sum is exact under any
+        # partial-sum grouping, and per-dst mass <= 1 keeps the scaled sum
+        # under 2^53 so the cast back to double is lossless. (A decimal(38,24)
+        # cast is NOT portable: DuckDB scales through double*10^24, which
+        # can't be correctly rounded past 2^53.)
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
-            .select("dst", (F.col("rank_pr") / F.col("outdeg")).alias("c"))
+            .select(
+                "dst",
+                F.round((F.col("rank_pr") / F.col("outdeg")) * F.lit(1e15))
+                .cast("bigint")
+                .alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
@@ -52,7 +64,13 @@ def pagerank(
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(
                 "node",
-                (F.lit(base) + damping * F.coalesce(F.col("in_sum"), F.lit(0.0)))
+                (
+                    F.lit(base)
+                    + damping
+                    * F.coalesce(
+                        F.col("in_sum").cast("double") / F.lit(1e15), F.lit(0.0)
+                    )
+                )
                 .cast("double")
                 .alias("rank_pr"),
             )
@@ -152,22 +170,30 @@ def oracle_pagerank(
     edges_sql: str, iterations: int = 3, damping: float = 0.85
 ) -> str:
     """Unrolled-CTE replay of the identical fixed-iteration computation."""
+    # Constants mirror the engine's PYTHON-evaluated doubles bit-for-bit:
+    # 1.0 - 0.85 in IEEE double is 0.15000000000000002, not decimal 0.15 —
+    # inject the repr so DuckDB casts to the identical double. Contribution
+    # sums accumulate as scaled bigints (x1e15), matching pagerank()'s plan.
+    base_num = repr(1.0 - damping)
     sql = f"""
     WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
     nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
     n_cte AS (SELECT count(*) AS n FROM nodes),
     outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-    r0 AS (SELECT node, 1.0 / n AS rank_pr FROM nodes CROSS JOIN n_cte)"""
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank_pr FROM nodes CROSS JOIN n_cte)"""
     for i in range(iterations):
         sql += f""",
     c{i} AS (
-      SELECT e.dst, sum(r.rank_pr / o.outdeg) AS in_sum
+      SELECT e.dst,
+             sum(CAST(round(r.rank_pr / o.outdeg * 1e15) AS BIGINT)) AS in_sum
       FROM e JOIN r{i} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
       GROUP BY e.dst
     ),
     r{i + 1} AS (
       SELECT nodes.node,
-             (1.0 - {damping}) / n + {damping} * coalesce(c{i}.in_sum, 0.0) AS rank_pr
+             CAST({base_num} AS DOUBLE) / n
+             + CAST({damping!r} AS DOUBLE)
+               * coalesce(CAST(c{i}.in_sum AS DOUBLE) / 1e15, 0.0) AS rank_pr
       FROM nodes CROSS JOIN n_cte LEFT JOIN c{i} ON nodes.node = c{i}.dst
     )"""
     sql += f"""

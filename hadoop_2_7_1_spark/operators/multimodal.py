@@ -199,56 +199,64 @@ def png_decode(payload: bytes):
     """
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, width = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (clen,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + clen]
-        if ctype == b"IHDR":
-            width, height = struct.unpack_from(">II", data, 0)
-            depth, color, _, _, interlace = data[8:13]
-            if depth != 8 or color not in _PNG_CHANNELS or interlace:
-                return None
-            ch = _PNG_CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen
-    if width is None or not idat:
+    # Crawl-data contract: corrupt streams (bad IDAT zlib, truncated pixel
+    # data, short IHDR) are skipped (None), never task-fatal — matching
+    # gif_decode_frames/parse_wav.
+    try:
+        pos, width = 8, None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"IHDR":
+                width, height = struct.unpack_from(">II", data, 0)
+                depth, color, _, _, interlace = data[8:13]
+                if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                    return None
+                ch = _PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen
+        if width is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = width * ch
+        if len(raw) < height * (1 + stride):
+            return None
+        out = bytearray(height * stride)
+        prev = bytearray(stride)
+        src = 0
+        for y in range(height):
+            ftype = raw[src]
+            line = bytearray(raw[src + 1 : src + 1 + stride])
+            src += 1 + stride
+            if ftype == 1:  # Sub
+                for i in range(ch, stride):
+                    line[i] = (line[i] + line[i - ch]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            out[y * stride : (y + 1) * stride] = line
+            prev = line
+        return width, height, ch, out
+    except (zlib.error, IndexError, ValueError, struct.error):
         return None
-    raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    out = bytearray(height * stride)
-    prev = bytearray(stride)
-    src = 0
-    for y in range(height):
-        ftype = raw[src]
-        line = bytearray(raw[src + 1 : src + 1 + stride])
-        src += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
-    return width, height, ch, out
 
 
 def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:

@@ -415,9 +415,14 @@ def tfidf_top_terms(
         tf.join(dfreq, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
+            # rounded to 6 decimals: ln() can differ across engines in the
+            # last ulp, which would both flip the rank order between
+            # near-equal scores and break the exact value hash
             "tfidf",
             (F.col("tf").cast("double")
-             * F.log(F.col("n_docs").cast("double") / F.col("df"))).cast("double"),
+             * F.log(F.col("n_docs").cast("double") / F.col("df")))
+            .cast("decimal(38,6)")
+            .cast("double"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -449,7 +454,8 @@ def oracle_tfidf_top_terms(table: str, id_col: str, text_col: str, k: int = 5) -
     ), n AS (SELECT count(*) AS n_docs FROM {table}),
     scored AS (
       SELECT doc_id, term, tf, df,
-             CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+             CAST(CAST(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)
+                       AS DECIMAL(38,6)) AS DOUBLE) AS tfidf
       FROM tf JOIN dfreq USING (term) CROSS JOIN n
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
@@ -503,10 +509,12 @@ def bm25_scores(
         F.col("tf") * (k1 + 1)
         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     )
+    # per-term parts rounded to 6 decimals (ln ulp drift across engines),
+    # then summed exactly as decimal — score is order-independent
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(stats))
-        .withColumn("part", (idf * tf_part).cast("double"))
+        .withColumn("part", (idf * tf_part).cast("decimal(38,6)"))
     )
     return scored.groupBy("doc_id").agg(
         F.sum("part").cast("double").alias("score_bm25")
@@ -535,9 +543,13 @@ def oracle_bm25_scores(
       SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
     ), scored AS (
       SELECT tf.doc_id,
-             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-             * (tf * ({k1} + 1))
-             / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)) AS part
+             CAST(ln(CAST(n_docs - df + 0.5 AS DOUBLE)
+                     / CAST(df + 0.5 AS DOUBLE) + 1.0)
+                  * (tf * (CAST({k1!r} AS DOUBLE) + 1))
+                  / (tf + CAST({k1!r} AS DOUBLE)
+                          * (1 - CAST({b!r} AS DOUBLE)
+                             + CAST({b!r} AS DOUBLE) * dl / avgdl))
+                  AS DECIMAL(38,6)) AS part
       FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN stats
     )
@@ -806,14 +818,21 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("tot"))
+    # ln() differs across engines in the last ulp, and a per-doc double mean
+    # depends on summation order — round each token logprob to 6 decimals
+    # (identical on both sides) and average via an exact decimal sum, so the
+    # result is a pure function of the token multiset.
     scored = (
         toks.join(counts, "tok")
         .crossJoin(F.broadcast(total))
-        .select("id", F.log(F.col("cnt") / F.col("tot")).alias("lp"))
+        .select(
+            "id",
+            F.log(F.col("cnt") / F.col("tot")).cast("decimal(38,6)").alias("lp"),
+        )
     )
     return scored.groupBy("id").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
-        F.avg("lp").cast("double").alias("avg_logprob"),
+        (F.sum("lp").cast("double") / F.count("*")).alias("avg_logprob"),
     )
 
 
@@ -827,7 +846,8 @@ def oracle_unigram_logprob(table: str, id_col: str, text_col: str) -> str:
     ), total AS (SELECT sum(cnt) AS tot FROM counts)
     SELECT CAST(id AS BIGINT) AS id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(avg(ln(cnt / tot)) AS DOUBLE) AS avg_logprob
+           CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / tot) AS DECIMAL(38,6))) AS DOUBLE)
+           / count(*) AS avg_logprob
     FROM toks JOIN counts USING (tok), total
     GROUP BY id
     """
@@ -923,6 +943,53 @@ def bpe_merges(
 
 def _sq(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def oracle_bpe_merges(table: str, text_col: str, n_merges: int = 6) -> str:
+    """DuckDB replay of :func:`bpe_merges` — unrolled rounds over the same
+    word-frequency table.
+
+    Each word's segmentation is a string with chr(31) BEFORE every symbol
+    ("\\x1fa\\x1fb\\x1fc"); applying merge (l, r) is then
+    ``replace(s, sep||l||sep||r, sep||l||r)``: SQL replace scans left to
+    right and resumes AFTER each replacement, which reproduces the engine's
+    greedy carry fold exactly (e.g. [a,a,a] -> [aa,a], [a,a,b] with (a,b)
+    -> [a,ab]). chr(31) never occurs in whitespace-split tokens of the
+    test corpora."""
+    sep = "chr(31)"
+    sql = f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
+                                t -> t <> '')) AS w
+      FROM {table}
+    ),
+    wf AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+    w0 AS (SELECT regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS s, wc FROM wf)"""
+    for i in range(n_merges):
+        sql += f""",
+    t{i} AS (
+      SELECT l, r, sum(wc) AS cnt FROM (
+        SELECT syms[g] AS l, syms[g + 1] AS r, wc FROM (
+          SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS g
+          FROM (SELECT list_filter(str_split(s, {sep}), x -> x <> '') AS syms, wc
+                FROM w{i})
+        )
+      ) GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    w{i + 1} AS (
+      SELECT replace(s, {sep} || t{i}.l || {sep} || t{i}.r,
+                     {sep} || t{i}.l || t{i}.r) AS s, wc
+      FROM w{i}, t{i}
+    )"""
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS \"left\", r AS \"right\", "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(n_merges)
+    )
+    sql += f"""
+    SELECT * FROM ({unions})
+    """
+    return sql
 
 
 # ---------------------------------------------------------------------------

@@ -48,40 +48,38 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # least once (r1+r2 covered the reference example suite, TPC-H, and the
 # flagship dedup/similarity/text/event operators — 72 distinct names).
 #
-# Round-3 window = the three queries fixed this round (TIMESTAMP_NTZ
-# normalization: evt_sessionize/tmp_range_join; checksum BIGINT:
-# bench_teragen_gensort) so the fixes earn green driver rows, followed by 47
-# never-sampled queries. Rotate in round 4: the 8 deferred close siblings
-# of already-green queries (agg_cube/agg_grouping_sets ~ agg_rollup,
-# src_regex_filter ~ src_md5_sample, smp_train_test_split ~ smp_stratified,
-# txt_vocab ~ txt_oov, bench_gridmix_load ~ bench_rumen_digest,
-# evt_retention ~ evt_funnel, dd_incremental_ingest ~ dd_chunk_dedup) plus
-# the queries added during round 3 (mm_resize_pixels, txt_unigram_logprob,
-# txt_bpe_merges, cur_zorder_key).
+# Round-4 window: the 18 registered-but-never-driver-sampled queries (r3's
+# verdict re-verified them all green in its own sim run), followed by this
+# round's float-determinism fixes (decimal/scaled-integer accumulation in
+# src_bucketed_join, the tq* revenue family, agg_salted_skew, grf_pagerank,
+# txt_bm25/tfidf/unigram — all must earn fresh hash-checked rows), then
+# high-value re-checks. After r4 every registered query has at least one
+# driver-verified CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # fixed this round — re-verify
-    "evt_sessionize", "tmp_range_join", "bench_teragen_gensort",
-    # never-driver-sampled tail
-    "tq2_min_cost_supplier", "tq11_important_stock",
-    "tq12_shipping_priority_mix",
-    "q24_compose_join", "q25_random_text", "q26_pentomino", "q27_sudoku",
-    "bench_terasort_big", "bench_rumen_digest",
-    "mm_decode_meta",
-    "src_md5_sample", "src_fixed_width", "src_bucketed_join",
-    "agg_rollup", "agg_uniq_capped", "agg_salted_skew", "agg_salted_join",
-    "agg_kmv_distinct", "agg_cms_heavy", "agg_bloom_prune",
-    "agg_group_quantiles",
-    "dd_simhash_pairs", "dd_containment",
-    "smp_stratified", "smp_mixture", "smp_temperature",
-    "prof_lineitem",
-    "txt_repetition", "txt_tfidf_topterms", "txt_bm25", "txt_oov",
-    "txt_encode_ids", "txt_winnow",
-    "cur_decontaminate", "cur_pack_sequences", "cur_global_shuffle",
-    "cur_upsert_merge", "cur_length_buckets", "cur_dataset_card",
-    "evt_correlate", "evt_funnel", "evt_anomaly",
+    # never-driver-sampled (18)
+    "agg_cube", "agg_grouping_sets", "src_regex_filter",
+    "smp_train_test_split", "txt_vocab", "bench_gridmix_load",
+    "evt_retention", "dd_incremental_ingest",
+    "mm_resize_pixels", "mm_frame_sample", "mm_audio_features",
+    "mm_augment_chain",
+    "txt_unigram_logprob", "txt_bpe_merges", "txt_html_extract",
+    "cur_zorder_key", "dd_url_dedup", "cur_split_long_docs",
+    # float-determinism fixes from this round — re-verify under the driver's
+    # exact hash
+    "src_bucketed_join",
+    "tq1_pricing_summary", "tq3_shipping_priority",
+    "tq5_local_supplier_volume", "tq6_forecast_revenue",
+    "tq7_volume_shipping", "tq8_market_share", "tq9_product_profit",
+    "tq10_returned_items", "tq14_promo_effect", "tq15_top_supplier",
+    "tq17_small_qty_revenue", "tq19_discounted_revenue",
+    "tq22_sales_opportunity", "tq_running_totals",
+    "txt_bm25", "txt_tfidf_topterms", "agg_salted_skew", "grf_pagerank",
+    # high-value re-checks
+    "evt_sessionize", "evt_anomaly", "bench_terasort_big",
+    "dd_minhash_lsh", "dd_dup_clusters", "dd_exact_dup_docs",
+    "sim_ivf_topk", "sim_knn_join", "cur_pipeline_e2e",
+    "q06_secondary_sort", "q22_pi_qmc", "smp_temperature",
     "tmp_asof_tolerance",
-    "sim_kmeans_sizes", "sim_pq_adc",
-    "grf_pagerank", "grf_triangles",
 ]
 
 

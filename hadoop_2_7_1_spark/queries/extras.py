@@ -608,7 +608,7 @@ def agg_uniq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_skew",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(value) AS DOUBLE) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value,
            CAST(max(value) AS DOUBLE) AS max_value
     FROM events GROUP BY event_type
     """,
@@ -624,7 +624,9 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         {
             "n": ("sum", F.count("*")),
-            "sum_value": ("sum", F.sum("value")),
+            # decimal partials: the salted two-phase merge must reproduce the
+            # oracle's single-stream double sum bit-for-bit
+            "sum_value": ("sum", F.sum(F.col("value").cast("decimal(38,9)"))),
             "max_value": ("max", F.max("value")),
         },
         salt_source="event_id",
@@ -822,7 +824,8 @@ def cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(o.o_orderpriority AS VARCHAR) AS priority,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4)))
+                AS DOUBLE) AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -850,9 +853,13 @@ def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o, li = spark.table(t_orders), spark.table(t_li)
     joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    # Decimal accumulation makes the sum independent of partial-sum grouping:
+    # reading through 8 buckets must hash-match the oracle's single-stream sum.
     return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").cast("bigint").alias("n_items"),
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+        )
         .cast("double")
         .alias("revenue"),
     )
@@ -1198,10 +1205,11 @@ def txt_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txt_bpe_merges",
-    # Not SQL-expressible (data-dependent iterative merges) -> rows-only
-    # driver check; exact-output parity against an independent in-memory
-    # BPE trainer in tests/test_operators.py::test_bpe_merges_match_reference_impl.
-    None,
+    # Hash-checked: the data-dependent iterative merges unroll into a DuckDB
+    # CTE chain (separator-string replace == the engine's greedy carry fold);
+    # ALSO pinned against an independent in-memory BPE trainer in
+    # tests/test_operators.py::test_bpe_merges_match_reference_impl.
+    textops.oracle_bpe_merges("documents", "text", n_merges=6),
     doc="BPE merge training (Sennrich 2016): 6 most-frequent-pair merges "
         "learned over the word-frequency table; per round one map-side "
         "combined pair count + top-1 reduce, merge applied JVM-side "

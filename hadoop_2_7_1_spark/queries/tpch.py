@@ -16,17 +16,29 @@ from ..io import load_table
 from . import register
 
 
+def _dsum(col, scale: int = 4):
+    """Order-independent double sum: accumulate as decimal (exact, so the
+    result is identical under ANY partial-sum grouping — bucketed reads, AQE
+    re-partitioning, a different executor count, DuckDB's parallel
+    aggregation), then cast back to double. The input expressions here are
+    money/quantity values with <= `scale` true decimal digits, so the
+    per-row decimal cast is lossless. The driver hash-compares floats
+    EXACTLY — plain double sums differ from the oracle in the last ulp
+    whenever the accumulation order differs."""
+    return F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
+
+
 @register(
     "tq1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-           CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
-           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE) AS sum_charge,
-           CAST(avg(l_quantity) AS DOUBLE) AS avg_qty,
-           CAST(avg(l_extendedprice) AS DOUBLE) AS avg_price,
-           CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -41,13 +53,13 @@ def tq1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
-            F.sum("l_extendedprice").cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).cast("double").alias("sum_charge"),
-            F.avg("l_quantity").cast("double").alias("avg_qty"),
-            F.avg("l_extendedprice").cast("double").alias("avg_price"),
-            F.avg("l_discount").cast("double").alias("avg_disc"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
             F.count("*").cast("bigint").alias("count_order"),
         )
     )
@@ -57,7 +69,7 @@ def tq1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tq3_shipping_priority",
     """
     SELECT CAST(o_orderkey AS BIGINT) AS okey,
-           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -84,9 +96,7 @@ def tq3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
     )
     return joined.groupBy("o_orderkey", "o_orderdate").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("double")
-        .alias("revenue")
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     ).select(
         F.col("o_orderkey").cast("bigint").alias("okey"), "revenue", "o_orderdate"
     )
@@ -96,7 +106,7 @@ def tq3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tq5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -125,9 +135,7 @@ def tq5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
     )
     return joined.groupBy("n_name").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("double")
-        .alias("revenue")
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
@@ -171,7 +179,7 @@ def tq4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tq6_forecast_revenue",
     """
-    SELECT CAST(sum(l_extendedprice * l_discount) AS DOUBLE) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -190,14 +198,15 @@ def tq6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).cast("double").alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
 @register(
     "tq7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(volume AS DECIMAL(38,4))) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -244,9 +253,7 @@ def tq7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
     ).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("double")
-        .alias("revenue")
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
@@ -254,7 +261,8 @@ def tq7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tq8_market_share",
     """
     SELECT o_year,
-           CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume) AS DOUBLE) AS mkt_share
+           CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE)
+           / CAST(sum(CAST(volume AS DECIMAL(38,4))) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -305,10 +313,9 @@ def tq8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume")
+                _dsum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / _dsum(F.col("volume"))
             )
-            .cast("double")
             .alias("mkt_share")
         )
     )
@@ -317,7 +324,8 @@ def tq8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tq9_product_profit",
     """
-    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year,
+           CAST(sum(CAST(amount AS DECIMAL(38,4))) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS amount
@@ -348,9 +356,7 @@ def tq9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "nation", F.year("o_orderdate").cast("int").alias("o_year")
     ).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("double")
-        .alias("sum_profit")
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit")
     )
 
 
@@ -358,7 +364,7 @@ def tq9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tq10_returned_items",
     """
     SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
-           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
            CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -385,9 +391,7 @@ def tq10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey")
     ).join(cust, F.col("o_custkey") == F.col("c_custkey"))
     return joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("double")
-        .alias("revenue")
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     ).select(
         F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name", "revenue",
         F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name",
@@ -424,9 +428,11 @@ def tq13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tq14_promo_effect",
     """
-    SELECT CAST(100.00 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS promo_revenue
+    SELECT 100.00 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)
+           AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -446,10 +452,9 @@ def tq14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                / F.sum(vol)
+                * _dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / _dsum(vol)
             )
-            .cast("double")
             .alias("promo_revenue")
         )
     )
@@ -460,7 +465,7 @@ def tq14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -479,8 +484,12 @@ def tq15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
+    # keep the revenue DECIMAL through the max/equality join — exact compare,
+    # no float-equality fragility; cast to double only at the output
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+        ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     top = revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.m).drop("m")
@@ -526,11 +535,12 @@ def tq16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tq17_small_qty_revenue",
     """
-    SELECT CAST(sum(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
-      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
-                        WHERE l2.l_partkey = p_partkey)
+      AND l_quantity < (SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                                      / count(*))
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
     doc="TPC-H Q17: correlated scalar avg per part -> pre-aggregated broadcast join",
 )
@@ -538,13 +548,17 @@ def tq17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     # Per-part mean quantity is |part|-sized: aggregate once, broadcast back.
-    part_avg = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
+    # Decimal-sum/count avg: the threshold COMPARISON must be bit-identical
+    # across engines or rows flip in and out of the filter.
+    part_avg = li.groupBy("l_partkey").agg(
+        (0.5 * (_dsum(F.col("l_quantity")) / F.count("*"))).alias("half_avg_qty")
+    )
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .join(F.broadcast(part_avg.withColumnRenamed("l_partkey", "pk")),
               F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg((F.sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
+        .agg((_dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
     )
 
 
@@ -588,7 +602,7 @@ def tq18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tq19_discounted_revenue",
     """
-    SELECT CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND (
          (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -607,7 +621,7 @@ def tq19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
     return j.filter(cond).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double").alias("revenue")
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
@@ -700,9 +714,10 @@ def tq21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tq22_sales_opportunity",
     """
     SELECT CAST(c_nationkey AS INTEGER) AS nk, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(c_acctbal) AS DOUBLE) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+                       FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
     GROUP BY c_nationkey
@@ -715,7 +730,7 @@ def tq22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_cust = load_table(spark, sf_dir, "customer")
     avg_bal = all_cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("abal")
+        (_dsum(F.col("c_acctbal")) / F.count("*")).alias("abal")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     return (
@@ -725,7 +740,7 @@ def tq22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("int").alias("nk"))
         .agg(
             F.count("*").cast("bigint").alias("numcust"),
-            F.sum("c_acctbal").cast("double").alias("totacctbal"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 
@@ -766,9 +781,10 @@ def tq_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tq_running_totals",
     """
     SELECT CAST(o_custkey AS BIGINT) AS c_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
-           CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                        ORDER BY o_orderdate, o_orderkey
-                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
     FROM orders
     """,
     doc="per-customer running spend: cumulative window frame over event order",
@@ -785,7 +801,11 @@ def tq_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         F.col("o_custkey").cast("bigint").alias("c_custkey"),
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
-        F.sum("o_totalprice").over(w).cast("double").alias("running_spend"),
+        # decimal accumulation: DuckDB's segment-tree window sum associates
+        # partials differently than a sequential running double sum
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).over(w)
+        .cast("double")
+        .alias("running_spend"),
     )
 
 

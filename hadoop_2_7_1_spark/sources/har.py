@@ -155,10 +155,24 @@ def har_create(
                 break
             d, child = os.path.dirname(d), os.path.basename(d)
 
-    now_ms = meta[0].mtime_ms if meta else 0
     for d, childs in children.items():
         kids = " ".join(_enc(c) for c in sorted(childs))
-        entries[d] = f"{_enc(d)} dir {_props(now_ms)} 0 0 {kids} "
+        # Each directory's own stat, as the reference HadoopArchives records
+        # (not the first file's mtime): mtime/perm/owner/group from the
+        # source tree; fall back to defaults when the dir no longer stats.
+        d_mtime, d_perm, d_owner, d_group = 0, 493, "spark", "supergroup"
+        try:
+            st = os.stat(os.path.join(src_root, d.lstrip("/")))
+            d_mtime = int(st.st_mtime * 1000)
+            d_perm = st.st_mode & 0o7777
+            import grp as _grp
+            import pwd as _pwd
+
+            d_owner = _pwd.getpwuid(st.st_uid).pw_name
+            d_group = _grp.getgrgid(st.st_gid).gr_name
+        except (OSError, KeyError):
+            pass
+        entries[d] = f"{_enc(d)} dir {_props(d_mtime, d_perm, d_owner, d_group)} 0 0 {kids} "
 
     # _index sorted by hash (the reducer's IntWritable sort), _masterindex
     # blocks of 1000 lines (HArchivesReducer.numIndexes).

@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import os
 import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -174,8 +175,11 @@ def _enc_object_writable(v) -> bytes:
     elif isinstance(v, float):
         name, payload = "double", struct.pack(">d", v)
     elif isinstance(v, (bytes, bytearray)):
+        # Writable branch (ObjectWritable.java:133 region): the declared
+        # class name is followed by the INSTANCE class name before the
+        # payload — stock readFields reads both; one name would misparse.
         name = "org.apache.hadoop.io.BytesWritable"
-        payload = _enc_bytes(bytes(v))
+        return _utf(name) + _utf(name) + _enc_bytes(bytes(v))
     else:
         name, payload = "java.lang.String", _utf(str(v))
     return _utf(name) + payload
@@ -374,31 +378,100 @@ def _read_seq_header(buf: bytes) -> tuple[str, str, int]:
     return key_class, value_class, pos + vlen
 
 
+#: Codec class → decompress callable for the Python parser's compressed path
+#: (SequenceFile.java:197-228 RECORD/BLOCK layouts; codec classes from CODECS).
+def _decompressor_for(codec_class: str):
+    import bz2
+    import gzip as _gzip
+
+    if codec_class.endswith(".DefaultCodec"):
+        return zlib.decompress
+    if codec_class.endswith(".GzipCodec"):
+        return _gzip.decompress
+    if codec_class.endswith(".BZip2Codec"):
+        return bz2.decompress
+    raise ValueError(f"python parser: unsupported codec {codec_class}")
+
+
 def _parse_seq_stream(buf: bytes):
-    """Yield (key_bytes, value_bytes, key_class, value_class) records."""
+    """Yield (key_bytes, value_bytes, key_class, value_class) records.
+
+    Handles all three layouts of ``IO/SequenceFile.java:197-228``:
+    NONE, RECORD (per-value codec stream after the standard framing), and
+    BLOCK (sync + vint record count + four compressed sub-blocks:
+    key-lengths, keys, value-lengths, values). Truncated streams stop
+    cleanly at the last complete record instead of raising mid-slice
+    (crawl-robustness contract shared with the other parsers)."""
     key_class, value_class, pos = _read_seq_header(buf)
     compressed, block = struct.unpack_from(">??", buf, pos)
     pos += 2
+    decompress = None
     if compressed or block:
-        raise ValueError("python parser reads uncompressed streams only")
+        clen, pos = read_vlong(buf, pos)
+        codec_class = buf[pos : pos + clen].decode()
+        pos += clen
+        decompress = _decompressor_for(codec_class)
     (n_meta,) = struct.unpack_from(">i", buf, pos)
     pos += 4
     for _ in range(n_meta * 2):
         slen, pos = read_vlong(buf, pos)
         pos += slen
     pos += 16  # sync
+
+    if block:
+        while pos + 4 <= len(buf):
+            (esc,) = struct.unpack_from(">i", buf, pos)
+            if esc != -1:
+                break  # trailing garbage / truncation — stop cleanly
+            pos += 4 + 16  # sync escape + sync marker
+            try:
+                n_rec, pos = read_vlong(buf, pos)
+                blobs = []
+                for _ in range(4):
+                    blen, pos = read_vlong(buf, pos)
+                    if pos + blen > len(buf):
+                        return  # truncated block
+                    blobs.append(decompress(bytes(buf[pos : pos + blen])))
+                    pos += blen
+            except (struct.error, IndexError, OSError, zlib.error, ValueError):
+                return
+            key_lens_b, keys_b, val_lens_b, vals_b = blobs
+            kp = vp = 0
+            klp = vlp = 0
+            for _ in range(n_rec):
+                klen, klp = read_vlong(key_lens_b, klp)
+                vlen, vlp = read_vlong(val_lens_b, vlp)
+                yield (
+                    keys_b[kp : kp + klen],
+                    vals_b[vp : vp + vlen],
+                    key_class,
+                    value_class,
+                )
+                kp += klen
+                vp += vlen
+        return
+
     while pos + 4 <= len(buf):
         (rec_len,) = struct.unpack_from(">i", buf, pos)
         pos += 4
         if rec_len == -1:  # sync escape
             pos += 16
             continue
+        if pos + 4 > len(buf):
+            return  # truncated: no room for key_len
         (key_len,) = struct.unpack_from(">i", buf, pos)
         pos += 4
+        if rec_len < key_len or key_len < 0 or pos + rec_len > len(buf):
+            return  # truncated / corrupt framing: stop at last full record
         kb = buf[pos : pos + key_len]
         pos += key_len
         vb = buf[pos : pos + rec_len - key_len]
         pos += rec_len - key_len
+        if compressed:
+            try:
+                vb = decompress(bytes(vb))
+            except (OSError, zlib.error, ValueError):
+                return
         yield kb, vb, key_class, value_class
 
 
@@ -433,6 +506,8 @@ def _decode_object_writable(b: bytes) -> tuple[str, str]:
         s, _ = _read_utf(b, pos)
         return name, s
     if name == "org.apache.hadoop.io.BytesWritable":
+        # Writable branch: instance class name follows the declared name.
+        _, pos = _read_utf(b, pos)
         (n,) = struct.unpack_from(">i", b, pos)
         return name, bytes(b[pos + 4 : pos + 4 + n]).hex()
     raise ValueError(f"unsupported ObjectWritable class {name}")

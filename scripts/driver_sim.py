@@ -39,12 +39,18 @@ def match(a: pd.DataFrame, b: pd.DataFrame) -> str:
     for col in a.columns:
         av, bv = a[col], b[col]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # The real driver hash-compares EXACTLY — so do we. np.isclose is
+            # kept only to label the failure mode (ulp drift vs real mismatch).
             try:
-                ok = np.isclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True)
+                af, bf = av.astype(float).to_numpy(), bv.astype(float).to_numpy()
             except (TypeError, ValueError):
                 return f"TYPE {col}: {av.dtype} vs {bv.dtype}"
-            if not ok.all():
-                return f"VALUES {col} at {np.where(~ok)[0][:3]}"
+            exact = (af == bf) | (np.isnan(af) & np.isnan(bf))
+            if not exact.all():
+                close = np.isclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True)
+                kind = "FLOAT-ULP" if close.all() else "VALUES"
+                idx = np.where(~exact)[0][:3]
+                return f"{kind} {col} at {idx} ({af[idx]} vs {bf[idx]})"
         else:
             avo = av.astype(object).where(pd.notna(av), None)
             bvo = bv.astype(object).where(pd.notna(bv), None)
