@@ -344,3 +344,50 @@ def test_streaming_cli_seq_inputformat(spark, tmp_path):
         spark=spark,
     )
     assert sorted(_read_kv_output(out)) == [("a", "1"), ("b", "2")]
+
+
+def test_streaming_cli_xml_inputreader(spark, tmp_path):
+    """-inputreader "StreamXmlRecordReader,begin=...,end=..."
+    (ST/StreamJob.java flag surface; reader semantics
+    ST/StreamXmlRecordReader.java:40): records span line boundaries and
+    feed the mapper pipe as whole units."""
+    src = tmp_path / "in.xml"
+    src.write_text(
+        "<doc>\n<title>alpha</title>\n</doc>junk between records"
+        "<doc><title>beta</title></doc>\n<doc><title>gamma</title></doc>"
+    )
+    out = str(tmp_path / "xmlout")
+
+    from hadoop_2_7_1_spark import cli
+
+    cli.run(
+        [
+            "-input", str(src),
+            "-output", out,
+            "-inputreader", "StreamXmlRecordReader,begin=<doc>,end=</doc>",
+            # one record per <doc> span; extract the title as the key
+            "-mapper",
+            "sed -n 's/.*<title>\\(.*\\)<\\/title>.*/\\1\\t1/p'",
+            "-numReduceTasks", "0",
+        ],
+        spark=spark,
+    )
+    rows = _read_kv_output(out)
+    assert sorted(r[0] for r in rows) == ["alpha", "beta", "gamma"]
+
+
+def test_streaming_cli_xml_inputformat_alias(spark, tmp_path):
+    """-inputformat StreamInputFormat with the default record tags."""
+    src = tmp_path / "r.xml"
+    src.write_text("<record>one</record><record>two</record>")
+    out = str(tmp_path / "xmlout2")
+
+    from hadoop_2_7_1_spark import cli
+
+    cli.run(
+        ["-input", str(src), "-output", out,
+         "-inputformat", "StreamInputFormat", "-numReduceTasks", "0"],
+        spark=spark,
+    )
+    rows = _read_kv_output(out)
+    assert sorted(r[0] for r in rows) == ["<record>one</record>", "<record>two</record>"]

@@ -126,3 +126,35 @@ def test_hadoop_vlong_roundtrip_property(i):
     buf = seqfile.write_vlong(i)
     val, pos = seqfile.read_vlong(buf, 0)
     assert val == i and pos == len(buf)
+
+
+def test_png_decode_corrupt_input_returns_none():
+    """Crawl-data contract: corrupt PNGs are skipped (None), never
+    task-fatal — bad IDAT zlib, truncated pixel data, short IHDR."""
+    from hadoop_2_7_1_spark.operators import multimodal
+
+    good = multimodal.make_png_with_pixels(8, 6, seed=3)
+    assert multimodal.png_decode(good) is not None
+
+    # bad zlib stream inside a structurally valid chunk layout
+    bad_idat = bytearray(good)
+    # find IDAT and trash its payload
+    i = bad_idat.find(b"IDAT")
+    bad_idat[i + 4 : i + 12] = b"\x00" * 8
+    assert multimodal.png_decode(bytes(bad_idat)) is None
+
+    # truncated pixel data: valid zlib, too few scanline bytes
+    import struct as _s
+    import zlib as _z
+    ihdr = _s.pack(">IIBBBBB", 8, 6, 8, 2, 0, 0, 0)
+    short_raw = _z.compress(b"\x00" + b"\x01" * 10)  # one partial scanline
+    chunks = [(b"IHDR", ihdr), (b"IDAT", short_raw), (b"IEND", b"")]
+    blob = b"\x89PNG\r\n\x1a\n" + b"".join(
+        _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+        for t, d in chunks
+    )
+    assert multimodal.png_decode(blob) is None
+
+    # truncated IHDR (short chunk payload)
+    trunc = b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + b"\x00\x00"
+    assert multimodal.png_decode(trunc) is None

@@ -559,3 +559,122 @@ def test_har_multiblock_masterindex(spark, tmp_path):
     for i in (0, 599, 1199):
         got = [r.value for r in har.har_read_file(spark, dst, f"f{i:04d}.txt").collect()]
         assert got == [f"payload-{i}"]
+
+
+def test_sequence_file_object_writable_jvm_readback(spark, tmp_path):
+    """Binary-valued ObjectWritable files must parse with STOCK Hadoop
+    (ObjectWritable.readFields reads declared class + instance class +
+    payload for the Writable branch — ObjectWritable.java:133 region); the
+    Python parser mirroring itself would hide a one-name encoding."""
+    from hadoop_2_7_1_spark.sources import seqfile
+    import glob
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01pay")), (2, bytearray(b"load\xff"))],
+        "k long, v binary",
+    )
+    out = str(tmp_path / "seqobjbin")
+    seqfile.write_sequence_file(df, out, "k", "v", value_kind="object")
+
+    # independent Python parse first
+    rows = seqfile.read_sequence_file_object_values(spark, out).collect()
+    assert sorted((r.key, r.value_class, r.value) for r in rows) == [
+        ("1", "org.apache.hadoop.io.BytesWritable", "0001706179"),
+        ("2", "org.apache.hadoop.io.BytesWritable", "6c6f6164ff"),
+    ]
+
+    # stock Hadoop SequenceFile.Reader + ObjectWritable
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    got = {}
+    for part in sorted(glob.glob(out + "/part-*")):
+        reader = jvm.org.apache.hadoop.io.SequenceFile.Reader(
+            fs, jvm.org.apache.hadoop.fs.Path(part), conf
+        )
+        assert reader.getValueClassName() == "org.apache.hadoop.io.ObjectWritable"
+        key = jvm.org.apache.hadoop.io.LongWritable()
+        val = jvm.org.apache.hadoop.io.ObjectWritable()
+        val.setConf(conf)
+        while reader.next(key, val):
+            bw = val.get()  # BytesWritable instance
+            got[key.get()] = bytes(bw.copyBytes())
+        reader.close()
+    assert got == {1: b"\x00\x01pay", 2: b"load\xff"}
+
+
+def test_sequence_file_python_parser_record_compressed(spark, tmp_path):
+    """The pure-Python parser reads RECORD-compressed streams
+    (IO/SequenceFile.java:197-228 layouts; per-value codec stream)."""
+    from hadoop_2_7_1_spark.sources import seqfile
+    import glob
+
+    df = spark.createDataFrame(
+        [(i, f"value-{i}" * 3) for i in range(200)], ["k", "v"]
+    )
+    out = str(tmp_path / "seqreccomp")
+    # JVM write path: saveAsSequenceFile + DefaultCodec -> RECORD compression
+    seqfile.write_sequence_file(df, out, "k", "v", codec="deflate")
+
+    recs = {}
+    for part in sorted(glob.glob(out + "/part-*")):
+        buf = open(part, "rb").read()
+        for kb, vb, kcls, vcls in seqfile._parse_seq_stream(buf):
+            recs[seqfile._decode_writable(kcls, kb)] = seqfile._decode_writable(vcls, vb)
+    assert len(recs) == 200
+    assert recs[7] == "value-7" * 3
+    assert recs[199] == "value-199" * 3
+
+
+def test_sequence_file_python_parser_block_compressed(spark, tmp_path):
+    """BLOCK layout: sync + vint record count + four compressed sub-blocks.
+    Written by stock Hadoop's BlockCompressWriter, parsed by our Python
+    parser."""
+    from hadoop_2_7_1_spark.sources import seqfile
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    path = str(tmp_path / "blockfile.seq")
+    text_cls = jvm.java.lang.Class.forName("org.apache.hadoop.io.Text")
+    codec = jvm.org.apache.hadoop.io.compress.DefaultCodec()
+    codec.setConf(conf)
+    writer = jvm.org.apache.hadoop.io.SequenceFile.createWriter(
+        fs, conf, jvm.org.apache.hadoop.fs.Path(path), text_cls, text_cls,
+        jvm.org.apache.hadoop.io.SequenceFile.CompressionType.BLOCK, codec,
+    )
+    for i in range(500):
+        writer.append(
+            jvm.org.apache.hadoop.io.Text(f"k{i:04d}"),
+            jvm.org.apache.hadoop.io.Text(f"v-{i}" * 5),
+        )
+    writer.close()
+
+    buf = open(path, "rb").read()
+    recs = {
+        seqfile._decode_writable(kcls, kb): seqfile._decode_writable(vcls, vb)
+        for kb, vb, kcls, vcls in seqfile._parse_seq_stream(buf)
+    }
+    assert len(recs) == 500
+    assert recs["k0000"] == "v-0" * 5
+    assert recs["k0499"] == "v-499" * 5
+
+
+def test_sequence_file_python_parser_truncated_stream(spark, tmp_path):
+    """A stream cut mid-record yields the complete-record prefix and stops
+    cleanly — no struct.error from a short slice (crawl-robustness contract
+    shared with the other parsers)."""
+    from hadoop_2_7_1_spark.sources import seqfile
+    import glob
+
+    df = spark.createDataFrame([(i, f"payload-{i:03d}") for i in range(50)], ["k", "v"])
+    out = str(tmp_path / "seqtrunc")
+    seqfile.write_sequence_file(df, out, "k", "v")
+    part = sorted(glob.glob(out + "/part-*"))[-1]
+    buf = open(part, "rb").read()
+    full = list(seqfile._parse_seq_stream(buf))
+    assert full
+
+    cut = list(seqfile._parse_seq_stream(buf[: len(buf) - 7]))
+    assert len(cut) == len(full) - 1
+    assert [k for k, *_ in cut] == [k for k, *_ in full[:-1]]
