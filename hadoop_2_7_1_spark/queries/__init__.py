@@ -79,7 +79,7 @@ _DRIVER_WINDOW = [
     "dd_minhash_lsh", "dd_dup_clusters", "dd_exact_dup_docs",
     "sim_ivf_topk", "sim_knn_join", "cur_pipeline_e2e",
     "q06_secondary_sort", "q22_pi_qmc", "smp_temperature",
-    "tmp_asof_tolerance",
+    "src_mapfile_lookup",
 ]
 
 

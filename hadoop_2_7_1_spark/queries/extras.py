@@ -865,6 +865,42 @@ def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "src_mapfile_lookup",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM supplier WHERE s_suppkey IN (1, 2, 3, 999999)
+    """,
+    doc="MapFile round-trip (IO/MapFile.java:59): supplier written as "
+        "range-partitioned part-NNNNN/{data,index} MapFiles (one shuffle, "
+        "sorted within part), then index-aware point lookups (seek + <=1 "
+        "interval scan, never a data-file read) — the missing key probes "
+        "the not-found path; format pinned by the stock MapFile.Reader "
+        "round-trip in tests/test_sources.py",
+)
+def src_mapfile_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+    import shutil
+    import tempfile
+
+    from ..sources import mapfile
+
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    out = os.path.join(tempfile.gettempdir(), f"h271_mapfile_{sf_tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("k"), F.col("s_name").alias("v")
+    )
+    mapfile.write_map_file(supp, out, "k", "v", num_parts=4)
+    hits = [
+        (k, mapfile.map_file_lookup(out, k)) for k in (1, 2, 3, 999999)
+    ]
+    return spark.createDataFrame(
+        [(k, v) for k, v in hits if v is not None], "s_suppkey bigint, s_name string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-hygiene additions: repetition filters, decontamination, mixing
 # ---------------------------------------------------------------------------

@@ -678,3 +678,66 @@ def test_sequence_file_python_parser_truncated_stream(spark, tmp_path):
     cut = list(seqfile._parse_seq_stream(buf[: len(buf) - 7]))
     assert len(cut) == len(full) - 1
     assert [k for k, *_ in cut] == [k for k, *_ in full[:-1]]
+
+
+def test_map_file_format_compatible_with_stock_reader(spark, tmp_path):
+    """Stock org.apache.hadoop.io.MapFile.Reader must open our
+    part-NNNNN/{data,index} dirs and answer point lookups (IO/MapFile.java:59
+    layout; index every 128th key -> LongWritable data position)."""
+    from hadoop_2_7_1_spark.sources import mapfile
+
+    df = spark.createDataFrame(
+        [(f"k{i:05d}", f"val-{i}") for i in range(1000)], ["k", "v"]
+    )
+    out = str(tmp_path / "mapfile_out")
+    assert mapfile.write_map_file(df, out, "k", "v", num_parts=3) == 1000
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    import glob
+
+    hits = {}
+    for part in sorted(glob.glob(out + "/part-*")):
+        reader = jvm.org.apache.hadoop.io.MapFile.Reader(fs, part, conf)
+        for probe in (0, 1, 127, 128, 129, 500, 999):
+            key = jvm.org.apache.hadoop.io.Text(f"k{probe:05d}")
+            val = jvm.org.apache.hadoop.io.Text()
+            got = reader.get(key, val)
+            if got is not None:
+                hits[probe] = val.toString()
+        reader.close()
+    assert hits == {p: f"val-{p}" for p in (0, 1, 127, 128, 129, 500, 999)}
+
+
+def test_map_file_python_lookup_and_scan(spark, tmp_path):
+    """Index-aware Python point lookup (MapFile.Reader.get semantics) and
+    the distributed full scan both see the written records."""
+    from hadoop_2_7_1_spark.sources import mapfile
+
+    df = spark.createDataFrame(
+        [(f"k{i:05d}", f"val-{i}") for i in range(1000)], ["k", "v"]
+    )
+    out = str(tmp_path / "mapfile_py")
+    mapfile.write_map_file(df, out, "k", "v", num_parts=3)
+
+    for probe in (0, 1, 127, 128, 129, 500, 999):
+        assert mapfile.map_file_lookup(out, f"k{probe:05d}") == f"val-{probe}"
+    assert mapfile.map_file_lookup(out, "k99999") is None
+    assert mapfile.map_file_lookup(out, "a_before_everything") is None
+
+    back = mapfile.read_map_file(spark, out)
+    assert back.count() == 1000
+    row = back.filter(F.col("key") == "k00777").collect()
+    assert row[0].value == "val-777"
+
+
+def test_map_file_bigint_keys(spark, tmp_path):
+    """LongWritable-keyed MapFile: numeric key order and lookups."""
+    from hadoop_2_7_1_spark.sources import mapfile
+
+    df = spark.createDataFrame([(i * 7, f"v{i}") for i in range(300)], ["k", "v"])
+    out = str(tmp_path / "mapfile_long")
+    mapfile.write_map_file(df, out, "k", "v", num_parts=2)
+    assert mapfile.map_file_lookup(out, 7 * 123) == "v123"
+    assert mapfile.map_file_lookup(out, 5) is None
