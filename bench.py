@@ -54,6 +54,14 @@ HEADLINE = [
     "cur_pack_sequences",
 ]
 
+# Timed identically but kept OUT of the headline total: trend points for the
+# heavy round-4 window queries, so future rounds can compare their cost
+# without moving the headline metric (VERDICT r3 bench hygiene).
+EXTRAS = [
+    "mm_resize_pixels",
+    "txt_bpe_merges",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,7 +95,9 @@ def main() -> None:
     errors: dict[str, str] = {}
     # Per-query isolation: one broken query must never take down the whole
     # artifact (round 2 lost ALL bench numbers to a single AnalysisException).
-    for name in HEADLINE:
+    extra_times: dict[str, float] = {}
+
+    def run_one(name: str, sink: dict[str, float]) -> None:
         spec = REGISTRY[name]
         best, n = None, 0
         try:
@@ -104,9 +114,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: FAILED {errors[name][:120]}", file=sys.stderr)
-            continue
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+            return
+        sink[name] = round(best, 3)
+        print(f"# {name}: {sink[name]}s ({n} rows)", file=sys.stderr)
+
+    for name in HEADLINE:
+        run_one(name, times)
+    for name in EXTRAS:
+        run_one(name, extra_times)
 
     total = round(sum(times.values()), 3)
     summary = {
@@ -116,6 +131,8 @@ def main() -> None:
         "queries": times,
         "sf": sf_num,
     }
+    if extra_times:
+        summary["extras"] = extra_times  # trend-only, excluded from value
     if errors:
         summary["errors"] = errors
     print(json.dumps(summary))

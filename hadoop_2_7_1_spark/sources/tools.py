@@ -206,6 +206,115 @@ def distcp(
     return n_copied
 
 
+def snapshot_listing(spark: SparkSession, path: str, snap_path: str) -> int:
+    """Persist ``path``'s recursive listing as a snapshot manifest
+    (rel, size, mtime_ms) — the local-FS stand-in for an HDFS snapshot,
+    consumed by :func:`distcp_diff`. Metadata-only, written distributed.
+    Returns the number of files recorded."""
+    root = path.replace("file:", "")
+    ls = listing(spark, path).select(
+        _rel_col(F.col("path"), root).alias("rel"),
+        F.col("size"),
+        (F.unix_millis(F.col("mtime"))).alias("mtime_ms"),
+    )
+    ls.write.mode("overwrite").parquet(snap_path)
+    return spark.read.parquet(snap_path).count()
+
+
+def distcp_diff(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    from_snap: str,
+    to_snap: str,
+    fallback_update: bool = False,
+) -> dict:
+    """``-diff <from> <to>`` snapshot-based sync (DistCpSync.java): bring
+    ``dst`` (at ``from_snap`` state) to ``to_snap`` state by replaying only
+    the CHANGED files — never a full copy plan over the whole tree.
+
+    The diff is three metadata joins over the two snapshot manifests
+    (created / deleted / modified-by-size-or-mtime); bytes for created and
+    modified files stream from the CURRENT ``src`` tree (which is at the
+    ``to_snap`` state, as in the reference where the target snapshot is the
+    live directory). Renames appear as delete+create, the same degradation
+    the reference applies when rename tracking is unavailable.
+
+    Precondition (DistCpSync.preSyncCheck): every file in ``from_snap``
+    must still exist in ``dst`` at the recorded size — ``dst`` must not
+    have drifted since the last sync. On violation: ``ValueError``, or a
+    plain ``distcp -update -delete`` when ``fallback_update=True``
+    (the reference's fallback path).
+
+    Returns ``{"copied": n, "deleted": n}``.
+    """
+    src_root = src.replace("file:", "")
+    dst_root = dst.replace("file:", "")
+    s_from = spark.read.parquet(from_snap)
+    s_to = spark.read.parquet(to_snap)
+    dst_ls = (
+        listing(spark, dst)
+        .select(
+            _rel_col(F.col("path"), dst_root).alias("rel"),
+            F.col("size").alias("dst_size"),
+        )
+        .localCheckpoint()
+    )
+
+    drift = (
+        s_from.join(dst_ls, "rel", "left_outer")
+        .where(F.col("dst_size").isNull() | (F.col("dst_size") != F.col("size")))
+        .limit(1)
+        .count()
+    )
+    if drift:
+        if fallback_update:
+            n = distcp(spark, src, dst, update=True, delete=True)
+            return {"copied": n, "deleted": -1, "fallback": True}
+        raise ValueError(
+            "distcp -diff precondition failed: dst drifted from the "
+            "from-snapshot state (DistCpSync.preSyncCheck)"
+        )
+
+    f = s_from.select("rel", F.col("size").alias("f_size"), F.col("mtime_ms").alias("f_mtime"))
+    t = s_to.select("rel", F.col("size").alias("t_size"), F.col("mtime_ms").alias("t_mtime"))
+    joined = f.join(t, "rel", "full_outer").localCheckpoint()
+    deleted = joined.where(F.col("t_size").isNull()).select("rel")
+    to_copy = joined.where(
+        F.col("f_size").isNull()  # created
+        | (F.col("t_size") != F.col("f_size"))  # modified
+        | (F.col("t_mtime") != F.col("f_mtime"))
+    ).where(F.col("t_size").isNotNull()).select("rel")
+
+    def rm_partition(rows):
+        for row in rows:
+            try:
+                os.remove(os.path.join(dst_root, row.rel))
+            except FileNotFoundError:
+                pass
+
+    deleted_n = deleted.count()
+    deleted.foreachPartition(rm_partition)
+
+    def copy_partition(rows):
+        copied = 0
+        for row in rows:
+            target = os.path.join(dst_root, row.rel)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            tmp = target + ".__distcp_tmp__"
+            with open(os.path.join(src_root, row.rel), "rb") as fsrc, open(
+                tmp, "wb"
+            ) as fdst:
+                shutil.copyfileobj(fsrc, fdst, _CHUNK)
+            os.replace(tmp, target)
+            copied += 1
+        yield copied
+
+    n_tasks = max(spark.sparkContext.defaultParallelism, 1)
+    copied_n = to_copy.repartition(n_tasks).rdd.mapPartitions(copy_partition).sum()
+    return {"copied": int(copied_n), "deleted": int(deleted_n)}
+
+
 def compact(
     spark: SparkSession, src_glob: str, dst: str, target_files: int = 1, fmt: str = "parquet"
 ) -> None:

@@ -123,6 +123,7 @@ def test_registry_wide_plan_audit(spark):
         "dd_dup_clusters", "evt_funnel", "smp_temperature",
         "q26_pentomino", "q27_sudoku", "q21_db_pageview",
         "q15_partitioned_write", "src_bucketed_join", "bench_terasort_big",
+        "src_mapfile_lookup", "txt_bpe_merges",
     }
     python_ok = {
         "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",

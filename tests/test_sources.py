@@ -741,3 +741,51 @@ def test_map_file_bigint_keys(spark, tmp_path):
     mapfile.write_map_file(df, out, "k", "v", num_parts=2)
     assert mapfile.map_file_lookup(out, 7 * 123) == "v123"
     assert mapfile.map_file_lookup(out, 5) is None
+
+
+def test_distcp_diff_snapshot_sync(spark, tmp_path):
+    """-diff (DistCpSync.java): sync dst from snapshot s1 to s2 by replaying
+    only the changed files; drift from s1 fails the precondition (or falls
+    back to -update -delete)."""
+    import time
+
+    from hadoop_2_7_1_spark.sources import tools
+
+    src = tmp_path / "dsrc"
+    (src / "sub").mkdir(parents=True)
+    (src / "keep.txt").write_text("same")
+    (src / "mod.txt").write_text("v1")
+    (src / "gone.txt").write_text("bye")
+    (src / "sub" / "deep.txt").write_text("d1")
+
+    s1 = str(tmp_path / "snap1")
+    assert tools.snapshot_listing(spark, str(src), s1) == 4
+    dst = tmp_path / "ddst"
+    tools.distcp(spark, str(src), str(dst))  # dst now at s1 state
+
+    # mutate src -> s2 state (mtime forced so modification is visible even
+    # with same-second writes)
+    (src / "mod.txt").write_text("v2-longer")
+    (src / "gone.txt").unlink()
+    (src / "new.txt").write_text("hello")
+    old = time.time() - 1000
+    os.utime(src / "keep.txt", (old, old))  # mtime-only change also syncs
+    s2 = str(tmp_path / "snap2")
+    assert tools.snapshot_listing(spark, str(src), s2) == 4
+
+    res = tools.distcp_diff(spark, str(src), str(dst), s1, s2)
+    assert res == {"copied": 3, "deleted": 1}  # mod, new, keep(mtime); gone
+    assert (dst / "mod.txt").read_text() == "v2-longer"
+    assert (dst / "new.txt").read_text() == "hello"
+    assert not (dst / "gone.txt").exists()
+    assert (dst / "sub" / "deep.txt").read_text() == "d1"
+
+    # drift: dst loses a file that s2 still expects untouched
+    (dst / "sub" / "deep.txt").unlink()
+    import pytest
+
+    with pytest.raises(ValueError):
+        tools.distcp_diff(spark, str(src), str(dst), s2, s2)
+    res2 = tools.distcp_diff(spark, str(src), str(dst), s2, s2, fallback_update=True)
+    assert res2.get("fallback") is True
+    assert (dst / "sub" / "deep.txt").read_text() == "d1"
