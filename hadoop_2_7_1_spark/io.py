@@ -6,7 +6,9 @@ Reference semantics covered here (SURVEY.md §2.1):
 - ``AutoInputFormat`` (hadoop-streaming AutoInputFormat.java:40 sniffes file
   magic) → ``load_auto`` dispatches on extension.
 - ``MultipleOutputFormat`` (mapred/lib/MultipleOutputFormat.java:56 derives the
-  output path from the record) → ``write_partitioned``.
+  output path from the record) → ``write_partitioned`` (column-derived
+  directories); ``write_by_filename`` for the old API's arbitrary
+  ``generateFileNameForKeyValue`` leaf-name derivation (:144).
 - ``MultipleOutputs`` (mapreduce/lib/output/MultipleOutputs.java:307 named side
   outputs) → ``MultiSink``.
 
@@ -117,6 +119,66 @@ def write_partitioned(df: DataFrame, path: str, *cols: str, fmt: str = "parquet"
 def write_tsv(df: DataFrame, path: str) -> None:
     """TextOutputFormat: ``key \\t value`` lines."""
     df.write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+def write_by_filename(df: DataFrame, path: str, filename_expr, sep: str = "\t") -> int:
+    """Old-API ``MultipleOutputFormat.generateFileNameForKeyValue``
+    (MRC/mapred/lib/MultipleOutputFormat.java:144): derive the leaf FILE
+    NAME for each record from an arbitrary function of the record — not
+    just a column-valued directory (that case is :func:`write_partitioned`).
+
+    ``filename_expr`` is any Column expression (so any derivation a
+    generateFileNameForKeyValue override could compute); remaining columns
+    become the ``sep``-joined line. One shuffle partitions records BY the
+    derived name, so each file is written by exactly one task — the same
+    discipline the reference needs (a name emitted by two reducers would
+    collide at commit). Returns the number of files written.
+
+    Scale shape: the shuffle key is the filename — at 100 TB you derive a
+    name per (entity, shard) exactly as reference users did; a single hot
+    filename is a user error in both systems.
+    """
+    from pyspark.sql import Column
+
+    fname = filename_expr if isinstance(filename_expr, Column) else F.expr(filename_expr)
+    data_cols = [c for c in df.columns]
+    sel = df.select(
+        fname.cast("string").alias("__fname"),
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in data_cols]).alias("__line"),
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # overwrite semantics
+    os.makedirs(path, exist_ok=True)
+
+    def run(batches):
+        import pandas as pd
+
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                for name, line in zip(pdf["__fname"], pdf["__line"]):
+                    fh = handles.get(name)
+                    if fh is None:
+                        if os.sep in name or name.startswith("."):
+                            # subdirs via write_partitioned; dotfiles would
+                            # vanish as hidden outputs — fail loudly instead
+                            raise ValueError(f"bad derived filename {name!r}")
+                        fh = handles[name] = open(
+                            os.path.join(path, name), "w", encoding="utf-8"
+                        )
+                    fh.write(line + "\n")
+        finally:
+            for fh in handles.values():
+                fh.close()
+        yield pd.DataFrame({"n_files": [len(handles)]})
+
+    counts = (
+        sel.repartition(F.col("__fname"))
+        .mapInPandas(run, "n_files long")
+        .collect()
+    )
+    return int(sum(r.n_files for r in counts))
 
 
 def write_bucketed(

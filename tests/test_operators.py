@@ -1323,3 +1323,40 @@ def test_wav_stereo_uses_channel_zero(spark):
     import math
 
     assert math.isclose(rows[0].rms, expect_rms, rel_tol=1e-12)
+
+
+def test_write_by_filename_arbitrary_derivation(tmp_path, spark):
+    """Old-API MultipleOutputFormat.generateFileNameForKeyValue
+    (MRC/mapred/lib/MultipleOutputFormat.java:144): the leaf file NAME is an
+    arbitrary function of the record, each name written by exactly one
+    task."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.io import write_by_filename
+
+    df = spark.createDataFrame(
+        [("alpha", 1), ("beta", 2), ("alpha", 3), ("gamma", 4)], ["k", "v"]
+    )
+    out = str(tmp_path / "multi")
+    # name = f(key, value): key + parity of the value
+    n = write_by_filename(
+        df, out, F.concat(F.col("k"), F.lit("-"), (F.col("v") % 2).cast("string"), F.lit(".txt"))
+    )
+    assert n == 3  # three distinct derived names
+    assert sorted(os.listdir(out)) == ["alpha-1.txt", "beta-0.txt", "gamma-0.txt"]
+    lines = sorted(open(os.path.join(out, "alpha-1.txt")).read().splitlines())
+    assert lines == ["alpha\t1", "alpha\t3"]
+    assert open(os.path.join(out, "beta-0.txt")).read() == "beta\t2\n"
+
+    # overwrite semantics: stale names from a previous run disappear
+    df2 = spark.createDataFrame([("only", 9)], ["k", "v"])
+    n2 = write_by_filename(df2, out, F.concat(F.col("k"), F.lit(".txt")))
+    assert n2 == 1
+    assert os.listdir(out) == ["only.txt"]
+
+    import pytest
+
+    with pytest.raises(Exception):  # bad names fail loudly, not silently
+        write_by_filename(df2, out, F.lit("../escape.txt"))
