@@ -1670,6 +1670,41 @@ def grf_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grf_kcore",
+    __import__(
+        "hadoop_2_7_1_spark.operators.graph", fromlist=["oracle_kcore"]
+    ).oracle_kcore(_TRI_EDGES_SQL, k=3, rounds=4),
+    doc="k-core peeling (k=3, 4 fixed synchronous rounds) over the "
+        "parts-in-same-order co-occurrence graph: per round one degree "
+        "aggregate + two semi-join filters, localCheckpoint truncates "
+        "lineage; fixed rounds keep it engine-replayable (oracle = "
+        "unrolled CTE chain)",
+)
+def grf_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    return kcore(edges, k=3, rounds=4)
+
+
+@register(
+    "dd_sorted_neighborhood",
+    dedup.oracle_sorted_neighborhood_pairs("documents", "doc_id", "text"),
+    doc="sorted-neighborhood near-dup candidates: block on an 8-char "
+        "prefix key, window-3 lead comparison sorted within each block "
+        "(never a global-order single-partition window), levenshtein "
+        "verify on candidates only — catches truncation/re-crawl prefix "
+        "dups that shingle sketches dilute",
+)
+def dd_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(docs, "doc_id", "text")
+
+
+@register(
     "sim_pq_adc",
     similarity.oracle_pq_search(
         "embeddings", "vec_id < 3", m=4, k_codebook=8, n_iter=2, k=3, dim=64

@@ -51,9 +51,13 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     for col in a.columns:
         av, bv = a[col], b[col]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # EXACT, like the driver's value hash: every float aggregate in
+            # the registry is order-independent by construction (decimal /
+            # scaled-int accumulation, see SCALE.md round-4 section), so ulp
+            # drift is a real defect, not noise.
             af = av.astype(float).to_numpy()
             bf = bv.astype(float).to_numpy()
-            ok = np.isclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True)
+            ok = (af == bf) | (np.isnan(af) & np.isnan(bf))
             assert ok.all(), f"{name}.{col}: float mismatch at rows {np.where(~ok)[0][:5]}: {af[~ok][:3]} vs {bf[~ok][:3]}"
         else:
             av = av.astype(object).where(pd.notna(av), None)
@@ -70,5 +74,6 @@ def _eq(x, y) -> bool:
     if x is None and y is None:
         return True
     if isinstance(x, float) and isinstance(y, float):
-        return math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
+        # exact, like the driver's value hash (NaN == NaN)
+        return x == y or (math.isnan(x) and math.isnan(y))
     return x == y
