@@ -123,7 +123,7 @@ def test_registry_wide_plan_audit(spark):
         "dd_dup_clusters", "evt_funnel", "smp_temperature",
         "q26_pentomino", "q27_sudoku", "q21_db_pageview",
         "q15_partitioned_write", "src_bucketed_join", "bench_terasort_big",
-        "src_mapfile_lookup", "txt_bpe_merges",
+        "src_mapfile_lookup", "txt_bpe_merges", "grf_kcore",
     }
     python_ok = {
         "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",
@@ -178,3 +178,38 @@ def test_lsh_cap_single_extra_shuffle(spark):
     # its own id_a/id_b exchange, which is expected)
     band_key_exchanges = re.findall(r"hashpartitioning\(band[^)]*key", plan)
     assert band_key_exchanges, "expected (band, key) hash exchanges"
+
+
+def test_sorted_neighborhood_no_global_window(spark):
+    """SNM's sliding window must partition BY the block key — a global-order
+    window (empty partition spec -> Exchange SinglePartition) would pull the
+    corpus through one task."""
+    plan = plan_of(spark, "dd_sorted_neighborhood")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the lead() window exists, partitioned
+
+
+def test_kcore_peel_step_is_semi_joins(spark):
+    """One peeling round = degree agg + two semi-join filters, all
+    equi-keyed (the final registered plan starts at a localCheckpoint, so
+    assert the per-round shape on an uncheckpointed step)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").limit(500)
+    alive = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    keep = alive.groupBy("src").agg(F.count("*").alias("deg")).filter(
+        F.col("deg") >= 2
+    ).select("src")
+    step = alive.join(keep, "src", "semi").join(
+        keep.select(F.col("src").alias("dst")), "dst", "semi"
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+    # and the registered query's own final plan stays cartesian-free
+    assert "CartesianProduct" not in plan_of(spark, "grf_kcore")
