@@ -78,8 +78,9 @@ _DRIVER_WINDOW = [
     "evt_sessionize", "evt_anomaly", "bench_terasort_big",
     "dd_minhash_lsh", "dd_dup_clusters", "dd_exact_dup_docs",
     "sim_ivf_topk", "sim_knn_join", "cur_pipeline_e2e",
-    "q06_secondary_sort", "q22_pi_qmc", "smp_temperature",
-    "src_mapfile_lookup",
+    "q06_secondary_sort",
+    # round-4 additions — first driver rows
+    "src_mapfile_lookup", "grf_kcore", "dd_sorted_neighborhood",
 ]
 
 
