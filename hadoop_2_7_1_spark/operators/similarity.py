@@ -355,10 +355,24 @@ def kmeans_fit(
     dim = len(cents[0])
     for _ in range(n_iter):
         assigned = assign_clusters(emb, cents, vec_col)
+        # Scaled-bigint mean (x1e9): fl(v*1e9) is the same IEEE product and
+        # round() the same half-away rounding on both engines; the integer
+        # sum is exact at any parallelism, so the centroid update — and
+        # therefore every subsequent assignment — is bit-identical to the
+        # oracle's replay. A plain avg(double) drifts in the last ulp with
+        # partial-sum grouping, and the drift compounds across iterations.
         rows = (
             assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("val").cast("double") * F.lit(1e9)).cast("bigint")
+                    ).cast("double")
+                    / F.count("*")
+                    / F.lit(1e9)
+                ).alias("m")
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}
@@ -454,7 +468,9 @@ def _oracle_kmeans_ctes(table: str, k: int, n_iter: int, dim: int) -> str:
       ) WHERE rn = 1
     ),
     means{i} AS (
-      SELECT cluster, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      SELECT cluster, i AS pos,
+             CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+                  AS DOUBLE) / count(*) / 1e9 AS m
       FROM assign{i}, range(1, {dim + 1}) t(i)
       GROUP BY cluster, i
     ),
@@ -672,7 +688,9 @@ def _oracle_pq_ctes(table: str, m: int, k: int, n_iter: int, dim: int) -> str:
       ) WHERE rn = 1
     ),
     s{s}_means{i} AS (
-      SELECT cluster, i AS pos, avg(CAST(embedding[{lo} + i - 1] AS DOUBLE)) AS m
+      SELECT cluster, i AS pos,
+             CAST(sum(CAST(round(CAST(embedding[{lo} + i - 1] AS DOUBLE) * 1e9)
+                           AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS m
       FROM s{s}_assign{i}, range(1, {sub + 1}) t(i)
       GROUP BY cluster, i
     ),

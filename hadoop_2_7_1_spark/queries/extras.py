@@ -280,7 +280,7 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS win_start, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(value) AS DOUBLE) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
     doc="tumbling 1h event-time window aggregate (streaming twin in streaming/)",
@@ -291,7 +291,7 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("win_start"), "event_type"
     ).agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("value").cast("double").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
     )
 
 
@@ -549,7 +549,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     doc="CUBE grouping sets",
@@ -557,7 +557,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum("l_extendedprice").cast("double").alias("sum_price")
+        F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sum_price")
     )
 
 
@@ -1485,8 +1487,13 @@ def smp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_anomaly",
     """
     WITH stats AS (
-      SELECT user_id, avg(value) AS mu,
-             sqrt(greatest(avg(value * value) - avg(value) * avg(value), 0)) AS sigma,
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS mu,
+             sqrt(greatest(
+               CAST(sum(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) / count(*)
+               - (CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / count(*))
+                 * (CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / count(*)),
+               0)) AS sigma,
              count(*) AS n
       FROM events GROUP BY user_id
     )
@@ -1504,14 +1511,17 @@ def smp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # decimal-sum means: order-independent, so mu/sigma (and therefore which
+    # rows clear the 3-sigma gate) are identical at any parallelism. value
+    # has 2 true decimals, value^2 has 4 — both scales are lossless.
+    mu = F.sum(F.col("value").cast("decimal(38,4)")).cast("double") / F.count("*")
+    m2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,8)")).cast("double")
+        / F.count("*")
+    )
     stats = ev.groupBy("user_id").agg(
-        F.avg("value").alias("mu"),
-        F.sqrt(
-            F.greatest(
-                F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value"),
-                F.lit(0.0),
-            )
-        ).alias("sigma"),
+        mu.alias("mu"),
+        F.sqrt(F.greatest(m2 - mu * mu, F.lit(0.0))).alias("sigma"),
         F.count("*").alias("n"),
     )
     return (

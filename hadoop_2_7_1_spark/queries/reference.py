@@ -205,7 +205,9 @@ def _outer_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
         .groupBy(F.col("o_custkey").alias("k"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.sum("o_totalprice").cast("double").alias("tot"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("tot"),
         )
     )
     return cust, orders
@@ -213,7 +215,7 @@ def _outer_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 _OUTER_SIDES_SQL = """
     a AS (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
     b AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
-                 CAST(sum(o_totalprice) AS DOUBLE) AS tot
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS tot
           FROM orders GROUP BY o_custkey)
 """
 

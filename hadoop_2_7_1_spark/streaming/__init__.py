@@ -54,7 +54,8 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "
         .groupBy(F.window("ts", width).alias("win"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum("value").cast("double").alias("sum_value"),
+            # decimal accumulation, same as the batch twin evt_tumbling_window
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
         )
         .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
     )

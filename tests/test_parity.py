@@ -89,3 +89,9 @@ def test_pagerank_partition_invariant(spark):
     r1 = {r.node: r.rank_pr for r in pagerank(edges.coalesce(1), iterations=2).collect()}
     r32 = {r.node: r.rank_pr for r in pagerank(edges.repartition(32), iterations=2).collect()}
     assert r1 == r32
+
+
+def test_every_query_is_hash_checked():
+    """Round-4 invariant: zero rows-only registry entries — every operator
+    claim is backed by a value-hash-checked oracle."""
+    assert ROWS_ONLY_QUERIES == []

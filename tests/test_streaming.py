@@ -23,7 +23,7 @@ def test_tumbling_stream_matches_batch(spark):
         ev.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum("value").cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
         )
         .toPandas()
     )
@@ -80,7 +80,7 @@ def test_stateful_running_totals(spark):
         .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum("value").cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
         )
         .toPandas()
     )
