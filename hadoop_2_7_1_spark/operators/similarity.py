@@ -660,6 +660,82 @@ def pq_search_adc(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with k-means, then WITHIN each cluster drop every
+    vector that has a lower-id neighbor with cosine >= threshold (the
+    deterministic keep-lowest greedy). Returns per-cluster
+    (cluster, n_total, n_dropped).
+
+    Scale shape — the whole point of the cluster stage: the pairwise
+    cosine join is an equi-join on ``cluster``, so candidate cost is
+    sum(cluster_size^2), never |corpus|^2; at 100 TB k grows with the
+    corpus so cluster sizes stay bounded (the paper's design point). The
+    fit is the deterministic scaled-bigint Lloyd loop (kmeans_fit);
+    assignment is map-only with centroids as plan literals.
+    """
+    cents = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(emb, cents, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("cluster"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("cluster"), F.col(vec_col).alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _cos_expr("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("cluster", "id_b")
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    totals = assigned.groupBy("cluster").agg(F.count("*").alias("n_total"))
+    return totals.join(dropped, "cluster", "left").select(
+        F.col("cluster").cast("bigint"),
+        F.col("n_total").cast("bigint"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+    )
+
+
+def oracle_semdedup(
+    table: str, k: int = 8, n_iter: int = 2, threshold: float = 0.35, dim: int = 64
+) -> str:
+    dot = ORACLE_DOT.format(a="a.embedding", b="b.embedding")
+    na = ORACLE_NORM.format(a="a.embedding")
+    nb = ORACLE_NORM.format(a="b.embedding")
+    return (
+        _oracle_kmeans_ctes(table, k, n_iter, dim)
+        + f""",
+    sd_pairs AS (
+      SELECT a.cluster, b.vec_id AS id_b
+      FROM assign_final a JOIN assign_final b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE CAST({dot} / ({na} * {nb}) AS DOUBLE)
+            >= CAST({threshold!r} AS DOUBLE)
+    ),
+    sd_dropped AS (
+      SELECT cluster, count(*) AS n_dropped
+      FROM (SELECT DISTINCT cluster, id_b FROM sd_pairs) GROUP BY cluster
+    )
+    SELECT CAST(t.cluster AS BIGINT) AS cluster,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM (SELECT cluster, count(*) AS n_total FROM assign_final GROUP BY cluster) t
+    LEFT JOIN sd_dropped d USING (cluster)
+    """
+    )
+
+
 def _oracle_pq_ctes(table: str, m: int, k: int, n_iter: int, dim: int) -> str:
     """Per-subspace unrolled kmeans CTE chains (prefix s{i}_) over sliced
     vectors, ending in s{i}_assign_final (vec_id, cluster)."""

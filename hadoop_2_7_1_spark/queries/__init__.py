@@ -76,11 +76,12 @@ _DRIVER_WINDOW = [
     "txt_bm25", "txt_tfidf_topterms", "agg_salted_skew", "grf_pagerank",
     # high-value re-checks
     "evt_sessionize", "evt_anomaly", "bench_terasort_big",
-    "dd_minhash_lsh", "dd_dup_clusters", "dd_exact_dup_docs",
+    "dd_minhash_lsh", "dd_dup_clusters",
     "sim_ivf_topk", "sim_knn_join", "cur_pipeline_e2e",
     "q06_secondary_sort",
     # round-4 additions — first driver rows
     "src_mapfile_lookup", "grf_kcore", "dd_sorted_neighborhood",
+    "dd_semdedup",
 ]
 
 

@@ -1715,6 +1715,20 @@ def dd_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_semdedup",
+    similarity.oracle_semdedup("embeddings", k=8, n_iter=2, threshold=0.35),
+    doc="SemDeDup semantic dedup (Abbas 2023): k-means cluster the "
+        "embeddings, drop in-cluster vectors with a lower-id cosine "
+        "neighbor >= 0.35 — the pairwise join is equi-keyed on cluster "
+        "(sum(cluster^2) candidates, never corpus^2); per-cluster "
+        "(n_total, n_dropped) summary",
+)
+def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, k=8, n_iter=2, threshold=0.35)
+
+
+@register(
     "sim_pq_adc",
     similarity.oracle_pq_search(
         "embeddings", "vec_id < 3", m=4, k_codebook=8, n_iter=2, k=3, dim=64

@@ -123,7 +123,7 @@ def test_registry_wide_plan_audit(spark):
         "dd_dup_clusters", "evt_funnel", "smp_temperature",
         "q26_pentomino", "q27_sudoku", "q21_db_pageview",
         "q15_partitioned_write", "src_bucketed_join", "bench_terasort_big",
-        "src_mapfile_lookup", "txt_bpe_merges", "grf_kcore",
+        "src_mapfile_lookup", "txt_bpe_merges", "grf_kcore", "dd_semdedup",
     }
     python_ok = {
         "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",
@@ -213,3 +213,31 @@ def test_kcore_peel_step_is_semi_joins(spark):
 
     # and the registered query's own final plan stays cartesian-free
     assert "CartesianProduct" not in plan_of(spark, "grf_kcore")
+
+
+def test_semdedup_pairwise_is_cluster_equi_join(spark):
+    """SemDeDup's pairwise cosine must be an equi-join on the cluster key
+    (sum(cluster^2) candidates) — never a cartesian over the corpus."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.io import load_table
+    from hadoop_2_7_1_spark.operators.similarity import (
+        _cos_expr, assign_clusters, kmeans_fit,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_fit(emb, k=4, n_iter=1)
+    assigned = assign_clusters(emb, cents)
+    a = assigned.select(F.col("vec_id").alias("id_a"), "cluster",
+                        F.col("embedding").alias("va"))
+    b = assigned.select(F.col("vec_id").alias("id_b"), "cluster",
+                        F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _cos_expr("va", "vb"))
+        .filter(F.col("cos") >= 0.35)
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
