@@ -945,6 +945,74 @@ def _sq(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    w_range: int = 1000,
+) -> DataFrame:
+    """fastText-style hashed-linear quality scoring, applied map-only:
+    token -> hashed bucket -> weight, per-doc mean activation through a
+    sigmoid. The weight table here is a deterministic hash-derived stand-in
+    (integer milliweights in [-w_range, w_range]); a production run swaps in
+    real trained weights as a broadcast bucket->weight table — the plan
+    shape (explode + integer sum per doc, zero joins on the corpus side) is
+    identical.
+
+    Determinism: the logit accumulates as an INTEGER sum of milliweights
+    (exact at any parallelism); the only floats are one division chain and
+    the sigmoid, whose exp() ulp drift is absorbed by rounding the score to
+    6 decimals — same on the oracle side.
+    """
+    from ..functions import hex_hash32
+
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(F.expr(_tok_array(text_col))).alias("tok"),
+    )
+    bucket = hex_hash32(F.col("tok")) % n_buckets
+    milli_w = (
+        hex_hash32(bucket.cast("string"), salt="w") % (2 * w_range + 1) - w_range
+    )
+    per_doc = toks.select("id", milli_w.alias("mw")).groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("mw").alias("z_milli"),
+    )
+    z = F.col("z_milli").cast("double") / F.lit(1000.0) / F.col("n_tokens")
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("score_linear"),
+    )
+
+
+def oracle_linear_score(
+    table: str, id_col: str, text_col: str, n_buckets: int = 1024, w_range: int = 1000
+) -> str:
+    from ..functions import oracle_hash32
+
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    h_tok = oracle_hash32("tok")
+    h_w = oracle_hash32(f"CAST(({h_tok}) % {n_buckets} AS VARCHAR)", salt="w")
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id, unnest({toks}) AS tok FROM {table}
+    ), per_doc AS (
+      SELECT id, count(*) AS n_tokens,
+             sum(({h_w}) % {2 * w_range + 1} - {w_range}) AS z_milli
+      FROM toks GROUP BY id
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CAST(1.0 / (1.0 + exp(-(CAST(z_milli AS DOUBLE) / 1000.0 / n_tokens)))
+                     AS DECIMAL(38,6)) AS DOUBLE) AS score_linear
+    FROM per_doc
+    """
+
+
 def oracle_bpe_merges(table: str, text_col: str, n_merges: int = 6) -> str:
     """DuckDB replay of :func:`bpe_merges` — unrolled rounds over the same
     word-frequency table.

@@ -74,14 +74,16 @@ _DRIVER_WINDOW = [
     "tq17_small_qty_revenue", "tq19_discounted_revenue",
     "tq22_sales_opportunity", "tq_running_totals",
     "txt_bm25", "txt_tfidf_topterms", "agg_salted_skew", "grf_pagerank",
-    # high-value re-checks
-    "evt_sessionize", "evt_anomaly", "bench_terasort_big",
-    "dd_minhash_lsh", "dd_dup_clusters",
-    "sim_ivf_topk", "sim_knn_join", "cur_pipeline_e2e",
-    "q06_secondary_sort",
+    # remaining queries whose computation changed this round (decimal /
+    # scaled-int accumulation) — every changed query re-earns its row
+    "evt_anomaly", "evt_tumbling_window", "q08_join_outer",
+    "evt_sessionize",
+    "sim_kmeans_sizes", "sim_kmeans_ivf", "sim_pq_adc",
+    # high-value re-check
+    "bench_terasort_big",
     # round-4 additions — first driver rows
     "src_mapfile_lookup", "grf_kcore", "dd_sorted_neighborhood",
-    "dd_semdedup",
+    "dd_semdedup", "txt_linear_score",
 ]
 
 

@@ -1715,6 +1715,20 @@ def dd_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_linear_score",
+    textops.oracle_linear_score("documents", "doc_id", "text"),
+    doc="fastText-style hashed-linear quality classifier applied map-only: "
+        "token -> hashed bucket -> milliweight, per-doc integer logit sum "
+        "(exact at any parallelism), sigmoid rounded to 6 decimals; the "
+        "production variant swaps in trained weights as a broadcast table "
+        "with the identical plan shape",
+)
+def txt_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.linear_score(docs, "doc_id", "text")
+
+
+@register(
     "dd_semdedup",
     similarity.oracle_semdedup("embeddings", k=8, n_iter=2, threshold=0.35),
     doc="SemDeDup semantic dedup (Abbas 2023): k-means cluster the "
