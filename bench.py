@@ -60,6 +60,8 @@ HEADLINE = [
 EXTRAS = [
     "mm_resize_pixels",
     "txt_bpe_merges",
+    "dd_semdedup",
+    "grf_kcore",
 ]
 
 
