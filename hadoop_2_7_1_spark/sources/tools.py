@@ -206,6 +206,86 @@ def distcp(
     return n_copied
 
 
+def distch(spark: SparkSession, specs: list[str], recursive: bool = True) -> int:
+    """DistCh (hadoop-tools/hadoop-extras .../tools/DistCh.java): distributed
+    chmod/chown/chgrp. Each spec is ``path:owner:group:mode`` with empty
+    fields left unchanged (DistCh's FileOperation format); ``mode`` is octal.
+
+    Shape: one metadata listing per spec root, attribute changes applied
+    executor-side per partition — the same listing-job + per-file map-task
+    split as the reference (and as :func:`distcp`). Returns files changed.
+    """
+    import grp as _grp
+    import pwd as _pwd
+
+    total = 0
+    for spec in specs:
+        parts = (spec + ":::").split(":")
+        root, owner, group, mode = parts[0], parts[1], parts[2], parts[3]
+        uid = _pwd.getpwnam(owner).pw_uid if owner else -1
+        gid = _grp.getgrnam(group).gr_gid if group else -1
+        mode_int = int(mode, 8) if mode else None
+        root_abs = root.replace("file:", "")
+        if os.path.isfile(root_abs):
+            paths = spark.createDataFrame([(root_abs,)], "p string")
+        elif recursive:
+            paths = listing(spark, root).select(
+                F.regexp_replace("path", "^file:", "").alias("p")
+            )
+        else:
+            names = [
+                (os.path.join(root_abs, n),)
+                for n in os.listdir(root_abs)
+                if os.path.isfile(os.path.join(root_abs, n))
+            ]
+            paths = spark.createDataFrame(names or [], "p string")
+
+        def change(rows):
+            n = 0
+            for row in rows:
+                try:
+                    if mode_int is not None:
+                        os.chmod(row.p, mode_int)
+                    if uid != -1 or gid != -1:
+                        os.chown(row.p, uid, gid)
+                    n += 1
+                except (PermissionError, FileNotFoundError):
+                    pass  # reference logs + continues
+            yield n
+
+        total += paths.rdd.mapPartitions(change).sum()
+    return int(total)
+
+
+def logalyzer(
+    spark: SparkSession,
+    logs_dir: str,
+    out_dir: str,
+    grep_pattern: str | None = None,
+    sort_columns: list[int] | None = None,
+    separator: str = " ",
+) -> int:
+    """Logalyzer (hadoop-tools/hadoop-extras .../tools/Logalyzer.java):
+    grep + column-sort analysis over a directory of log files (the
+    ``-grep``/``-sort``/``-separator`` flag surface; the ``-archive`` mode
+    is :func:`distcp`). Writes the matching lines, globally ordered by the
+    selected columns, as text; returns the number of matching lines.
+
+    Spark-first: rlike filter pushes into the scan stage; the sort is one
+    range exchange (sample -> repartitionByRange -> local sort).
+    """
+    import re as _re
+
+    df = spark.read.text(logs_dir)
+    if grep_pattern:
+        df = df.filter(F.col("value").rlike(grep_pattern))
+    if sort_columns:
+        cols = F.split(F.col("value"), _re.escape(separator))
+        df = df.orderBy(*[cols.getItem(i) for i in sort_columns])
+    df.write.mode("overwrite").text(out_dir)
+    return spark.read.text(out_dir).count()
+
+
 def snapshot_listing(spark: SparkSession, path: str, snap_path: str) -> int:
     """Persist ``path``'s recursive listing as a snapshot manifest
     (rel, size, mtime_ms) — the local-FS stand-in for an HDFS snapshot,

@@ -789,3 +789,55 @@ def test_distcp_diff_snapshot_sync(spark, tmp_path):
     res2 = tools.distcp_diff(spark, str(src), str(dst), s2, s2, fallback_update=True)
     assert res2.get("fallback") is True
     assert (dst / "sub" / "deep.txt").read_text() == "d1"
+
+
+def test_distch_distributed_attribute_change(spark, tmp_path):
+    """DistCh (hadoop-extras DistCh.java): path:owner:group:mode specs with
+    empty fields left unchanged, applied executor-side over the listing."""
+    import stat
+
+    from hadoop_2_7_1_spark.sources import tools
+
+    root = tmp_path / "chroot"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("x")
+    (root / "sub" / "b.txt").write_text("y")
+    os.chmod(root / "a.txt", 0o600)
+    os.chmod(root / "sub" / "b.txt", 0o600)
+
+    # mode-only spec (owner/group empty — unchanged)
+    n = tools.distch(spark, [f"{root}:::640"])
+    assert n == 2
+    assert stat.S_IMODE(os.stat(root / "a.txt").st_mode) == 0o640
+    assert stat.S_IMODE(os.stat(root / "sub" / "b.txt").st_mode) == 0o640
+
+    # single-file spec
+    assert tools.distch(spark, [f"{root / 'a.txt'}:::400"]) == 1
+    assert stat.S_IMODE(os.stat(root / "a.txt").st_mode) == 0o400
+
+
+def test_logalyzer_grep_and_sort(spark, tmp_path):
+    """Logalyzer -grep/-sort/-separator: filtered lines globally ordered by
+    the selected columns."""
+    import glob
+
+    from hadoop_2_7_1_spark.sources import tools
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "l1.log").write_text(
+        "2024-01-02 ERROR disk full\n2024-01-01 INFO started\n"
+    )
+    (logs / "l2.log").write_text(
+        "2024-01-03 ERROR net down\n2024-01-01 ERROR bad config\n"
+    )
+    out = str(tmp_path / "analysis")
+    n = tools.logalyzer(
+        spark, str(logs), out, grep_pattern="ERROR", sort_columns=[0], separator=" "
+    )
+    assert n == 3
+    lines = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        lines += [ln for ln in open(f).read().splitlines() if ln]
+    assert [ln.split()[0] for ln in lines] == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert all("ERROR" in ln for ln in lines)
