@@ -158,3 +158,55 @@ def test_png_decode_corrupt_input_returns_none():
     # truncated IHDR (short chunk payload)
     trunc = b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + b"\x00\x00"
     assert multimodal.png_decode(trunc) is None
+
+
+@given(
+    st.dictionaries(
+        st.text(min_size=1, max_size=12),
+        st.text(max_size=20),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(1, 16),
+)
+@settings(max_examples=30, deadline=None)
+def test_map_file_lookup_pure_roundtrip(items, interval):
+    """MapFile point lookup over the pure-Python writer: every written key
+    is found, absent keys return None, for any index interval — including
+    interval=1 (every record indexed) and sparse indexes that force the
+    seek+scan path. Keys sort in UTF-8 byte order (WritableComparable
+    order for Text)."""
+    import os
+    import struct
+    import tempfile
+
+    from hadoop_2_7_1_spark.sources import mapfile
+    from hadoop_2_7_1_spark.sources.seqfile import _SeqWriter, _enc_text
+
+    with tempfile.TemporaryDirectory() as d:
+        part = os.path.join(d, "part-00000")
+        os.makedirs(part)
+        with open(os.path.join(part, "data"), "wb") as data_fh, open(
+            os.path.join(part, "index"), "wb"
+        ) as idx_fh:
+            data = _SeqWriter(
+                data_fh, "org.apache.hadoop.io.Text",
+                "org.apache.hadoop.io.Text", "prop-data",
+            )
+            index = _SeqWriter(
+                idx_fh, "org.apache.hadoop.io.Text",
+                "org.apache.hadoop.io.LongWritable", "prop-index",
+            )
+            for n, (k, v) in enumerate(
+                sorted(items.items(), key=lambda kv: kv[0].encode("utf-8"))
+            ):
+                kb = _enc_text(k)
+                if n % interval == 0:
+                    index.append(kb, struct.pack(">q", data_fh.tell()))
+                data.append(kb, _enc_text(v))
+
+        for k, v in items.items():
+            assert mapfile.map_file_lookup(d, k, index_interval=interval) == v
+        probe = "\x00__absent__"
+        if probe not in items:
+            assert mapfile.map_file_lookup(d, probe, index_interval=interval) is None
