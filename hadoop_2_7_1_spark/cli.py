@@ -26,6 +26,7 @@ Streaming flag          Lowering
 -partitioner kf         KeyFieldBasedPartitioner (+keypartitioner.options)
 -numReduceTasks         shuffle partition count
 -io typedbytes          typed-bytes pipe (operators.typedbytes)
+-io rawbytes            int32-framed raw-bytes pipe (pipe_transform_raw)
 -lazyOutput             skip write when the result is empty (LazyOutputFormat)
 -verbose                plan + row-count echo
 -D name=value           stream.map.output.field.separator,
@@ -88,7 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-inputreader", default=None, dest="inputreader")
     p.add_argument("-outputformat", default="text", choices=["text", "seq"])
     p.add_argument("-partitioner", default=None)
-    p.add_argument("-io", default="text", choices=["text", "typedbytes"], dest="io_mode")
+    p.add_argument(
+        "-io", default="text", choices=["text", "typedbytes", "rawbytes"],
+        dest="io_mode",
+    )
     p.add_argument("-lazyOutput", action="store_true", dest="lazy_output")
     p.add_argument("-verbose", action="store_true")
     p.add_argument("-background", action="store_true")  # accepted; no-op locally
@@ -202,7 +206,7 @@ def run(argv: list[str] | None = None, spark=None) -> str:
 
     from .operators.keyfield import parse_sort_spec, sort_exprs
     from .operators.pipes import pipe_transform
-    from .operators.typedbytes import pipe_transform_typed
+    from .operators.typedbytes import pipe_transform_raw, pipe_transform_typed
 
     conf = dict(d.split("=", 1) for d in args.defines)
     map_out_sep = conf.get(_D_MAP_OUT_SEP, "\t")
@@ -238,6 +242,10 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     def pipe(frame, cmd_str, **kw):
         if args.io_mode == "typedbytes":
             return pipe_transform_typed(
+                frame, shlex.split(cmd_str), env=env, cwd=pipe_cwd
+            )
+        if args.io_mode == "rawbytes":
+            return pipe_transform_raw(
                 frame, shlex.split(cmd_str), env=env, cwd=pipe_cwd
             )
         return pipe_transform(

@@ -189,3 +189,99 @@ def pipe_transform_typed(
 def _py(v: Any) -> Any:
     """numpy/pandas scalar → plain python for the encoder."""
     return v.item() if hasattr(v, "item") else v
+
+
+def pipe_transform_raw(
+    df: DataFrame,
+    cmd: list[str],
+    key_col: str | None = None,
+    env: dict[str, str] | None = None,
+    cwd: str | None = None,
+) -> DataFrame:
+    """Streaming ``-io rawbytes`` (ST/io/RawBytesInputWriter.java:58,
+    RawBytesOutputReader.java:47): each key/value goes to the subprocess as
+    ``int32-BE length + bytes``; the subprocess emits alternating framed
+    key/value pairs, which land as BytesWritable-shaped ``binary`` columns.
+
+    Framing follows the reference exactly: ``binary`` columns ship their
+    raw bytes; any other column ships its Text WRITABLE serialization
+    (vint length + utf8) inside the frame — that's what
+    ``writable.write(bufferDataOut)`` produces for Text.
+    """
+    import os
+    import struct as _struct
+
+    from ..sources.seqfile import _enc_text
+
+    key_col = key_col or df.columns[0]
+    val_cols = [c for c in df.columns if c != key_col]
+    dtypes = dict(df.dtypes)
+
+    def frame(value: Any, dtype: str) -> bytes:
+        if dtype == "binary":
+            b = bytes(value)
+        else:
+            b = _enc_text(str(value))
+        return _struct.pack(">i", len(b)) + b
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proc = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            env={**os.environ, **env} if env else None,
+            cwd=cwd,
+        )
+
+        def feed() -> None:
+            try:
+                for pdf in batches:
+                    buf = bytearray()
+                    for row in pdf.itertuples(index=False):
+                        d = row._asdict()
+                        buf += frame(d[key_col], dtypes[key_col])
+                        for c in val_cols:
+                            buf += frame(d[c], dtypes[c])
+                    proc.stdin.write(bytes(buf))
+            finally:
+                proc.stdin.close()
+
+        writer = threading.Thread(target=feed, daemon=True)
+        writer.start()
+
+        out = BufferedReader(proc.stdout)
+
+        def read_framed() -> bytes | None:
+            hdr = out.read(4)
+            if len(hdr) < 4:
+                return None
+            (n,) = _struct.unpack(">i", hdr)
+            if n < 0:
+                return None
+            b = out.read(n)
+            if len(b) < n:
+                raise EOFError("truncated rawbytes frame")
+            return b
+
+        keys: list[bytes] = []
+        vals: list[bytes] = []
+        while True:
+            k = read_framed()
+            if k is None:
+                break
+            v = read_framed()
+            if v is None:
+                raise EOFError("rawbytes stream ended after a key")
+            keys.append(k)
+            vals.append(v)
+            if len(keys) >= 10_000:
+                yield pd.DataFrame({"key": keys, "value": vals})
+                keys, vals = [], []
+        writer.join()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"pipe command {cmd!r} exited with {rc}")
+        if keys:
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return df.mapInPandas(run, "key binary, value binary")

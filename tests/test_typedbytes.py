@@ -83,3 +83,55 @@ def test_pipe_transform_typed_combiner(spark, tmp_path):
     )
     got = {r.key: r.value for r in out.collect()}
     assert got == {"a": 4, "b": 7, "c": 4}
+
+
+def test_pipe_transform_raw_wire_format(spark, tmp_path):
+    """-io rawbytes (ST/io/RawBytesInputWriter.java:58): int32-BE frames;
+    string columns ship their Text WRITABLE bytes (vint + utf8) inside the
+    frame, binary columns ship raw. Pinned by an identity subprocess (the
+    frames we read back ARE the frames we sent) plus a byte-editing one."""
+    import struct
+    import textwrap
+
+    from hadoop_2_7_1_spark.operators.typedbytes import pipe_transform_raw
+
+    df = spark.createDataFrame([("k1", "hello"), ("k2", "worlds")], ["k", "v"])
+
+    # identity: copy stdin frames to stdout unchanged
+    ident = tmp_path / "ident.py"
+    ident.write_text(textwrap.dedent("""
+        import sys
+        b = sys.stdin.buffer.read()
+        sys.stdout.buffer.write(b)
+    """))
+    out = pipe_transform_raw(df, ["python3", str(ident)]).collect()
+    got = sorted((bytes(r.key), bytes(r.value)) for r in out)
+    # Text writable encoding: vint length (single byte here) + utf8
+    assert got == [
+        (b"\x02k1", b"\x05hello"),
+        (b"\x02k2", b"\x06worlds"),
+    ]
+
+    # transforming subprocess: re-frame with value bytes uppercased
+    upper = tmp_path / "upper.py"
+    upper.write_text(textwrap.dedent("""
+        import struct, sys
+        data = sys.stdin.buffer.read()
+        pos = 0
+        frames = []
+        while pos < len(data):
+            (n,) = struct.unpack_from(">i", data, pos)
+            frames.append(data[pos + 4 : pos + 4 + n])
+            pos += 4 + n
+        o = sys.stdout.buffer
+        for i in range(0, len(frames), 2):
+            k, v = frames[i], frames[i + 1].upper()
+            o.write(struct.pack(">i", len(k)) + k)
+            o.write(struct.pack(">i", len(v)) + v)
+    """))
+    out2 = pipe_transform_raw(df, ["python3", str(upper)]).collect()
+    got2 = sorted((bytes(r.key), bytes(r.value)) for r in out2)
+    assert got2 == [
+        (b"\x02k1", b"\x05HELLO"),
+        (b"\x02k2", b"\x06WORLDS"),
+    ]
