@@ -77,7 +77,7 @@ _DRIVER_WINDOW = [
     # remaining queries whose computation changed this round (decimal /
     # scaled-int accumulation) — every changed query re-earns its row
     "evt_anomaly", "evt_tumbling_window", "q08_join_outer",
-    "evt_sessionize",
+    "src_percent_filter",
     "sim_kmeans_sizes", "sim_kmeans_ivf", "sim_pq_adc",
     # high-value re-check
     "bench_terasort_big",

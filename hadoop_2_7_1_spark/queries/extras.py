@@ -417,6 +417,29 @@ def src_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_percent_filter",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 7 = 0
+    """,
+    doc="SequenceFileInputFilter.PercentFilter "
+        "(MRC/mapreduce/lib/input/SequenceFileInputFilter.java:153): "
+        "deterministic 1-in-7 keep by key hash — a pushed filter predicate, "
+        "no shuffle; completes the regex/percent/MD5 filter trio's driver "
+        "coverage",
+)
+def src_percent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import filters as src_filters
+
+    ev = load_table(spark, sf_dir, "events")
+    return src_filters.percent_filter(ev, "event_id", 7).select(
+        F.col("event_id").cast("bigint").alias("event_id"), "event_type"
+    )
+
+
+@register(
     "src_fixed_width",
     """
     WITH fw AS (
