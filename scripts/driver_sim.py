@@ -9,6 +9,7 @@ Usage: python scripts/driver_sim.py [sf_dir] [name_substr ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -65,7 +66,9 @@ def main() -> None:
 
     # Plain session, like the driver would build (no engine factory).
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_SIM_CPUS', '8')}]"
+        )
         .appName("driver_sim")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -241,3 +241,25 @@ def test_semdedup_pairwise_is_cluster_equi_join(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_partitioned's column-derived layout must buy partition PRUNING
+    on read: a filter on the partition column appears as PartitionFilters
+    and the scan touches only the matching directory."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.io import load_table, write_partitioned
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = str(tmp_path / "by_priority")
+    write_partitioned(orders, out, "o_orderpriority")
+
+    back = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
+    n_urgent = back.count()
+    assert n_urgent == orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
