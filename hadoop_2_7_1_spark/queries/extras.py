@@ -1173,6 +1173,40 @@ def cur_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cur_scd2_history",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(value AS DOUBLE) AS value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM events
+    """,
+    doc="SCD2 changelog-to-history: each per-user change becomes a validity "
+        "interval [valid_from, valid_to) via one user-keyed lead window "
+        "(deterministic (ts, event_id) order); open interval = current row. "
+        "One shuffle on the entity key — the dimension-history build step "
+        "of a warehouse-style curation pipeline",
+)
+def cur_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("boolean").alias("is_current"),
+    )
+
+
+@register(
     "cur_upsert_merge",
     """
     WITH latest AS (
