@@ -79,11 +79,9 @@ _DRIVER_WINDOW = [
     "evt_anomaly", "evt_tumbling_window", "q08_join_outer",
     "src_percent_filter",
     "sim_kmeans_sizes", "sim_kmeans_ivf", "sim_pq_adc",
-    # high-value re-check
-    "bench_terasort_big",
     # round-4 additions — first driver rows
     "src_mapfile_lookup", "grf_kcore", "dd_sorted_neighborhood",
-    "dd_semdedup", "txt_linear_score",
+    "dd_semdedup", "txt_linear_score", "cur_scd2_history",
 ]
 
 
