@@ -184,6 +184,113 @@ def oracle_lsh_candidate_pairs(
     """
 
 
+def minhash_accuracy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, compare the
+    MinHash Jaccard ESTIMATE (fraction of the K permutations agreeing)
+    against the EXACT shingle Jaccard; returns one row
+    (n_pairs, mean_abs_err, max_abs_err).
+
+    This is the measure-don't-guess loop for the dedup family: run it on a
+    sample whenever shingle size / K / banding change. Cost shape = the
+    candidate join (Σ bucket²) + the exact verify restricted to pairs
+    sharing a shingle — never all-pairs. The error values are rounded to
+    9 decimals before the mean so the summary is order-independent.
+    """
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sa = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (matches.cast("double") / F.lit(num_hashes)).alias("est"),
+        )
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold=0.0)
+    joined = est.join(
+        exact.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"], "left"
+    ).select(
+        F.abs(F.col("est") - F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        .cast("decimal(38,9)")
+        .alias("err")
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.sum("err").cast("double") / F.count("*")).alias("mean_abs_err"),
+        F.max("err").cast("double").alias("max_abs_err"),
+    )
+
+
+def oracle_minhash_accuracy(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 500,
+) -> str:
+    from ..functions import oracle_word_shingles
+
+    shingles = oracle_word_shingles(text_col, shingle_n)
+    p = 2147483647
+    mins = ", ".join(
+        f"min(({oracle_hash32('shingle')} + {k} * {oracle_hash32('shingle', salt='s')}) % {p}) AS h{k}"
+        for k in range(num_hashes)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END" for k in range(num_hashes)
+    )
+    cand_sql = oracle_lsh_candidate_pairs(
+        table, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    )
+    exact_sql = oracle_ngram_jaccard_pairs(
+        table, id_col, text_col, shingle_n, threshold=0.0
+    )
+    return f"""
+    WITH cand AS ({cand_sql}),
+    acc_sh AS (
+      SELECT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
+    ),
+    acc_sig AS (SELECT id, {mins} FROM acc_sh GROUP BY id),
+    est AS (
+      SELECT c.id_a, c.id_b, CAST({matches} AS DOUBLE) / {num_hashes} AS est
+      FROM cand c JOIN acc_sig a ON c.id_a = a.id JOIN acc_sig b ON c.id_b = b.id
+    ),
+    ex AS ({exact_sql}),
+    j AS (
+      SELECT CAST(abs(est.est - coalesce(ex.jaccard, 0.0)) AS DECIMAL(38,9)) AS err
+      FROM est LEFT JOIN ex ON est.id_a = ex.id_a AND est.id_b = ex.id_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(err) AS DOUBLE) / count(*) AS mean_abs_err,
+           CAST(max(err) AS DOUBLE) AS max_abs_err
+    FROM j
+    """
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise over inverted index)
 # ---------------------------------------------------------------------------

@@ -68,7 +68,7 @@ _DRIVER_WINDOW = [
     # exact hash
     "src_bucketed_join",
     "tq1_pricing_summary", "tq3_shipping_priority",
-    "tq5_local_supplier_volume", "tq6_forecast_revenue",
+    "tq6_forecast_revenue",
     "tq7_volume_shipping", "tq8_market_share", "tq9_product_profit",
     "tq10_returned_items", "tq14_promo_effect", "tq15_top_supplier",
     "tq17_small_qty_revenue", "tq19_discounted_revenue",
@@ -82,6 +82,7 @@ _DRIVER_WINDOW = [
     # round-4 additions — first driver rows
     "src_mapfile_lookup", "grf_kcore", "dd_sorted_neighborhood",
     "dd_semdedup", "txt_linear_score", "cur_scd2_history",
+    "dd_minhash_accuracy",
 ]
 
 

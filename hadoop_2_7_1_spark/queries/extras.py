@@ -1786,6 +1786,20 @@ def txt_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_minhash_accuracy",
+    dedup.oracle_minhash_accuracy("documents", "doc_id", "text"),
+    doc="sketch-quality audit: MinHash Jaccard estimate vs exact shingle "
+        "Jaccard over the LSH candidate pairs -> (n_pairs, mean_abs_err, "
+        "max_abs_err); the measure-don't-guess loop to run on a sample "
+        "whenever K/bands/shingle size change — cost is the candidate join "
+        "+ shared-shingle verify, never all-pairs",
+)
+def dd_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_accuracy(docs, "doc_id", "text")
+
+
+@register(
     "dd_semdedup",
     similarity.oracle_semdedup("embeddings", k=8, n_iter=2, threshold=0.35),
     doc="SemDeDup semantic dedup (Abbas 2023): k-means cluster the "
