@@ -210,3 +210,42 @@ def test_map_file_lookup_pure_roundtrip(items, interval):
         probe = "\x00__absent__"
         if probe not in items:
             assert mapfile.map_file_lookup(d, probe, index_interval=interval) is None
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    st.sampled_from(["a", "b", "aa", "ab", "ba"]),
+    st.sampled_from(["a", "b", "aa", "ab", "ba"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_replace_equals_greedy_fold(words, left, right):
+    """The bpe oracle's load-bearing trick: on a separator-joined symbol
+    string (sep BEFORE every symbol, no trailing sep), SQL-style
+    non-overlapping left-to-right replace of sep+l+sep+r with sep+lr
+    produces EXACTLY the engine's greedy carry fold. If a future edit
+    breaks this, the DuckDB replay silently diverges from bpe_merges."""
+    SEP = "\x1f"
+
+    def fold(syms):
+        acc, carry = [], ""
+        for s in syms:
+            if carry == "":
+                carry = s
+            elif carry == left and s == right:
+                carry = left + right
+            else:
+                acc.append(carry)
+                carry = s
+        if carry != "":
+            acc.append(carry)
+        return acc
+
+    for word in words:
+        syms = list(word)
+        joined = "".join(SEP + s for s in syms)
+        replaced = joined.replace(SEP + left + SEP + right, SEP + left + right)
+        assert [t for t in replaced.split(SEP) if t] == fold(syms), (
+            word, left, right
+        )
