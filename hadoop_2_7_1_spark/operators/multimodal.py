@@ -618,6 +618,82 @@ def parse_wav(payload: bytes):
         return None
 
 
+def make_avi(
+    width: int, height: int, n_frames: int, us_per_frame: int = 33333
+) -> bytes:
+    """Minimal spec-conformant RIFF/AVI: RIFF('AVI ') containing
+    LIST('hdrl') with the 56-byte 'avih' MainAVIHeader (public AVI RIFF
+    spec / Windows avifmt.h layout). No stream data — the header is what a
+    metadata-extraction stage reads."""
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    body = b"AVI " + lst
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_header(payload: bytes):
+    """(width, height, n_frames, us_per_frame) from RIFF/AVI bytes: walk
+    the top-level chunks, enter LIST('hdrl'), read 'avih'. None for
+    non-AVI / truncated / corrupt streams (crawl contract — never raises)."""
+    try:
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return None
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + clen]
+            if cid == b"LIST" and body[:4] == b"hdrl":
+                sub = 4
+                while sub + 8 <= len(body):
+                    scid = body[sub : sub + 4]
+                    (slen,) = struct.unpack_from("<I", body, sub + 4)
+                    if scid == b"avih" and slen >= 40 and sub + 8 + slen <= len(body):
+                        # avifmt.h MainAVIHeader field order
+                        vals = struct.unpack_from("<10I", body, sub + 8)
+                        return vals[8], vals[9], vals[4], vals[0]
+                    sub += 8 + slen + (slen & 1)
+            pos += 8 + clen + (clen & 1)
+        return None
+    except struct.error:
+        return None
+
+
+def decode_video_meta(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-blob AVI container metadata (width, height, n_frames,
+    us_per_frame) via Arrow-batched ``mapInPandas`` — same plumbing as
+    :func:`decode_image_meta`; corrupt blobs are skipped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "n_frames": [], "us_per_frame": []}
+            for media_id, blob in zip(pdf[id_col], pdf[content_col]):
+                parsed = parse_avi_header(bytes(blob))
+                if parsed is None:
+                    continue
+                w, h, frames, us_pf = parsed
+                out["media_id"].append(int(media_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(frames)
+                out["us_per_frame"].append(us_pf)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(content_col)
+    ).mapInPandas(
+        run,
+        "media_id long, width long, height long, n_frames long, us_per_frame long",
+    )
+
+
 def audio_features(
     df: DataFrame, window: int = 64, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:

@@ -70,7 +70,7 @@ _DRIVER_WINDOW = [
     "tq1_pricing_summary", "tq3_shipping_priority",
     "tq6_forecast_revenue",
     "tq7_volume_shipping", "tq8_market_share", "tq9_product_profit",
-    "tq10_returned_items", "tq14_promo_effect", "tq15_top_supplier",
+    "tq10_returned_items", "tq15_top_supplier",
     "tq17_small_qty_revenue", "tq19_discounted_revenue",
     "tq22_sales_opportunity", "tq_running_totals",
     "txt_bm25", "txt_tfidf_topterms", "agg_salted_skew", "grf_pagerank",
@@ -82,7 +82,7 @@ _DRIVER_WINDOW = [
     # round-4 additions — first driver rows
     "src_mapfile_lookup", "grf_kcore", "dd_sorted_neighborhood",
     "dd_semdedup", "txt_linear_score", "cur_scd2_history",
-    "dd_minhash_accuracy",
+    "dd_minhash_accuracy", "mm_video_meta",
 ]
 
 

@@ -193,6 +193,49 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_meta",
+    # Parameters are md5-derived per doc; the oracle replays the
+    # derivation while Spark re-reads them from the ACTUAL RIFF/AVI bytes
+    # through parse_avi_header (operators/multimodal.py).
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(128 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1792 AS BIGINT) AS width,
+           CAST(96 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 984 AS BIGINT) AS height,
+           CAST(24 + CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % 7200 AS BIGINT) AS n_frames,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 33333 WHEN 1 THEN 41708 ELSE 16667 END
+                AS BIGINT) AS us_per_frame
+    FROM documents
+    """,
+    doc="video container metadata: deterministic RIFF/AVI blobs (real "
+        "spec-conformant avih MainAVIHeader) decoded back by a pure-stdlib "
+        "chunk walker over Arrow batches — the video leg of the multimodal "
+        "family (30/23.976/60 fps frame intervals)",
+)
+def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hashlib.md5(text.encode("utf-8")).hexdigest()
+                w = 128 + int(h[0:8], 16) % 1792
+                ht = 96 + int(h[8:16], 16) % 984
+                frames = 24 + int(h[16:24], 16) % 7200
+                us_pf = {0: 33333, 1: 41708, 2: 16667}[int(doc_id) % 3]
+                ids.append(int(doc_id))
+                blobs.append(multimodal.make_avi(w, ht, frames, us_pf))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(build, "media_id long, content binary")
+    return multimodal.decode_video_meta(media)
+
+
+@register(
     "mm_resize_pixels",
     # The full pixel path is oracle-predictable because the source image is
     # a deterministic gradient: pixel (x,y) = ((x*7+s)%256, (y*11+3s)%256,

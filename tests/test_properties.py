@@ -249,3 +249,23 @@ def test_bpe_replace_equals_greedy_fold(words, left, right):
         assert [t for t in replaced.split(SEP) if t] == fold(syms), (
             word, left, right
         )
+
+
+@given(
+    st.integers(1, 4000), st.integers(1, 3000), st.integers(0, 10 ** 6),
+    st.integers(1, 10 ** 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_header_roundtrip(w, h, frames, us_pf):
+    """make_avi -> parse_avi_header recovers exactly (w, h, frames,
+    us_per_frame); corrupt/truncated variants return None, never raise."""
+    from hadoop_2_7_1_spark.operators import multimodal
+
+    blob = multimodal.make_avi(w, h, frames, us_pf)
+    assert multimodal.parse_avi_header(blob) == (w, h, frames, us_pf)
+    # truncations at every prefix boundary stay silent
+    for cut in (0, 4, 11, 12, 20, len(blob) - 1):
+        assert multimodal.parse_avi_header(blob[:cut]) in (None, (w, h, frames, us_pf)) \
+            if cut >= 12 else multimodal.parse_avi_header(blob[:cut]) is None
+    # wrong container magic
+    assert multimodal.parse_avi_header(b"RIFF\x00\x00\x00\x00WAVE") is None
