@@ -174,6 +174,136 @@ def temperature_resample(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 256,
+    top_k: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how much more likely its hashed n-gram features
+    are under a target domain than under the raw corpus, then keep the
+    top-k. ``target`` is a boolean Column marking the in-domain subset
+    (e.g. ``F.col("lang") == "en"``); features are hashed unigram buckets
+    (the paper's hashed n-grams with n=1 — the bucket hash is the shared
+    md5-derived :func:`~..functions.hex_hash32`, so the oracle replays it).
+
+    Per-bucket log ratio (add-1 smoothing over ``n_buckets``):
+    ``ln(((t_f+1)/(T+B)) / ((r_f+1)/(R+B)))``; a doc's log importance
+    weight is the count-weighted sum of its buckets' ratios.
+
+    Determinism (the exact-hash oracle contract): the ratio is rounded to
+    integer MICRO-units (scaled bigint, absorbing JVM-vs-libm ln ulp
+    drift), so the per-doc weight accumulates as a pure integer sum —
+    exact at any parallelism — and the only float op is one final
+    division. Ties at the top-k boundary break on doc id.
+
+    Scale shape: one (doc, bucket) aggregation on the exploded tokens, a
+    B-row bucket table (map-side combined, then broadcast back), one
+    per-doc aggregation — two data shuffles, no window, no cartesian. The
+    bucket products stay < 2^53 up to ~10^13 tokens per side; beyond that
+    compute the ratio as ``ln(t_f+1) - ln(T+B) - ...`` termwise.
+    """
+    from ..functions import hex_hash32 as _h  # noqa: F401  (already imported)
+    from .textops import _tok_array
+
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        target.cast("boolean").alias("is_t"),
+        F.explode(F.expr(_tok_array(text_col))).alias("tok"),
+    )
+    doc_bucket = (
+        toks.select(
+            "id", "is_t", (hex_hash32("tok", salt="dsir") % n_buckets).alias("bucket")
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"), F.max("is_t").alias("is_t"))
+    )
+    bstats = doc_bucket.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_f"),
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0))).alias("tgt_f"),
+    )
+    tot = bstats.agg(F.sum("raw_f").alias("__R"), F.sum("tgt_f").alias("__T"))
+    ratio = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("tgt_f") + 1) * (F.col("__R") + n_buckets)).cast("double")
+                / ((F.col("raw_f") + 1) * (F.col("__T") + n_buckets)).cast("double")
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    weights = (
+        doc_bucket.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lr_micro")).cast("bigint").alias("w_micro"),
+        )
+    )
+    return (
+        weights.select(
+            "id",
+            "n_tokens",
+            (F.col("w_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "dsir_logweight"
+            ),
+        )
+        .orderBy(F.col("dsir_logweight").desc(), "id")
+        .limit(top_k)
+    )
+
+
+def oracle_dsir_importance(
+    table: str,
+    id_col: str,
+    text_col: str,
+    target_sql: str,
+    n_buckets: int = 256,
+    top_k: int = 100,
+) -> str:
+    """DuckDB twin of :func:`dsir_importance` (same md5 buckets, same
+    micro-unit rounding, same smoothing and tie-break)."""
+    from ..functions import WS, oracle_hash32
+
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    )
+    h = oracle_hash32("tok", salt="dsir")
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id, ({target_sql}) AS is_t, unnest({toks}) AS tok
+      FROM {table}
+    ), db AS (
+      SELECT id, bucket, count(*) AS cnt, bool_or(is_t) AS is_t
+      FROM (SELECT id, is_t, ({h}) % {n_buckets} AS bucket FROM toks)
+      GROUP BY id, bucket
+    ), bstats AS (
+      SELECT bucket, sum(cnt) AS raw_f,
+             sum(CASE WHEN is_t THEN cnt ELSE 0 END) AS tgt_f
+      FROM db GROUP BY bucket
+    ), tot AS (SELECT sum(raw_f) AS r_tot, sum(tgt_f) AS t_tot FROM bstats),
+    ratio AS (
+      SELECT bucket,
+             CAST(round(ln(CAST((tgt_f + 1) * (r_tot + {n_buckets}) AS DOUBLE)
+                           / CAST((raw_f + 1) * (t_tot + {n_buckets}) AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS lr_micro
+      FROM bstats, tot
+    ), w AS (
+      SELECT id, sum(cnt) AS n_tokens, sum(cnt * lr_micro) AS w_micro
+      FROM db JOIN ratio USING (bucket) GROUP BY id
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(w_micro AS DOUBLE) / 1000000.0 AS dsir_logweight
+    FROM w ORDER BY dsir_logweight DESC, id LIMIT {top_k}
+    """
+
+
 def oracle_temperature_counts(
     table: str, key_expr: str, source_col: str, alpha: float = 0.5
 ) -> str:

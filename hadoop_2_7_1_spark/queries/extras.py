@@ -1034,6 +1034,24 @@ def smp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "smp_dsir_weights",
+    __import__(
+        "hadoop_2_7_1_spark.operators.sampling", fromlist=["oracle_dsir_importance"]
+    ).oracle_dsir_importance("documents", "doc_id", "text", "lang = 'en'"),
+    doc="DSIR importance resampling (Xie et al. 2023): hashed-unigram "
+        "bucket log-ratios between the lang='en' target slice and the raw "
+        "corpus, count-weighted per-doc log importance weight in integer "
+        "micro-units (exact under any parallelism), top-100 docs; two "
+        "shuffles + a B-row broadcast ratio table",
+)
+def smp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, "doc_id", "text", F.col("lang") == "en")
+
+
+@register(
     "evt_correlate",
     """
     SELECT CAST(v.user_id AS BIGINT) AS user_id,

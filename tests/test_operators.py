@@ -901,6 +901,28 @@ def test_temperature_resample_rates(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_dsir_importance_ranks_target_vocabulary_first(spark):
+    from hadoop_2_7_1_spark.operators.sampling import dsir_importance
+
+    # target docs (is_t) speak 'alpha'; the raw remainder speaks 'omega'.
+    # Held-out docs in the target vocabulary must outrank out-of-target docs.
+    rows = (
+        [(i, "alpha " * 20, True) for i in range(10)]
+        + [(100 + i, "omega " * 20, False) for i in range(10)]
+        + [(200, "alpha alpha alpha", False), (201, "omega omega omega", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = dsir_importance(df, "doc_id", "text", F.col("is_t"), top_k=100)
+    w = {r.id: r.dsir_logweight for r in out.collect()}
+    assert w[200] > 0 > w[201]
+    # weight scales with token count, tie-broken deterministically
+    assert w[0] > w[200]
+    # rerun is bit-identical (integer micro-unit accumulation)
+    again = {r.id: r.dsir_logweight for r in
+             dsir_importance(df, "doc_id", "text", F.col("is_t"), top_k=100).collect()}
+    assert w == again
+
+
 # ---------------------------------------------------------------------------
 # Round-2 sketches and graph structure
 # ---------------------------------------------------------------------------
