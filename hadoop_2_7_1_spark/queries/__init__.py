@@ -84,6 +84,9 @@ _DRIVER_WINDOW = [
     "dd_semdedup", "txt_linear_score", "cur_scd2_history",
     "dd_minhash_accuracy", "mm_video_meta",
 ]
+# Round-5 rotation candidates (registered after this round's window filled):
+# smp_dsir_weights (late-r4 addition, sim-green at sf0.01/sf0.001 incl. the
+# 32-cpu adversarial replay) plus fresh re-check slots.
 
 
 def _ordered_names() -> list[str]:
