@@ -1119,3 +1119,122 @@ def oracle_html_to_text(expr: str) -> str:
     c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
     c = f"regexp_replace({c}, '\\n+', chr(10), 'g')"
     return f"regexp_replace(trim({c}), '^\\n+|\\n+$', '', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite rule filter
+# ---------------------------------------------------------------------------
+
+# Required-stopword list from the public Gopher paper (Rae et al. 2021,
+# table A1 prose): a doc must contain >= 2 of these to pass.
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Composite document-quality rule filter (Gopher / MassiveText style).
+
+    Emits every rule metric plus a single ``keep`` verdict:
+      * word count in [min_words, max_words]
+      * mean word length in [3, 10]
+      * symbol-to-word ratio (``#`` or ``...``) < 0.1
+      * >80% of words contain at least one alphabetic character
+      * >= 2 of the 8 required stopwords present
+      * <90% of lines start with a bullet, <30% end with an ellipsis
+
+    All metrics are single-pass Column expressions over the tokenized text —
+    no Python, no shuffle; at 100 TB this is a pure map stage that fuses into
+    the scan (reference analogue: a chained filter Mapper, cf.
+    MRC/mapreduce/lib/map/RegexMapper.java used as a gate).
+    """
+    toks = _tok_array(text_col)
+    lines = f"split({text_col}, '\\n')"
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    out = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_words"),
+        F.expr(
+            f"cast(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) as double)"
+            f" / greatest(size({toks}), 1)"
+        ).alias("mean_word_len"),
+        F.expr(
+            f"cast(size(split({text_col}, '#', -1)) - 1"
+            f" + size(split({text_col}, '\\\\.\\\\.\\\\.', -1)) - 1 as double)"
+            f" / greatest(size({toks}), 1)"
+        ).alias("symbol_word_ratio"),
+        F.expr(
+            f"cast(size(filter({toks}, t -> t rlike '[A-Za-z]')) as double)"
+            f" / greatest(size({toks}), 1)"
+        ).alias("alpha_word_ratio"),
+        F.expr(
+            f"cast(size(filter(array({stops}),"
+            f" s -> exists({toks}, t -> lower(t) = s))) as bigint)"
+        ).alias("stop_hits"),
+        F.expr(
+            f"cast(size(filter({lines}, l -> trim(l) rlike '^[-*•]'))"
+            f" as double) / greatest(size({lines}), 1)"
+        ).alias("bullet_line_ratio"),
+        F.expr(
+            f"cast(size(filter({lines}, l -> trim(l) rlike '(\\\\.\\\\.\\\\.|…)$'))"
+            f" as double) / greatest(size({lines}), 1)"
+        ).alias("ellipsis_line_ratio"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("alpha_word_ratio") > 0.8)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("bullet_line_ratio") < 0.9)
+        & (F.col("ellipsis_line_ratio") < 0.3),
+    )
+
+
+def oracle_gopher_rules(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    lines = f"string_split({text_col}, chr(10))"
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    return f"""
+    WITH m AS (
+      SELECT CAST({id_col} AS BIGINT) AS id,
+             CAST(len({toks}) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) AS DOUBLE)
+               / greatest(len({toks}), 1) AS mean_word_len,
+             CAST(len(string_split({text_col}, '#')) - 1
+                  + len(str_split_regex({text_col}, '\\.\\.\\.')) - 1 AS DOUBLE)
+               / greatest(len({toks}), 1) AS symbol_word_ratio,
+             CAST(len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len({toks}), 1) AS alpha_word_ratio,
+             CAST(len(list_filter([{stops}],
+                  s -> len(list_filter({toks}, t -> lower(t) = s)) > 0)) AS BIGINT)
+               AS stop_hits,
+             CAST(len(list_filter({lines}, l -> regexp_matches(trim(l), '^[-*•]')))
+                  AS DOUBLE) / greatest(len({lines}), 1) AS bullet_line_ratio,
+             CAST(len(list_filter({lines}, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                  AS DOUBLE) / greatest(len({lines}), 1) AS ellipsis_line_ratio
+      FROM {table}
+    )
+    SELECT *,
+           (n_words BETWEEN {min_words} AND {max_words}
+            AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_word_ratio < 0.1
+            AND alpha_word_ratio > 0.8
+            AND stop_hits >= 2
+            AND bullet_line_ratio < 0.9
+            AND ellipsis_line_ratio < 0.3) AS keep
+    FROM m
+    """

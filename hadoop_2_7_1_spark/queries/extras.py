@@ -1847,6 +1847,21 @@ def txt_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_gopher_rules",
+    textops.oracle_gopher_rules("documents", "doc_id", "text", min_words=20),
+    doc="Gopher/MassiveText composite rule filter: word-count bounds, mean "
+        "word length, symbol ratio, alpha-word ratio, required stopwords, "
+        "bullet/ellipsis line ratios + single keep verdict — one fused map "
+        "stage over the scan, no Python, no shuffle",
+)
+def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_words=20: the synthetic docs are short word-soup; 20 keeps the
+    # verdict column non-degenerate at test SFs (prod default stays 50).
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.gopher_rules(docs, "doc_id", "text", min_words=20)
+
+
+@register(
     "dd_minhash_accuracy",
     dedup.oracle_minhash_accuracy("documents", "doc_id", "text"),
     doc="sketch-quality audit: MinHash Jaccard estimate vs exact shingle "
