@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import hex_hash32
+from ..functions import hex_hash32, oracle_hash32
 
 HASH_SPACE = 1 << 32
 
@@ -328,4 +328,46 @@ def oracle_temperature_counts(
            CAST(r.n * CAST(floor(r.rate) AS BIGINT) + coalesce(f.n_frac, 0) AS BIGINT)
              AS n_sampled
     FROM rates r LEFT JOIN frac_kept f ON r.s = f.s
+    """
+
+
+def domain_quota(
+    df: DataFrame, key_col: str, domain_col: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, chosen by content-stable
+    priority (hash of the key), not arrival order.
+
+    The standard crawl-curation balancer: no single domain may contribute
+    more than its quota to the training mix, and reruns/backfills pick the
+    SAME winners because priority depends only on the key. One shuffle on
+    the domain; Spark's WindowGroupLimit rewrite turns the rank filter into
+    a map-side partial top-``cap`` before the exchange, so a mega-domain
+    ships at most ``cap`` rows per input partition rather than its whole
+    crawl (the skew story at 100 TB).
+    """
+    from pyspark.sql import Window
+
+    pri = hex_hash32(key_col)
+    w = Window.partitionBy(domain_col).orderBy(pri.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("quota_rank") <= cap)
+        .select(
+            F.col(domain_col).alias("domain"),
+            F.col(key_col).cast("bigint").alias("id"),
+            "quota_rank",
+        )
+    )
+
+
+def oracle_domain_quota(table: str, key_col: str, domain_col: str, cap: int) -> str:
+    pri = oracle_hash32(f"CAST({key_col} AS VARCHAR)")
+    return f"""
+    SELECT domain, id, quota_rank FROM (
+      SELECT {domain_col} AS domain, CAST({key_col} AS BIGINT) AS id,
+             CAST(row_number() OVER (
+               PARTITION BY {domain_col}
+               ORDER BY {pri} ASC, {key_col} ASC) AS BIGINT) AS quota_rank
+      FROM {table}
+    ) WHERE quota_rank <= {cap}
     """

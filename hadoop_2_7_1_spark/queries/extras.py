@@ -18,7 +18,11 @@ from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
 from ..operators.sketches import oracle_kmv_distinct
 from ..operators.profile import oracle_profile
-from ..operators.sampling import oracle_hash_threshold, oracle_temperature_counts
+from ..operators.sampling import (
+    oracle_domain_quota,
+    oracle_hash_threshold,
+    oracle_temperature_counts,
+)
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -778,6 +782,20 @@ def smp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = sampling.stratified_sample(docs, "doc_id", "lang", {"en": 0.25, "fr": 0.5})
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+@register(
+    "cur_domain_quota",
+    oracle_domain_quota("documents", "doc_id", "source", cap=150),
+    doc="per-domain quota balancer: keep at most N docs per source by "
+        "content-stable md5 priority — WindowGroupLimit makes the rank "
+        "filter a map-side partial top-N before the one domain shuffle",
+)
+def cur_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.domain_quota(docs, "doc_id", "source", cap=150)
 
 
 @register(

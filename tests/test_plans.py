@@ -264,3 +264,13 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
     n_urgent = back.count()
     assert n_urgent == orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_domain_quota_partial_topk_before_shuffle(spark):
+    """The per-domain quota must apply its rank cap map-side
+    (WindowGroupLimit Partial) so a mega-domain ships at most `cap` rows per
+    input partition into the domain shuffle."""
+    plan = plan_of(spark, "cur_domain_quota")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert "SinglePartition" not in plan, plan
