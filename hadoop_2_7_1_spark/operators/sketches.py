@@ -317,3 +317,114 @@ def oracle_kmv_distinct(table: str, group_col: str, value_col: str, k: int = 64)
            CAST(n_seen AS BIGINT) AS n_seen
     FROM ex JOIN sk USING ({group_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 10                      # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+HLL_RHO_CAP = 40                # register cap keeps 2^(cap-M) sums in BIGINT
+# alpha_m * m^2 * 2^cap folded into ONE python double so both engines divide
+# the identical numerator by the identical integer S — no multiply-order
+# drift (Flajolet et al. 2007 constants).
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RHO_CAP)
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate alongside the exact count.
+
+    Register assignment from the shared 60-bit md5 hash: top 10 bits pick
+    the bucket, rho = leading-zero run of the remaining 50 bits (capped at
+    40). The register table IS the distributed sketch — (group, bucket,
+    max rho) rows — so merging partials is just max(), which Spark's
+    map-side partial aggregation already performs; the estimator folds the
+    registers with exact integer arithmetic (sum of 2^(cap-rho) in BIGINT)
+    so the result is bit-identical at any parallelism, then applies the
+    standard small-range linear-counting correction.
+
+    Scale shape: two shuffles (dedup optional; register agg on
+    (group, bucket) with partial max, then group fold of <= 1024 rows/group).
+    Reference analogue: the capped UniqValueCount
+    (MRC/mapreduce/lib/aggregate/UniqValueCount.java:1) — same job, bounded
+    memory instead of a bounded exact set.
+    """
+    h = _hash60(F.col(value_col))
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        # bit shift, NOT double division — h has up to 60 bits and doubles
+        # lose integer exactness past 2^53
+        F.shiftright(h, 50).alias("__b"),
+        (h % (1 << 50)).alias("__w"),
+    )
+    rho = (
+        F.when(F.col("__w") == 0, F.lit(51))
+        .otherwise(F.lit(51) - F.length(F.bin(F.col("__w"))))
+    )
+    regs = (
+        d.withColumn("__rho", F.least(rho, F.lit(HLL_RHO_CAP)))
+        .groupBy(group_col, "__b")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    cap = HLL_RHO_CAP
+    folded = regs.groupBy(group_col).agg(
+        F.sum(F.expr(f"cast(pow(2, {cap} - __m) as bigint)")).alias("__s_present"),
+        F.count("*").alias("__nb"),
+    )
+    zeros = F.lit(HLL_M) - F.col("__nb")
+    s_total = (F.col("__s_present") + zeros * (1 << cap)).cast("double")
+    e_raw = F.lit(HLL_NUMERATOR) / s_total
+    est = F.when(
+        (zeros > 0) & (e_raw <= 2.5 * HLL_M),
+        F.round(F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")), 4),
+    ).otherwise(F.round(e_raw, 4))
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count_distinct(F.col(value_col)).cast("bigint").alias("n_exact"))
+    )
+    return exact.join(folded, group_col).select(
+        group_col,
+        "n_exact",
+        est.cast("double").alias("hll_estimate"),
+        zeros.cast("bigint").alias("n_zero_registers"),
+    )
+
+
+def oracle_hll_distinct(table: str, group_col: str, value_col: str) -> str:
+    cap, m = HLL_RHO_CAP, HLL_M
+    h = f"CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+    WITH d AS (
+      SELECT {group_col},
+             {h} // {1 << 50} AS b,
+             {h} % {1 << 50} AS w
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ), regs AS (
+      SELECT {group_col}, b,
+             max(least(CASE WHEN w = 0 THEN 51 ELSE 51 - len(bin(w)) END, {cap})) AS mreg
+      FROM d GROUP BY {group_col}, b
+    ), folded AS (
+      SELECT {group_col},
+             CAST(sum(CAST(2 ** ({cap} - mreg) AS BIGINT)) AS BIGINT) AS s_present,
+             count(*) AS nb
+      FROM regs GROUP BY {group_col}
+    ), est AS (
+      SELECT {group_col},
+             {m} - nb AS zeros,
+             CAST(s_present + ({m} - nb) * {1 << cap} AS DOUBLE) AS s_total
+      FROM folded
+    ), ex AS (
+      SELECT {group_col}, CAST(count(DISTINCT {value_col}) AS BIGINT) AS n_exact
+      FROM {table} WHERE {value_col} IS NOT NULL GROUP BY {group_col}
+    )
+    SELECT ex.{group_col}, n_exact,
+           CAST(CASE WHEN zeros > 0 AND {HLL_NUMERATOR!r} / s_total <= {2.5 * m!r}
+                     THEN round({float(m)!r} * ln({float(m)!r} / zeros), 4)
+                     ELSE round({HLL_NUMERATOR!r} / s_total, 4) END AS DOUBLE)
+             AS hll_estimate,
+           CAST(zeros AS BIGINT) AS n_zero_registers
+    FROM ex JOIN est USING ({group_col})
+    """

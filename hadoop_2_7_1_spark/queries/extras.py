@@ -16,7 +16,7 @@ from ..operators.graph import oracle_pagerank
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
-from ..operators.sketches import oracle_kmv_distinct
+from ..operators.sketches import oracle_hll_distinct, oracle_kmv_distinct
 from ..operators.profile import oracle_profile
 from ..operators.sampling import (
     oracle_domain_quota,
@@ -1329,14 +1329,29 @@ def cur_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_kmv_distinct("events", "event_type", "user_id", k=64),
     doc="KMV (k-minimum-values) distinct-user sketch per event type, k=64: "
         "deterministic cross-engine estimate (md5 fractions, (k-1)/h_k) "
-        "next to the exact count — the mergeable-sketch path HLL can't "
-        "oracle-check",
+        "next to the exact count",
 )
 def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_distinct
 
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+@register(
+    "agg_hll_distinct",
+    oracle_hll_distinct("events", "event_type", "user_id"),
+    doc="HyperLogLog distinct-user sketch per event type (1024 registers, "
+        "md5 bucket/rho): register table is the distributed mergeable "
+        "sketch, folded with exact integer arithmetic so the estimate is "
+        "bit-identical at any parallelism; linear-counting small-range "
+        "correction included, exact count alongside",
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_type", "user_id")
 
 
 @register(

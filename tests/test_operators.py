@@ -1382,3 +1382,23 @@ def test_write_by_filename_arbitrary_derivation(tmp_path, spark):
 
     with pytest.raises(Exception):  # bad names fail loudly, not silently
         write_by_filename(df2, out, F.lit("../escape.txt"))
+
+
+def test_hll_sketch_accuracy_and_parallel_determinism(spark):
+    from hadoop_2_7_1_spark.operators.sketches import hll_distinct
+
+    # 20k distinct in one group, m=1024 registers: HLL sd ~ 1.04/sqrt(m) ~ 3%
+    df = spark.range(20_000).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+    row = hll_distinct(df, "g", "v").collect()[0]
+    assert row.n_exact == 20_000
+    assert abs(row.hll_estimate - 20_000) / 20_000 < 0.10
+
+    # small group lands in the linear-counting regime and stays close
+    small = spark.range(30).selectExpr("'s' AS g", "CAST(id AS STRING) AS v")
+    r2 = hll_distinct(small, "g", "v").collect()[0]
+    assert abs(r2.hll_estimate - 30) < 5 and r2.n_zero_registers > 900
+
+    # estimate is bit-identical under different partial-merge groupings
+    a = hll_distinct(df.repartition(1), "g", "v").collect()[0].hll_estimate
+    b = hll_distinct(df.repartition(17, "v"), "g", "v").collect()[0].hll_estimate
+    assert a == b == row.hll_estimate
