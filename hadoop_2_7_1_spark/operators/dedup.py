@@ -1061,3 +1061,99 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         )
         .select(F.col("curl").alias("canonical_url"), "n_variants", "keep_id")
     )
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring detection at n-gram granularity
+    (the scalable form of suffix-array substring dedup, Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Every word n-gram is hashed into an inverted index; a gram that occurs
+    in more than one document marks its positions as duplicated, and runs
+    of consecutive duplicated positions merge into maximal spans. Per doc:
+    (n_grams, n_dup_grams, n_dup_spans, dup_frac) — the removal step would
+    cut exactly those spans.
+
+    Scale shape: gram fan-out is a narrow map (~1 row per token); the only
+    shuffles are the gram-hash groupBy (map-side partial), the equi-join
+    back, and a doc-keyed window for run merging. Never all-pairs, never a
+    global sort. At 100 TB the gram index is the dominant shuffle — salt is
+    unnecessary because gram hashes are uniform md5.
+    """
+    toks = f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t <> '')"
+    grams_expr = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1),"
+        f" i -> md5(concat_ws(' ', slice({toks}, i, {n}))))"
+        f" ELSE cast(array() as array<string>) END"
+    )
+    grams = (
+        df.select(F.col(id_col).cast("bigint").alias("doc"), F.expr(grams_expr).alias("g"))
+        .select("doc", F.posexplode("g").alias("pos", "gh"))
+        .withColumn("pos", F.col("pos") + 1)
+    )
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    marked = grams.join(dup_grams, "gh").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    spans = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn("new_run", F.when(F.col("prev").isNull() | (F.col("pos") != F.col("prev") + 1), 1).otherwise(0))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_grams"),
+            F.sum("new_run").cast("bigint").alias("n_dup_spans"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col).cast("bigint").alias("doc"),
+        F.expr(f"cast(greatest(size({toks}) - {n} + 1, 0) as bigint)").alias("n_grams"),
+    )
+    return (
+        totals.join(spans, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            (
+                F.coalesce("n_dup_grams", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def oracle_dup_span_stats(table: str, id_col: str, text_col: str, n: int = 8) -> str:
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    return f"""
+    WITH tk AS (
+      SELECT CAST({id_col} AS BIGINT) AS doc, {toks} AS t FROM {table}
+    ), grams AS (
+      SELECT doc, pos, md5(array_to_string(t[pos : pos + {n} - 1], ' ')) AS gh
+      FROM tk, UNNEST(range(1, greatest(len(t) - {n} + 2, 1))) AS u(pos)
+    ), dup AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc) > 1
+    ), marked AS (
+      SELECT doc, pos, lag(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev
+      FROM grams JOIN dup USING (gh)
+    ), spans AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_dup_grams,
+             CAST(sum(CASE WHEN prev IS NULL OR pos <> prev + 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM marked GROUP BY doc
+    ), totals AS (
+      SELECT doc, CAST(greatest(len(t) - {n} + 1, 0) AS BIGINT) AS n_grams FROM tk
+    )
+    SELECT totals.doc AS doc_id, n_grams,
+           CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(n_dup_grams, 0) AS DOUBLE) / greatest(n_grams, 1) AS dup_frac
+    FROM totals LEFT JOIN spans USING (doc)
+    """

@@ -1895,6 +1895,20 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_span_dedup",
+    dedup.oracle_dup_span_stats("documents", "doc_id", "text", n=8),
+    doc="exact duplicated-substring detection at 8-gram granularity (the "
+        "scalable suffix-array-dedup shape): inverted gram index -> mark "
+        "positions duplicated across docs -> merge consecutive positions "
+        "into maximal spans; per-doc n_grams/n_dup_grams/n_dup_spans/"
+        "dup_frac — one gram shuffle + equi-join back, never all-pairs",
+)
+def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_stats(docs, "doc_id", "text", n=8)
+
+
+@register(
     "dd_minhash_accuracy",
     dedup.oracle_minhash_accuracy("documents", "doc_id", "text"),
     doc="sketch-quality audit: MinHash Jaccard estimate vs exact shingle "
