@@ -1895,6 +1895,42 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_orc_roundtrip",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="ORC as a first-class columnar source/sink (Spark-native reader, "
+        "predicate pushdown + column pruning like parquet): lineitem "
+        "round-trips through snappy ORC, then a decimal-accumulated "
+        "aggregate must hash-match the parquet-direct oracle",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/tmp/h271_orc_{sf_tag}/lineitem"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    li.write.mode("overwrite").option("compression", "snappy").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sum_qty"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
     "dd_span_dedup",
     dedup.oracle_dup_span_stats("documents", "doc_id", "text", n=8),
     doc="exact duplicated-substring detection at 8-gram granularity (the "
