@@ -1238,3 +1238,65 @@ def oracle_gopher_rules(
             AND ellipsis_line_ratio < 0.3) AS keep
     FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated numeric PII detection
+# ---------------------------------------------------------------------------
+
+# 13-19 digits with optional single space/dash separators. No lookarounds:
+# the oracle's RE2 engine lacks them; greedy leftmost matching is identical
+# in Java regex and RE2 for this pattern.
+_CARD_CAND_RE = "[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def _luhn_spark(cand: str) -> str:
+    """Spark SQL boolean fragment: candidate string passes the Luhn check."""
+    d = f"regexp_replace({cand}, '[ -]', '')"
+    digit = f"cast(substring(reverse({d}), i, 1) as int)"
+    return (
+        f"aggregate(sequence(1, length({d})), 0, (acc, i) -> acc + "
+        f"CASE WHEN i % 2 = 1 THEN {digit} "
+        f"WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 ELSE {digit} * 2 END) % 10 = 0"
+    )
+
+
+def pii_luhn(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Count card-number-shaped digit runs and how many pass the Luhn
+    checksum — the high-precision step that separates real card numbers
+    from phone numbers/ids sharing the digit-run shape.
+
+    Candidate extraction and the checksum are pure Column expressions
+    (regexp_extract_all + a nested higher-order aggregate), so detection
+    runs at scan speed with no Python; the redaction twin would substitute
+    only validated spans.
+    """
+    cands = f"regexp_extract_all({text_col}, '{_CARD_CAND_RE}', 0)"
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(f"cast(size({cands}) as bigint)").alias("n_candidates"),
+        F.expr(
+            f"cast(size(filter({cands}, c -> {_luhn_spark('c')})) as bigint)"
+        ).alias("n_luhn_valid"),
+    )
+
+
+def _luhn_duckdb(cand: str) -> str:
+    d = f"regexp_replace({cand}, '[ -]', '', 'g')"
+    digit = f"CAST(substr(reverse({d}), i, 1) AS INT)"
+    return (
+        f"list_sum(list_transform(range(1, length({d}) + 1), i -> "
+        f"CASE WHEN i % 2 = 1 THEN {digit} "
+        f"WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 ELSE {digit} * 2 END)) % 10 = 0"
+    )
+
+
+def oracle_pii_luhn(table: str, id_col: str, text_col: str) -> str:
+    cands = f"regexp_extract_all({text_col}, '{_CARD_CAND_RE}')"
+    return f"""
+    SELECT CAST({id_col} AS BIGINT) AS id,
+           CAST(len({cands}) AS BIGINT) AS n_candidates,
+           CAST(len(list_filter({cands}, c -> {_luhn_duckdb('c')})) AS BIGINT)
+             AS n_luhn_valid
+    FROM {table}
+    """

@@ -1894,6 +1894,35 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.gopher_rules(docs, "doc_id", "text", min_words=20)
 
 
+_PII_T2_SQL = (
+    "concat(text, ' ', substr(regexp_replace(md5(CAST(doc_id AS VARCHAR)),"
+    " '[a-f]', '', 'g'), 1, 16))"
+)
+
+
+@register(
+    "txt_pii_luhn",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_T2_SQL} AS t2 FROM documents)
+    {textops.oracle_pii_luhn("aug", "doc_id", "t2")}
+    """,
+    doc="Luhn-validated card-number detection: digit-run candidates via "
+        "regexp_extract_all, checksum as a nested higher-order aggregate — "
+        "all codegen, no Python; candidates are injected deterministically "
+        "from md5(doc_id) digits so the checksum path is exercised on "
+        "digit-free synthetic docs",
+)
+def txt_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t2",
+        F.expr(
+            "concat(text, ' ', substring(regexp_replace(md5(cast(doc_id as string)),"
+            " '[a-f]', ''), 1, 16))"
+        ),
+    )
+    return textops.pii_luhn(docs, "doc_id", "t2")
+
+
 @register(
     "src_orc_roundtrip",
     """
