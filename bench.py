@@ -62,6 +62,10 @@ EXTRAS = [
     "txt_bpe_merges",
     "dd_semdedup",
     "grf_kcore",
+    # round-4 continuation additions: gram-index span dedup (heaviest new
+    # shuffle) and the HLL register fold
+    "dd_span_dedup",
+    "agg_hll_distinct",
 ]
 
 

@@ -810,3 +810,60 @@ def augment_images(
     return df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(content_col)
     ).mapInPandas(run, "media_id long, width long, height long, content binary")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash) for image near-dup detection
+# ---------------------------------------------------------------------------
+
+def dhash_bytes(payload: bytes) -> str | None:
+    """64-bit difference hash of a decodable image, as 16 hex chars.
+
+    Canonical dHash (public recipe): downsample the grayscale image to
+    9x8 with nearest-neighbor, set bit x of row y when gray(x+1,y) >
+    gray(x,y), pack each row into a byte. Perceptually-identical images
+    collide; small edits flip few bits, so Hamming banding on the hex
+    string finds near-dups. Returns None on undecodable payloads (crawl
+    contract: skip, never crash)."""
+    dec = png_decode(payload)
+    if dec is None:
+        return None
+    w, h, ch, px = dec
+    def gray(sx: int, sy: int) -> int:
+        off = (sy * w + sx) * ch
+        if ch >= 3:
+            return (px[off] + px[off + 1] + px[off + 2]) // 3
+        return px[off]
+    rows = []
+    for y in range(8):
+        sy = min(h - 1, y * h // 8)
+        byte = 0
+        for x in range(8):
+            sx0 = min(w - 1, x * w // 9)
+            sx1 = min(w - 1, (x + 1) * w // 9)
+            if gray(sx1, sy) > gray(sx0, sy):
+                byte |= 1 << x
+        rows.append(byte)
+    return "".join(f"{b:02x}" for b in rows)
+
+
+def dhash_images(df: DataFrame, id_col: str = "media_id",
+                 content_col: str = "content") -> DataFrame:
+    """(media_id, dhash) via the real decode path — Arrow-batched
+    ``mapInPandas``, blobs never shuffled (the hash is 16 bytes; grouping
+    happens on it, not on the image)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for media_id, blob in zip(pdf[id_col], pdf[content_col]):
+                hx = dhash_bytes(bytes(blob))
+                if hx is None:
+                    continue
+                ids.append(int(media_id))
+                hashes.append(hx)
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(content_col)
+    ).mapInPandas(run, "media_id long, dhash string")

@@ -317,6 +317,71 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dhash_gray(sx: str, sy: str) -> str:
+    # gradient pixel formula from multimodal.make_png_with_pixels
+    return (f"((({sx}) * 7 + s) % 256 + (({sy}) * 11 + 3 * s) % 256"
+            f" + (({sx}) + ({sy}) + 5 * s) % 256) // 3")
+
+
+_DHASH_W, _DHASH_H, _DHASH_SEEDS = 20, 14, 41
+_DHASH_BIT = (
+    "CASE WHEN "
+    + _dhash_gray(f"least({_DHASH_W - 1}, ((x + 1) * {_DHASH_W}) // 9)",
+                  f"least({_DHASH_H - 1}, (y * {_DHASH_H}) // 8)")
+    + " > "
+    + _dhash_gray(f"least({_DHASH_W - 1}, (x * {_DHASH_W}) // 9)",
+                  f"least({_DHASH_H - 1}, (y * {_DHASH_H}) // 8)")
+    + " THEN CAST(2 ** x AS BIGINT) ELSE 0 END"
+)
+
+
+@register(
+    "mm_dhash_neardup",
+    f"""
+    WITH d AS (SELECT doc_id, doc_id % {_DHASH_SEEDS} AS s FROM documents),
+    hx AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, 8), y ->
+               printf('%02x', CAST(list_sum(list_transform(range(0, 8), x ->
+                 {_DHASH_BIT})) AS BIGINT))), '') AS dhash
+      FROM d
+    )
+    SELECT dhash, CAST(count(*) AS BIGINT) AS n_imgs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM hx GROUP BY dhash HAVING count(*) > 1
+    """,
+    doc="image near-dup via perceptual dHash over the REAL pixel path: "
+        "build gradient PNGs (seed = doc_id % 41), stdlib decode, 9x8 "
+        "nearest-neighbor grayscale, adjacent-column difference bits -> 16 "
+        "hex chars; group on the 16-byte hash, blobs never shuffled. The "
+        "oracle replays the gradient arithmetic in closed form",
+)
+def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                ids.append(int(doc_id))
+                blobs.append(multimodal.make_png_with_pixels(
+                    _DHASH_W, _DHASH_H, int(doc_id) % _DHASH_SEEDS))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(build, "media_id long, content binary")
+    hashed = multimodal.dhash_images(media)
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_imgs"),
+            F.min("media_id").cast("bigint").alias("keep_id"),
+        )
+        .filter(F.col("n_imgs") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows / sessions / JSON (batch forms; streaming parity in
 # hadoop_2_7_1_spark/streaming with tests)
