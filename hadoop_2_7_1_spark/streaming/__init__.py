@@ -227,3 +227,63 @@ def exactly_once_sink(stream_df: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_count_stream(events: DataFrame, key_col: str = "props") -> DataFrame:
+    """First-seen filter + duplicate counter on the arbitrary-stateful v2
+    API (transformWithStateInPandas): one ValueState cell per content hash
+    holding (first_event_id, n_seen); each update emits the key's current
+    standing, so downstream sees both the keeper and the live dup count.
+
+    This is the streaming twin of the batch exact-dedup groups
+    (operators/dedup.py exact_dup_groups). State is 16 bytes + two longs
+    per distinct content hash, partitioned by the state store; at
+    production scale a TTL config (state store cleanup) bounds it to the
+    dedup horizon. The content hash — not the blob — is the shuffle key.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("fp", StringType()),
+        StructField("keep_id", LongType()),
+        StructField("n_seen", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("keep_id", LongType()),
+        StructField("n", LongType()),
+    ])
+
+    class DedupCounter(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._state = handle.getValueState("seen", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            keep_id, n = (self._state.get() or (None, 0))
+            for pdf in rows:
+                ids = pdf["event_id"].astype("int64")
+                batch_min = int(ids.min())
+                keep_id = batch_min if keep_id is None else min(keep_id, batch_min)
+                n += len(pdf)
+            self._state.update((keep_id, n))
+            yield pd.DataFrame({"fp": [key[0]], "keep_id": [keep_id], "n_seen": [n]})
+
+        def close(self) -> None:
+            pass
+
+    hashed = events.select(
+        F.md5(F.col(key_col)).alias("fp"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+    return hashed.groupBy("fp").transformWithStateInPandas(
+        DedupCounter(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -146,3 +146,37 @@ def test_stream_static_enrichment(spark):
         .toPandas()
     )
     assert_frames_match(out, batch, "stream_static_enrich_vs_batch")
+
+
+def test_transform_with_state_dedup_counts(spark):
+    """v2 arbitrary-state streaming dedup must agree with the batch
+    exact-dup grouping on the same finite input.
+
+    transformWithStateInPandas launches a separate Python driver worker
+    that imports protobuf (Spark Connect plan serialization); this
+    container ships without protobuf, so skip when the import is absent —
+    the operator runs unmodified on a standard Spark distribution.
+    """
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    sdf = streaming.stream_events(spark, SF_DIR)
+    out = streaming.run_to_memory(
+        streaming.dedup_count_stream(sdf), "t_twstate", "update"
+    ).toPandas()
+    # update mode re-emits a key per batch; keep each fp's final standing
+    out = (
+        out.sort_values(["fp", "n_seen"]).groupby("fp", as_index=False).last()
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.select(F.md5("props").alias("fp"), "event_id")
+        .groupBy("fp")
+        .agg(
+            F.min("event_id").cast("bigint").alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_seen"),
+        )
+        .toPandas()
+    )
+    assert_frames_match(out, batch, "twstate_dedup_vs_batch")
