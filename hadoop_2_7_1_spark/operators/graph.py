@@ -267,3 +267,55 @@ def oracle_kcore(edges_sql: str, k: int = 2, rounds: int = 5) -> str:
     FROM a{rounds} GROUP BY src
     """
     return sql
+
+
+def bfs_hops(
+    edges: DataFrame, source: str, max_hops: int = 4,
+    src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from ``source``, fixed ``max_hops``
+    synchronous rounds (engine-replayable like pagerank — no data-dependent
+    convergence test).
+
+    Each round is frontier ⋈ edges → distinct → min-hop fold: all
+    equi-keyed shuffles on the node id, never a cartesian. At 100 TB the
+    round count bounds the work (frontier-delta form would skip settled
+    nodes; at diameter <= max_hops they are equivalent), and lineage stays
+    ``max_hops`` stages deep — short enough to skip checkpointing.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    dist = e.sparkSession.createDataFrame([(source, 0)], "node string, hop int")
+    for k in range(max_hops):
+        frontier = dist.filter(F.col("hop") == k).select(F.col("node").alias("src"))
+        nxt = (
+            frontier.join(e, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("hop", F.lit(k + 1))
+        )
+        dist = dist.unionByName(nxt).groupBy("node").agg(F.min("hop").alias("hop"))
+    return dist.select("node", F.col("hop").cast("bigint").alias("hop"))
+
+
+def oracle_bfs_hops(edges_sql: str, source: str, max_hops: int = 4) -> str:
+    """Unrolled min-hop CTE chain (same shape as the pagerank oracle —
+    a recursive CTE would enumerate paths on cyclic graphs)."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        f"d0 AS (SELECT '{source}' AS node, 0 AS hop)",
+    ]
+    for k in range(max_hops):
+        parts.append(
+            f", f{k} AS (SELECT e.dst AS node, {k + 1} AS hop"
+            f" FROM e JOIN d{k} ON e.src = d{k}.node WHERE d{k}.hop = {k})"
+        )
+        parts.append(
+            f", d{k + 1} AS (SELECT node, min(hop) AS hop FROM"
+            f" (SELECT * FROM d{k} UNION ALL SELECT * FROM f{k}) GROUP BY node)"
+        )
+    parts.append(
+        f"SELECT node, CAST(hop AS BIGINT) AS hop FROM d{max_hops}"
+    )
+    return "\n".join(parts)

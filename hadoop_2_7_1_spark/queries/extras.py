@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
 from ..operators.funnel import oracle_funnel, oracle_retention
-from ..operators.graph import oracle_pagerank
+from ..operators.graph import oracle_bfs_hops, oracle_pagerank
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
@@ -1585,6 +1585,26 @@ def grf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(edges, iterations=3, damping=0.85)
+
+
+@register(
+    "grf_bfs_hops",
+    oracle_bfs_hops(_PR_EDGES_SQL, "s1", max_hops=4),
+    doc="BFS hop distances from supplier s1 over the supplier-part "
+        "co-occurrence graph, 4 fixed synchronous rounds (frontier join + "
+        "min-hop fold, all equi-keyed) — oracle is the unrolled min-hop "
+        "CTE chain, not a recursive CTE (path explosion on cycles)",
+)
+def grf_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return bfs_hops(edges, "s1", max_hops=4)
 
 
 @register(
