@@ -1157,3 +1157,66 @@ def oracle_dup_span_stats(table: str, id_col: str, text_col: str, n: int = 8) ->
            CAST(coalesce(n_dup_grams, 0) AS DOUBLE) / greatest(n_grams, 1) AS dup_frac
     FROM totals LEFT JOIN spans USING (doc)
     """
+
+
+def fuzzy_key_pairs(
+    df: DataFrame, id_col: str, key_col: str
+) -> DataFrame:
+    """Edit-distance-1 entity resolution via deletion-neighborhood blocking.
+
+    Every key generates itself plus its |s| single-character deletions; two
+    keys within Levenshtein distance 1 ALWAYS share a block (substitution:
+    both delete the differing position; insertion/deletion: the longer
+    key's deletion equals the shorter key), so an equi-join on the block
+    string finds every candidate without comparing all pairs. A JVM
+    ``levenshtein`` verify then removes block-collision false positives.
+
+    Scale shape: |s|+1 narrow fan-out rows per key, one block-keyed
+    shuffle whose bucket sizes are true near-dup group sizes (never the
+    corpus), distinct on the pair. The classic FastSS decomposition,
+    Spark-shaped.
+    """
+    variants = (
+        f"array_union(array(lower({key_col})), "
+        f"transform(sequence(1, length({key_col})), i -> "
+        f"concat(substring(lower({key_col}), 1, i - 1), "
+        f"substring(lower({key_col}), i + 1, length({key_col})))))"
+    )
+    blocks = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(key_col).alias("key"),
+        F.explode(F.expr(variants)).alias("blk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("key_a", "key_b").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+    )
+
+
+def oracle_fuzzy_key_pairs(table: str, id_col: str, key_col: str) -> str:
+    variants = (
+        f"list_distinct(list_append(list_transform(range(1, length({key_col}) + 1), i -> "
+        f"substr(lower({key_col}), 1, i - 1) || substr(lower({key_col}), i + 1, "
+        f"length({key_col}))), lower({key_col})))"
+    )
+    return f"""
+    WITH blocks AS (
+      SELECT CAST({id_col} AS BIGINT) AS id, {key_col} AS key, unnest({variants}) AS blk
+      FROM {table}
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b
+      FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.id < b.id
+    )
+    SELECT id_a, id_b, key_a, key_b,
+           CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(key_a, key_b) <= 1
+    """

@@ -2059,6 +2059,19 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_fuzzy_name_pairs",
+    dedup.oracle_fuzzy_key_pairs("supplier", "s_suppkey", "s_name"),
+    doc="edit-distance-1 entity resolution via deletion-neighborhood "
+        "(FastSS) blocking: each key fans out to |s|+1 deletion variants, "
+        "distance<=1 pairs always share a block, an equi-join on the block "
+        "finds candidates without all-pairs, JVM levenshtein verifies",
+)
+def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    return dedup.fuzzy_key_pairs(sup, "s_suppkey", "s_name")
+
+
+@register(
     "dd_minhash_accuracy",
     dedup.oracle_minhash_accuracy("documents", "doc_id", "text"),
     doc="sketch-quality audit: MinHash Jaccard estimate vs exact shingle "
