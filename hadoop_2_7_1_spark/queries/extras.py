@@ -2009,6 +2009,49 @@ def txt_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_csv_json_roundtrip",
+    """
+    SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+           min(o_orderdate) AS first_date
+    FROM (
+      SELECT 'csv' AS fmt, o_totalprice, o_orderdate FROM orders
+      UNION ALL
+      SELECT 'json' AS fmt, o_totalprice, o_orderdate FROM orders
+    ) GROUP BY fmt
+    """,
+    doc="CSV-with-header and JSONL as round-trip sources/sinks (explicit "
+        "schema supplied on re-read — no sampling-based inference pass, "
+        "which at 100 TB would double the scan): per-format row count, "
+        "decimal-accumulated total, and a timestamp column surviving both "
+        "serializations",
+)
+def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/h271_txtfmt_{sf_tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    orders.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
+    orders.write.mode("overwrite").json(f"{base}/json")
+    csv_back = (
+        spark.read.schema(orders.schema).option("header", "true").csv(f"{base}/csv")
+    )
+    json_back = spark.read.schema(orders.schema).json(f"{base}/json")
+    both = csv_back.withColumn("fmt", F.lit("csv")).unionByName(
+        json_back.withColumn("fmt", F.lit("json"))
+    )
+    return both.groupBy("fmt").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
+        F.min("o_orderdate").alias("first_date"),
+    )
+
+
+@register(
     "src_orc_roundtrip",
     """
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
