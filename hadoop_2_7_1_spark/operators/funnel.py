@@ -7,7 +7,7 @@ exceeds core count, which is always true at corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -120,4 +120,68 @@ def oracle_retention(table: str, period: str = "month") -> str:
     SELECT cohort_ts, active_ts, CAST(count(*) AS BIGINT) AS n_users
     FROM active JOIN cohort USING (u)
     GROUP BY cohort_ts, active_ts
+    """
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "hour",
+) -> DataFrame:
+    """Time-series OHLC rollup: per (key, time bucket) the opening/closing
+    values (first/last by event time, event_id tie-break) plus high, low,
+    count and a decimal-accumulated volume — the hypertable
+    continuous-aggregate shape.
+
+    One shuffle, one sort: first/last come from a single ascending
+    row_number per bucket; the "last" rank is derived as n - rank + 1 from
+    an unordered count over the same partition, so no second descending
+    sort. At 100 TB the bucket key is (key, hour) — naturally bounded
+    cardinality, no skew salt needed.
+    """
+    w_sort = Window.partitionBy("bucket", key_col).orderBy(ts_col, "event_id")
+    w_all = Window.partitionBy("bucket", key_col)
+    b = (
+        events.withColumn("bucket", F.date_trunc(width, F.col(ts_col)))
+        .withColumn("ra", F.row_number().over(w_sort))
+        .withColumn("nn", F.count("*").over(w_all))
+    )
+    return b.groupBy("bucket", key_col).agg(
+        F.min(F.when(F.col("ra") == 1, F.col(value_col))).cast("double").alias("open"),
+        F.max(F.col(value_col)).cast("double").alias("high"),
+        F.min(F.col(value_col)).cast("double").alias("low"),
+        F.min(F.when(F.col("ra") == F.col("nn"), F.col(value_col)))
+        .cast("double")
+        .alias("close"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double").alias("volume"),
+    )
+
+
+def oracle_ohlc_bars(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "hour",
+) -> str:
+    return f"""
+    WITH b AS (
+      SELECT date_trunc('{width}', {ts_col}) AS bucket, {key_col}, {ts_col},
+             event_id, {value_col},
+             row_number() OVER (PARTITION BY date_trunc('{width}', {ts_col}), {key_col}
+                                ORDER BY {ts_col}, event_id) AS ra,
+             count(*) OVER (PARTITION BY date_trunc('{width}', {ts_col}), {key_col}) AS nn
+      FROM {table}
+    )
+    SELECT bucket, {key_col},
+           CAST(min(CASE WHEN ra = 1 THEN {value_col} END) AS DOUBLE) AS open,
+           CAST(max({value_col}) AS DOUBLE) AS high,
+           CAST(min({value_col}) AS DOUBLE) AS low,
+           CAST(min(CASE WHEN ra = nn THEN {value_col} END) AS DOUBLE) AS close,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST({value_col} AS DECIMAL(38,6))) AS DOUBLE) AS volume
+    FROM b GROUP BY bucket, {key_col}
     """

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
-from ..operators.funnel import oracle_funnel, oracle_retention
+from ..operators.funnel import oracle_funnel, oracle_ohlc_bars, oracle_retention
 from ..operators.graph import oracle_bfs_hops, oracle_pagerank
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
@@ -386,6 +386,21 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event-time windows / sessions / JSON (batch forms; streaming parity in
 # hadoop_2_7_1_spark/streaming with tests)
 # ---------------------------------------------------------------------------
+
+@register(
+    "evt_ohlc_bars",
+    oracle_ohlc_bars("events"),
+    doc="hypertable-style OHLC rollup per (event_type, hour): first/last "
+        "by event time from ONE ascending row_number (last rank derived as "
+        "n-rank+1 — no second descending sort), high/low/count plus a "
+        "decimal-accumulated volume",
+)
+def evt_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev)
+
 
 @register(
     "evt_tumbling_window",
