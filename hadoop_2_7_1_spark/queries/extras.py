@@ -388,6 +388,43 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "evt_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ), c AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur) AS p
+    FROM c
+    """,
+    doc="first-order Markov transition matrix of user event sequences: "
+        "lead() over the user timeline (one user-keyed shuffle), count per "
+        "(cur,next), row-normalized to P(next|cur) — exact bigint/bigint "
+        "division, no accumulation-order float risk",
+)
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = seq.groupBy("cur", "nxt").agg(F.count("*").cast("bigint").alias("n"))
+    w_cur = W.partitionBy("cur")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(w_cur)
+    )
+
+
+@register(
     "evt_ohlc_bars",
     oracle_ohlc_bars("events"),
     doc="hypertable-style OHLC rollup per (event_type, hour): first/last "
