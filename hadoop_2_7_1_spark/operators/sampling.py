@@ -371,3 +371,69 @@ def oracle_domain_quota(table: str, key_col: str, domain_col: str, cap: int) -> 
       FROM {table}
     ) WHERE quota_rank <= {cap}
     """
+
+
+def epoch_mixture(
+    df: DataFrame, key_col: str, domain_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Epoch-aware mixture upsampling: each row is emitted
+    floor(w(domain)) times plus one extra copy with probability frac(w),
+    decided by a content-stable hash — so a 2.5x domain weight yields
+    exactly the right expected token share and reruns emit the SAME copies.
+
+    Each copy carries its epoch index and an epoch-salted shuffle key, so
+    downstream global shuffling interleaves epochs differently (the
+    "repeat data, reshuffle each epoch" recipe from LLM training). Pure
+    fan-out: sequence+explode in the map stage, no shuffle here at all —
+    the shuffle belongs to the consumer's sort/partition by shuffle_key.
+    Domains absent from ``weights`` default to 1.0 (one epoch).
+    """
+    w_expr = F.lit(1.0)
+    for dom, w in weights.items():
+        w_expr = F.when(F.col(domain_col) == dom, F.lit(float(w))).otherwise(w_expr)
+    frac_bonus = (
+        hex_hash32(F.col(key_col), salt="ep") < (w_expr % 1.0) * HASH_SPACE
+    ).cast("int")
+    n_copies = F.floor(w_expr).cast("int") + frac_bonus
+    # sequence(1, 0) in Spark yields a DESCENDING [1, 0], not empty — rows
+    # with zero copies (w < 1, hash above the fraction) need an explicit
+    # empty array
+    epochs = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.expr("cast(array() as array<int>)")
+    )
+    out = df.select(
+        F.col(key_col).cast("bigint").alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.explode(epochs).alias("epoch"),
+    )
+    return out.select(
+        "id", "domain", F.col("epoch").cast("bigint").alias("epoch"),
+        hex_hash32(
+            F.concat(F.col("id").cast("string"), F.lit("#"), F.col("epoch").cast("string"))
+        ).alias("shuffle_key"),
+    )
+
+
+def oracle_epoch_mixture(
+    table: str, key_col: str, domain_col: str, weights: dict[str, float]
+) -> str:
+    cases = " ".join(
+        f"WHEN {domain_col} = '{dom}' THEN {float(w)!r}" for dom, w in weights.items()
+    )
+    w = f"(CASE {cases} ELSE 1.0 END)"
+    bonus = (
+        f"(CASE WHEN {oracle_hash32(f'CAST({key_col} AS VARCHAR)', salt='ep')}"
+        f" < ({w} % 1.0) * {float(HASH_SPACE)!r} THEN 1 ELSE 0 END)"
+    )
+    sk = oracle_hash32(f"(CAST(id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR))")
+    return f"""
+    WITH base AS (
+      SELECT CAST({key_col} AS BIGINT) AS id, {domain_col} AS domain,
+             CAST(floor({w}) AS INT) + {bonus} AS n_copies
+      FROM {table}
+    ), fanned AS (
+      SELECT id, domain, CAST(epoch AS BIGINT) AS epoch
+      FROM base, UNNEST(range(1, n_copies + 1)) AS u(epoch)
+    )
+    SELECT id, domain, epoch, {sk} AS shuffle_key FROM fanned
+    """

@@ -20,6 +20,7 @@ from ..operators.sketches import oracle_hll_distinct, oracle_kmv_distinct
 from ..operators.profile import oracle_profile
 from ..operators.sampling import (
     oracle_domain_quota,
+    oracle_epoch_mixture,
     oracle_hash_threshold,
     oracle_temperature_counts,
 )
@@ -899,6 +900,25 @@ def smp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = sampling.stratified_sample(docs, "doc_id", "lang", {"en": 0.25, "fr": 0.5})
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+_EPOCH_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+
+
+@register(
+    "smp_epoch_mixture",
+    oracle_epoch_mixture("documents", "doc_id", "source", _EPOCH_WEIGHTS),
+    doc="epoch-aware mixture upsampling: floor(w) whole epochs per domain "
+        "plus a hash-decided fractional epoch, each copy carrying an "
+        "epoch-salted shuffle key so every epoch interleaves differently "
+        "(complements smp_temperature, which derives rates from corpus "
+        "stats; here the weights are the trainer's explicit mix)",
+)
+def smp_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_mixture(docs, "doc_id", "source", _EPOCH_WEIGHTS)
 
 
 @register(
