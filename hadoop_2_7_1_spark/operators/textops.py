@@ -1300,3 +1300,93 @@ def oracle_pii_luhn(table: str, id_col: str, text_col: str) -> str:
              AS n_luhn_valid
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring (CCNet-style perplexity filtering)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): mean ln of the interpolated bigram
+    probability λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/N under corpus-wide MLE
+    counts — the Jelinek-Mercer-smoothed LM used for perplexity-style
+    quality filtering (CCNet shape, trained on the corpus itself).
+
+    Plan shape: token and bigram count tables are vocab-sized aggregates
+    (map-side combined); the scoring pass joins the bigram stream to the
+    three count tables on their own keys — every shuffle equi-keyed on a
+    uniform token hash. Per-bigram logprobs round to DECIMAL(38,6) before
+    the per-doc average (ln() last-ulp + summation-order discipline, same
+    as unigram_logprob).
+
+    Docs with < 2 tokens have no bigrams and drop out (match in oracle).
+    """
+    lam = float(BIGRAM_LAMBDA)
+    toks_arr = _tok_array(text_col)
+    bi_expr = (
+        f"CASE WHEN size({toks_arr}) >= 2 THEN "
+        f"transform(sequence(1, size({toks_arr}) - 1), i -> "
+        f"struct(element_at({toks_arr}, i) AS w1, element_at({toks_arr}, i + 1) AS w2))"
+        f" ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
+    )
+    bis = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(F.expr(bi_expr)).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    toks = df.select(F.explode(F.expr(toks_arr)).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    total = uni.agg(F.sum("cu").alias("tot"))
+    bi_counts = bis.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        bis.join(bi_counts, ["w1", "w2"])
+        .join(uni.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.log(
+                F.lit(lam) * (F.col("cb").cast("double") / F.col("c1"))
+                + F.lit(1.0 - lam) * (F.col("c2").cast("double") / F.col("tot"))
+            )
+            .cast("decimal(38,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (F.sum("lp").cast("double") / F.count("*")).alias("avg_logprob"),
+    )
+
+
+def oracle_bigram_logprob(table: str, id_col: str, text_col: str) -> str:
+    lam = float(BIGRAM_LAMBDA)
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    return f"""
+    WITH tk AS (
+      SELECT {id_col} AS id, {toks} AS t FROM {table}
+    ), bis AS (
+      SELECT id, t[i] AS w1, t[i + 1] AS w2
+      FROM tk, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    ), uni AS (
+      SELECT unnest(t) AS tok FROM tk
+    ), cu AS (
+      SELECT tok, count(*) AS cu FROM uni GROUP BY tok
+    ), total AS (SELECT sum(cu) AS tot FROM cu),
+    cb AS (
+      SELECT w1, w2, count(*) AS cb FROM bis GROUP BY w1, w2
+    )
+    SELECT CAST(b.id AS BIGINT) AS id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(ln(
+             {lam!r} * (CAST(cb.cb AS DOUBLE) / u1.cu)
+             + {1.0 - lam!r} * (CAST(u2.cu AS DOUBLE) / total.tot)
+           ) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_logprob
+    FROM bis b
+    JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+    JOIN cu u1 ON b.w1 = u1.tok
+    JOIN cu u2 ON b.w2 = u2.tok, total
+    GROUP BY b.id
+    """

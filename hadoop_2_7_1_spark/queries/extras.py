@@ -2037,6 +2037,19 @@ def txt_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_bigram_logprob",
+    textops.oracle_bigram_logprob("documents", "doc_id", "text"),
+    doc="Jelinek-Mercer interpolated bigram LM score per doc (CCNet-style "
+        "perplexity filter trained on the corpus itself): vocab-sized "
+        "count tables, equi-keyed scoring joins, per-bigram logprobs "
+        "rounded to DECIMAL(38,6) before the per-doc mean",
+)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bigram_logprob(docs, "doc_id", "text")
+
+
+@register(
     "txt_gopher_rules",
     textops.oracle_gopher_rules("documents", "doc_id", "text", min_words=20),
     doc="Gopher/MassiveText composite rule filter: word-count bounds, mean "
