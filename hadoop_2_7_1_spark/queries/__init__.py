@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # high-value re-checks. After r4 every registered query has at least one
 # driver-verified CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # never-driver-sampled (18)
+    # never-driver-sampled before r4 (18)
     "agg_cube", "agg_grouping_sets", "src_regex_filter",
     "smp_train_test_split", "txt_vocab", "bench_gridmix_load",
     "evt_retention", "dd_incremental_ingest",
@@ -64,29 +64,31 @@ _DRIVER_WINDOW = [
     "mm_augment_chain",
     "txt_unigram_logprob", "txt_bpe_merges", "txt_html_extract",
     "cur_zorder_key", "dd_url_dedup", "cur_split_long_docs",
-    # float-determinism fixes from this round — re-verify under the driver's
-    # exact hash
-    "src_bucketed_join",
-    "tq1_pricing_summary", "tq3_shipping_priority",
-    "tq6_forecast_revenue",
-    "tq7_volume_shipping", "tq8_market_share", "tq9_product_profit",
-    "tq10_returned_items", "tq15_top_supplier",
-    "tq17_small_qty_revenue", "tq19_discounted_revenue",
-    "tq22_sales_opportunity", "tq_running_totals",
-    "txt_bm25", "txt_tfidf_topterms", "agg_salted_skew", "grf_pagerank",
-    # remaining queries whose computation changed this round (decimal /
-    # scaled-int accumulation) — every changed query re-earns its row
-    "evt_anomaly", "evt_tumbling_window", "q08_join_outer",
-    "src_percent_filter",
-    "sim_kmeans_sizes", "sim_kmeans_ivf", "sim_pq_adc",
-    # round-4 additions — first driver rows
+    # round-4 additions (early session) — first driver rows
     "src_mapfile_lookup", "grf_kcore", "dd_sorted_neighborhood",
     "dd_semdedup", "txt_linear_score", "cur_scd2_history",
     "dd_minhash_accuracy", "mm_video_meta",
+    # round-4 additions (late session) — first driver rows
+    "txt_gopher_rules", "cur_domain_quota", "agg_hll_distinct",
+    "dd_span_dedup", "src_orc_roundtrip", "txt_pii_luhn",
+    "mm_dhash_neardup", "grf_bfs_hops", "dd_fuzzy_name_pairs",
+    "src_csv_json_roundtrip", "evt_ohlc_bars", "evt_markov_transitions",
+    "smp_epoch_mixture", "txt_bigram_logprob",
+    # float-determinism re-checks under the driver's exact hash: the r3 red
+    # cell plus one representative of each changed accumulation family (the
+    # rest of the tq revenue family shares the identical decimal pattern and
+    # holds r1-green rows; full-registry exact-hash sim is green)
+    "src_bucketed_join",
+    "tq1_pricing_summary", "tq3_shipping_priority", "tq6_forecast_revenue",
+    "tq17_small_qty_revenue", "tq19_discounted_revenue",
+    "tq_running_totals",
+    "txt_bm25", "agg_salted_skew", "grf_pagerank",
 ]
-# Round-5 rotation candidates (registered after this round's window filled):
-# smp_dsir_weights (late-r4 addition, sim-green at sf0.01/sf0.001 incl. the
-# 32-cpu adversarial replay) plus fresh re-check slots.
+# Round-5 rotation candidates: smp_dsir_weights plus the displaced
+# decimal-pattern re-checks (tq7/tq8/tq9/tq10/tq15/tq22,
+# txt_tfidf_topterms, evt_anomaly, evt_tumbling_window, q08_join_outer,
+# src_percent_filter, sim_kmeans_sizes, sim_kmeans_ivf, sim_pq_adc) — all
+# sim-green at sf0.01 incl. the 32-cpu adversarial replay.
 
 
 def _ordered_names() -> list[str]:
