@@ -389,6 +389,40 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "evt_cohort_value",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort FROM events
+      GROUP BY user_id
+    )
+    SELECT cohort,
+           CAST(datediff('month', cohort, date_trunc('month', e.ts)) AS BIGINT)
+             AS age_months,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users,
+           CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS cohort_value
+    FROM events e JOIN firsts USING (user_id)
+    GROUP BY cohort, age_months
+    """,
+    doc="cohort value curves: users grouped by first-seen month, activity "
+        "and decimal-accumulated value tracked by months-since-cohort — "
+        "retention's revenue twin; one user-keyed agg + one equi-join",
+)
+def evt_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort")
+    )
+    joined = ev.join(firsts, "user_id")
+    age = F.months_between(
+        F.date_trunc("month", F.col("ts")), F.col("cohort")
+    ).cast("bigint")
+    return joined.groupBy("cohort", age.alias("age_months")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("active_users"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("cohort_value"),
+    )
+
+
+@register(
     "evt_markov_transitions",
     """
     WITH seq AS (
@@ -1680,6 +1714,33 @@ def grf_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grf_degree_distribution",
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_PR_EDGES_SQL})),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)
+    SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+    doc="out-degree distribution of the supplier-part graph: two map-side "
+        "combined aggregations, result is histogram-sized — the standard "
+        "first look at any 100 TB graph before choosing join strategies",
+)
+def grf_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+@register(
     "txt_encode_ids",
     textops.oracle_encode_ids("documents", "text", size=64),
     doc="corpus tokenization: order-preserving encode to top-64 vocab ids "
@@ -2133,6 +2194,45 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
         F.min("o_orderdate").alias("first_date"),
+    )
+
+
+@register(
+    "src_schema_evolution",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(pr) AS BIGINT) AS n_with_priority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+    FROM (
+      SELECT o_totalprice, NULL AS pr FROM orders
+      UNION ALL
+      SELECT o_totalprice, o_orderpriority AS pr FROM orders
+    )
+    """,
+    doc="schema evolution across parquet batches: an old batch written "
+        "without o_orderpriority and a new batch with it are read back "
+        "under mergeSchema=true — old rows surface NULL for the added "
+        "column, counts and a decimal total prove nothing is dropped or "
+        "double-read",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/h271_schemaevo_{sf_tag}/orders"
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
+        f"{base}/batch=1"
+    )
+    orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
     )
 
 
