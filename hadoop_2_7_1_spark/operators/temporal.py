@@ -134,3 +134,79 @@ def range_self_join(
             ((F.col("us_b") - F.col("us_a")) / 1_000_000.0).cast("double").alias("gap_sec"),
         )
     )
+
+
+def gap_fill_locf(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width: str = "hour",
+) -> DataFrame:
+    """Regularize a sparse time series onto a dense bucket spine and fill
+    gaps by carrying the last observation forward (LOCF) — the hypertable
+    continuous-aggregate + locf() shape.
+
+    The spine is sequence(min_bucket, max_bucket) exploded per key (its
+    size is buckets x keys — bounded, not data-sized); observed buckets
+    left-join onto it and a last-ignorenulls window carries values across
+    gaps. One shuffle on the key for the window; the min/max scalars ride
+    a broadcast cross join.
+    """
+    observed = (
+        events.withColumn("bucket", F.date_trunc(width, F.col(ts_col)))
+        .groupBy(key_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_observed"))
+    )
+    bounds = observed.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    keys = observed.select(key_col).distinct()
+    spine = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval 1 {width}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = spine.join(observed, [key_col, "bucket"], "left")
+    return joined.select(
+        key_col,
+        "bucket",
+        F.coalesce("n_observed", F.lit(0)).cast("bigint").alias("n_observed"),
+        F.last("n_observed", ignorenulls=True).over(w).cast("bigint").alias("n_filled"),
+        F.col("n_observed").isNull().alias("is_gap"),
+    )
+
+
+def oracle_gap_fill_locf(
+    table: str, key_col: str = "event_type", ts_col: str = "ts",
+    width: str = "hour",
+) -> str:
+    return f"""
+    WITH observed AS (
+      SELECT {key_col}, date_trunc('{width}', {ts_col}) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_observed
+      FROM {table} GROUP BY 1, 2
+    ), bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM observed),
+    spine AS (
+      SELECT k.{key_col}, unnest(generate_series(lo, hi, INTERVAL 1 {width}))
+               AS bucket
+      FROM (SELECT DISTINCT {key_col} FROM observed) k, bounds
+    )
+    SELECT s.{key_col}, s.bucket,
+           CAST(coalesce(o.n_observed, 0) AS BIGINT) AS n_observed,
+           CAST(last_value(o.n_observed IGNORE NULLS) OVER (
+             PARTITION BY s.{key_col} ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_filled,
+           o.n_observed IS NULL AS is_gap
+    FROM spine s LEFT JOIN observed o
+      ON s.{key_col} = o.{key_col} AND s.bucket = o.bucket
+    """

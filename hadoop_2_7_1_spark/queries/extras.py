@@ -13,6 +13,7 @@ from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
 from ..operators.funnel import oracle_funnel, oracle_ohlc_bars, oracle_retention
 from ..operators.graph import oracle_bfs_hops, oracle_pagerank
+from ..operators.temporal import oracle_gap_fill_locf
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
@@ -724,6 +725,21 @@ def tmp_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("bigint").alias("user_id"), "ts", "value", "event_id")
     )
     return temporal.asof_join(clicks, purchases, ["user_id"], "ts", "ts")
+
+
+@register(
+    "tmp_gap_fill_locf",
+    oracle_gap_fill_locf("events"),
+    doc="dense-spine gap filling with last-observation-carried-forward "
+        "(hypertable locf shape): bucket spine exploded per key (bounded "
+        "size), left join of observed buckets, last-ignorenulls window "
+        "carries values across gaps",
+)
+def tmp_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.gap_fill_locf(ev)
 
 
 @register(
