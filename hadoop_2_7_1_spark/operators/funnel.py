@@ -185,3 +185,100 @@ def oracle_ohlc_bars(
            CAST(sum(CAST({value_col} AS DECIMAL(38,6))) AS DOUBLE) AS volume
     FROM b GROUP BY bucket, {key_col}
     """
+
+
+def trend_ols(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope per second + intercept)
+    of value over time, from exact decimal sufficient statistics.
+
+    Closed form: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). The x axis is
+    epoch seconds re-based to the corpus minimum (broadcast scalar), which
+    keeps every decimal product inside 38 digits, so all four sums and both
+    closed-form combinations are EXACT integer arithmetic — bit-identical
+    at any parallelism — with doubles appearing only in the final division
+    (then rounded to 6 decimals). One scan + one group agg; the regression
+    itself costs nothing beyond the sums.
+    """
+    x0 = events.agg(
+        F.min(F.unix_timestamp(ts_col)).alias("x0")
+    )
+    rows = events.crossJoin(F.broadcast(x0)).select(
+        F.col(key_col),
+        (F.unix_timestamp(ts_col) - F.col("x0")).alias("xr"),
+        F.col(value_col).alias("yr"),
+    )
+    g = rows.groupBy(key_col).agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.sum(F.col("xr").cast("decimal(18,0)")).cast("decimal(18,0)").alias("sx"),
+        F.sum((F.col("xr") * F.col("xr")).cast("decimal(28,0)"))
+        .cast("decimal(28,0)")
+        .alias("sxx"),
+        F.sum(F.col("yr").cast("decimal(19,6)")).cast("decimal(19,6)").alias("sy"),
+        F.sum((F.col("xr") * F.col("yr")).cast("decimal(25,6)"))
+        .cast("decimal(25,6)")
+        .alias("sxy"),
+    )
+    # Sums are EXACT decimals; the closed-form combination runs in double
+    # (identical operation order on both engines) and the result rounds to
+    # 6 decimals — the same discipline as the ln()-based scorers. Doing the
+    # combination in decimal instead trips DuckDB's decimal-width rules.
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    slope = F.round((n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d), 6)
+    intercept = F.round((sy_d - slope * sx_d) / n_d, 6)
+    return g.select(
+        key_col,
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope_per_sec"),
+        intercept.alias("intercept"),
+    )
+
+
+def oracle_trend_ols(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+    WITH bnds AS (
+      -- floor to whole seconds: Spark's unix_timestamp truncates, DuckDB's
+      -- epoch() keeps the fraction as DOUBLE
+      SELECT min(CAST(floor(epoch({ts_col})) AS BIGINT)) AS tmin FROM {table}
+    ),
+    rows_ AS (
+      SELECT {key_col}, CAST(floor(epoch({ts_col})) AS BIGINT) - bnds.tmin AS xr,
+             {value_col} AS yr
+      FROM {table}, bnds
+    ), g AS (
+      SELECT {key_col},
+             CAST(count(*) AS DECIMAL(10,0)) AS n,
+             CAST(sum(CAST(xr AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sx,
+             CAST(sum(CAST(xr * xr AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS sxx,
+             CAST(sum(CAST(yr AS DECIMAL(19,6))) AS DECIMAL(19,6)) AS sy,
+             CAST(sum(CAST(xr * yr AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sxy
+      FROM rows_ GROUP BY {key_col}
+    )
+    SELECT {key_col}, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_per_sec,
+           round((CAST(sy AS DOUBLE)
+                  - round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM g
+    """

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
-from ..operators.funnel import oracle_funnel, oracle_ohlc_bars, oracle_retention
+from ..operators.funnel import (
+    oracle_funnel,
+    oracle_ohlc_bars,
+    oracle_retention,
+    oracle_trend_ols,
+)
 from ..operators.graph import oracle_bfs_hops, oracle_pagerank
 from ..operators.temporal import oracle_gap_fill_locf
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
@@ -388,6 +393,21 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event-time windows / sessions / JSON (batch forms; streaming parity in
 # hadoop_2_7_1_spark/streaming with tests)
 # ---------------------------------------------------------------------------
+
+@register(
+    "evt_trend_ols",
+    oracle_trend_ols("events"),
+    doc="per-event-type OLS trend of value over time from exact decimal "
+        "sufficient statistics (x re-based to the corpus min keeps every "
+        "product inside 38 digits): integer-exact closed form, doubles "
+        "only in the final division, rounded to 6 decimals",
+)
+def evt_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import trend_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    return trend_ols(ev)
+
 
 @register(
     "evt_cohort_value",
