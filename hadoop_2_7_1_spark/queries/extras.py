@@ -394,6 +394,35 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hadoop_2_7_1_spark/streaming with tests)
 # ---------------------------------------------------------------------------
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "evt_pivot_matrix",
+    f"""
+    SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           {", ".join(
+             f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+             f" AS {t}" for t in _PIVOT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+    doc="pivot surface: hour-of-day x event-type count matrix via "
+        "groupBy().pivot() with EXPLICIT pivot values (no discovery pass "
+        "over the data — at 100 TB value inference is a full extra scan)",
+)
+def evt_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.hour("ts").cast("bigint").alias("hour_of_day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    return out.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _PIVOT_TYPES],
+    )
+
+
 @register(
     "evt_trend_ols",
     oracle_trend_ols("events"),
