@@ -2263,6 +2263,44 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_pyds_seqfile",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+           CAST(sum(length(value)) AS BIGINT) AS total_value_len
+    FROM (
+      SELECT CAST(p_partkey AS VARCHAR) AS key, p_name AS value FROM part
+    )
+    """,
+    doc="SequenceFile via the Python DataSource V2 API (format 'pyseqfile', "
+        "sources/dsv2.py): part keys/names written as Text/Text v6 streams "
+        "by the DSv2 writer, read back one split per part file — the "
+        "getSplits + RecordReader contract re-expressed in Spark's native "
+        "extension point (JVM reader parity pinned in tests)",
+)
+def src_pyds_seqfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+
+    from ..sources import dsv2
+
+    dsv2.register(spark)
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/tmp/h271_pyseq_{sf_tag}/part_names"
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("key"),
+        F.col("p_name").alias("value"),
+    )
+    part.repartition(4).write.format("pyseqfile").mode("overwrite").save(path)
+    back = spark.read.format("pyseqfile").load(path)
+    return back.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_distinct("key").cast("bigint").alias("n_keys"),
+        F.sum(F.length("value")).cast("bigint").alias("total_value_len"),
+    )
+
+
+@register(
     "src_schema_evolution",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -841,3 +841,26 @@ def test_logalyzer_grep_and_sort(spark, tmp_path):
         lines += [ln for ln in open(f).read().splitlines() if ln]
     assert [ln.split()[0] for ln in lines] == ["2024-01-01", "2024-01-02", "2024-01-03"]
     assert all("ERROR" in ln for ln in lines)
+
+
+def test_python_datasource_seqfile_roundtrip(spark, tmp_path):
+    """The pyseqfile Python DataSource must write v6 streams the stock JVM
+    reader accepts and read them back with one split per part file."""
+    from hadoop_2_7_1_spark.sources import dsv2
+
+    dsv2.register(spark)
+    out = str(tmp_path / "pyseq")
+    df = spark.range(57).selectExpr(
+        "cast(id as string) AS key", "concat('v', id) AS value"
+    )
+    df.repartition(3).write.format("pyseqfile").mode("overwrite").save(out)
+
+    back = spark.read.format("pyseqfile").load(out)
+    assert back.rdd.getNumPartitions() == 3  # one split per part file
+    got = sorted((r.key, r.value) for r in back.collect())
+    want = sorted((str(i), f"v{i}") for i in range(57))
+    assert got == want
+
+    # format compatibility: stock JVM SequenceFile reader sees the same data
+    jvm = sorted(spark.sparkContext.sequenceFile(out).collect())
+    assert jvm == want
