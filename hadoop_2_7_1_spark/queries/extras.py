@@ -394,6 +394,57 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hadoop_2_7_1_spark/streaming with tests)
 # ---------------------------------------------------------------------------
 
+@register(
+    "evt_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3,
+             lead(ts, 2) OVER w AS t3,
+             ts AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path
+      FROM seq
+      WHERE e3 IS NOT NULL AND t3 <= t1 + INTERVAL 30 MINUTE
+    ), c AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY path
+    )
+    SELECT path, n, CAST(rank() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+    FROM c QUALIFY rnk <= 20
+    """,
+    doc="top event paths: 3-step user journeys within a 30-minute span "
+        "(two lead()s on one user-keyed window — no self-joins), counted "
+        "and ranked; the path-analysis staple of product analytics",
+)
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.col("ts").alias("t1"),
+        F.lead("ts", 2).over(w).alias("t3"),
+    ).filter(
+        F.col("e3").isNotNull()
+        & (F.col("t3") <= F.col("t1") + F.expr("interval 30 minutes"))
+    )
+    paths = seq.select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    )
+    c = paths.groupBy("path").agg(F.count("*").cast("bigint").alias("n"))
+    wr = W.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        c.withColumn("rnk", F.rank().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
