@@ -106,3 +106,35 @@ def pipe_transform(
             yield pd.DataFrame({"key": keys, "value": vals})
 
     return lines_df.mapInPandas(run, PIPE_OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (SURVEY §2.10): the 1→N "Mapper as table function"
+# shape as a first-class SQL-callable, complementing the mapInPandas
+# wrappers (which cover whole-partition transforms).
+# ---------------------------------------------------------------------------
+
+def word_ngrams_udtf():
+    """A lazily-built UDTF class: (text, n) → (pos, gram) rows.
+
+    Lateral-joins against a corpus exactly like the reference's
+    flatMap-style Mapper emitting multiple records per input
+    (MRC/mapreduce/Mapper.java:1 contract). Python-side row generation —
+    registered in the plan-audit whitelist; the JVM twin for hot paths is
+    the transform(sequence(...)) expression used by dd_span_dedup.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string")
+    class WordNgrams:
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").split() if t]
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield i, " ".join(toks[i : i + n])
+
+    return WordNgrams
+
+
+def register_udtfs(spark) -> None:
+    """Register the UDTF surface on a session (idempotent)."""
+    spark.udtf.register("word_ngrams", word_ngrams_udtf())

@@ -2214,6 +2214,41 @@ def txt_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_udtf_ngrams",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(tk) - 1, 0) + 1),
+        i -> tk[i] || ' ' || tk[i + 1])) AS gram
+      FROM (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+            FROM documents)
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g GROUP BY gram HAVING count(*) >= 10
+    """,
+    doc="Python UDTF surface (SQL LATERAL word_ngrams): 1-to-N Mapper as a "
+        "registered table function; corpus bigram counts >= 10 — the same "
+        "rows the JVM transform() expression path would produce",
+)
+def txt_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipes import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.gram, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM udtf_docs, LATERAL word_ngrams(text, 2) t
+        GROUP BY t.gram HAVING count(*) >= 10
+        """
+    )
+
+
+@register(
     "txt_bigram_logprob",
     textops.oracle_bigram_logprob("documents", "doc_id", "text"),
     doc="Jelinek-Mercer interpolated bigram LM score per doc (CCNet-style "
