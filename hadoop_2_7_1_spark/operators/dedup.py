@@ -1094,10 +1094,12 @@ def dup_span_stats(
         .select("doc", F.posexplode("g").alias("pos", "gh"))
         .withColumn("pos", F.col("pos") + 1)
     )
+    # cross-doc duplication test as min<>max — map-side combinable partial
+    # aggregates, no count-distinct key expansion on the gram shuffle
     dup_grams = (
         grams.groupBy("gh")
-        .agg(F.count_distinct("doc").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc").alias("_lo"), F.max("doc").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("gh")
     )
     marked = grams.join(dup_grams, "gh").select("doc", "pos")
@@ -1139,7 +1141,7 @@ def oracle_dup_span_stats(table: str, id_col: str, text_col: str, n: int = 8) ->
       SELECT doc, pos, md5(array_to_string(t[pos : pos + {n} - 1], ' ')) AS gh
       FROM tk, UNNEST(range(1, greatest(len(t) - {n} + 2, 1))) AS u(pos)
     ), dup AS (
-      SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc) > 1
+      SELECT gh FROM grams GROUP BY gh HAVING min(doc) <> max(doc)
     ), marked AS (
       SELECT doc, pos, lag(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev
       FROM grams JOIN dup USING (gh)
