@@ -1072,6 +1072,47 @@ def smp_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cur_incremental_rollup",
+    """
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="incremental materialized-rollup maintenance: the historical slice "
+        "and the late-arriving slice are rolled up independently, then "
+        "merged by summing mergeable partials (counts + decimal sums) — "
+        "never rescanning history; the oracle is the full recompute, so "
+        "the merge must be exactly lossless",
+)
+def cur_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        ).agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("_total_dec"),
+        )
+
+    hist = rollup(orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")))
+    fresh = rollup(orders.filter(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")))
+    merged = (
+        hist.unionByName(fresh)
+        .groupBy("o_orderpriority", "month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("_total_dec").cast("double").alias("total"),
+        )
+    )
+    return merged
+
+
+@register(
     "cur_domain_quota",
     oracle_domain_quota("documents", "doc_id", "source", cap=150),
     doc="per-domain quota balancer: keep at most N docs per source by "
