@@ -84,11 +84,16 @@ _DRIVER_WINDOW = [
     "tq_running_totals",
     "txt_bm25", "agg_salted_skew", "grf_pagerank",
 ]
-# Round-5 rotation candidates: smp_dsir_weights plus the displaced
-# decimal-pattern re-checks (tq7/tq8/tq9/tq10/tq15/tq22,
-# txt_tfidf_topterms, evt_anomaly, evt_tumbling_window, q08_join_outer,
-# src_percent_filter, sim_kmeans_sizes, sim_kmeans_ivf, sim_pq_adc) — all
-# sim-green at sf0.01 incl. the 32-cpu adversarial replay.
+# Round-5 rotation candidates, in priority order — all sim-green at sf0.01
+# incl. the 32-cpu adversarial replay:
+# 1. Registered after this round's window filled (never sampled):
+#    evt_cohort_value, grf_degree_distribution, src_schema_evolution,
+#    tmp_gap_fill_locf, evt_trend_ols, evt_pivot_matrix, src_pyds_seqfile,
+#    evt_top_paths, txt_udtf_ngrams, cur_incremental_rollup,
+#    smp_dsir_weights.
+# 2. Displaced decimal-pattern re-checks: tq7/tq8/tq9/tq10/tq15/tq22,
+#    txt_tfidf_topterms, evt_anomaly, evt_tumbling_window, q08_join_outer,
+#    src_percent_filter, sim_kmeans_sizes, sim_kmeans_ivf, sim_pq_adc.
 
 
 def _ordered_names() -> list[str]:
