@@ -475,6 +475,37 @@ def evt_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_unpivot_matrix",
+    f"""
+    SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="unpivot/melt surface: the wide hour x type matrix turned back to "
+        "long form with DataFrame.melt (stack under the hood) — wide-table "
+        "ingest normalization; zero-count cells drop to match the long "
+        "groupBy the oracle computes",
+)
+def evt_unpivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.hour("ts").cast("bigint").alias("hour_of_day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    long = wide.melt(
+        ids=["hour_of_day"],
+        values=_PIVOT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    return long.filter(F.col("n").isNotNull()).select(
+        "hour_of_day", "event_type", F.col("n").cast("bigint").alias("n")
+    )
+
+
+@register(
     "evt_trend_ols",
     oracle_trend_ols("events"),
     doc="per-event-type OLS trend of value over time from exact decimal "
