@@ -1,0 +1,124 @@
+"""Regenerate PLANS.md: executed-plan audit of the headline + heaviest
+registry queries, with the scale-relevant properties extracted per plan.
+
+Usage: python scripts/plan_report.py [sf_dir]   (default sf0.01)
+
+For each audited query the report records:
+- exchange (shuffle) count and their partitioning expressions
+- broadcast join count
+- WholeStageCodegen span count (JVM-side expression coverage)
+- pushed filters / read schema of every parquet scan
+- red flags: CartesianProduct, SinglePartition exchanges, global sorts,
+  row-at-a-time Python evals
+
+This is the "explain(formatted) and iterate" loop as a persisted artifact:
+re-run after plan-affecting changes and diff PLANS.md in review.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDITED = [
+    # biggest data movers + one representative per family
+    "bench_terasort_big",
+    "tq1_pricing_summary",
+    "tq3_shipping_priority",
+    "tq21_waiting_suppliers",
+    "q06_secondary_sort",
+    "dd_minhash_lsh",
+    "dd_dup_clusters",
+    "dd_span_dedup",
+    "dd_fuzzy_name_pairs",
+    "sim_knn_join",
+    "agg_hll_distinct",
+    "txt_bigram_logprob",
+    "cur_domain_quota",
+    "evt_ohlc_bars",
+    "evt_sessionize",
+    "tmp_gap_fill_locf",
+    "grf_bfs_hops",
+    "cur_pack_sequences",
+]
+
+
+def audit(plan: str) -> dict:
+    final = plan.split("== Initial Plan ==")[0]
+    exchanges = re.findall(r"Exchange (\w+)\(([^)]*)", final)
+    return {
+        "exchanges": len([e for e in exchanges if e[0] != "SinglePartition"]),
+        "single_partition": len(
+            [1 for line in final.splitlines() if "SinglePartition" in line]
+        ),
+        "broadcasts": final.count("BroadcastExchange"),
+        # codegen'd operators print as `*(n) NodeName` in the tree string
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", final))),
+        "pushed": re.findall(r"PushedFilters: \[([^\]]*)\]", final),
+        "read_schemas": re.findall(r"ReadSchema: struct<([^>]*)", final),
+        "cartesian": "CartesianProduct" in final,
+        "python_nodes": [
+            n
+            for n in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython")
+            if n in final
+        ],
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    from hadoop_2_7_1_spark.queries import REGISTRY
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lines = [
+        "# PLANS.md — executed-plan audit (regenerate: "
+        "`python scripts/plan_report.py`)",
+        "",
+        f"Scale factor: `{sf_dir}`. Properties extracted from the FINAL "
+        "(AQE-resolved) executed plan after running each query.",
+        "",
+    ]
+    for name in AUDITED:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        a = audit(plan)
+        flags = []
+        if a["cartesian"]:
+            flags.append("CARTESIAN!")
+        if a["python_nodes"]:
+            flags.append("python: " + ",".join(a["python_nodes"]))
+        pushed = [p for p in a["pushed"] if p]
+        lines += [
+            f"## {name}",
+            "",
+            f"- shuffles: {a['exchanges']} keyed"
+            + (f" + {a['single_partition']} single-partition (scalar/limit)"
+               if a["single_partition"] else ""),
+            f"- broadcast joins: {a['broadcasts']}",
+            f"- whole-stage codegen spans: {a['codegen_spans']}",
+            f"- pushed filters: {pushed if pushed else 'none needed'}",
+            f"- scan columns: {['<' + s + '>' for s in a['read_schemas']]}",
+        ]
+        if flags:
+            lines.append(f"- FLAGS: {'; '.join(flags)}")
+        lines.append("")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out} ({len(AUDITED)} queries)")
+
+
+if __name__ == "__main__":
+    main()
