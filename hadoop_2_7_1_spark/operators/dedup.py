@@ -1222,3 +1222,80 @@ def oracle_fuzzy_key_pairs(table: str, id_col: str, key_col: str) -> str:
            CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
     FROM cand WHERE levenshtein(key_a, key_b) <= 1
     """
+
+
+def dedup_keeplist(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The full dedup DECISION for every document — the artifact a curation
+    run actually ships: (doc_id, keep, reason, canonical_id).
+
+    Precedence mirrors the standard pipeline order: byte-identical dups go
+    first (reason ``exact_dup``, canonical = min id of the identical
+    group), then MinHash-LSH near-dup clusters (reason ``near_dup``,
+    canonical = connected-component min). Survivors get ``keep``.
+
+    Scale shape: the exact pass is one fp-keyed shuffle; the near pass
+    reuses the banded LSH candidate join + min-label components (both
+    plan-audited elsewhere); the final assembly is two equi-joins on
+    doc_id. Nothing here is new data movement — it composes the audited
+    stages into the shippable keep-list.
+    """
+    ids = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fp"),
+    )
+    exact_keep = ids.groupBy("fp").agg(F.min("doc_id").alias("exact_canon"))
+    with_exact = ids.join(exact_keep, "fp").select("doc_id", "exact_canon")
+    pairs = lsh_candidate_pairs(df, id_col, text_col)
+    comp = connected_components(pairs)
+    out = with_exact.join(
+        comp, with_exact.doc_id == comp.node, "left"
+    ).select(
+        "doc_id",
+        "exact_canon",
+        F.coalesce("component", F.col("doc_id")).alias("near_canon"),
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("exact_canon"), F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("near_canon"), F.lit("near_dup"))
+        .otherwise(F.lit("keep"))
+    )
+    canonical = (
+        F.when(F.col("doc_id") != F.col("exact_canon"), F.col("exact_canon"))
+        .otherwise(F.col("near_canon"))
+    )
+    return out.select(
+        "doc_id",
+        (reason == "keep").alias("keep"),
+        reason.alias("reason"),
+        canonical.cast("bigint").alias("canonical_id"),
+    )
+
+
+def oracle_dedup_keeplist(table: str, id_col: str, text_col: str) -> str:
+    comp_sql = oracle_connected_components(
+        oracle_lsh_candidate_pairs(table, id_col, text_col)
+    )
+    return f"""
+    WITH ex AS (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id, md5({text_col}) AS fp FROM {table}
+    ), ek AS (
+      SELECT fp, min(doc_id) AS exact_canon FROM ex GROUP BY fp
+    ), comp AS (
+      SELECT * FROM ({comp_sql})
+    ), base AS (
+      SELECT ex.doc_id, ek.exact_canon,
+             coalesce(comp.component, ex.doc_id) AS near_canon
+      FROM ex JOIN ek USING (fp)
+      LEFT JOIN comp ON comp.node = ex.doc_id
+    )
+    SELECT doc_id,
+           (CASE WHEN doc_id <> exact_canon THEN 'exact_dup'
+                 WHEN doc_id <> near_canon THEN 'near_dup'
+                 ELSE 'keep' END) = 'keep' AS keep,
+           CASE WHEN doc_id <> exact_canon THEN 'exact_dup'
+                WHEN doc_id <> near_canon THEN 'near_dup'
+                ELSE 'keep' END AS reason,
+           CAST(CASE WHEN doc_id <> exact_canon THEN exact_canon
+                     ELSE near_canon END AS BIGINT) AS canonical_id
+    FROM base
+    """

@@ -1046,6 +1046,19 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_keeplist",
+    dedup.oracle_dedup_keeplist("documents", "doc_id", "text"),
+    doc="the shippable dedup decision per doc: exact dups first (canonical "
+        "= identical-group min), then LSH near-dup clusters (canonical = "
+        "component min), survivors keep — composes the audited exact/LSH/"
+        "components stages into (doc_id, keep, reason, canonical_id)",
+)
+def dd_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_keeplist(docs, "doc_id", "text")
+
+
+@register(
     "dd_dup_clusters",
     dedup.oracle_connected_components(
         dedup.oracle_lsh_candidate_pairs("documents", "doc_id", "text")
