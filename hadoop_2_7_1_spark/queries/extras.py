@@ -2472,6 +2472,57 @@ def src_pyds_seqfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_corrupt_json",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+                         THEN CAST(o_totalprice AS DECIMAL(38,4)) END)
+                AS DOUBLE) AS good_total
+    FROM orders
+    """,
+    doc="crawl-robust JSONL ingest: every 7th record is deterministically "
+        "truncated mid-object before writing; PERMISSIVE-mode read "
+        "surfaces corrupt lines as null rows instead of failing the job, "
+        "and the good-row decimal total proves no valid record is lost",
+)
+def src_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/tmp/h271_corruptjson_{sf_tag}/orders"
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lines = orders.select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.substring(F.to_json(F.struct("o_orderkey", "o_totalprice")), 1, 9),
+        )
+        .otherwise(F.to_json(F.struct("o_orderkey", "o_totalprice")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("o_orderkey long, o_totalprice double")
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).cast("bigint").alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("o_orderkey").isNotNull(),
+                F.col("o_totalprice").cast("decimal(38,4)"),
+            )
+        )
+        .cast("double")
+        .alias("good_total"),
+    )
+
+
+@register(
     "src_schema_evolution",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
