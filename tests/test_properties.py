@@ -269,3 +269,85 @@ def test_avi_header_roundtrip(w, h, frames, us_pf):
             if cut >= 12 else multimodal.parse_avi_header(blob[:cut]) is None
     # wrong container magic
     assert multimodal.parse_avi_header(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+@given(st.lists(st.integers(0, 9), min_size=13, max_size=19))
+@settings(max_examples=200, deadline=None)
+def test_luhn_sql_fragment_matches_reference_implementation(digits):
+    """The SQL Luhn fragment (evaluated via DuckDB) must agree with a
+    straightforward Python Luhn for any digit run."""
+    import duckdb
+
+    from hadoop_2_7_1_spark.operators.textops import _luhn_duckdb
+
+    s = "".join(map(str, digits))
+
+    def luhn_py(d: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(d)):
+            v = int(ch)
+            if i % 2 == 1:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            total += v
+        return total % 10 == 0
+
+    got = duckdb.sql(f"SELECT {_luhn_duckdb(repr(s))} AS ok").fetchone()[0]
+    assert got == luhn_py(s)
+
+
+@given(st.integers(3, 40), st.integers(3, 40), st.integers(0, 250))
+@settings(max_examples=25, deadline=None)
+def test_dhash_stability_and_sensitivity(w, h, seed):
+    """dHash must be identical for identical images and differ in only a
+    few bits for a one-pixel perturbation (the near-dup property)."""
+    from hadoop_2_7_1_spark.operators import multimodal
+
+    img = multimodal.make_png_with_pixels(w, h, seed)
+    h1 = multimodal.dhash_bytes(img)
+    assert h1 == multimodal.dhash_bytes(img)
+    assert len(h1) == 16
+
+    # decode, flip one pixel channel hard, re-encode: hamming distance small
+    dw, dh, ch, px = multimodal.png_decode(img)
+    px = bytearray(px)
+    px[(dh // 2 * dw + dw // 2) * ch] ^= 0xFF
+    h2 = multimodal.dhash_bytes(multimodal.png_encode(dw, dh, ch, bytes(px)))
+    dist = bin(int(h1, 16) ^ int(h2, 16)).count("1")
+    assert dist <= 8, f"one-pixel edit flipped {dist} bits"
+
+
+@given(st.integers(1, 4))
+@settings(max_examples=4, deadline=None)
+def test_hll_register_fold_is_exact_integer(p_shift):
+    """The HLL fold must be reproducible from the register table alone —
+    merging two halves' registers by max gives the identical estimate."""
+    import hashlib
+
+    from hadoop_2_7_1_spark.operators.sketches import (
+        HLL_M, HLL_RHO_CAP, HLL_NUMERATOR,
+    )
+
+    def registers(values):
+        regs = {}
+        for v in values:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            b, w = h >> 50, h % (1 << 50)
+            rho = 51 if w == 0 else 51 - w.bit_length()
+            m = min(rho, HLL_RHO_CAP)
+            regs[b] = max(regs.get(b, 0), m)
+        return regs
+
+    def estimate(regs):
+        s = sum(1 << (HLL_RHO_CAP - m) for m in regs.values())
+        zeros = HLL_M - len(regs)
+        s += zeros * (1 << HLL_RHO_CAP)
+        return HLL_NUMERATOR / s, zeros
+
+    vals = [f"v{i * p_shift}" for i in range(5000)]
+    whole, _ = estimate(registers(vals))
+    ra, rb = registers(vals[::2]), registers(vals[1::2])
+    merged = {b: max(ra.get(b, 0), rb.get(b, 0)) for b in set(ra) | set(rb)}
+    got, _ = estimate(merged)
+    assert got == whole  # exact equality — integer fold, no float drift
