@@ -848,3 +848,57 @@ def oracle_pq_search(
     FROM scored QUALIFY rnk <= {k}
     """
     )
+
+
+def ann_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bucket_dims: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the sign-bucket IVF path against brute-force ground
+    truth — the measure-don't-guess audit to run whenever k / bucket_dims /
+    quantizer change (the vector-search twin of dd_minhash_accuracy).
+
+    Output: one row (n_queries, hits, possible, recall). Both sides share
+    the query broadcast; the truth side is the brute-force top-k (bounded
+    by the query count, not the corpus), so the audit costs one extra
+    scored pass over the corpus — run it on a sampled query set.
+    """
+    truth = cosine_topk(emb, queries, k, id_col, vec_col).select("q_id", "vec_id")
+    approx = ivf_topk(emb, queries, k, bucket_dims, id_col, vec_col).select(
+        "q_id", "vec_id"
+    )
+    hits = truth.join(approx, ["q_id", "vec_id"]).agg(
+        F.count("*").cast("bigint").alias("hits")
+    )
+    totals = truth.agg(
+        F.count_distinct("q_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("possible"),
+    )
+    return totals.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        "hits",
+        "possible",
+        (F.col("hits").cast("double") / F.col("possible")).alias("recall"),
+    )
+
+
+def oracle_ann_recall(
+    table: str, query_filter: str, k: int = 5, bucket_dims: int = 6
+) -> str:
+    truth = oracle_cosine_topk(table, query_filter, k)
+    approx = oracle_ivf_topk(table, query_filter, k, bucket_dims)
+    return f"""
+    WITH truth AS (SELECT q_id, vec_id FROM ({truth})),
+    approx AS (SELECT q_id, vec_id FROM ({approx})),
+    h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+          FROM truth JOIN approx USING (q_id, vec_id)),
+    t AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+                 CAST(count(*) AS BIGINT) AS possible FROM truth)
+    SELECT n_queries, hits, possible,
+           CAST(hits AS DOUBLE) / possible AS recall
+    FROM t, h
+    """

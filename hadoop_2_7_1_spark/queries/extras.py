@@ -123,6 +123,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_recall",
+    similarity.oracle_ann_recall("embeddings", "vec_id % 50 = 0", k=5, bucket_dims=6),
+    doc="recall@5 of the sign-bucket IVF path vs brute-force ground truth "
+        "on a sampled query set — the measure-don't-guess audit for the "
+        "ANN family (vector twin of dd_minhash_accuracy)",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ann_recall(emb, queries, k=5, bucket_dims=6)
+
+
+@register(
     "sim_knn_join",
     similarity.oracle_knn_join("embeddings", "vec_id % 25 = 0", k=2, bucket_dims=6),
     doc="big-to-big ANN join (no broadcast): sign-bucket equi-join with "
