@@ -902,3 +902,100 @@ def oracle_ann_recall(
            CAST(hits AS DOUBLE) / possible AS recall
     FROM t, h
     """
+
+
+def _sign_bucket_flipped(vec_col: str, dims: int, flip: int) -> F.Column:
+    """Sign pattern with the sign test inverted at 1-based position
+    ``flip`` (0 = no flip) — the Hamming-1 probe patterns."""
+    parts = []
+    for i in range(dims):
+        cond = F.expr(f"element_at({vec_col}, {i + 1})") >= 0
+        if i + 1 == flip:
+            parts.append(F.when(cond, F.lit("-")).otherwise(F.lit("+")))
+        else:
+            parts.append(F.when(cond, F.lit("+")).otherwise(F.lit("-")))
+    return F.concat(*parts)
+
+
+def ivf_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bucket_dims: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF: each query probes its own sign bucket plus every
+    Hamming-1 neighbor (dims+1 probes), exact top-k over the union.
+
+    This is the standard recall repair for coarse quantizers (the ann_recall
+    audit is what tells you single-probe isn't enough): candidates scanned
+    grow ~(dims+1)/2^dims of the corpus — still a tiny fraction — while
+    recall rises steeply because near-boundary neighbors differ in exactly
+    one sign. The probe fan-out lives on the (broadcast) query side; each
+    candidate still sits in exactly one bucket, so no dedup is needed.
+    """
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    probes = F.array(
+        *[_sign_bucket_flipped(vec_col, bucket_dims, j) for j in range(bucket_dims + 1)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", _cos_expr("vec", "q_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("vec_id").cast("bigint"),
+            "cos",
+            F.col("rnk").cast("bigint"),
+        )
+    )
+
+
+def oracle_ivf_multiprobe_topk(
+    table: str, query_filter: str, k: int = 5, bucket_dims: int = 6
+) -> str:
+    def bucket(col: str, flip: int = 0) -> str:
+        parts = " || ".join(
+            f"(CASE WHEN {col}[{i + 1}] >= 0 THEN "
+            + ("'-' ELSE '+'" if i + 1 == flip else "'+' ELSE '-'")
+            + " END)"
+            for i in range(bucket_dims)
+        )
+        return f"({parts})"
+
+    probe_selects = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {bucket('embedding', j)} AS bucket"
+        f" FROM {table} WHERE {query_filter}"
+        for j in range(bucket_dims + 1)
+    )
+    dot = ORACLE_DOT.format(a="c.embedding", b="q.embedding")
+    nc = ORACLE_NORM.format(a="c.embedding")
+    nq = ORACLE_NORM.format(a="q.embedding")
+    return f"""
+    WITH q AS ({probe_selects}),
+    c AS (
+      SELECT vec_id, embedding, {bucket("embedding")} AS bucket FROM {table}
+    ), scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos
+      FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= {k}
+    """

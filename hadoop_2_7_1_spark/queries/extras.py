@@ -123,6 +123,22 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_multiprobe",
+    similarity.oracle_ivf_multiprobe_topk(
+        "embeddings", "vec_id % 50 = 0", k=5, bucket_dims=6
+    ),
+    doc="multi-probe IVF: each query probes its sign bucket plus all "
+        "Hamming-1 neighbors (7 probes on 6 dims) — the recall repair the "
+        "sim_ann_recall audit motivates; probe fan-out rides the broadcast "
+        "query side, candidates stay bucket-disjoint",
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_multiprobe_topk(emb, queries, k=5, bucket_dims=6)
+
+
+@register(
     "sim_ann_recall",
     similarity.oracle_ann_recall("embeddings", "vec_id % 50 = 0", k=5, bucket_dims=6),
     doc="recall@5 of the sign-bucket IVF path vs brute-force ground truth "
