@@ -1082,6 +1082,8 @@ def dup_span_stats(
     global sort. At 100 TB the gram index is the dominant shuffle — salt is
     unnecessary because gram hashes are uniform md5.
     """
+    from . import fan_out
+
     toks = f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t <> '')"
     grams_expr = (
         f"CASE WHEN size({toks}) >= {n} THEN "
@@ -1089,8 +1091,11 @@ def dup_span_stats(
         f" i -> md5(concat_ws(' ', slice({toks}, i, {n}))))"
         f" ELSE cast(array() as array<string>) END"
     )
+    # the gram hashing is the CPU cost (~1 md5 per token); fan_out keeps it
+    # off a single input split when the source arrives as one small file
     grams = (
-        df.select(F.col(id_col).cast("bigint").alias("doc"), F.expr(grams_expr).alias("g"))
+        fan_out(df)
+        .select(F.col(id_col).cast("bigint").alias("doc"), F.expr(grams_expr).alias("g"))
         .select("doc", F.posexplode("g").alias("pos", "gh"))
         .withColumn("pos", F.col("pos") + 1)
     )
