@@ -1145,6 +1145,46 @@ def smp_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cur_quality_deciles",
+    f"""
+    WITH q AS ({textops.oracle_quality_score("documents", "doc_id", "text")}),
+    r AS (
+      SELECT id, quality,
+             row_number() OVER (ORDER BY quality, id) AS rnk,
+             count(*) OVER () AS n
+      FROM q
+    )
+    SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(quality) AS DOUBLE) AS q_lo,
+           CAST(max(quality) AS DOUBLE) AS q_hi
+    FROM r GROUP BY 1
+    """,
+    doc="curriculum buckets: exact global quality deciles WITHOUT a "
+        "single-partition window — two-phase total-order rank "
+        "(partition-local rank + broadcast offsets) over (quality, id), "
+        "decile = (rank-1)*10 div n; per-decile count and quality bounds",
+)
+def cur_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import global_sort_with_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = textops.quality_score(docs, "doc_id", "text").select("id", "quality")
+    ranked = global_sort_with_rank(q, ["quality", "id"], rank_col="rnk")
+    n = ranked.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("decile", F.expr("((rnk - 1) * 10) div n").cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("quality").cast("double").alias("q_lo"),
+            F.max("quality").cast("double").alias("q_hi"),
+        )
+    )
+
+
+@register(
     "cur_incremental_rollup",
     """
     SELECT o_orderpriority,
