@@ -1304,3 +1304,109 @@ def oracle_dedup_keeplist(table: str, id_col: str, text_col: str) -> str:
                      ELSE near_canon END AS BIGINT) AS canonical_id
     FROM base
     """
+
+
+def remove_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (the cleaning step of
+    suffix-array dedup): any token covered by a cross-doc duplicated
+    n-gram is cut from every doc except the gram's owner (min doc id),
+    and the surviving tokens are reassembled in order.
+
+    Output: (doc_id, n_before, n_after, cleaned_md5) — the md5 keeps the
+    verified artifact row-sized; the same pipeline writes the cleaned
+    text column when shipping.
+
+    Scale shape: gram index + owner fold (one gh shuffle, min/max
+    partials), coverage expansion is a bounded ×n explode of MARKED
+    positions only, reassembly is one doc-keyed aggregation whose
+    in-group ordering comes from array_sort over (pos, tok) structs —
+    deterministic at any parallelism, no global sort anywhere.
+    """
+    from . import fan_out
+
+    toks_expr = f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t <> '')"
+    base = fan_out(df).select(
+        F.col(id_col).cast("bigint").alias("doc"), F.expr(toks_expr).alias("tk")
+    )
+    toks = base.select(
+        "doc", F.posexplode("tk").alias("pos", "tok")
+    ).withColumn("pos", F.col("pos") + 1)
+    grams_expr = (
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"transform(sequence(1, size(tk) - {n} + 1),"
+        f" i -> md5(concat_ws(' ', slice(tk, i, {n}))))"
+        f" ELSE cast(array() as array<string>) END"
+    )
+    grams = base.select(
+        "doc", F.posexplode(F.expr(grams_expr)).alias("gpos", "gh")
+    ).withColumn("gpos", F.col("gpos") + 1)
+    owners = (
+        grams.groupBy("gh")
+        .agg(F.min("doc").alias("owner"), F.max("doc").alias("_hi"))
+        .filter(F.col("owner") != F.col("_hi"))
+        .select("gh", "owner")
+    )
+    marked = (
+        grams.join(owners, "gh")
+        .filter(F.col("doc") != F.col("owner"))
+        .select("doc", "gpos")
+    )
+    removed = marked.select(
+        "doc", F.explode(F.expr(f"sequence(gpos, gpos + {n} - 1)")).alias("pos")
+    ).distinct()
+    kept = toks.join(removed, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_after"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+            )
+        ).alias("cleaned_md5"),
+    )
+    totals = base.select("doc", F.expr("cast(size(tk) as bigint)").alias("n_before"))
+    return totals.join(rebuilt, "doc", "left").select(
+        F.col("doc").alias("doc_id"),
+        "n_before",
+        F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+        F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+    )
+
+
+def oracle_remove_dup_spans(table: str, id_col: str, text_col: str, n: int = 8) -> str:
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    return f"""
+    WITH base AS (
+      SELECT CAST({id_col} AS BIGINT) AS doc, {toks} AS tk FROM {table}
+    ), toks AS (
+      SELECT doc, pos, tk[pos] AS tok
+      FROM base, UNNEST(range(1, len(tk) + 1)) AS u(pos)
+    ), grams AS (
+      SELECT doc, gpos, md5(array_to_string(tk[gpos : gpos + {n} - 1], ' ')) AS gh
+      FROM base, UNNEST(range(1, greatest(len(tk) - {n} + 2, 1))) AS g(gpos)
+    ), owners AS (
+      SELECT gh, min(doc) AS owner FROM grams
+      GROUP BY gh HAVING min(doc) <> max(doc)
+    ), marked AS (
+      SELECT g.doc, g.gpos FROM grams g JOIN owners o USING (gh)
+      WHERE g.doc <> o.owner
+    ), removed AS (
+      SELECT DISTINCT doc, pos
+      FROM marked, UNNEST(range(gpos, gpos + {n})) AS r(pos)
+    ), kept AS (
+      SELECT t.doc, t.pos, t.tok
+      FROM toks t LEFT JOIN removed r ON t.doc = r.doc AND t.pos = r.pos
+      WHERE r.pos IS NULL
+    ), rebuilt AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_after,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+      FROM kept GROUP BY doc
+    )
+    SELECT base.doc AS doc_id,
+           CAST(len(tk) AS BIGINT) AS n_before,
+           CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+           coalesce(cleaned_md5, md5('')) AS cleaned_md5
+    FROM base LEFT JOIN rebuilt ON rebuilt.doc = base.doc
+    """

@@ -2694,6 +2694,20 @@ def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_span_removal",
+    dedup.oracle_remove_dup_spans("documents", "doc_id", "text", n=8),
+    doc="duplicated-substring REMOVAL: tokens covered by a cross-doc dup "
+        "8-gram are cut everywhere except the gram's owner (min doc), "
+        "survivors reassembled in order via array_sort over (pos,tok) "
+        "structs — no global sort; emits per-doc before/after counts and "
+        "the cleaned-text md5",
+)
+def dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_dup_spans(docs, "doc_id", "text", n=8)
+
+
+@register(
     "dd_minhash_accuracy",
     dedup.oracle_minhash_accuracy("documents", "doc_id", "text"),
     doc="sketch-quality audit: MinHash Jaccard estimate vs exact shingle "
