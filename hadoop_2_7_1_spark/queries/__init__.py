@@ -74,13 +74,13 @@ _DRIVER_WINDOW = [
     "mm_dhash_neardup", "grf_bfs_hops", "dd_fuzzy_name_pairs",
     "src_csv_json_roundtrip", "evt_ohlc_bars", "evt_markov_transitions",
     "smp_epoch_mixture", "txt_bigram_logprob",
+    "dd_keeplist", "dd_span_removal", "sim_ann_recall",
     # float-determinism re-checks under the driver's exact hash: the r3 red
     # cell plus one representative of each changed accumulation family (the
     # rest of the tq revenue family shares the identical decimal pattern and
     # holds r1-green rows; full-registry exact-hash sim is green)
     "src_bucketed_join",
-    "tq1_pricing_summary", "tq3_shipping_priority", "tq6_forecast_revenue",
-    "tq17_small_qty_revenue", "tq19_discounted_revenue",
+    "tq1_pricing_summary", "tq3_shipping_priority",
     "tq_running_totals",
     "txt_bm25", "agg_salted_skew", "grf_pagerank",
 ]
@@ -90,10 +90,12 @@ _DRIVER_WINDOW = [
 #    evt_cohort_value, grf_degree_distribution, src_schema_evolution,
 #    tmp_gap_fill_locf, evt_trend_ols, evt_pivot_matrix, src_pyds_seqfile,
 #    evt_top_paths, txt_udtf_ngrams, cur_incremental_rollup,
-#    smp_dsir_weights.
-# 2. Displaced decimal-pattern re-checks: tq7/tq8/tq9/tq10/tq15/tq22,
-#    txt_tfidf_topterms, evt_anomaly, evt_tumbling_window, q08_join_outer,
-#    src_percent_filter, sim_kmeans_sizes, sim_kmeans_ivf, sim_pq_adc.
+#    evt_unpivot_matrix, src_corrupt_json, sim_ivf_multiprobe,
+#    cur_quality_deciles, smp_dsir_weights.
+# 2. Displaced decimal-pattern re-checks: tq6/tq7/tq8/tq9/tq10/tq15/
+#    tq17/tq19/tq22, txt_tfidf_topterms, evt_anomaly, evt_tumbling_window,
+#    q08_join_outer, src_percent_filter, sim_kmeans_sizes, sim_kmeans_ivf,
+#    sim_pq_adc.
 
 
 def _ordered_names() -> list[str]:
