@@ -106,11 +106,15 @@ PIECES: dict[str, tuple[tuple[int, int], ...]] = {
 }
 
 
-def _orientations(cells):
-    """All distinct rotations/reflections of a piece, normalized to origin."""
+def _orientations(cells, one_sided: bool = False):
+    """All distinct rotations (and, unless ``one_sided``, reflections) of a
+    piece, normalized to origin. ``one_sided=True`` is the
+    OneSidedPentomino.java variant: pieces may rotate but not flip, so
+    chiral pieces count as distinct and boards have different solution
+    sets."""
     seen = set()
     cur = list(cells)
-    for _flip in range(2):
+    for _flip in range(1 if one_sided else 2):
         for _rot in range(4):
             cur = [(c, -r) for r, c in cur]  # rotate 90°
             mr, mc = min(r for r, _ in cur), min(c for _, c in cur)
@@ -120,14 +124,14 @@ def _orientations(cells):
     return sorted(seen)
 
 
-def pentomino_cover(width: int, height: int):
+def pentomino_cover(width: int, height: int, one_sided: bool = False):
     """Columns = 60 board cells + 12 piece names; rows = every placement of
     every orientation of every piece (row key = (piece, cells))."""
     if width * height != 60:
         raise ValueError("pentomino boards have exactly 60 cells")
     Y = {}
     for name, base in PIECES.items():
-        for shape in _orientations(base):
+        for shape in _orientations(base, one_sided):
             h = max(r for r, _ in shape) + 1
             w = max(c for _, c in shape) + 1
             for r0 in range(height - h + 1):

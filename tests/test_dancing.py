@@ -81,3 +81,30 @@ def test_sudoku_unique_unsat_multi(spark):
 
     first = next(iter(itertools.islice(solve_sudoku([[0] * 9 for _ in range(9)]), 1)))
     assert sorted(first[:9]) == list(range(1, 10))
+
+
+def test_one_sided_orientations_drop_reflections():
+    """OneSidedPentomino.java variant: rotations only. Chiral pieces lose
+    their mirror orientations; achiral pieces are unchanged."""
+    from hadoop_2_7_1_spark.operators.dancing import PIECES, _orientations
+
+    total_full = total_one = 0
+    for name, base in PIECES.items():
+        full = _orientations(base)
+        one = _orientations(base, one_sided=True)
+        assert set(one) <= set(full)
+        total_full += len(full)
+        total_one += len(one)
+    # the 12 free pentominoes have 63 fixed orientations; one-sided keeps
+    # rotations only (public combinatorial facts)
+    assert total_full == 63
+    assert total_one < total_full
+
+
+def test_one_sided_cover_excludes_mirror_placements():
+    from hadoop_2_7_1_spark.operators.dancing import pentomino_cover
+
+    X_full, Y_full = pentomino_cover(20, 3)
+    X_one, Y_one = pentomino_cover(20, 3, one_sided=True)
+    assert set(Y_one) <= set(Y_full)
+    assert len(Y_one) < len(Y_full)
