@@ -2540,6 +2540,65 @@ def src_pyds_seqfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BINFILE_N = 24
+
+
+def _binfile_dims(i: int) -> tuple[int, int]:
+    return 8 + (i * 7) % 13, 8 + (i * 11) % 9
+
+
+@register(
+    "src_binary_files",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('img_{i:03d}.png', 'png', "
+        f"CAST({_binfile_dims(i)[0]} AS BIGINT), CAST({_binfile_dims(i)[1]} AS BIGINT))"
+        for i in range(_BINFILE_N)
+    )
+    + ") AS t(fname, fmt, width, height)",
+    doc="real multimodal ingest via the binaryFile source: a directory of "
+        "PNG files read whole as (path, content) rows, headers parsed in "
+        "an Arrow-batched stage; at 100 TB this source is how image/audio "
+        "blobs enter the engine (one row per object, never decoded on the "
+        "driver)",
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+
+    from ..operators import multimodal as mm
+
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    d = f"/tmp/h271_binfiles_{sf_tag}"
+    os.makedirs(d, exist_ok=True)
+    for i in range(_BINFILE_N):
+        w, h = _binfile_dims(i)
+        path = os.path.join(d, f"img_{i:03d}.png")
+        if not os.path.exists(path):
+            with open(path, "wb") as fh:
+                fh.write(mm.make_png_with_pixels(w, h, i))
+    raw = spark.read.format("binaryFile").load(d)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            names, fmts, ws, hs = [], [], [], []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                fmt, w, h = mm.parse_image_header(bytes(blob))
+                names.append(os.path.basename(str(p)))
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {"fname": names, "fmt": fmts, "width": ws, "height": hs}
+            )
+
+    return raw.select("path", "content").mapInPandas(
+        parse, "fname string, fmt string, width long, height long"
+    )
+
+
 @register(
     "src_corrupt_json",
     """
