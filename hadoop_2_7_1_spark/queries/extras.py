@@ -550,6 +550,68 @@ def evt_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id,
+             CAST(floor(epoch(min(e.ts))) AS BIGINT)
+               - CAST(floor(epoch(v.t_view)) AS BIGINT) AS delta_s
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id, v.t_view
+    ), r AS (
+      SELECT delta_s, row_number() OVER (ORDER BY delta_s) AS rn,
+             count(*) OVER () AS n
+      FROM p
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(delta_s) AS BIGINT) AS min_s,
+           CAST(min(CASE WHEN rn = (n + 1) // 2 THEN delta_s END) AS BIGINT)
+             AS median_s,
+           CAST(max(delta_s) AS BIGINT) AS max_s
+    FROM r
+    """,
+    doc="view-to-purchase conversion latency: per-user first view joined "
+        "to first later purchase, exact lower-median of the delta via the "
+        "histogram + tiny-cumulative-window trick (window rows = distinct "
+        "deltas, never input rows)",
+)
+def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import exact_median
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_buy"))
+        .select(
+            (
+                F.unix_timestamp("t_buy") - F.unix_timestamp("t_view")
+            ).alias("delta_s")
+        )
+    )
+    med = exact_median(p, "delta_s", out_name="median_s")
+    stats = p.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.min("delta_s").cast("bigint").alias("min_s"),
+        F.max("delta_s").cast("bigint").alias("max_s"),
+    )
+    return stats.crossJoin(F.broadcast(med)).select(
+        "n_converted", "min_s", "median_s", "max_s"
+    )
+
+
+@register(
     "evt_cohort_value",
     """
     WITH firsts AS (
