@@ -198,3 +198,105 @@ def oracle_group_quantiles(
     SELECT {group_col}, {sels}
     FROM ranked GROUP BY {group_col}
     """
+
+
+def grouped_exact_median(
+    df: DataFrame, group_col: str, col: str, out_name: str = "median"
+) -> DataFrame:
+    """Exact lower median per group — the grouped twin of
+    :func:`exact_median`: per-(group, value) histogram, cumulative window
+    partitioned BY GROUP over the distinct values (window rows = distinct
+    values per group, never input rows), pick rank (n+1) div 2."""
+    hist = df.groupBy(F.col(group_col).alias("g"), F.col(col).alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = hist.groupBy("g").agg(F.sum("c").alias("n"))
+    cum = hist.withColumn("cum", F.sum("c").over(w)).join(totals, "g")
+    return (
+        cum.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("v").alias(out_name))
+        .select(F.col("g").alias(group_col), out_name)
+    )
+
+
+def mad_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outliers: |v - median| > k * 1.4826 * MAD.
+
+    Median/MAD replace mean/stddev (evt_anomaly's 3-sigma) so a single
+    extreme value can't mask others — the robust-statistics standard. Two
+    grouped exact medians (each histogram + per-group cumulative window
+    over distinct values), then a map-side filter; which rows flag is a
+    pure function of the data, independent of parallelism (exact integer
+    rank selection, per-row double arithmetic only).
+    """
+    med = grouped_exact_median(events, group_col, value_col, "med")
+    dev = events.join(med, group_col).withColumn(
+        "absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = grouped_exact_median(dev, group_col, "absdev", "mad")
+    scale = 1.4826  # consistency constant for normal data (public)
+    return (
+        dev.join(mad, group_col)
+        .filter(
+            F.col("absdev") > F.lit(k) * (F.lit(scale) * F.col("mad"))
+        )
+        .select(
+            F.col(id_col).cast("bigint").alias("event_id"),
+            F.col(group_col),
+            F.col(value_col).cast("double").alias("value"),
+            F.col("med").cast("double").alias("med"),
+            F.col("mad").cast("double").alias("mad"),
+        )
+    )
+
+
+def oracle_mad_outliers(
+    table: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> str:
+    def med_cte(src: str, vcol: str, name: str) -> str:
+        return f"""
+    {name}_h AS (
+      SELECT {group_col} AS g, {vcol} AS v, count(*) AS c
+      FROM {src} GROUP BY 1, 2
+    ), {name}_c AS (
+      SELECT g, v,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM {name}_h
+    ), {name} AS (
+      SELECT g AS {group_col}, min(v) AS m
+      FROM {name}_c WHERE cum >= (n + 1) // 2 GROUP BY g
+    )"""
+
+    return f"""
+    WITH {med_cte(table, value_col, "med")},
+    dev AS (
+      SELECT t.{id_col}, t.{group_col}, t.{value_col},
+             med.m AS med, abs(t.{value_col} - med.m) AS absdev
+      FROM {table} t JOIN med USING ({group_col})
+    ),
+    {med_cte("dev", "absdev", "mad")}
+    SELECT CAST(d.{id_col} AS BIGINT) AS event_id, d.{group_col},
+           CAST(d.{value_col} AS DOUBLE) AS value,
+           CAST(d.med AS DOUBLE) AS med,
+           CAST(mad.m AS DOUBLE) AS mad
+    FROM dev d JOIN mad USING ({group_col})
+    WHERE d.absdev > {float(k)!r} * ({1.4826!r} * mad.m)
+    """

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
+from ..operators.aggregates import oracle_mad_outliers
 from ..operators.funnel import (
     oracle_funnel,
     oracle_ohlc_bars,
@@ -547,6 +548,21 @@ def evt_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return trend_ols(ev)
+
+
+@register(
+    "evt_anomaly_mad",
+    oracle_mad_outliers("events"),
+    doc="robust per-type outliers via median/MAD (|v-med| > 3*1.4826*MAD): "
+        "two grouped exact medians (histogram + per-group cumulative "
+        "window over DISTINCT values) — the masking-proof twin of "
+        "evt_anomaly's 3-sigma; flagged set is parallelism-independent",
+)
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(ev)
 
 
 @register(
