@@ -551,6 +551,70 @@ def evt_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_rfm_segments",
+    """
+    WITH mx AS (SELECT max(ts) AS tmax FROM events),
+    base AS (
+      SELECT user_id,
+             CAST(floor(epoch(tmax)) - floor(epoch(max(ts))) AS BIGINT) AS recency_s,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+      FROM events, mx GROUP BY user_id, tmax
+    ), r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY recency_s, user_id) AS rr,
+             row_number() OVER (ORDER BY frequency, user_id) AS rf,
+             row_number() OVER (ORDER BY monetary, user_id) AS rm,
+             count(*) OVER () AS n
+      FROM base
+    )
+    SELECT user_id, recency_s, frequency, monetary,
+           CAST(5 - ((rr - 1) * 5 // n) AS BIGINT) AS r_score,
+           CAST(1 + ((rf - 1) * 5 // n) AS BIGINT) AS f_score,
+           CAST(1 + ((rm - 1) * 5 // n) AS BIGINT) AS m_score
+    FROM r
+    """,
+    doc="RFM segmentation: per-user recency/frequency/decimal-monetary, "
+        "quintile scores from three two-phase total-order ranks (no "
+        "single-partition window over users), most-recent = r_score 5",
+)
+def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import global_sort_with_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    base = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "tmax")
+        .agg(
+            (
+                F.unix_timestamp(F.first("tmax")) - F.unix_timestamp(F.max("ts"))
+            ).cast("bigint").alias("recency_s"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("monetary"),
+        )
+        .drop("tmax")
+    )
+    ranked = base
+    for rank_col, cols in (
+        ("rr", ["recency_s", "user_id"]),
+        ("rf", ["frequency", "user_id"]),
+        ("rm", ["monetary", "user_id"]),
+    ):
+        ranked = global_sort_with_rank(ranked, cols, rank_col=rank_col)
+    n = base.agg(F.count("*").alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "recency_s",
+        "frequency",
+        "monetary",
+        (5 - F.expr("((rr - 1) * 5) div n")).cast("bigint").alias("r_score"),
+        (1 + F.expr("((rf - 1) * 5) div n")).cast("bigint").alias("f_score"),
+        (1 + F.expr("((rm - 1) * 5) div n")).cast("bigint").alias("m_score"),
+    )
+
+
+@register(
     "evt_anomaly_mad",
     oracle_mad_outliers("events"),
     doc="robust per-type outliers via median/MAD (|v-med| > 3*1.4826*MAD): "
