@@ -2126,6 +2126,67 @@ def grf_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grf_jaccard_neighbors",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), fan AS (
+      SELECT p FROM e GROUP BY p HAVING count(*) <= 40
+    ), ee AS (SELECT e.* FROM e JOIN fan USING (p)),
+    deg AS (SELECT s, count(*) AS d FROM ee GROUP BY s),
+    inter AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS i
+      FROM ee a JOIN ee b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    ), j AS (
+      SELECT s1, s2, i,
+             CAST(i AS DOUBLE) / (d1.d + d2.d - i) AS jaccard
+      FROM inter
+      JOIN deg d1 ON d1.s = s1
+      JOIN deg d2 ON d2.s = s2
+    )
+    SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           CAST(i AS BIGINT) AS n_shared, jaccard,
+           CAST(rank() OVER (ORDER BY jaccard DESC, s1, s2) AS BIGINT) AS rnk
+    FROM j QUALIFY rnk <= 20
+    """,
+    doc="link-prediction primitive: supplier similarity as neighbor-set "
+        "Jaccard over shared parts — wedge join equi-keyed on the part "
+        "with a fan-out cap (parts supplied by > 40 suppliers are hubs, "
+        "dropped like the LSH degenerate-bucket cap), exact integer "
+        "intersection/union, top-20",
+)
+def grf_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    fan = e.groupBy("p").agg(F.count("*").alias("_n")).filter(F.col("_n") <= 40).select("p")
+    ee = e.join(fan, "p")
+    deg = ee.groupBy("s").agg(F.count("*").alias("d"))
+    a, b = ee.alias("a"), ee.alias("b")
+    inter = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
+        .select(
+            F.col("s1").cast("bigint").alias("s1"),
+            F.col("s2").cast("bigint").alias("s2"),
+            F.col("i").cast("bigint").alias("n_shared"),
+            (F.col("i").cast("double") / (F.col("d1") + F.col("d2") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    wr = W.orderBy(F.desc("jaccard"), F.asc("s1"), F.asc("s2"))
+    return j.withColumn("rnk", F.rank().over(wr).cast("bigint")).filter(F.col("rnk") <= 20)
+
+
+@register(
     "grf_degree_distribution",
     f"""
     WITH e AS (SELECT DISTINCT src, dst FROM ({_PR_EDGES_SQL})),
