@@ -66,6 +66,9 @@ EXTRAS = [
     # shuffle) and the HLL register fold
     "dd_span_dedup",
     "agg_hll_distinct",
+    # capstones: exact+near dedup decision; triple two-phase rank
+    "dd_keeplist",
+    "evt_rfm_segments",
 ]
 
 
