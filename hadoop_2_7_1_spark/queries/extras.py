@@ -1938,6 +1938,47 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_sketch_report",
+    f"""
+    WITH kmv AS ({oracle_kmv_distinct("events", "event_type", "user_id", k=64)}),
+    hll AS ({oracle_hll_distinct("events", "event_type", "user_id")})
+    SELECT kmv.event_type, kmv.n_exact, kmv.kmv_estimate, hll.hll_estimate,
+           round(abs(kmv.kmv_estimate - kmv.n_exact) / kmv.n_exact, 6)
+             AS kmv_rel_err,
+           round(abs(hll.hll_estimate - kmv.n_exact) / kmv.n_exact, 6)
+             AS hll_rel_err
+    FROM kmv JOIN hll USING (event_type)
+    """,
+    doc="sketch-accuracy dashboard: KMV(64) and HLL(1024) distinct-user "
+        "estimates side by side with their exact counts and relative "
+        "errors per event type — the standing audit that keeps sketch "
+        "parameters honest as cardinalities grow",
+)
+def agg_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_distinct, kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    kmv = kmv_distinct(ev, "event_type", "user_id", k=64).select(
+        "event_type", "n_exact", "kmv_estimate"
+    )
+    hll = hll_distinct(ev, "event_type", "user_id").select(
+        "event_type", "hll_estimate"
+    )
+    return kmv.join(hll, "event_type").select(
+        "event_type",
+        "n_exact",
+        "kmv_estimate",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("kmv_rel_err"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("hll_rel_err"),
+    )
+
+
+@register(
     "bench_rumen_digest",
     oracle_trace_digest(),
     doc="Rumen-style trace digest (LoggedJob fields, discrete-CDF "
