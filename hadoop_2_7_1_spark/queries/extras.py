@@ -2934,6 +2934,32 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_zstd_parquet",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="zstd-compressed parquet round-trip (the modern archival codec "
+        "next to snappy): write, re-read, decimal-accumulated aggregate "
+        "vs the source-parquet oracle",
+)
+def src_zstd_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/tmp/h271_zstd_{sf_tag}/lineitem"
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    li.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
     "src_orc_roundtrip",
     """
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
