@@ -93,7 +93,7 @@ _DRIVER_WINDOW = [
 #    evt_unpivot_matrix, src_corrupt_json, sim_ivf_multiprobe,
 #    cur_quality_deciles, src_binary_files, evt_time_to_convert,
 #    evt_anomaly_mad, evt_rfm_segments, grf_jaccard_neighbors,
-#    smp_dsir_weights.
+#    agg_sketch_report, src_zstd_parquet, smp_dsir_weights.
 # 2. Displaced decimal-pattern re-checks: tq6/tq7/tq8/tq9/tq10/tq15/
 #    tq17/tq19/tq22, txt_tfidf_topterms, evt_anomaly, evt_tumbling_window,
 #    q08_join_outer, src_percent_filter, sim_kmeans_sizes, sim_kmeans_ivf,
