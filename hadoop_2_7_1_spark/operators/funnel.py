@@ -129,9 +129,10 @@ def ohlc_bars(
     ts_col: str = "ts",
     value_col: str = "value",
     width: str = "hour",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Time-series OHLC rollup: per (key, time bucket) the opening/closing
-    values (first/last by event time, event_id tie-break) plus high, low,
+    values (first/last by event time, ``id_col`` tie-break) plus high, low,
     count and a decimal-accumulated volume — the hypertable
     continuous-aggregate shape.
 
@@ -141,7 +142,7 @@ def ohlc_bars(
     sort. At 100 TB the bucket key is (key, hour) — naturally bounded
     cardinality, no skew salt needed.
     """
-    w_sort = Window.partitionBy("bucket", key_col).orderBy(ts_col, "event_id")
+    w_sort = Window.partitionBy("bucket", key_col).orderBy(ts_col, id_col)
     w_all = Window.partitionBy("bucket", key_col)
     b = (
         events.withColumn("bucket", F.date_trunc(width, F.col(ts_col)))
@@ -166,13 +167,14 @@ def oracle_ohlc_bars(
     ts_col: str = "ts",
     value_col: str = "value",
     width: str = "hour",
+    id_col: str = "event_id",
 ) -> str:
     return f"""
     WITH b AS (
       SELECT date_trunc('{width}', {ts_col}) AS bucket, {key_col}, {ts_col},
-             event_id, {value_col},
+             {id_col}, {value_col},
              row_number() OVER (PARTITION BY date_trunc('{width}', {ts_col}), {key_col}
-                                ORDER BY {ts_col}, event_id) AS ra,
+                                ORDER BY {ts_col}, {id_col}) AS ra,
              count(*) OVER (PARTITION BY date_trunc('{width}', {ts_col}), {key_col}) AS nn
       FROM {table}
     )

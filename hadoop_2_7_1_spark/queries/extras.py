@@ -33,6 +33,21 @@ from ..operators.sampling import (
 )
 from . import register
 
+
+def _scratch_dir(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    """Session-unique scratch path for round-trip queries. Keyed by the
+    Spark applicationId as well as the sf tag so two concurrent drivers on
+    the same scale factor can never interleave an overwrite-and-read
+    (round-4 advisor finding)."""
+    import os
+    import re
+    import tempfile
+
+    sf_tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    return os.path.join(tempfile.gettempdir(), f"h271_{tag}_{sf_tag}_{app}")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -647,7 +662,7 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER () AS n
       FROM p
     )
-    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+    SELECT CAST(coalesce(max(n), 0) AS BIGINT) AS n_converted,
            CAST(min(delta_s) AS BIGINT) AS min_s,
            CAST(min(CASE WHEN rn = (n + 1) // 2 THEN delta_s END) AS BIGINT)
              AS median_s,
@@ -686,7 +701,10 @@ def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delta_s").cast("bigint").alias("min_s"),
         F.max("delta_s").cast("bigint").alias("max_s"),
     )
-    return stats.crossJoin(F.broadcast(med)).select(
+    # LEFT join (not crossJoin): with zero conversions the median side is
+    # empty but the ungrouped oracle aggregate still emits one all-NULL row —
+    # this keeps both engines at exactly one row on degenerate input
+    return stats.join(F.broadcast(med), F.lit(True), "left").select(
         "n_converted", "min_s", "median_s", "max_s"
     )
 
@@ -1548,15 +1566,11 @@ def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round-trip in tests/test_sources.py",
 )
 def src_mapfile_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re as _re
     import shutil
-    import tempfile
 
     from ..sources import mapfile
 
-    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    out = os.path.join(tempfile.gettempdir(), f"h271_mapfile_{sf_tag}")
+    out = _scratch_dir(spark, "mapfile", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("bigint").alias("k"), F.col("s_name").alias("v")
@@ -2722,11 +2736,8 @@ def txt_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "serializations",
 )
 def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re as _re
 
-    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/h271_txtfmt_{sf_tag}"
+    base = _scratch_dir(spark, "txtfmt", sf_dir)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
@@ -2763,14 +2774,11 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extension point (JVM reader parity pinned in tests)",
 )
 def src_pyds_seqfile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re as _re
 
     from ..sources import dsv2
 
     dsv2.register(spark)
-    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    path = f"/tmp/h271_pyseq_{sf_tag}/part_names"
+    path = _scratch_dir(spark, "pyseq", sf_dir) + "/part_names"
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("string").alias("key"),
         F.col("p_name").alias("value"),
@@ -2808,12 +2816,10 @@ def _binfile_dims(i: int) -> tuple[int, int]:
 )
 def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import re as _re
 
     from ..operators import multimodal as mm
 
-    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    d = f"/tmp/h271_binfiles_{sf_tag}"
+    d = _scratch_dir(spark, "binfiles", sf_dir)
     os.makedirs(d, exist_ok=True)
     for i in range(_BINFILE_N):
         w, h = _binfile_dims(i)
@@ -2860,11 +2866,8 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and the good-row decimal total proves no valid record is lost",
 )
 def src_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re as _re
 
-    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    path = f"/tmp/h271_corruptjson_{sf_tag}/orders"
+    path = _scratch_dir(spark, "corruptjson", sf_dir) + "/orders"
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     lines = orders.select(
         F.when(
@@ -2913,11 +2916,8 @@ def src_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double-read",
 )
 def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re as _re
 
-    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/h271_schemaevo_{sf_tag}/orders"
+    base = _scratch_dir(spark, "schemaevo", sf_dir) + "/orders"
     orders = load_table(spark, sf_dir, "orders")
     orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
         f"{base}/batch=1"
@@ -2945,11 +2945,8 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vs the source-parquet oracle",
 )
 def src_zstd_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re as _re
 
-    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    path = f"/tmp/h271_zstd_{sf_tag}/lineitem"
+    path = _scratch_dir(spark, "zstd", sf_dir) + "/lineitem"
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     li.write.mode("overwrite").option("compression", "zstd").parquet(path)
     back = spark.read.parquet(path)
@@ -2974,11 +2971,8 @@ def src_zstd_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate must hash-match the parquet-direct oracle",
 )
 def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re as _re
 
-    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    path = f"/tmp/h271_orc_{sf_tag}/lineitem"
+    path = _scratch_dir(spark, "orc", sf_dir) + "/lineitem"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
     )

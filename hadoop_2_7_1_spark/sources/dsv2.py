@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -76,23 +78,37 @@ class _SeqFileReader(DataSourceReader):
 
 
 class _SeqFileCommit(WriterCommitMessage):
-    pass
+    def __init__(self, partition_id: int, staged: str):
+        self.partition_id = partition_id
+        self.staged = staged
 
 
 class _SeqFileWriter(DataSourceWriter):
+    """FileOutputCommitter-shaped write protocol (reference:
+    ``MRC/lib/output/FileOutputCommitter.java:1``): every task writes to a
+    job-unique staging directory under the target, the driver's ``commit``
+    promotes exactly the attempt files named in the commit messages (so a
+    speculative or retried attempt can never leave a duplicate part), and
+    ``mode("overwrite")`` clears pre-existing part files at commit time —
+    never before, so a failed job leaves the old data intact. ``abort``
+    removes the staging directory and nothing else."""
+
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pyseqfile: path option/save(path) required")
         self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:8]
+        self.staging = os.path.join(self.path, f"_temporary-{self.job_id}")
 
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}")
-        with open(out, "wb") as fh:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"part-{pid:05d}-{ctx.taskAttemptId()}")
+        with open(staged, "wb") as fh:
             w = _SeqWriter(
                 fh,
                 "org.apache.hadoop.io.Text",
@@ -101,7 +117,23 @@ class _SeqFileWriter(DataSourceWriter):
             )
             for row in iterator:
                 w.append(_enc_text(str(row[0])), _enc_text(str(row[1])))
-        return _SeqFileCommit()
+        return _SeqFileCommit(pid, staged)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in glob.glob(os.path.join(self.path, "part-*")):
+                os.remove(f)
+        # final names carry the job id so append-mode jobs never clobber a
+        # prior job's parts (Hadoop: per-job task attempt ids in filenames)
+        for m in messages:
+            os.replace(
+                m.staged,
+                os.path.join(self.path, f"part-{m.partition_id:05d}-{self.job_id}"),
+            )
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages):
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class SequenceFileDataSource(DataSource):

@@ -1402,3 +1402,29 @@ def test_hll_sketch_accuracy_and_parallel_determinism(spark):
     a = hll_distinct(df.repartition(1), "g", "v").collect()[0].hll_estimate
     b = hll_distinct(df.repartition(17, "v"), "g", "v").collect()[0].hll_estimate
     assert a == b == row.hll_estimate
+
+
+def test_ohlc_bars_custom_id_column(spark):
+    """ohlc_bars must work on tables without an event_id column — the
+    tie-break column is a parameter (round-4 advisor finding)."""
+    from hadoop_2_7_1_spark.operators.funnel import ohlc_bars
+
+    df = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:00:05", 3.0, 2),
+            ("A", "2024-01-01 10:00:05", 9.0, 1),  # same ts: seq breaks tie
+            ("A", "2024-01-01 10:59:59", 4.0, 3),
+            ("B", "2024-01-01 10:30:00", 7.0, 4),
+        ],
+        "sym string, t string, px double, seq int",
+    ).withColumn("t", F.to_timestamp("t"))
+    out = {
+        r.sym: r
+        for r in ohlc_bars(
+            df, key_col="sym", ts_col="t", value_col="px", id_col="seq"
+        ).collect()
+    }
+    a = out["A"]
+    assert (a.open, a.high, a.low, a.close, a.n) == (9.0, 9.0, 3.0, 4.0, 3)
+    b = out["B"]
+    assert (b.open, b.close, b.n) == (7.0, 7.0, 1)

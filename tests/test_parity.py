@@ -95,3 +95,26 @@ def test_every_query_is_hash_checked():
     """Round-4 invariant: zero rows-only registry entries — every operator
     claim is backed by a value-hash-checked oracle."""
     assert ROWS_ONLY_QUERIES == []
+
+
+def test_time_to_convert_degenerate_no_conversions(spark, tmp_path):
+    """With zero converting users both engines must emit the SAME single
+    all-NULL-stats row (n_converted=0) — the round-4 advisor found the Spark
+    side returned 0 rows while the ungrouped oracle aggregate returned 1."""
+    import duckdb
+
+    from hadoop_2_7_1_spark.io import load_table
+
+    sf = str(tmp_path)
+    ev = load_table(spark, SF_DIR, "events").filter("event_type <> 'purchase'")
+    ev.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    spec = REGISTRY["evt_time_to_convert"]
+    spark_pdf = spec.fn(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+    duck_pdf = con.sql(spec.oracle).df()
+    con.close()
+    assert len(spark_pdf) == 1
+    assert spark_pdf["n_converted"].iloc[0] == 0
+    assert_frames_match(spark_pdf, duck_pdf, "evt_time_to_convert/degenerate")

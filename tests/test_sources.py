@@ -864,3 +864,29 @@ def test_python_datasource_seqfile_roundtrip(spark, tmp_path):
     # format compatibility: stock JVM SequenceFile reader sees the same data
     jvm = sorted(spark.sparkContext.sequenceFile(out).collect())
     assert jvm == want
+
+
+def test_python_datasource_seqfile_overwrite_commit(spark, tmp_path):
+    """mode('overwrite') with FEWER output partitions than a prior write must
+    not leave stale part files, and no _temporary staging dir may survive a
+    committed job (FileOutputCommitter semantics)."""
+    import glob as _glob
+
+    from hadoop_2_7_1_spark.sources import dsv2
+
+    dsv2.register(spark)
+    out = str(tmp_path / "pyseq_ow")
+    big = spark.range(40).selectExpr("cast(id as string) key", "'old' value")
+    big.repartition(4).write.format("pyseqfile").mode("overwrite").save(out)
+    assert len(_glob.glob(out + "/part-*")) == 4
+
+    small = spark.range(5).selectExpr("cast(id as string) key", "'new' value")
+    small.repartition(1).write.format("pyseqfile").mode("overwrite").save(out)
+    assert len(_glob.glob(out + "/part-*")) == 1
+    assert _glob.glob(out + "/_temporary*") == []
+    got = sorted((r.key, r.value) for r in spark.read.format("pyseqfile").load(out).collect())
+    assert got == sorted((str(i), "new") for i in range(5))
+
+    # append keeps prior parts and promotes new ones under fresh names
+    small.repartition(1).write.format("pyseqfile").mode("append").save(out)
+    assert spark.read.format("pyseqfile").load(out).count() == 10
