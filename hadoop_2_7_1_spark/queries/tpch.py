@@ -24,8 +24,17 @@ def _dsum(col, scale: int = 4):
     money/quantity values with <= `scale` true decimal digits, so the
     per-row decimal cast is lossless. The driver hash-compares floats
     EXACTLY — plain double sums differ from the oracle in the last ulp
-    whenever the accumulation order differs."""
-    return F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
+    whenever the accumulation order differs.
+
+    Input precision is 18 (Spark's max long-backed Decimal) rather than 38:
+    the sum buffer promotes to decimal(28,scale) — headroom of 10 integer
+    digits over the per-row cap of 14, enough for ~10^10 rows of max-size
+    money values (a 100 TB lineitem is ~6·10^9 rows), while keeping most
+    per-row work on compact longs instead of 16-byte BigDecimals (~10%
+    faster on the tq1 scan; values bit-identical, measured r5). Oracles are
+    unaffected: both engines compute the EXACT sum of the same per-row
+    rounded values, so internal precision never shows in the result."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
 @register(
