@@ -2989,6 +2989,114 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SETFILE_PROBES = [1, 2, 3, 5, 8, 13, 100, 101, 2500, 999_999]
+
+
+@register(
+    "src_setfile_membership",
+    f"""
+    WITH probes(probe) AS (
+      VALUES {", ".join(f"({p})" for p in _SETFILE_PROBES)}
+    )
+    SELECT CAST(probe AS BIGINT) AS probe,
+           probe IN (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           ) AS member
+    FROM probes
+    """,
+    doc="SetFile (IO/SetFile.java:33): sorted NullWritable-valued MapFile "
+        "as an on-disk set — BUILDING-segment custkeys written as a real "
+        "SetFile dir (stock SetFile.Reader round-trip in tests), then "
+        "index-aware membership probes; O(index + one interval) per probe",
+)
+def src_setfile_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import mapfile
+
+    out = _scratch_dir(spark, "setfile", sf_dir)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").cast("bigint").alias("k"))
+    mapfile.write_set_file(cust, out, "k", num_parts=4)
+    rows = [(int(p), mapfile.set_file_contains(out, p)) for p in _SETFILE_PROBES]
+    return spark.createDataFrame(rows, "probe bigint, member boolean")
+
+
+_BLOOMMAP_PROBES = [1, 4, 7, 10, 40, 400, 4000, 777_777]
+
+
+@register(
+    "src_bloom_mapfile",
+    f"""
+    WITH probes(probe) AS (
+      VALUES {", ".join(f"({p})" for p in [1, 4, 7, 10, 40, 400, 4000, 777_777])}
+    ), k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0)
+    SELECT CAST(probe AS BIGINT) AS probe,
+           CASE WHEN probe IN (SELECT o_orderkey FROM k)
+                THEN CAST(probe AS VARCHAR) ELSE NULL END AS got
+    FROM probes
+    """,
+    doc="BloomMapFile (IO/BloomMapFile.java:49): MapFile dirs with a real "
+        "on-disk DynamicBloomFilter consulted before index/data — sparse "
+        "lookups skip whole parts on a bloom negative (stock reader "
+        "round-trip in tests, both directions)",
+)
+def src_bloom_mapfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import mapfile
+
+    out = _scratch_dir(spark, "bloommap", sf_dir)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    ).select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_orderkey").cast("string").alias("v"),
+    )
+    mapfile.write_bloom_map_file(orders, out, "k", "v", num_parts=4,
+                                 bloom_num_keys=65536)
+    rows = [
+        (int(p), mapfile.bloom_map_file_lookup(out, p)) for p in _BLOOMMAP_PROBES
+    ]
+    return spark.createDataFrame(rows, "probe bigint, got string")
+
+
+_ARRAYFILE_GETS = [0, 1, 127, 128, 129, 500]
+
+
+@register(
+    "src_arrayfile_get",
+    f"""
+    WITH arr AS (
+      SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS n, s_name
+      FROM supplier
+    ), gets(n) AS (VALUES {", ".join(f"({n})" for n in _ARRAYFILE_GETS)})
+    SELECT CAST(gets.n AS BIGINT) AS n, arr.s_name AS got
+    FROM gets LEFT JOIN arr ON arr.n = gets.n
+    """,
+    doc="ArrayFile (IO/ArrayFile.java:33): LongWritable-position MapFile — "
+        "supplier names written in s_suppkey total order via the two-phase "
+        "prefix rank (no global window), then positional get(n) lookups "
+        "(stock ArrayFile.Reader round-trip in tests)",
+)
+def src_arrayfile_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import mapfile
+
+    out = _scratch_dir(spark, "arrayfile", sf_dir)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("ord"), "s_name"
+    )
+    mapfile.write_array_file(supp, out, "s_name", "ord", num_parts=4)
+    rows = [(int(n), mapfile.array_file_get(out, n)) for n in _ARRAYFILE_GETS]
+    return spark.createDataFrame(rows, "n bigint, got string")
+
+
 @register(
     "dd_span_dedup",
     dedup.oracle_dup_span_stats("documents", "doc_id", "text", n=8),

@@ -51,6 +51,10 @@ def write_map_file(
     value_col: str,
     num_parts: int = 4,
     index_interval: int = INDEX_INTERVAL,
+    value_writable: tuple[str, object] | None = None,
+    bloom: bool = False,
+    bloom_num_keys: int = 1024 * 1024,
+    bloom_error_rate: float = 0.005,
 ) -> int:
     """Write ``df`` as ``path/part-NNNNN/{data,index}`` MapFile directories
     (MapFileOutputFormat layout: one MapFile per partition, keys sorted
@@ -64,7 +68,10 @@ def write_map_file(
     """
     dtypes = dict(df.dtypes)
     key_class, enc_key = _WRITABLE_FOR_DTYPE[dtypes[key_col]]
-    value_class, enc_value = _WRITABLE_FOR_DTYPE[dtypes[value_col]]
+    if value_writable is not None:
+        value_class, enc_value = value_writable
+    else:
+        value_class, enc_value = _WRITABLE_FOR_DTYPE[dtypes[value_col]]
 
     os.makedirs(path, exist_ok=True)
     sel = (
@@ -77,10 +84,20 @@ def write_map_file(
         import pandas as pd
         from pyspark import TaskContext
 
+        from .bloomfilter import DynamicBloom, vector_size_for
+
         pid = TaskContext.get().partitionId()
         part_dir = os.path.join(path, f"part-{pid:05d}")
         data_fh = index_fh = None
         data = index = None
+        bf = (
+            DynamicBloom(
+                vector_size_for(bloom_num_keys, bloom_error_rate),
+                nr=bloom_num_keys,
+            )
+            if bloom
+            else None
+        )
         n = 0
         for pdf in batches:
             if data is None:
@@ -100,10 +117,15 @@ def write_map_file(
                     # position.set(data.getLength()))
                     index.append(kb, struct.pack(">q", data_fh.tell()))
                 data.append(kb, enc_value(v))
+                if bf is not None:
+                    bf.add(kb)  # raw serialized key bytes, like bloomKey.set
                 n += 1
         if data_fh is not None:
             data_fh.close()
             index_fh.close()
+            if bf is not None:
+                with open(os.path.join(part_dir, "bloom"), "wb") as fh:
+                    fh.write(bf.to_bytes())
         yield pd.DataFrame({"part": [pid], "n_records": [n]})
 
     counts = sel.mapInPandas(run, "part int, n_records long").collect()
@@ -116,6 +138,15 @@ def write_map_file(
             _SeqWriter(fh, key_class, value_class, "mapfile-data:empty")
         with open(os.path.join(part_dir, "index"), "wb") as fh:
             _SeqWriter(fh, key_class, _LONG_WRITABLE, "mapfile-index:empty")
+        if bloom:
+            from .bloomfilter import DynamicBloom, vector_size_for
+
+            empty = DynamicBloom(
+                vector_size_for(bloom_num_keys, bloom_error_rate),
+                nr=bloom_num_keys,
+            )
+            with open(os.path.join(part_dir, "bloom"), "wb") as fh:
+                fh.write(empty.to_bytes())
     return total
 
 
@@ -146,42 +177,73 @@ def map_file_lookup(path: str, key, index_interval: int = INDEX_INTERVAL):
     Driver-side utility by design: a point lookup is metadata-scale; batch
     lookups belong in a join against :func:`read_map_file`.
     """
+    hit = _map_file_probe(path, key, index_interval)
+    return hit[1] if hit is not None else None
+
+
+def _map_file_probe(path: str, key, index_interval: int = INDEX_INTERVAL):
+    """Index-aware probe returning ``(True, value)`` on a hit, else None —
+    the hit/value split lets NullWritable-valued containers (SetFile)
+    distinguish "present with null value" from "absent"."""
     import glob
 
     target = _norm(key)
     for part_dir in sorted(glob.glob(os.path.join(path, "part-*"))):
-        index_path = os.path.join(part_dir, "index")
-        with open(index_path, "rb") as fh:
-            idx_buf = fh.read()  # 1 entry per 128 records: tiny by design
-        entries = []
-        for kb, vb, kcls, _ in _parse_seq_stream(idx_buf):
-            entries.append(
-                (_norm(_decode_writable(kcls, kb)), struct.unpack(">q", vb)[0])
-            )
-        if not entries or target < entries[0][0]:
-            continue
-        # rightmost indexed key <= target (entries are in key order)
-        lo, hi = 0, len(entries) - 1
-        while lo < hi:
-            mid = (lo + hi + 1) // 2
-            if entries[mid][0] <= target:
-                lo = mid
-            else:
-                hi = mid - 1
-        pos = entries[lo][1]
-        hit = _scan_data_from(os.path.join(part_dir, "data"), pos, target,
-                              index_interval)
+        hit = _probe_part(part_dir, target, index_interval)
         if hit is not None:
             return hit
     return None
 
 
+def _probe_part(part_dir: str, target, index_interval: int = INDEX_INTERVAL):
+    """Probe ONE MapFile dir: binary-search its index, scan one interval."""
+    index_path = os.path.join(part_dir, "index")
+    with open(index_path, "rb") as fh:
+        idx_buf = fh.read()  # 1 entry per 128 records: tiny by design
+    entries = []
+    for kb, vb, kcls, _ in _parse_seq_stream(idx_buf):
+        entries.append(
+            (_norm(_decode_writable(kcls, kb)), struct.unpack(">q", vb)[0])
+        )
+    if not entries or target < entries[0][0]:
+        return None
+    # rightmost indexed key <= target (entries are in key order)
+    lo, hi = 0, len(entries) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if entries[mid][0] <= target:
+            lo = mid
+        else:
+            hi = mid - 1
+    pos = entries[lo][1]
+    return _scan_data_from(
+        os.path.join(part_dir, "data"), pos, target, index_interval
+    )
+
+
 def _scan_data_from(data_path: str, pos: int, target, max_records: int):
     """Scan up to ``max_records`` framed records starting at ``pos`` for
-    ``target``; reads the file incrementally (64 KiB chunks), not whole."""
+    ``target``; reads the file incrementally (64 KiB chunks), not whole.
+
+    Handles NONE and RECORD compression (a stock MapFile.Writer defaults to
+    RECORD: keys stay plain in the framing, each value is its own codec
+    stream). BLOCK-compressed data files have no per-record seek positions —
+    the index points at block starts — so they route to the full-stream
+    parser path instead of this interval scan."""
     with open(data_path, "rb") as fh:
         head = fh.read(4096)
-        key_class, value_class, _ = _read_seq_header(head)
+        key_class, value_class, hpos = _read_seq_header(head)
+        val_compressed, block = struct.unpack_from(">??", head, hpos)
+        decompress = None
+        if val_compressed or block:
+            from .seqfile import _decompressor_for
+
+            clen, cpos = read_vlong(head, hpos + 2)
+            decompress = _decompressor_for(head[cpos : cpos + clen].decode())
+        if block:
+            return _scan_block_data(
+                data_path, pos, target, key_class, value_class
+            )
         fh.seek(pos)
         state = {"buf": b"", "off": 0}
 
@@ -214,7 +276,202 @@ def _scan_data_from(data_path: str, pos: int, target, max_records: int):
             seen += 1
             k = _norm(_decode_writable(key_class, kb))
             if k == target:
-                return _decode_writable(value_class, vb)
+                if decompress is not None:
+                    vb = decompress(bytes(vb))
+                return (True, _decode_writable(value_class, vb))
             if k > target:  # sorted data: overshot
                 return None
     return None
+
+
+def _scan_block_data(data_path: str, pos: int, target, key_class, value_class):
+    """BLOCK-compressed interval scan: the index position is a block start
+    (sync escape); decode blocks from there until the target key is found or
+    overshot. Each block decompresses independently, so this reads one or
+    two blocks, not the file."""
+    from .seqfile import _parse_seq_stream
+
+    with open(data_path, "rb") as fh:
+        head = fh.read(4096)
+        _, _, hpos = _read_seq_header(head)
+        fh.seek(pos)
+        # Re-frame: header + the stream from pos, so the block parser can
+        # run; it stops at the first key past target (sorted data).
+        tail = fh.read()
+    for kb, vb, kcls, vcls in _parse_seq_stream(head[: _header_end(head)] + tail):
+        k = _norm(_decode_writable(kcls, kb))
+        if k == target:
+            return (True, _decode_writable(vcls, vb))
+        if k > target:
+            return None
+    return None
+
+
+def _header_end(head: bytes) -> int:
+    """Byte offset just past the full SequenceFile header (classnames,
+    compression flags + codec, metadata, sync marker)."""
+    _, _, pos = _read_seq_header(head)
+    compressed, block = struct.unpack_from(">??", head, pos)
+    pos += 2
+    if compressed or block:
+        clen, pos = read_vlong(head, pos)
+        pos += clen
+    (n_meta,) = struct.unpack_from(">i", head, pos)
+    pos += 4
+    for _ in range(n_meta * 2):
+        slen, pos = read_vlong(head, pos)
+        pos += slen
+    return pos + 16  # sync
+
+
+# ---------------------------------------------------------------------------
+# SetFile / ArrayFile — the reference's two MapFile specializations
+# ---------------------------------------------------------------------------
+
+_NULL_WRITABLE = "org.apache.hadoop.io.NullWritable"
+
+
+def write_set_file(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_parts: int = 4,
+    index_interval: int = INDEX_INTERVAL,
+) -> int:
+    """SetFile (``IO/SetFile.java:33``): a MapFile of keys with NullWritable
+    values — a sorted on-disk set. Duplicate keys are collapsed (a set), and
+    NullWritable serializes to ZERO bytes, so each data record is just the
+    framed key. Stock ``SetFile.Reader`` round-trip pinned in tests."""
+    keys = df.select(key_col).distinct()
+    return write_map_file(
+        keys.withColumn("__null", F.col(key_col)),
+        path,
+        key_col,
+        "__null",
+        num_parts=num_parts,
+        index_interval=index_interval,
+        value_writable=(_NULL_WRITABLE, lambda _v: b""),
+    )
+
+
+def set_file_contains(path: str, key) -> bool:
+    """SetFile.Reader.seek(key) semantics: True iff the key is a member.
+    Same O(index + one interval) cost as a MapFile point lookup."""
+    return _map_file_probe(path, key) is not None
+
+
+def read_set_file(spark: SparkSession, path: str, key_name: str = "key") -> DataFrame:
+    """Distributed scan of the member keys (data files are ordinary
+    SequenceFiles; NullWritable values are dropped)."""
+    rdd = spark.sparkContext.sequenceFile(os.path.join(path, "part-*", "data"))
+    return rdd.keys().map(lambda k: (k,)).toDF([key_name])
+
+
+def write_array_file(
+    df: DataFrame,
+    path: str,
+    value_col: str,
+    order_col: str,
+    num_parts: int = 4,
+    index_interval: int = INDEX_INTERVAL,
+) -> int:
+    """ArrayFile (``IO/ArrayFile.java:33``): a MapFile whose keys are the
+    LongWritable append position 0..n-1. The reference's single Writer
+    assigns positions by stream order; the distributed analogue assigns them
+    by the total order of ``order_col`` (must be unique) via the two-phase
+    prefix-rank — no global window, one range shuffle. Each part then owns a
+    contiguous index range, so ``get(n)`` touches exactly one part."""
+    from ..operators.partitioning import two_phase_prefix
+
+    idx = (
+        two_phase_prefix(
+            df.select(order_col, value_col),
+            [F.col(order_col)],
+            F.lit(1),
+            "__rank",
+            num_partitions=num_parts,
+        )
+        .withColumn("__idx", (F.col("__rank") - 1).cast("bigint"))
+        .select("__idx", value_col)
+    )
+    return write_map_file(
+        idx, path, "__idx", value_col,
+        num_parts=num_parts, index_interval=index_interval,
+    )
+
+
+def array_file_get(path: str, n: int):
+    """ArrayFile.Reader.get(n): positional point lookup."""
+    return map_file_lookup(path, int(n))
+
+
+def read_array_file(
+    spark: SparkSession, path: str, value_name: str = "value"
+) -> DataFrame:
+    """Distributed scan as (idx bigint, value) — the array with explicit
+    positions, so downstream order never depends on file listing order."""
+    return read_map_file(spark, path, key_name="idx", value_name=value_name)
+
+
+# ---------------------------------------------------------------------------
+# BloomMapFile — MapFile + per-dir DynamicBloomFilter (``bloom`` file)
+# ---------------------------------------------------------------------------
+
+
+def write_bloom_map_file(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    value_col: str,
+    num_parts: int = 4,
+    index_interval: int = INDEX_INTERVAL,
+    bloom_num_keys: int = 1024 * 1024,
+    bloom_error_rate: float = 0.005,
+) -> int:
+    """BloomMapFile (``IO/BloomMapFile.java:49``): each part dir gains a
+    ``bloom`` file — a serialized DynamicBloomFilter over the raw key bytes —
+    written in the SAME pass as data/index (no second scan). Lookups consult
+    it first and skip the part on a negative, the whole point for sparse
+    key sets. Stock BloomMapFile.Reader round-trip pinned in tests."""
+    return write_map_file(
+        df, path, key_col, value_col,
+        num_parts=num_parts, index_interval=index_interval,
+        bloom=True, bloom_num_keys=bloom_num_keys,
+        bloom_error_rate=bloom_error_rate,
+    )
+
+
+def bloom_map_file_lookup(path: str, key, index_interval: int = INDEX_INTERVAL):
+    """BloomMapFile.Reader.get: test the per-part bloom before touching
+    index/data; a negative costs one small file read and zero data I/O.
+    Parts without a ``bloom`` file degrade to the plain probe
+    (probablyHasKey returns true when bloomFilter == null)."""
+    import glob
+
+    from .bloomfilter import DynamicBloom
+
+    target = _norm(key)
+    key_bytes = _serialize_key(key)
+    for part_dir in sorted(glob.glob(os.path.join(path, "part-*"))):
+        bloom_path = os.path.join(part_dir, "bloom")
+        if os.path.exists(bloom_path):
+            with open(bloom_path, "rb") as fh:
+                bf = DynamicBloom.from_bytes(fh.read())
+            if not bf.test(key_bytes):
+                continue  # definite miss: skip index+data entirely
+        hit = _probe_part(part_dir, target, index_interval)
+        if hit is not None:
+            return hit[1]
+    return None
+
+
+def _serialize_key(key) -> bytes:
+    """Raw Writable bytes of a key — exactly what BloomMapFile.Writer feeds
+    ``bloomKey`` (byteArrayForBloomKey: the serialized key, nothing else)."""
+    from .seqfile import _enc_long, _enc_text
+
+    if isinstance(key, str):
+        return _enc_text(key)
+    if isinstance(key, int):
+        return _enc_long(key)
+    raise TypeError(f"unsupported bloom key type {type(key)}")

@@ -490,6 +490,10 @@ def _decode_writable(cls: str, b: bytes):
     if cls == "org.apache.hadoop.io.BytesWritable":
         (n,) = struct.unpack(">i", b[:4])
         return b[4 : 4 + n]
+    if cls == "org.apache.hadoop.io.FloatWritable":
+        return struct.unpack(">f", b)[0]
+    if cls == "org.apache.hadoop.io.NullWritable":
+        return None  # zero serialized bytes (SetFile values)
     raise ValueError(f"unsupported writable {cls}")
 
 

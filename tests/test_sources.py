@@ -890,3 +890,196 @@ def test_python_datasource_seqfile_overwrite_commit(spark, tmp_path):
     # append keeps prior parts and promotes new ones under fresh names
     small.repartition(1).write.format("pyseqfile").mode("append").save(out)
     assert spark.read.format("pyseqfile").load(out).count() == 10
+
+
+def test_set_file_roundtrip_and_membership(spark, tmp_path):
+    """SetFile (IO/SetFile.java:33): sorted keys with zero-byte NullWritable
+    values. Stock org.apache.hadoop.io.SetFile.Reader must accept our dirs;
+    Python membership probes must agree."""
+    from hadoop_2_7_1_spark.sources import mapfile
+
+    df = spark.createDataFrame(
+        [(f"m{i:04d}",) for i in range(0, 600, 2)] * 2, ["k"]  # dups collapse
+    )
+    out = str(tmp_path / "setfile")
+    assert mapfile.write_set_file(df, out, "k", num_parts=3) == 300
+
+    # python probes
+    assert mapfile.set_file_contains(out, "m0000")
+    assert mapfile.set_file_contains(out, "m0598")
+    assert not mapfile.set_file_contains(out, "m0001")
+    assert not mapfile.set_file_contains(out, "zzz")
+
+    # distributed scan sees the distinct sorted membership
+    back = mapfile.read_set_file(spark, out)
+    assert back.count() == 300
+    assert back.filter(F.col("key") == "m0100").count() == 1
+
+    # stock JVM SetFile.Reader round-trip
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    import glob
+
+    seen = []
+    for part in sorted(glob.glob(out + "/part-*")):
+        reader = jvm.org.apache.hadoop.io.SetFile.Reader(fs, part, conf)
+        key = jvm.org.apache.hadoop.io.Text()
+        while reader.next(key):
+            seen.append(key.toString())
+        reader.close()
+    assert seen == sorted(f"m{i:04d}" for i in range(0, 600, 2))
+
+
+def test_array_file_roundtrip_and_get(spark, tmp_path):
+    """ArrayFile (IO/ArrayFile.java:33): LongWritable positions 0..n-1 in
+    total order of order_col. Stock ArrayFile.Reader.get(n) must see the
+    same element as the Python positional lookup."""
+    from hadoop_2_7_1_spark.sources import mapfile
+
+    df = spark.createDataFrame(
+        [(f"s{i:04d}", f"payload-{i}") for i in range(500)], ["ord", "v"]
+    ).repartition(7)  # scrambled input partitioning; order comes from ord
+    out = str(tmp_path / "arrayfile")
+    assert mapfile.write_array_file(df, out, "v", "ord", num_parts=3) == 500
+
+    for n in (0, 1, 127, 128, 311, 499):
+        assert mapfile.array_file_get(out, n) == f"payload-{n}"
+    assert mapfile.array_file_get(out, 500) is None
+
+    back = mapfile.read_array_file(spark, out)
+    assert back.count() == 500
+    assert back.filter(F.col("idx") == 42).collect()[0].value == "payload-42"
+
+    # stock JVM ArrayFile.Reader round-trip (per part: global positions)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    import glob
+
+    got = {}
+    for part in sorted(glob.glob(out + "/part-*")):
+        reader = jvm.org.apache.hadoop.io.ArrayFile.Reader(fs, part, conf)
+        val = jvm.org.apache.hadoop.io.Text()
+        for n in (0, 128, 250, 499):
+            r = reader.get(n, val)
+            if r is not None:
+                got[n] = val.toString()
+        reader.close()
+    assert got == {n: f"payload-{n}" for n in (0, 128, 250, 499)}
+
+
+def test_bloom_map_file_jvm_bidirectional(spark, tmp_path):
+    """BloomMapFile (IO/BloomMapFile.java:49): our bloom file must satisfy
+    the stock Reader (get + probablyHasKey), and a stock Writer's dir must
+    drive our Python bloom-aware lookup — byte-level DynamicBloomFilter
+    compatibility in both directions."""
+    from hadoop_2_7_1_spark.sources import mapfile
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    import glob
+
+    # ours -> stock reader
+    df = spark.createDataFrame(
+        [(f"k{i:05d}", f"val-{i}") for i in range(0, 2000, 4)], ["k", "v"]
+    )
+    out = str(tmp_path / "bloommap")
+    assert mapfile.write_bloom_map_file(
+        df, out, "k", "v", num_parts=2, bloom_num_keys=4096
+    ) == 500
+    hits, neg = {}, 0
+    for part in sorted(glob.glob(out + "/part-*")):
+        assert os.path.exists(os.path.join(part, "bloom"))
+        reader = jvm.org.apache.hadoop.io.BloomMapFile.Reader(fs, part, conf)
+        for probe in (0, 4, 128, 996, 1996):
+            key = jvm.org.apache.hadoop.io.Text(f"k{probe:05d}")
+            val = jvm.org.apache.hadoop.io.Text()
+            if reader.get(key, val) is not None:
+                hits[probe] = val.toString()
+        # absent keys: the stock reader's bloom check must reject them
+        for probe in (1, 2, 3, 1111):
+            if not reader.probablyHasKey(jvm.org.apache.hadoop.io.Text(f"k{probe:05d}")):
+                neg += 1
+        reader.close()
+    assert hits == {p: f"val-{p}" for p in (0, 4, 128, 996, 1996)}
+    assert neg >= 6  # 8 probes over 2 parts; bloom fp-rate makes >=6 certain
+
+    # stock writer -> our python lookup
+    jdir = str(tmp_path / "jvm_bloommap")
+    conf.setInt("io.mapfile.bloom.size", 4096)
+    writer = jvm.org.apache.hadoop.io.BloomMapFile.Writer(
+        conf, fs, jdir,
+        jvm.java.lang.Class.forName("org.apache.hadoop.io.Text"),
+        jvm.java.lang.Class.forName("org.apache.hadoop.io.Text"),
+    )
+    for i in range(0, 300, 3):
+        writer.append(
+            jvm.org.apache.hadoop.io.Text(f"j{i:04d}"),
+            jvm.org.apache.hadoop.io.Text(f"w-{i}"),
+        )
+    writer.close()
+    # our reader treats the single jvm dir as one part
+    parts_root = str(tmp_path / "jvm_parts")
+    os.makedirs(parts_root)
+    os.rename(jdir, os.path.join(parts_root, "part-00000"))
+    assert mapfile.bloom_map_file_lookup(parts_root, "j0000") == "w-0"
+    assert mapfile.bloom_map_file_lookup(parts_root, "j0297") == "w-297"
+    assert mapfile.bloom_map_file_lookup(parts_root, "j0001") is None
+    assert mapfile.bloom_map_file_lookup(parts_root, "nope") is None
+
+
+def test_map_file_lookup_on_jvm_block_compressed(spark, tmp_path):
+    """A stock MapFile.Writer with BLOCK compression: our index-aware lookup
+    must decode from the block boundary the index points at."""
+    from hadoop_2_7_1_spark.sources import mapfile
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    jdir = str(tmp_path / "jvm_block")
+    SF = jvm.org.apache.hadoop.io.SequenceFile
+    writer = jvm.org.apache.hadoop.io.MapFile.Writer(
+        conf, fs, jdir,
+        jvm.java.lang.Class.forName("org.apache.hadoop.io.Text"),
+        jvm.java.lang.Class.forName("org.apache.hadoop.io.Text"),
+        SF.CompressionType.BLOCK,
+    )
+    for i in range(400):
+        writer.append(
+            jvm.org.apache.hadoop.io.Text(f"b{i:04d}"),
+            jvm.org.apache.hadoop.io.Text(f"blockval-{i}"),
+        )
+    writer.close()
+    parts_root = str(tmp_path / "jvm_block_parts")
+    os.makedirs(parts_root)
+    os.rename(jdir, os.path.join(parts_root, "part-00000"))
+    for probe in (0, 127, 128, 200, 399):
+        assert mapfile.map_file_lookup(parts_root, f"b{probe:04d}") == f"blockval-{probe}"
+    assert mapfile.map_file_lookup(parts_root, "b9999") is None
+
+
+def test_dynamic_bloom_pure_python():
+    """Serialization round-trip, row growth past nr, and fp-rate sanity."""
+    from hadoop_2_7_1_spark.sources.bloomfilter import (
+        DynamicBloom, murmur_hash, vector_size_for,
+    )
+
+    # murmur must match Java for signed-tail inputs (pinned vs live JVM in
+    # the bidirectional test; here: determinism + sign handling don't crash)
+    assert murmur_hash(b"\xff\xfe\xfd", 0) == murmur_hash(b"\xff\xfe\xfd", 0)
+
+    f = DynamicBloom(vector_size_for(100, 0.005), nr=100)
+    keys = [f"key-{i}".encode() for i in range(250)]
+    for k in keys:
+        f.add(k)
+    assert len(f.rows) == 3  # 250 keys, 100 per row
+    assert all(f.test(k) for k in keys)
+    misses = sum(f.test(f"other-{i}".encode()) for i in range(1000))
+    assert misses < 60  # ~0.5% design rate x3 rows; generous bound
+
+    back = DynamicBloom.from_bytes(f.to_bytes())
+    assert back.vector_size == f.vector_size and len(back.rows) == 3
+    assert all(back.test(k) for k in keys)
+    assert back.to_bytes() == f.to_bytes()
