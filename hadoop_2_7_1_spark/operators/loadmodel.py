@@ -168,3 +168,123 @@ def oracle_concurrency_curve(bucket: str = "day") -> str:
              AS concurrency_eob
     FROM per_bucket
     """
+
+
+# ---------------------------------------------------------------------------
+# Gridmix replay executor — actually submits a synthetic job mix
+# ---------------------------------------------------------------------------
+
+#: default synthetic mix: cheap scan, agg, join, sort, dedup — the shapes
+#: Gridmix's LoadJob/SleepJob emulate, but drawn from the real registry
+_DEFAULT_MIX = (
+    "q01_wordcount",
+    "tq6_forecast_revenue",
+    "tq13_customer_distribution",
+    "q17_distinct",
+    "q02_grep",
+)
+
+
+def gridmix_replay(
+    spark,
+    sf_dir: str,
+    trace: DataFrame,
+    mode: str = "replay",
+    time_scale: float = 86_400.0,
+    max_jobs: int = 12,
+    stress_width: int = 4,
+    query_mix: tuple[str, ...] = _DEFAULT_MIX,
+):
+    """Trace-driven replay of a synthetic job mix against THIS engine — the
+    executor half of Gridmix (``HT/hadoop-gridmix/.../Gridmix.java:58``),
+    where :func:`concurrency_curve` is the analytic half.
+
+    Modes, as in the reference's JobFactory hierarchy:
+
+    - ``replay`` (ReplayJobFactory): submit each job at its trace offset,
+      compressed by ``time_scale`` (trace seconds per wall second).
+    - ``stress`` (StressJobFactory): keep ``stress_width`` jobs in flight
+      until the mix is exhausted — saturation, ignore trace timing.
+    - ``serial`` (SerialJobFactory): one at a time, trace order.
+
+    Each trace job maps deterministically (job_id mod mix size) to a
+    registry query; jobs run on concurrent driver threads (Spark's
+    supported multi-thread submission path; with ``spark.scheduler.mode=
+    FAIR`` each lands in its own pool). Only job METADATA is collected —
+    results are counted, never pulled to the driver.
+
+    Returns (summary_row_dict, per_job list of dicts) — an
+    ExecutionSummarizer-shaped report: per-job wall/rows/offsets plus
+    makespan and effective concurrency (Σ wall / makespan).
+    """
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..queries import REGISTRY
+
+    jobs = (
+        trace.select("job_id", "submit_ts")
+        .orderBy("submit_ts", "job_id")
+        .limit(max_jobs)
+        .collect()  # metadata-scale: max_jobs rows
+    )
+    if not jobs:
+        return ({"n_jobs": 0, "n_failed": 0, "makespan_s": 0.0,
+                 "effective_concurrency": 0.0}, [])
+    t0 = jobs[0].submit_ts
+    sc = spark.sparkContext
+    wall0 = time.monotonic()
+    results = []
+    lock = threading.Lock()
+
+    def run_one(job, delay_s: float):
+        name = query_mix[job.job_id % len(query_mix)]
+        if mode == "replay" and delay_s > 0:
+            time.sleep(delay_s)
+        sc.setLocalProperty("spark.scheduler.pool", f"gridmix-{job.job_id}")
+        sc.setJobGroup(f"gridmix-{job.job_id}", f"replay {name}", False)
+        start = time.monotonic() - wall0
+        try:
+            n = REGISTRY[name].fn(spark, sf_dir).count()
+            ok = True
+        except Exception:
+            n, ok = -1, False
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+        end = time.monotonic() - wall0
+        with lock:
+            results.append({
+                "job_id": job.job_id, "query": name, "ok": ok, "rows": n,
+                "submit_offset_s": round(delay_s, 3),
+                "start_s": round(start, 3), "end_s": round(end, 3),
+                "wall_s": round(end - start, 3),
+            })
+
+    if mode == "serial":
+        for job in jobs:
+            run_one(job, 0.0)
+    else:
+        width = stress_width if mode == "stress" else len(jobs)
+        with ThreadPoolExecutor(max_workers=max(1, width)) as ex:
+            futs = []
+            for job in jobs:
+                delay = (
+                    (job.submit_ts - t0).total_seconds() / time_scale
+                    if mode == "replay"
+                    else 0.0
+                )
+                futs.append(ex.submit(run_one, job, delay))
+            for f in futs:
+                f.result()
+
+    results.sort(key=lambda r: (r["start_s"], r["job_id"]))
+    makespan = max(r["end_s"] for r in results)
+    busy = sum(r["wall_s"] for r in results)
+    summary = {
+        "n_jobs": len(results),
+        "n_failed": sum(1 for r in results if not r["ok"]),
+        "makespan_s": round(makespan, 3),
+        "effective_concurrency": round(busy / makespan, 3) if makespan else 0.0,
+    }
+    return summary, results

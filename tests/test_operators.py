@@ -1428,3 +1428,39 @@ def test_ohlc_bars_custom_id_column(spark):
     assert (a.open, a.high, a.low, a.close, a.n) == (9.0, 9.0, 3.0, 4.0, 3)
     b = out["B"]
     assert (b.open, b.close, b.n) == (7.0, 7.0, 1)
+
+
+def test_gridmix_replay_executor(spark):
+    """Gridmix's executor half: a trace-driven synthetic job mix actually
+    submitted against the engine (ReplayJobFactory/StressJobFactory/
+    SerialJobFactory analogues). Assertions are on the ExecutionSummarizer
+    report shape + success, not wall-clock (timing is environmental)."""
+    from hadoop_2_7_1_spark.operators import loadmodel
+
+    orders = load_table(spark, SF_DIR, "orders")
+    trace = loadmodel.job_trace(orders)
+
+    # stress: saturate with 3-wide until 6 jobs are done
+    summary, jobs = loadmodel.gridmix_replay(
+        spark, SF_DIR, trace, mode="stress", max_jobs=6, stress_width=3
+    )
+    assert summary["n_jobs"] == 6 and summary["n_failed"] == 0
+    assert all(j["rows"] >= 0 and j["wall_s"] >= 0 for j in jobs)
+    assert {j["query"] for j in jobs} <= set(loadmodel._DEFAULT_MIX)
+
+    # replay honors trace offsets (hugely compressed so the test is fast):
+    # with max_jobs=4 all offsets collapse to < 1s, so just check success
+    summary_r, jobs_r = loadmodel.gridmix_replay(
+        spark, SF_DIR, trace, mode="replay", time_scale=1e9, max_jobs=4
+    )
+    assert summary_r["n_failed"] == 0 and len(jobs_r) == 4
+    assert summary_r["makespan_s"] > 0
+
+    # serial: strictly one at a time -> no overlapping [start, end) windows
+    summary_s, jobs_s = loadmodel.gridmix_replay(
+        spark, SF_DIR, trace, mode="serial", max_jobs=3
+    )
+    assert summary_s["n_failed"] == 0
+    for a, b in zip(jobs_s, jobs_s[1:]):
+        assert b["start_s"] >= a["end_s"] - 1e-6
+    assert summary_s["effective_concurrency"] <= 1.001
