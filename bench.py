@@ -132,6 +132,29 @@ def main() -> None:
     for name in EXTRAS:
         run_one(name, extra_times)
 
+    # Gridmix replay executor (VERDICT r4 #5): submit a 12-job synthetic mix
+    # at 4-wide saturation (StressJobFactory shape) and record the makespan.
+    # Trend-only, like EXTRAS — concurrency scheduling noise must not move
+    # the headline metric.
+    try:
+        from hadoop_2_7_1_spark.io import load_table
+        from hadoop_2_7_1_spark.operators import loadmodel
+
+        trace = loadmodel.job_trace(load_table(spark, sf_dir, "orders"))
+        gm_summary, _ = loadmodel.gridmix_replay(
+            spark, sf_dir, trace, mode="stress", max_jobs=12, stress_width=4
+        )
+        extra_times["bench_gridmix_replay"] = gm_summary["makespan_s"]
+        print(
+            f"# bench_gridmix_replay: {gm_summary['makespan_s']}s makespan, "
+            f"{gm_summary['n_jobs']} jobs, eff-concurrency "
+            f"{gm_summary['effective_concurrency']} "
+            f"({gm_summary['n_failed']} failed)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["bench_gridmix_replay"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(times.values()), 3)
     summary = {
         "metric": "headline_queries_total_wall",
