@@ -999,3 +999,226 @@ def oracle_ivf_multiprobe_topk(
            CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
     FROM scored QUALIFY rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Trained-quantizer recall curve (measure-then-tune on a clustered fixture)
+# ---------------------------------------------------------------------------
+
+def clustered_fixture(
+    emb: DataFrame,
+    n_anchors: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic clustered copy of an embedding table: vector i is
+    pulled to anchor ``i % n_anchors`` (a ±2 sign pattern over the anchor
+    id's bits, cycled across dimensions) plus 0.25× the original vector as
+    within-cluster noise.
+
+    IVF recall numbers on uniform vectors are a floor, not a forecast —
+    real embedding corpora are clustered, which is exactly what a trained
+    coarse quantizer exploits. This fixture adds that structure without any
+    RNG: every value is the same IEEE double on Spark and DuckDB (0.25 is a
+    power of two; the anchor is an exact ±2.0), so the oracle replays the
+    whole pipeline bit-identically.
+    """
+    bits = max(1, (n_anchors - 1).bit_length())
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform(cast({vec_col} as array<double>), (x, j) -> "
+            f"(case when (shiftright(cast(vec_id % {n_anchors} as int), j % {bits}) & 1) = 1 "
+            f"then 2.0D else -2.0D end) + 0.25D * x)"
+        ).alias("embedding"),
+    )
+
+
+def oracle_clustered_fixture(table: str = "embeddings", n_anchors: int = 8) -> str:
+    """DuckDB subquery (parenthesized, usable as a table term) mirroring
+    :func:`clustered_fixture`. DuckDB's lambda index is 1-based, Spark's
+    0-based — hence the ``(j - 1)``."""
+    bits = max(1, (n_anchors - 1).bit_length())
+    return (
+        f"(SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), (x, j) -> "
+        f"(CASE WHEN ((CAST(vec_id % {n_anchors} AS INT) >> ((j - 1) % {bits})) & 1) = 1 "
+        f"THEN CAST(2.0 AS DOUBLE) ELSE CAST(-2.0 AS DOUBLE) END) "
+        f"+ CAST(0.25 AS DOUBLE) * x) AS embedding FROM {table})"
+    )
+
+
+def kmeans_recall_curve(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k vs scan-fraction of the TRAINED k-means IVF path, one row
+    per ``nprobe`` operating point — the production tuning curve the
+    sim_ann_recall audit motivates (pick the smallest nprobe meeting the
+    recall target; scan_frac is the cost you pay for it).
+
+    One corpus-assignment pass and one probe join at ``max(nprobes)``
+    produce the scored candidate set with its probe rank attached; each
+    curve point is a filter (``prb <= n``) + per-query top-k over that set,
+    so levels share all the heavy work structurally. Ground truth is the
+    brute-force top-k over the (small, broadcast) query sample. scan_frac
+    denominates by the brute-force comparison count
+    ``n_queries * (n_corpus - 1)``.
+
+    Everything downstream of the counts is a ratio of exact integers, so
+    the result hashes identically at any parallelism.
+    """
+    max_np = max(nprobes)
+    corpus = assign_clusters(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+        cents,
+        "vec",
+    )
+    d = _dists_expr("q_vec", _centroids_sql(cents))
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("_d", F.expr(d))
+        .select("q_id", "q_vec", F.posexplode("_d").alias("cluster", "cdist"))
+    )
+    wp = Window.partitionBy("q_id").orderBy("cdist", "cluster")
+    probes = (
+        q.withColumn("prb", F.row_number().over(wp))
+        .filter(F.col("prb") <= max_np)
+        .select(
+            "q_id", "q_vec", F.col("cluster").cast("int").alias("cluster"), "prb"
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .select("q_id", "vec_id", "prb", "cos")
+    )
+    truth = cosine_topk(emb, queries, k, id_col, vec_col).select("q_id", "vec_id")
+    tot = truth.agg(
+        F.count_distinct("q_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("possible"),
+    )
+    ncorp = emb.agg(F.count("*").cast("bigint").alias("n_corpus"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    curve = None
+    for n in nprobes:
+        lvl = scored.filter(F.col("prb") <= n)
+        topk = (
+            lvl.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "vec_id")
+        )
+        hits = topk.join(truth, ["q_id", "vec_id"]).agg(
+            F.count("*").cast("bigint").alias("hits")
+        )
+        scanned = lvl.agg(F.count("*").cast("bigint").alias("scanned"))
+        point = hits.crossJoin(F.broadcast(scanned)).select(
+            F.lit(n).cast("bigint").alias("nprobe"), "hits", "scanned"
+        )
+        curve = point if curve is None else curve.unionByName(point)
+    return (
+        curve.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ncorp))
+        .select(
+            "nprobe",
+            "n_queries",
+            "possible",
+            "hits",
+            (F.col("hits").cast("double") / F.col("possible")).alias("recall"),
+            "scanned",
+            (
+                F.col("scanned").cast("double")
+                / (F.col("n_queries") * (F.col("n_corpus") - F.lit(1))).cast("double")
+            ).alias("scan_frac"),
+        )
+    )
+
+
+def oracle_kmeans_recall_curve(
+    table: str,
+    query_filter: str,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of :func:`kmeans_recall_curve` over the same trained
+    centroids (shared Lloyd CTE chain). ``table`` may be a parenthesized
+    subquery, e.g. :func:`oracle_clustered_fixture`."""
+    max_np = max(nprobes)
+    qdist = (
+        "list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), ct.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    dot = ORACLE_DOT.format(a="c.embedding", b="p.embedding")
+    nc_ = ORACLE_NORM.format(a="c.embedding")
+    np_ = ORACLE_NORM.format(a="p.embedding")
+    tdot = ORACLE_DOT.format(a="c.embedding", b="q.embedding")
+    tnc = ORACLE_NORM.format(a="c.embedding")
+    tnq = ORACLE_NORM.format(a="q.embedding")
+    levels = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({n} AS BIGINT) AS nprobe,
+             (SELECT CAST(count(*) AS BIGINT) FROM (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY cos DESC, vec_id) AS rnk
+                  FROM scored WHERE prb <= {n}
+                ) WHERE rnk <= {k}
+              ) a JOIN truth USING (q_id, vec_id)) AS hits,
+             (SELECT CAST(count(*) AS BIGINT) FROM scored WHERE prb <= {n})
+               AS scanned"""
+        for n in nprobes
+    )
+    return (
+        _oracle_kmeans_ctes(table, n_clusters, n_iter, dim)
+        + f""",
+    probes_all AS (
+      SELECT q_id, embedding, cluster, prb FROM (
+        SELECT q.vec_id AS q_id, q.embedding, ct.cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {qdist}, ct.cluster) AS prb
+        FROM {table} q CROSS JOIN cent{n_iter} ct
+        WHERE {query_filter.replace('vec_id', 'q.vec_id')}
+      ) WHERE prb <= {max_np}
+    ),
+    scored AS (
+      SELECT p.q_id, c.vec_id, p.prb,
+             CAST({dot} / ({nc_} * {np_}) AS DOUBLE) AS cos
+      FROM assign_final c JOIN probes_all p ON c.cluster = p.cluster
+                                           AND c.vec_id <> p.q_id
+    ),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY CAST({tdot} / ({tnc} * {tnq}) AS DOUBLE) DESC,
+                                           c.vec_id) AS rnk
+        FROM {table} c CROSS JOIN
+             (SELECT vec_id, embedding FROM {table} WHERE {query_filter}) q
+        WHERE c.vec_id <> q.vec_id
+      ) WHERE rnk <= {k}
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS possible
+      FROM truth
+    ),
+    ncorp AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM {table}),
+    levels AS (
+{levels}
+    )
+    SELECT l.nprobe, t.n_queries, t.possible, l.hits,
+           CAST(l.hits AS DOUBLE) / t.possible AS recall,
+           l.scanned,
+           CAST(l.scanned AS DOUBLE) / (t.n_queries * (n.n_corpus - 1))
+             AS scan_frac
+    FROM levels l, tot t, ncorp n
+    """
+    )

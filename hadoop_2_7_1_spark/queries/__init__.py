@@ -78,9 +78,10 @@ _DRIVER_WINDOW = [
     "agg_group_quantiles", "txt_winnow", "txt_oov", "cur_dataset_card",
     "agg_kmv_distinct",
 ]
-# Round-6 rotation candidates: whatever round 5 registers after this window
-# fills, plus tq12_shipping_priority_mix and any re-check that has not held
-# a row since r1. Keep this comment current when adding queries.
+# Round-6 rotation candidates: queries registered in round 5
+# (sim_kmeans_recall_curve, ...), plus tq12_shipping_priority_mix and any
+# re-check that has not held a row since r1. Keep this comment current when
+# adding queries.
 
 
 def _ordered_names() -> list[str]:

@@ -179,6 +179,32 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(queries, emb, k=2, bucket_dims=6)
 
 
+@register(
+    "sim_kmeans_recall_curve",
+    similarity.oracle_kmeans_recall_curve(
+        similarity.oracle_clustered_fixture("embeddings"),
+        "vec_id % 50 = 0",
+        k=5,
+        nprobes=(1, 2, 4),
+        n_clusters=8,
+        n_iter=2,
+        dim=64,
+    ),
+    doc="recall@5 vs scan-fraction of the TRAINED k-means IVF path at "
+        "nprobe 1/2/4 on the deterministic clustered fixture — the "
+        "production operating-point curve (pick the smallest nprobe that "
+        "meets the recall target); oracle replays Lloyd + both search "
+        "paths bit-identically",
+)
+def sim_kmeans_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = similarity.clustered_fixture(load_table(spark, sf_dir, "embeddings"))
+    cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.kmeans_recall_curve(
+        emb, queries, cents, k=5, nprobes=(1, 2, 4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
