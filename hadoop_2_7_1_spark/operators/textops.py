@@ -1390,3 +1390,206 @@ def oracle_bigram_logprob(table: str, id_col: str, text_col: str) -> str:
     JOIN cu u2 ON b.w2 = u2.tok, total
     GROUP BY b.id
     """
+
+
+# ---------------------------------------------------------------------------
+# Trained linear quality filter (distill a rule filter into a classifier)
+# ---------------------------------------------------------------------------
+#
+# The production pattern behind fastText-style quality classifiers: take a
+# cheap rule verdict as the weak label, train a linear model on continuous
+# document statistics, ship the model (txt_linear_score applies one). Here
+# the whole training loop runs IN the engine: full-batch gradient descent
+# where each iteration is one map-side feature pass plus a 4-cell aggregate
+# (the reference analogue is an iterating driver resubmitting a combiner
+# job per step, cf. MRC/examples/.../WordMean.java:99's single-agg shape).
+#
+# Determinism contract (the reason this oracle-replays exactly):
+# - squashing function is RATIONAL, s(z) = 0.5*(1 + z/(1+|z|)) — logistic
+#   GD with the "fast sigmoid"; no exp(), so no cross-engine ulp risk.
+# - per-row gradient contributions are scaled to integers
+#   (round(g*1e9) as DECIMAL(38,0)) and summed exactly — the same
+#   scaled-integer fold kmeans_fit uses, so the weight trajectory is
+#   bit-identical at any parallelism and in DuckDB's replay. Magnitudes
+#   stay under 2^53 through ~sf10; beyond that raise the decimal scale.
+
+_LR_LR = 2.0  #: learning rate (power of two: exact in both engines)
+
+
+def _lr_feature_df(
+    df: DataFrame, id_col: str, text_col: str, min_words: int
+) -> DataFrame:
+    """(id, y, x1, x2, x3): weak rule label + scaled continuous features.
+
+    y = 1 when the doc passes [n_words >= min_words AND >=1 Gopher stopword]
+    — a rule subset the features can largely (not perfectly) explain:
+    x1 = n_tokens/100, x2 = stopword_ratio*10, x3 = mean_token_len/5.
+    Integer-derived divisions only: identical IEEE doubles in both engines.
+    """
+    toks = _tok_array(text_col)
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(
+            f"case when size({toks}) >= {min_words} and "
+            f"size(filter(array({stops}), s -> exists({toks}, t -> lower(t) = s))) >= 1 "
+            f"then 1.0D else 0.0D end"
+        ).alias("y"),
+        F.expr(f"cast(size({toks}) as double) / 100").alias("x1"),
+        F.expr(
+            f"cast(size(filter({toks}, t -> t in ({en}))) as double)"
+            f" / greatest(size({toks}), 1) * 10"
+        ).alias("x2"),
+        F.expr(
+            f"cast(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) as double)"
+            f" / greatest(size({toks}), 1) / 5"
+        ).alias("x3"),
+    )
+
+
+def train_linear_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_iter: int = 8,
+    min_words: int = 50,
+) -> DataFrame:
+    """Train the linear quality filter and report weights + confusion matrix.
+
+    Output (one row): n, n_pos, w_bias, w_len, w_stop, w_mwl, tp, fp, fn,
+    tn, accuracy. Per iteration only four 1e-9-scaled gradient sums cross
+    to the driver; the feature pass is map-only, so at 100 TB each step is
+    a scan + partial aggregate (no shuffle beyond the 4-cell fold).
+    """
+    feats = _lr_feature_df(df, id_col, text_col, min_words)
+    n = feats.count()  # metadata-scale: one long
+    w = [0.0, 0.0, 0.0, 0.0]
+    if n > 0:
+        xs = ("1.0D", "x1", "x2", "x3")
+        for _ in range(n_iter):
+            z = (
+                f"(cast('{w[0]!r}' as double) + cast('{w[1]!r}' as double) * x1"
+                f" + cast('{w[2]!r}' as double) * x2"
+                f" + cast('{w[3]!r}' as double) * x3)"
+            )
+            s = f"(0.5D * (1.0D + {z} / (1.0D + abs({z}))))"
+            row = feats.agg(
+                *[
+                    F.coalesce(
+                        F.sum(
+                            F.expr(
+                                f"cast(round(({x} * (y - {s})) * 1e9) as decimal(38,0))"
+                            )
+                        ),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ).alias(f"s{j}")
+                    for j, x in enumerate(xs)
+                ]
+            ).collect()[0]
+            w = [w[j] + float(row[j]) / n / 1e9 * _LR_LR for j in range(4)]
+    z = (
+        f"(cast('{w[0]!r}' as double) + cast('{w[1]!r}' as double) * x1"
+        f" + cast('{w[2]!r}' as double) * x2"
+        f" + cast('{w[3]!r}' as double) * x3)"
+    )
+    pred = f"({z} >= 0)"  # s(z) >= 0.5  <=>  z >= 0
+    return (
+        feats.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr("case when y > 0.5D then 1 else 0 end"))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.expr(f"case when {pred} and y > 0.5D then 1 else 0 end"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.expr(f"case when {pred} and y < 0.5D then 1 else 0 end"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.expr(f"case when not {pred} and y > 0.5D then 1 else 0 end"))
+            .cast("bigint")
+            .alias("fn"),
+            F.sum(F.expr(f"case when not {pred} and y < 0.5D then 1 else 0 end"))
+            .cast("bigint")
+            .alias("tn"),
+        )
+        .select(
+            "n",
+            "n_pos",
+            F.lit(w[0]).cast("double").alias("w_bias"),
+            F.lit(w[1]).cast("double").alias("w_len"),
+            F.lit(w[2]).cast("double").alias("w_stop"),
+            F.lit(w[3]).cast("double").alias("w_mwl"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.expr("cast(tp + tn as double) / greatest(n, 1)").alias("accuracy"),
+        )
+    )
+
+
+def oracle_train_linear_filter(
+    table: str, id_col: str, text_col: str, n_iter: int = 8, min_words: int = 50
+) -> str:
+    """DuckDB replay of :func:`train_linear_filter`: the weight trajectory is
+    recomputed through a CTE chain (it0 -> g{i} -> it{i+1}) with the same
+    scaled-integer gradient folds and the same left-to-right update
+    arithmetic, so every weight double is bit-identical."""
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    lr = f"CAST('{_LR_LR!r}' AS DOUBLE)"
+    sql = f"""
+    WITH feats AS (
+      SELECT CAST({id_col} AS BIGINT) AS id,
+             CASE WHEN len({toks}) >= {min_words} AND
+                       len(list_filter([{stops}],
+                           s -> len(list_filter({toks}, t -> lower(t) = s)) > 0)) >= 1
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+             CAST(len({toks}) AS DOUBLE) / 100 AS x1,
+             CAST(len(list_filter({toks}, t -> t IN ({en}))) AS DOUBLE)
+               / greatest(len({toks}), 1) * 10 AS x2,
+             CAST(coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) AS DOUBLE)
+               / greatest(len({toks}), 1) / 5 AS x3
+      FROM {table}
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+    it0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS a1,
+                   CAST(0 AS DOUBLE) AS a2, CAST(0 AS DOUBLE) AS a3)"""
+    for i in range(n_iter):
+        z = "(w.b + w.a1 * f.x1 + w.a2 * f.x2 + w.a3 * f.x3)"
+        s = f"(CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + {z} / (CAST(1.0 AS DOUBLE) + abs({z}))))"
+        sums = ", ".join(
+            f"coalesce(sum(CAST(round(({x} * (f.y - {s})) * 1e9) AS DECIMAL(38,0))),"
+            f" CAST(0 AS DECIMAL(38,0))) AS s{j}"
+            for j, x in enumerate(("CAST(1.0 AS DOUBLE)", "f.x1", "f.x2", "f.x3"))
+        )
+        sql += f""",
+    g{i} AS (SELECT {sums} FROM feats f CROSS JOIN it{i} w),
+    it{i + 1} AS (
+      SELECT w.b  + CAST(g.s0 AS DOUBLE) / nn.n / 1e9 * {lr} AS b,
+             w.a1 + CAST(g.s1 AS DOUBLE) / nn.n / 1e9 * {lr} AS a1,
+             w.a2 + CAST(g.s2 AS DOUBLE) / nn.n / 1e9 * {lr} AS a2,
+             w.a3 + CAST(g.s3 AS DOUBLE) / nn.n / 1e9 * {lr} AS a3
+      FROM it{i} w, g{i} g, nn
+    )"""
+    z = "(w.b + w.a1 * f.x1 + w.a2 * f.x2 + w.a3 * f.x3)"
+    pred = f"({z} >= 0)"
+    sql += f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(CASE WHEN f.y > 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pos,
+           CAST(coalesce(any_value(w.b), 0) AS DOUBLE) AS w_bias,
+           CAST(coalesce(any_value(w.a1), 0) AS DOUBLE) AS w_len,
+           CAST(coalesce(any_value(w.a2), 0) AS DOUBLE) AS w_stop,
+           CAST(coalesce(any_value(w.a3), 0) AS DOUBLE) AS w_mwl,
+           CAST(coalesce(sum(CASE WHEN {pred} AND f.y > 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+           CAST(coalesce(sum(CASE WHEN {pred} AND f.y < 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+           CAST(coalesce(sum(CASE WHEN NOT {pred} AND f.y > 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+           CAST(coalesce(sum(CASE WHEN NOT {pred} AND f.y < 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn,
+           CAST(coalesce(sum(CASE WHEN {pred} AND f.y > 0.5 THEN 1 ELSE 0 END), 0)
+                + coalesce(sum(CASE WHEN NOT {pred} AND f.y < 0.5 THEN 1 ELSE 0 END), 0)
+                AS DOUBLE) / greatest(count(*), 1) AS accuracy
+    FROM feats f CROSS JOIN it{n_iter} w
+    """
+    return sql

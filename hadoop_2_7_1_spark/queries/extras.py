@@ -2652,6 +2652,21 @@ def txt_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_train_lr",
+    textops.oracle_train_linear_filter("documents", "doc_id", "text", n_iter=8),
+    doc="train the linear quality filter IN-engine (distill a rule verdict "
+        "into a classifier, the fastText-pipeline pattern): 8 full-batch GD "
+        "iterations, rational fast-sigmoid (no exp -> no cross-engine ulp "
+        "risk), scaled-integer gradient folds exact at any parallelism; "
+        "reports weights + confusion matrix; oracle replays the whole "
+        "weight trajectory bit-identically",
+)
+def txt_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.train_linear_filter(docs, "doc_id", "text", n_iter=8)
+
+
+@register(
     "txt_udtf_ngrams",
     f"""
     WITH g AS (

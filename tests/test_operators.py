@@ -1464,3 +1464,21 @@ def test_gridmix_replay_executor(spark):
     for a, b in zip(jobs_s, jobs_s[1:]):
         assert b["start_s"] >= a["end_s"] - 1e-6
     assert summary_s["effective_concurrency"] <= 1.001
+
+
+def test_train_linear_filter_deterministic(spark):
+    """In-engine GD training: partitioning-invariant (scaled-integer
+    gradient folds), confusion matrix consistent, and the trained model
+    beats the majority-class baseline on its weak labels."""
+    from hadoop_2_7_1_spark.operators import textops
+
+    docs = load_table(spark, SF_DIR, "documents")
+    r1 = textops.train_linear_filter(docs, "doc_id", "text", n_iter=4).collect()[0]
+    r2 = textops.train_linear_filter(
+        docs.repartition(7), "doc_id", "text", n_iter=4
+    ).collect()[0]
+    assert r1 == r2  # bit-identical weights + counts at any parallelism
+    assert r1.tp + r1.fp + r1.fn + r1.tn == r1.n
+    majority = max(r1.n_pos, r1.n - r1.n_pos) / r1.n
+    full = textops.train_linear_filter(docs, "doc_id", "text", n_iter=8).collect()[0]
+    assert full.accuracy > majority
