@@ -284,3 +284,178 @@ def oracle_trend_ols(
                  / CAST(n AS DOUBLE), 6) AS intercept
     FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# A/B test evaluation (two-proportion z + Welch z, exact accumulators)
+# ---------------------------------------------------------------------------
+
+def ab_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    convert_type: str = "purchase",
+    min_count: int = 1,
+) -> DataFrame:
+    """Experiment readout over an event stream: users split into variants by
+    ``user_id % 2``, then per-metric significance tests.
+
+    Two rows out:
+      * ``conversion`` — share of users with >= ``min_count``
+        ``convert_type`` events; two-proportion z-test on the pooled
+        standard error.
+      * ``revenue_per_user`` — mean per-user conversion value; Welch z-test
+        from per-variant mean/variance.
+
+    Scale + determinism: one user-keyed aggregate (uniform key), then a
+    2-row variant rollup. Money is accumulated as exact integer cents and
+    squared cents (bit-identical at any parallelism); the closed-form
+    z formulas run on doubles derived from those exact integers, so both
+    engines produce the same IEEE result. At 100 TB nothing but the 2-row
+    rollup ever leaves the per-user aggregate.
+    """
+    per_user = (
+        events.groupBy(F.col(user_col).alias("uid"))
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col(type_col) == convert_type, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                >= min_count,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("conv"),
+            F.sum(
+                F.when(
+                    F.col(type_col) == convert_type,
+                    F.expr(f"cast(round({value_col} * 100) as bigint)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("cents"),
+        )
+        .withColumn("variant", (F.col("uid") % 2).cast("int"))
+    )
+    per_var = per_user.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("x"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.expr("cents * cents")).cast("bigint").alias("s2"),
+    )
+    both = per_var.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("s2"))).alias("s2_b"),
+    )
+    conv = both.select(
+        F.lit("conversion").alias("metric"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("cast(x_a as double) / n_a").alias("stat_a"),
+        F.expr("cast(x_b as double) / n_b").alias("stat_b"),
+        F.expr("cast(x_b as double) / n_b - cast(x_a as double) / n_a").alias("lift"),
+        F.expr(
+            "case when sqrt((cast(x_a + x_b as double) / (n_a + n_b))"
+            " * (1 - cast(x_a + x_b as double) / (n_a + n_b))"
+            " * (cast(1 as double) / n_a + cast(1 as double) / n_b)) = 0 then cast(0 as double)"
+            " else (cast(x_b as double) / n_b - cast(x_a as double) / n_a)"
+            " / sqrt((cast(x_a + x_b as double) / (n_a + n_b))"
+            " * (1 - cast(x_a + x_b as double) / (n_a + n_b))"
+            " * (cast(1 as double) / n_a + cast(1 as double) / n_b)) end"
+        ).alias("z"),
+    )
+    # Welch: variance from exact sums; cents -> dollars only at the end.
+    var_a = "((cast(s2_a as double) - cast(s1_a as double) * s1_a / n_a) / (n_a - 1))"
+    var_b = "((cast(s2_b as double) - cast(s1_b as double) * s1_b / n_b) / (n_b - 1))"
+    se = f"sqrt({var_a} / n_a + {var_b} / n_b)"
+    rev = both.select(
+        F.lit("revenue_per_user").alias("metric"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("cast(s1_a as double) / n_a / 100").alias("stat_a"),
+        F.expr("cast(s1_b as double) / n_b / 100").alias("stat_b"),
+        F.expr(
+            "cast(s1_b as double) / n_b / 100 - cast(s1_a as double) / n_a / 100"
+        ).alias("lift"),
+        F.expr(
+            f"case when {se} = 0 then cast(0 as double)"
+            f" else (cast(s1_b as double) / n_b - cast(s1_a as double) / n_a)"
+            f" / {se} end"
+        ).alias("z"),
+    )
+    return conv.unionByName(rev).withColumn(
+        "significant", F.expr("abs(z) >= 1.96")
+    )
+
+
+def oracle_ab_test(
+    table: str, convert_type: str = "purchase", min_count: int = 1
+) -> str:
+    """DuckDB mirror of :func:`ab_test` — identical accumulators and
+    identical left-to-right double arithmetic."""
+    var_a = "((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1))"
+    var_b = "((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1))"
+    se = f"sqrt({var_a} / n_a + {var_b} / n_b)"
+    pooled = "(CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))"
+    conv_se = (
+        f"sqrt({pooled} * (1 - {pooled})"
+        f" * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id AS uid,
+             CASE WHEN sum(CASE WHEN event_type = '{convert_type}' THEN 1 ELSE 0 END)
+                       >= {min_count} THEN 1 ELSE 0 END AS conv,
+             sum(CASE WHEN event_type = '{convert_type}'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END) AS cents
+      FROM {table} GROUP BY user_id
+    ),
+    per_var AS (
+      SELECT CAST(uid % 2 AS INT) AS variant,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM per_user GROUP BY 1
+    ),
+    ab AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+             max(CASE WHEN variant = 0 THEN x END) AS x_a,
+             max(CASE WHEN variant = 0 THEN s1 END) AS s1_a,
+             max(CASE WHEN variant = 0 THEN s2 END) AS s2_a,
+             max(CASE WHEN variant = 1 THEN n END) AS n_b,
+             max(CASE WHEN variant = 1 THEN x END) AS x_b,
+             max(CASE WHEN variant = 1 THEN s1 END) AS s1_b,
+             max(CASE WHEN variant = 1 THEN s2 END) AS s2_b
+      FROM per_var
+    ),
+    o AS (
+      SELECT 'conversion' AS metric, n_a, n_b,
+             CAST(x_a AS DOUBLE) / n_a AS stat_a,
+             CAST(x_b AS DOUBLE) / n_b AS stat_b,
+             CAST(x_b AS DOUBLE) / n_b - CAST(x_a AS DOUBLE) / n_a AS lift,
+             CASE WHEN {conv_se} = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE (CAST(x_b AS DOUBLE) / n_b - CAST(x_a AS DOUBLE) / n_a)
+                       / {conv_se} END AS z
+      FROM ab
+      UNION ALL
+      SELECT 'revenue_per_user' AS metric, n_a, n_b,
+             CAST(s1_a AS DOUBLE) / n_a / 100 AS stat_a,
+             CAST(s1_b AS DOUBLE) / n_b / 100 AS stat_b,
+             CAST(s1_b AS DOUBLE) / n_b / 100
+               - CAST(s1_a AS DOUBLE) / n_a / 100 AS lift,
+             CASE WHEN {se} = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE (CAST(s1_b AS DOUBLE) / n_b - CAST(s1_a AS DOUBLE) / n_a)
+                       / {se} END AS z
+      FROM ab
+    )
+    SELECT metric, n_a, n_b, stat_a, stat_b, lift, z, abs(z) >= 1.96 AS significant
+    FROM o
+    """

@@ -319,3 +319,68 @@ def oracle_bfs_hops(edges_sql: str, source: str, max_hops: int = 4) -> str:
         f"SELECT node, CAST(hop AS BIGINT) AS hop FROM d{max_hops}"
     )
     return "\n".join(parts)
+
+
+def sssp(
+    edges: DataFrame,
+    source: str,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths, ``rounds`` synchronous Bellman-Ford
+    relaxations over a weighted edge list (weights kept as BIGINT so every
+    min-fold is exact — no float tie ambiguity anywhere).
+
+    Parallel edges collapse to their min weight first. Each round joins the
+    full distance table against the edges (equi-keyed on the node id) and
+    min-folds arrivals; ``rounds`` bounds reachable hop depth exactly like
+    bfs_hops. At 100 TB the delta-frontier refinement (relax only nodes
+    whose distance improved last round) drops per-round work on settled
+    nodes; the fixed-round full relaxation here is the engine-replayable
+    form the oracle can unroll.
+
+    Output: (node, dist) for nodes reachable within ``rounds`` hops.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    dist = e.sparkSession.createDataFrame([(source, 0)], "node string, dist bigint")
+    for _ in range(rounds):
+        relaxed = (
+            dist.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+def oracle_sssp(edges_sql: str, source: str, rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford CTE chain; ``edges_sql`` must yield
+    (src, dst, w)."""
+    parts = [
+        "WITH e AS (SELECT src, dst, min(CAST(w AS BIGINT)) AS w"
+        f" FROM ({edges_sql}) GROUP BY src, dst),",
+        f"d0 AS (SELECT '{source}' AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f", r{k} AS (SELECT e.dst AS node, d{k}.dist + e.w AS dist"
+            f" FROM e JOIN d{k} ON e.src = d{k}.node)"
+        )
+        parts.append(
+            f", d{k + 1} AS (SELECT node, min(dist) AS dist FROM"
+            f" (SELECT * FROM d{k} UNION ALL SELECT * FROM r{k}) GROUP BY node)"
+        )
+    parts.append(f"SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}")
+    return "\n".join(parts)

@@ -210,3 +210,135 @@ def oracle_gap_fill_locf(
     FROM spine s LEFT JOIN observed o
       ON s.{key_col} = o.{key_col} AND s.bucket = o.bucket
     """
+
+
+def gap_fill_interpolate(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "hour",
+) -> DataFrame:
+    """Dense-spine gap filling by LINEAR INTERPOLATION between the nearest
+    observed buckets (the hypertable ``interpolate()`` twin of
+    :func:`gap_fill_locf`).
+
+    Per (key, bucket) the metric is the exact integer cent-sum of
+    ``value_col``; gaps get
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` with
+    bucket epoch-seconds as t — every input to the formula is an exact
+    integer, so the interpolated double is the same IEEE value in both
+    engines. Leading/trailing gaps fall back to the nearest single
+    neighbor. Same scale shape as LOCF: bounded spine, one key-partitioned
+    window (two ignore-nulls folds each direction).
+    """
+    observed = (
+        events.withColumn("bucket", F.date_trunc(width, F.col(ts_col)))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.sum(F.expr(f"cast(round({value_col} * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+    )
+    bounds = observed.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    keys = observed.select(key_col).distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        key_col,
+        F.explode(F.sequence("lo", "hi", F.expr(f"interval 1 {width}"))).alias(
+            "bucket"
+        ),
+    )
+    joined = (
+        spine.join(observed, [key_col, "bucket"], "left")
+        .withColumn("pos", F.expr("cast(unix_timestamp(bucket) as bigint)"))
+        .withColumn("obs_pos", F.expr("case when cents is not null then pos end"))
+    )
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prepared = (
+        joined.withColumn("prev_val", F.last("cents", ignorenulls=True).over(back))
+        .withColumn("prev_pos", F.last("obs_pos", ignorenulls=True).over(back))
+        .withColumn("next_val", F.first("cents", ignorenulls=True).over(fwd))
+        .withColumn("next_pos", F.first("obs_pos", ignorenulls=True).over(fwd))
+    )
+    return prepared.select(
+        key_col,
+        "bucket",
+        F.col("cents").cast("bigint").alias("cents_observed"),
+        F.expr(
+            "case when cents is not null then cast(cents as double)"
+            " when prev_val is not null and next_val is not null then"
+            "   cast(prev_val as double) + (cast(next_val as double)"
+            "     - cast(prev_val as double))"
+            "   * (cast(pos - prev_pos as double) / (next_pos - prev_pos))"
+            " when prev_val is not null then cast(prev_val as double)"
+            " else cast(next_val as double) end"
+        ).alias("filled"),
+        F.col("cents").isNull().alias("is_gap"),
+    )
+
+
+def oracle_gap_fill_interpolate(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "hour",
+) -> str:
+    """DuckDB mirror: epoch floored to BIGINT (Spark unix_timestamp
+    semantics), identical interpolation arithmetic."""
+    return f"""
+    WITH observed AS (
+      SELECT {key_col}, date_trunc('{width}', {ts_col}) AS bucket,
+             sum(CAST(round({value_col} * 100) AS BIGINT)) AS cents
+      FROM {table} GROUP BY 1, 2
+    ), bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM observed),
+    spine AS (
+      SELECT k.{key_col}, unnest(generate_series(lo, hi, INTERVAL 1 {width}))
+               AS bucket
+      FROM (SELECT DISTINCT {key_col} FROM observed) k, bounds
+    ),
+    j AS (
+      SELECT s.{key_col}, s.bucket, o.cents,
+             CAST(floor(epoch(s.bucket)) AS BIGINT) AS pos,
+             CASE WHEN o.cents IS NOT NULL
+                  THEN CAST(floor(epoch(s.bucket)) AS BIGINT) END AS obs_pos
+      FROM spine s LEFT JOIN observed o
+        ON s.{key_col} = o.{key_col} AND s.bucket = o.bucket
+    ),
+    p AS (
+      SELECT *,
+             last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY {key_col} ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+             last_value(obs_pos IGNORE NULLS) OVER (
+               PARTITION BY {key_col} ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_pos,
+             first_value(cents IGNORE NULLS) OVER (
+               PARTITION BY {key_col} ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+             first_value(obs_pos IGNORE NULLS) OVER (
+               PARTITION BY {key_col} ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pos
+      FROM j
+    )
+    SELECT {key_col}, bucket, CAST(cents AS BIGINT) AS cents_observed,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+                  CAST(prev_val AS DOUBLE) + (CAST(next_val AS DOUBLE)
+                    - CAST(prev_val AS DOUBLE))
+                  * (CAST(pos - prev_pos AS DOUBLE) / (next_pos - prev_pos))
+                WHEN prev_val IS NOT NULL THEN CAST(prev_val AS DOUBLE)
+                ELSE CAST(next_val AS DOUBLE) END AS filled,
+           cents IS NULL AS is_gap
+    FROM p
+    """

@@ -13,13 +13,14 @@ from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
 from ..operators.aggregates import oracle_mad_outliers
 from ..operators.funnel import (
+    oracle_ab_test,
     oracle_funnel,
     oracle_ohlc_bars,
     oracle_retention,
     oracle_trend_ols,
 )
-from ..operators.graph import oracle_bfs_hops, oracle_pagerank
-from ..operators.temporal import oracle_gap_fill_locf
+from ..operators.graph import oracle_bfs_hops, oracle_pagerank, oracle_sssp
+from ..operators.temporal import oracle_gap_fill_interpolate, oracle_gap_fill_locf
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
@@ -1086,6 +1087,22 @@ def tmp_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return temporal.gap_fill_locf(ev)
+
+
+@register(
+    "tmp_interpolate",
+    oracle_gap_fill_interpolate("(SELECT * FROM events WHERE value >= 15)"),
+    doc="dense-spine gap filling by linear interpolation between nearest "
+        "observed buckets (hypertable interpolate() twin of locf): exact "
+        "integer cent-sums and epoch positions feed the interpolation "
+        "formula, so filled doubles are engine-identical; sparse high-value "
+        "event stream forces real gaps",
+)
+def tmp_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 15)
+    return temporal.gap_fill_interpolate(ev)
 
 
 @register(
@@ -2206,6 +2223,44 @@ def grf_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, "s1", max_hops=4)
 
 
+_SSSP_EDGES_SQL = """
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      UNION ALL
+      SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+"""
+
+
+@register(
+    "grf_sssp",
+    oracle_sssp(_SSSP_EDGES_SQL, "s1", rounds=4),
+    doc="weighted single-source shortest paths from supplier s1 (quantity-"
+        "weighted co-occurrence graph): 4 synchronous Bellman-Ford "
+        "relaxations, parallel edges min-collapsed, BIGINT weights so every "
+        "min-fold is exact; oracle is the unrolled relaxation CTE chain",
+)
+def grf_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import sssp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    edges = fwd.union(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+        )
+    )
+    return sssp(edges, "s1", rounds=4)
+
+
 @register(
     "grf_jaccard_neighbors",
     """
@@ -2332,6 +2387,22 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return retention(ev)
+
+
+@register(
+    "evt_ab_test",
+    oracle_ab_test("events", min_count=14),
+    doc="experiment readout: user_id%2 variants, two-proportion z-test on "
+        "conversion (>=14 purchases) + Welch z on revenue-per-user; money "
+        "accumulated as "
+        "exact integer cents/cents^2 so the closed-form z's are the same "
+        "IEEE doubles at any parallelism and in the oracle",
+)
+def evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import ab_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_test(ev, min_count=14)
 
 
 @register(
