@@ -1593,3 +1593,104 @@ def oracle_train_linear_filter(
     FROM feats f CROSS JOIN it{n_iter} w
     """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# BPE application (encode with the trained merge table)
+# ---------------------------------------------------------------------------
+
+def _bpe_apply_expr(col: str, l: str, r: str) -> str:
+    """JVM fold applying merge (l, r) to a symbol array column — the same
+    greedy left-to-right carry scan bpe_merges trains with."""
+    return f"""
+        aggregate(
+          {col},
+          struct(CAST(array() AS ARRAY<STRING>) AS acc, CAST('' AS STRING) AS carry),
+          (st, s) -> CASE
+            WHEN st.carry = '' THEN struct(st.acc AS acc, s AS carry)
+            WHEN st.carry = {_sq(l)} AND s = {_sq(r)}
+              THEN struct(st.acc AS acc, {_sq(l + r)} AS carry)
+            ELSE struct(array_append(st.acc, st.carry) AS acc, s AS carry)
+          END,
+          st -> CASE WHEN st.carry = '' THEN st.acc
+                     ELSE array_append(st.acc, st.carry) END
+        )
+        """
+
+
+def bpe_encode(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int = 6
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus, then ENCODE it: the
+    full tokenizer loop (train -> ship merge table -> apply), per-doc
+    output (id, n_words, n_chars, n_syms, compression).
+
+    The merge table (n_merges rows) is the only thing collected; encoding
+    is one map-only pass — each merge is a JVM fold over the word's symbol
+    array, chained n_merges deep, so at 100 TB the apply step fuses into
+    the scan with zero extra shuffles (the per-doc rollup is the one
+    aggregate). compression = encoded symbols / raw chars, a ratio of
+    exact integers.
+    """
+    table = bpe_merges(df, id_col, text_col, n_merges).orderBy("rank").collect()
+    words = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(F.expr(_tok_array(text_col))).alias("w"),
+    ).withColumn("syms", F.expr("filter(split(w, ''), s -> s <> '')"))
+    for row in table:
+        words = words.withColumn(
+            "syms", F.expr(_bpe_apply_expr("syms", row.left, row.right))
+        )
+    return (
+        words.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(F.size("syms")).cast("bigint").alias("n_syms"),
+        )
+        .select(
+            "id",
+            "n_words",
+            "n_chars",
+            "n_syms",
+            F.expr("cast(n_syms as double) / n_chars").alias("compression"),
+        )
+    )
+
+
+def oracle_bpe_encode(table: str, id_col: str, text_col: str, n_merges: int = 6) -> str:
+    """DuckDB replay: train via the oracle_bpe_merges CTE chain, then apply
+    each merge to every doc word with the chr(31)-separator replace (same
+    greedy semantics as the engine's carry fold)."""
+    sep = "chr(31)"
+    # training chain (t0..t{n-1}, w0..w{n}) from the merges oracle, minus its
+    # final SELECT
+    train = oracle_bpe_merges(table, text_col, n_merges)
+    train_ctes = train.split("\n    SELECT * FROM (")[0]
+    sql = train_ctes + f""",
+    dwords AS (
+      SELECT CAST({id_col} AS BIGINT) AS id,
+             unnest(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
+                                t -> t <> '')) AS w
+      FROM {table}
+    ),
+    e0 AS (SELECT id, w, regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS s
+           FROM dwords)"""
+    for i in range(n_merges):
+        sql += f""",
+    e{i + 1} AS (
+      SELECT id, w, replace(s, {sep} || t{i}.l || {sep} || t{i}.r,
+                            {sep} || t{i}.l || t{i}.r) AS s
+      FROM e{i}, t{i}
+    )"""
+    sql += f"""
+    SELECT id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(len(list_filter(str_split(s, {sep}), x -> x <> ''))) AS BIGINT)
+             AS n_syms,
+           CAST(sum(len(list_filter(str_split(s, {sep}), x -> x <> ''))) AS DOUBLE)
+             / sum(length(w)) AS compression
+    FROM e{n_merges}
+    GROUP BY id
+    """
+    return sql

@@ -2090,6 +2090,20 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_merges(docs, "doc_id", "text", n_merges=6)
 
 
+@register(
+    "txt_bpe_encode",
+    textops.oracle_bpe_encode("documents", "doc_id", "text", n_merges=6),
+    doc="the full tokenizer loop: train 6 BPE merges, ship the merge table, "
+        "ENCODE the corpus with chained JVM merge folds (map-only apply, "
+        "zero extra shuffles); per-doc word/char/symbol counts + "
+        "compression ratio; oracle replays train AND apply via the "
+        "separator-replace chain",
+)
+def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_encode(docs, "doc_id", "text", n_merges=6)
+
+
 _HTML_WRAP_SQL = (
     "'<html><head><style>body{color:red}</style>"
     "<script>var a = 1 < 2;</script></head>"
