@@ -1410,3 +1410,99 @@ def oracle_remove_dup_spans(table: str, id_col: str, text_col: str, n: int = 8) 
            coalesce(cleaned_md5, md5('')) AS cleaned_md5
     FROM base LEFT JOIN rebuilt ON rebuilt.doc = base.doc
     """
+
+
+def lsh_band_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands_list: tuple[int, ...] = (2, 4, 8),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Banding operating-point curve: for each (bands, rows_per_band)
+    config, measure candidate volume (the cost) and recall of true
+    near-duplicate pairs (exact Jaccard >= ``threshold``) — the banded-LSH
+    S-curve, measured instead of assumed (the dedup twin of
+    sim_kmeans_recall_curve).
+
+    One exact-pair ground truth (inverted-index join, never all-pairs),
+    then per config a candidate generation + two counts. Pick the smallest
+    bands (largest rows-per-band) whose recall clears the target; the
+    candidate count is the Σ bucket² bill you pay for it. All outputs are
+    ratios of exact integers.
+    """
+    truth = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold).select(
+        "id_a", "id_b"
+    )
+    t_tot = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    curve = None
+    for bands in bands_list:
+        cands = lsh_candidate_pairs(
+            df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        )
+        n_c = cands.agg(F.count("*").cast("bigint").alias("n_candidates"))
+        n_f = truth.join(cands, ["id_a", "id_b"]).agg(
+            F.count("*").cast("bigint").alias("n_found")
+        )
+        point = n_c.crossJoin(F.broadcast(n_f)).select(
+            F.lit(bands).cast("bigint").alias("bands"),
+            F.lit(num_hashes // bands).cast("bigint").alias("rows_per_band"),
+            "n_candidates",
+            "n_found",
+        )
+        curve = point if curve is None else curve.unionByName(point)
+    return curve.crossJoin(F.broadcast(t_tot)).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_truth",
+        "n_found",
+        F.expr(
+            "case when n_truth = 0 then cast(0 as double)"
+            " else cast(n_found as double) / n_truth end"
+        ).alias("recall"),
+    )
+
+
+def oracle_lsh_band_sweep(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands_list: tuple[int, ...] = (2, 4, 8),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 500,
+) -> str:
+    truth_sql = oracle_ngram_jaccard_pairs(table, id_col, text_col, shingle_n, threshold)
+    blocks = []
+    selects = []
+    for bands in bands_list:
+        cand = oracle_lsh_candidate_pairs(
+            table, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        )
+        blocks.append(f"cand{bands} AS ({cand})")
+        selects.append(
+            f"""SELECT CAST({bands} AS BIGINT) AS bands,
+               CAST({num_hashes // bands} AS BIGINT) AS rows_per_band,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand{bands}) AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM truth JOIN cand{bands} USING (id_a, id_b)) AS n_found"""
+        )
+    union = "\n      UNION ALL\n".join(selects)
+    ctes = ",\n    ".join(blocks)
+    return f"""
+    WITH truth AS (SELECT id_a, id_b FROM ({truth_sql})),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+    {ctes},
+    curve AS (
+      {union}
+    )
+    SELECT bands, rows_per_band, n_candidates, n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(n_found AS DOUBLE) / n_truth END AS recall
+    FROM curve, tt
+    """

@@ -54,3 +54,125 @@ def oracle_profile(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+def expectations(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """Expectation-suite validation report (Great-Expectations shape) over
+    the lineitem/orders pair: one row per check
+    (expectation, n_checked, n_failed, pass).
+
+    All five single-table checks run in ONE aggregate over one scan
+    (conditional sums sharing the HashAggregate, like :func:`profile`);
+    uniqueness adds a count-distinct on the composite key in the same
+    pass, and referential integrity is a left-anti count against the
+    broadcastable parent keys. At 100 TB the whole suite costs one scan
+    plus one key join — the reference analogue is a counter-emitting
+    validation Mapper (MRC/mapreduce/Counters usage), but here the report
+    is a queryable DataFrame.
+    """
+    base = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("f_null"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("f_range"),
+        F.sum(
+            F.when(
+                F.col("l_returnflag").isNull()
+                | ~F.col("l_returnflag").isin("A", "N", "R"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("f_vals"),
+        F.sum(F.when(F.col("l_extendedprice") < F.col("l_quantity"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("f_order"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(
+                F.concat_ws(
+                    "_",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("f_unique"),
+    )
+    orphans = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f_ref"))
+    )
+    wide = base.crossJoin(F.broadcast(orphans))
+    rows = [
+        ("not_null:l_orderkey", "f_null"),
+        ("unique:(l_orderkey,l_linenumber)", "f_unique"),
+        ("range:l_quantity in [1,50]", "f_range"),
+        ("accepted_values:l_returnflag in (A,N,R)", "f_vals"),
+        ("cross:l_extendedprice >= l_quantity", "f_order"),
+        ("referential:l_orderkey in orders", "f_ref"),
+    ]
+    stacks = [
+        F.struct(
+            F.lit(name).alias("expectation"),
+            F.col("n").alias("n_checked"),
+            F.col(col).alias("n_failed"),
+            (F.col(col) == 0).alias("pass"),
+        )
+        for name, col in rows
+    ]
+    return wide.select(F.explode(F.array(*stacks)).alias("s")).select("s.*")
+
+
+def oracle_expectations(li: str, orders: str) -> str:
+    return f"""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS f_null,
+             CAST(coalesce(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                                         OR l_quantity > 50 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS f_range,
+             CAST(coalesce(sum(CASE WHEN l_returnflag IS NULL
+                                         OR l_returnflag NOT IN ('A','N','R')
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS f_vals,
+             CAST(coalesce(sum(CASE WHEN l_extendedprice < l_quantity
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS f_order,
+             CAST(count(*) - count(DISTINCT CAST(l_orderkey AS VARCHAR) || '_'
+                                            || CAST(l_linenumber AS VARCHAR))
+                  AS BIGINT) AS f_unique
+      FROM {li}
+    ),
+    orphans AS (
+      SELECT CAST(count(*) AS BIGINT) AS f_ref FROM {li}
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM {orders})
+    ),
+    wide AS (SELECT * FROM base, orphans)
+    SELECT 'not_null:l_orderkey' AS expectation, n AS n_checked,
+           f_null AS n_failed, f_null = 0 AS pass FROM wide
+    UNION ALL
+    SELECT 'unique:(l_orderkey,l_linenumber)', n, f_unique, f_unique = 0 FROM wide
+    UNION ALL
+    SELECT 'range:l_quantity in [1,50]', n, f_range, f_range = 0 FROM wide
+    UNION ALL
+    SELECT 'accepted_values:l_returnflag in (A,N,R)', n, f_vals, f_vals = 0 FROM wide
+    UNION ALL
+    SELECT 'cross:l_extendedprice >= l_quantity', n, f_order, f_order = 0 FROM wide
+    UNION ALL
+    SELECT 'referential:l_orderkey in orders', n, f_ref, f_ref = 0 FROM wide
+    """

@@ -1222,3 +1222,112 @@ def oracle_kmeans_recall_curve(
     FROM levels l, tot t, ncorp n
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ quantization-loss audit (recall of ADC search vs exact L2 truth)
+# ---------------------------------------------------------------------------
+
+L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))), 0D, (acc, v) -> acc + v)"
+)
+ORACLE_L2 = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def l2_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k per query (brute force; queries broadcast) —
+    the ground truth for the PQ family, which ranks by L2 not cosine."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("d", F.expr(L2.format(a="vec", b="q_vec")))
+        .select("q_id", "vec_id", "d")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("q_id").cast("bigint"), F.col("vec_id").cast("bigint"))
+    )
+
+
+def pq_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PQ-ADC search against exact squared-L2 ground truth —
+    the quantization-loss audit for the compressed scan path (what you
+    re-run whenever m / codebook size change). One row:
+    (n_queries, hits, possible, recall). The audit costs one extra exact
+    pass over the corpus for the sampled query set; the ADC side still
+    touches only the m-byte codes.
+    """
+    truth = l2_topk(emb, queries, k, id_col, vec_col)
+    approx = pq_search_adc(emb, queries, books, k, id_col, vec_col).select(
+        F.col("id_q").alias("q_id"), F.col("id_vec").alias("vec_id")
+    )
+    hits = truth.join(approx, ["q_id", "vec_id"]).agg(
+        F.count("*").cast("bigint").alias("hits")
+    )
+    totals = truth.agg(
+        F.count_distinct("q_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("possible"),
+    )
+    return totals.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        "hits",
+        "possible",
+        F.expr(
+            "case when possible = 0 then cast(0 as double)"
+            " else cast(hits as double) / possible end"
+        ).alias("recall"),
+    )
+
+
+def oracle_pq_recall(
+    table: str,
+    query_filter: str,
+    m: int = 4,
+    k_codebook: int = 8,
+    n_iter: int = 2,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    approx = oracle_pq_search(table, query_filter, m, k_codebook, n_iter, k, dim)
+    d = ORACLE_L2.format(a="c.embedding", b="q.embedding")
+    return f"""
+    WITH approx AS (SELECT id_q AS q_id, id_vec AS vec_id FROM ({approx})),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d}, c.vec_id) AS rnk
+        FROM {table} c CROSS JOIN
+             (SELECT vec_id, embedding FROM {table} WHERE {query_filter}) q
+        WHERE c.vec_id <> q.vec_id
+      ) WHERE rnk <= {k}
+    ),
+    h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+          FROM truth JOIN approx USING (q_id, vec_id)),
+    t AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+                 CAST(count(*) AS BIGINT) AS possible FROM truth)
+    SELECT n_queries, hits, possible,
+           CASE WHEN possible = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(hits AS DOUBLE) / possible END AS recall
+    FROM t, h
+    """

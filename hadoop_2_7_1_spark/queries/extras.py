@@ -25,7 +25,7 @@ from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
 from ..operators.sketches import oracle_hll_distinct, oracle_kmv_distinct
-from ..operators.profile import oracle_profile
+from ..operators.profile import oracle_expectations, oracle_profile
 from ..operators.sampling import (
     oracle_domain_quota,
     oracle_epoch_mixture,
@@ -1476,6 +1476,23 @@ def prof_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile(li, ["l_orderkey", "l_returnflag", "l_quantity"])
+
+
+@register(
+    "prof_expectations",
+    oracle_expectations("lineitem", "orders"),
+    doc="expectation-suite validation report (Great-Expectations shape): "
+        "not-null / composite-unique / range / accepted-values / cross-"
+        "column rule in ONE scan-sharing aggregate, plus referential "
+        "integrity via a left-anti count; one row per check with pass "
+        "verdicts",
+)
+def prof_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import expectations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return expectations(li, orders)
 
 
 @register(
@@ -3279,6 +3296,20 @@ def dd_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_lsh_sweep",
+    dedup.oracle_lsh_band_sweep("documents", "doc_id", "text"),
+    doc="banded-LSH operating-point curve: candidate volume + measured "
+        "recall of true near-dup pairs (exact Jaccard >= 0.5) for bands "
+        "in {2,4,8} at K=16 — pick the cheapest banding that clears the "
+        "recall target; dedup twin of sim_kmeans_recall_curve, one exact "
+        "ground truth shared across configs",
+)
+def dd_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_band_sweep(docs, "doc_id", "text")
+
+
+@register(
     "dd_semdedup",
     similarity.oracle_semdedup("embeddings", k=8, n_iter=2, threshold=0.35),
     doc="SemDeDup semantic dedup (Abbas 2023): k-means cluster the "
@@ -3307,6 +3338,23 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_fit(emb, m=4, k=8, n_iter=2, dim=64)
     qs = emb.filter(F.col("vec_id") < 3)
     return similarity.pq_search_adc(emb, qs, books, k=3)
+
+
+@register(
+    "sim_pq_recall",
+    similarity.oracle_pq_recall(
+        "embeddings", "vec_id % 50 = 0", m=4, k_codebook=8, n_iter=2, k=5, dim=64
+    ),
+    doc="quantization-loss audit for the PQ family: recall@5 of ADC search "
+        "vs exact squared-L2 ground truth on a sampled query set — the "
+        "re-run-on-parameter-change loop that sim_ann_recall provides for "
+        "the IVF family; ADC side still reads only the m-byte codes",
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=4, k=8, n_iter=2, dim=64)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.pq_recall(emb, qs, books, k=5)
 
 
 @register(
