@@ -69,6 +69,12 @@ EXTRAS = [
     # capstones: exact+near dedup decision; triple two-phase rank
     "dd_keeplist",
     "evt_rfm_segments",
+    # round-5 heavies: in-engine GD trainer, trained-quantizer recall
+    # curve, banding sweep (3 LSH configs + exact truth), BPE train+apply
+    "txt_train_lr",
+    "sim_kmeans_recall_curve",
+    "dd_lsh_sweep",
+    "txt_bpe_encode",
 ]
 
 

@@ -43,6 +43,15 @@ AUDITED = [
     "tmp_gap_fill_locf",
     "grf_bfs_hops",
     "cur_pack_sequences",
+    # round-5 additions
+    "sim_kmeans_recall_curve",
+    "dd_lsh_sweep",
+    "sim_pq_recall",
+    "evt_ab_test",
+    "grf_sssp",
+    "tmp_interpolate",
+    "prof_expectations",
+    "txt_bpe_encode",
 ]
 
 
