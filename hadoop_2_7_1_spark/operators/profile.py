@@ -176,3 +176,157 @@ def oracle_expectations(li: str, orders: str) -> str:
     UNION ALL
     SELECT 'referential:l_orderkey in orders', n, f_ref, f_ref = 0 FROM wide
     """
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], ks: tuple[int, ...] = (2, 5, 10)
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: one row per
+    k with (k, n_rows, n_groups, n_violating_groups, n_rows_at_risk,
+    anonymous) — a record is "at risk" when its quasi-identifier group has
+    fewer than k members.
+
+    One groupBy on the quasi columns produces the group-size histogram;
+    every k level is a conditional sum over that (group-count-sized, tiny)
+    table, so the audit costs a single shuffle regardless of how many k
+    thresholds are reported.
+    """
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("gn")
+    )
+    aggs = [
+        F.sum("gn").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    ]
+    for k in ks:
+        aggs += [
+            F.sum(F.when(F.col("gn") < k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v{k}"),
+            F.sum(F.when(F.col("gn") < k, F.col("gn")).otherwise(0))
+            .cast("bigint")
+            .alias(f"r{k}"),
+        ]
+    wide = groups.agg(*aggs)
+    stacks = [
+        F.struct(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n_rows").alias("n_rows"),
+            F.col("n_groups").alias("n_groups"),
+            F.col(f"v{k}").alias("n_violating_groups"),
+            F.col(f"r{k}").alias("n_rows_at_risk"),
+            (F.col(f"v{k}") == 0).alias("anonymous"),
+        )
+        for k in ks
+    ]
+    return wide.select(F.explode(F.array(*stacks)).alias("s")).select("s.*")
+
+
+def oracle_k_anonymity(
+    table: str, quasi_cols: list[str], ks: tuple[int, ...] = (2, 5, 10)
+) -> str:
+    q = ", ".join(quasi_cols)
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k, n_rows, n_groups,
+               v{k} AS n_violating_groups, r{k} AS n_rows_at_risk,
+               v{k} = 0 AS anonymous FROM wide"""
+        for k in ks
+    )
+    per_k = ", ".join(
+        f"""CAST(coalesce(sum(CASE WHEN gn < {k} THEN 1 ELSE 0 END), 0) AS BIGINT) AS v{k},
+           CAST(coalesce(sum(CASE WHEN gn < {k} THEN gn ELSE 0 END), 0) AS BIGINT) AS r{k}"""
+        for k in ks
+    )
+    return f"""
+    WITH groups AS (
+      SELECT {q}, count(*) AS gn FROM {table} GROUP BY {q}
+    ),
+    wide AS (
+      SELECT CAST(coalesce(sum(gn), 0) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups, {per_k}
+      FROM groups
+    )
+    {selects}
+    """
+
+
+def forget_users(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, forget_mod: int = 37
+) -> DataFrame:
+    """Right-to-be-forgotten cascade report: purge customers whose key is
+    divisible by ``forget_mod`` and propagate through orders (by custkey)
+    into lineitem (by orderkey, via the orders semi-join) — one row per
+    table: (tbl, n_before, n_purged, n_after).
+
+    The cascade is two semi-join key sets (forgotten custkeys broadcast
+    into orders; affected orderkeys equi-joined into lineitem) — never a
+    row-wise delete loop. At 100 TB this is exactly the anti-join rewrite
+    you'd run as a compaction pass; the report is the audit trail.
+    """
+    fc = customer.filter(F.col("c_custkey") % forget_mod == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    fo = orders.join(
+        F.broadcast(fc), orders["o_custkey"] == fc["k"], "left_semi"
+    ).select(F.col("o_orderkey").alias("ok"))
+    c_stats = customer.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("c_custkey") % forget_mod == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purged"),
+    ).select(F.lit("customer").alias("tbl"), "n_before", "n_purged")
+    o_stats = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("o_custkey") % forget_mod == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purged"),
+    ).select(F.lit("orders").alias("tbl"), "n_before", "n_purged")
+    li_purged = lineitem.join(
+        fo, lineitem["l_orderkey"] == fo["ok"], "left_semi"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_purged"))
+    li_stats = (
+        lineitem.agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+        .crossJoin(F.broadcast(li_purged))
+        .select(F.lit("lineitem").alias("tbl"), "n_before", "n_purged")
+    )
+    return (
+        c_stats.unionByName(o_stats)
+        .unionByName(li_stats)
+        .select(
+            "tbl",
+            "n_before",
+            "n_purged",
+            (F.col("n_before") - F.col("n_purged")).cast("bigint").alias("n_after"),
+        )
+    )
+
+
+def oracle_forget_users(
+    customer: str, orders: str, lineitem: str, forget_mod: int = 37
+) -> str:
+    return f"""
+    WITH fo AS (
+      SELECT o_orderkey FROM {orders}
+      WHERE o_custkey IN (SELECT c_custkey FROM {customer}
+                          WHERE c_custkey % {forget_mod} = 0)
+    ),
+    r AS (
+      SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_before,
+             CAST(coalesce(sum(CASE WHEN c_custkey % {forget_mod} = 0
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_purged
+      FROM {customer}
+      UNION ALL
+      SELECT 'orders', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN o_custkey % {forget_mod} = 0
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM {orders}
+      UNION ALL
+      SELECT 'lineitem', CAST(count(*) AS BIGINT),
+             (SELECT CAST(count(*) AS BIGINT) FROM {lineitem}
+              WHERE l_orderkey IN (SELECT o_orderkey FROM fo))
+      FROM {lineitem}
+    )
+    SELECT tbl, n_before, n_purged,
+           CAST(n_before - n_purged AS BIGINT) AS n_after
+    FROM r
+    """

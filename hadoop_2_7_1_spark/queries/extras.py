@@ -25,7 +25,12 @@ from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
 from ..operators.sketches import oracle_hll_distinct, oracle_kmv_distinct
-from ..operators.profile import oracle_expectations, oracle_profile
+from ..operators.profile import (
+    oracle_expectations,
+    oracle_forget_users,
+    oracle_k_anonymity,
+    oracle_profile,
+)
 from ..operators.sampling import (
     oracle_domain_quota,
     oracle_epoch_mixture,
@@ -1493,6 +1498,38 @@ def prof_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     return expectations(li, orders)
+
+
+@register(
+    "prof_k_anonymity",
+    oracle_k_anonymity("customer", ["c_nationkey", "c_mktsegment"]),
+    doc="k-anonymity audit over the (nation, market-segment) quasi-"
+        "identifier: group-size histogram from ONE shuffle, then k in "
+        "{2,5,10} reported as conditional sums over the tiny group table "
+        "(violating groups + rows at risk per level)",
+)
+def prof_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"])
+
+
+@register(
+    "prof_forget_users",
+    oracle_forget_users("customer", "orders", "lineitem"),
+    doc="right-to-be-forgotten cascade report: forgotten custkeys semi-"
+        "join into orders, affected orderkeys into lineitem — per-table "
+        "before/purged/after counts; the anti-join rewrite you run as a "
+        "compaction pass, with the report as audit trail",
+)
+def prof_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import forget_users
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return forget_users(cust, orders, li)
 
 
 @register(
