@@ -300,3 +300,102 @@ def oracle_mad_outliers(
     FROM dev d JOIN mad USING ({group_col})
     WHERE d.absdev > {float(k)!r} * ({1.4826!r} * mad.m)
     """
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Winsorized robust statistics per group: clip values at the exact
+    nearest-rank lo/hi quantiles, then report the clipped mean next to the
+    raw mean — the outlier-robust rollup (one row per group: group, n,
+    n_clipped_low, n_clipped_high, lo, hi, mean_raw, mean_winsorized).
+
+    The quantile bounds come from the same one-window rank selection as
+    :func:`group_quantiles`; the bound table is group-cardinality-sized and
+    broadcasts back onto the scan, so the whole operator is one window +
+    one broadcast join + one aggregate. Money accumulates as exact integer
+    cents (both means are ratios of exact integers — engine-identical)."""
+    w = Window.partitionBy(group_col).orderBy("__v")
+    ranked = df.select(group_col, F.col(value_col).alias("__v")).select(
+        group_col,
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    bounds = ranked.groupBy(group_col).agg(
+        F.max(
+            F.when(F.col("__rn") == F.ceil(F.lit(float(lo_q)) * F.col("__n")), F.col("__v"))
+        )
+        .cast("double")
+        .alias("lo"),
+        F.max(
+            F.when(F.col("__rn") == F.ceil(F.lit(float(hi_q)) * F.col("__n")), F.col("__v"))
+        )
+        .cast("double")
+        .alias("hi"),
+    )
+    joined = df.select(group_col, F.col(value_col).cast("double").alias("__v")).join(
+        F.broadcast(bounds), group_col
+    )
+    clipped = "case when __v < lo then lo when __v > hi then hi else __v end"
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__v") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("__v") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.expr(
+            "cast(sum(cast(round(__v * 100) as bigint)) as double) / count(1) / 100"
+        ).alias("mean_raw"),
+        F.expr(
+            f"cast(sum(cast(round(({clipped}) * 100) as bigint)) as double)"
+            " / count(1) / 100"
+        ).alias("mean_winsorized"),
+    )
+
+
+def oracle_winsorized_stats(
+    table: str,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> str:
+    clipped = "CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END"
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col}, CAST({value_col} AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}) AS rn,
+             count(*) OVER (PARTITION BY {group_col}) AS n
+      FROM {table}
+    ),
+    bounds AS (
+      SELECT {group_col},
+             CAST(max(CASE WHEN rn = ceil({lo_q} * n) THEN v END) AS DOUBLE) AS lo,
+             CAST(max(CASE WHEN rn = ceil({hi_q} * n) THEN v END) AS DOUBLE) AS hi
+      FROM ranked GROUP BY {group_col}
+    ),
+    j AS (
+      SELECT t.{group_col}, CAST(t.{value_col} AS DOUBLE) AS v, b.lo, b.hi
+      FROM {table} t JOIN bounds b USING ({group_col})
+    )
+    SELECT {group_col}, CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(CASE WHEN v < lo THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_clipped_low,
+           CAST(coalesce(sum(CASE WHEN v > hi THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_clipped_high,
+           max(lo) AS lo, max(hi) AS hi,
+           CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100
+             AS mean_raw,
+           CAST(sum(CAST(round(({clipped}) * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100 AS mean_winsorized
+    FROM j GROUP BY {group_col}
+    """

@@ -81,7 +81,8 @@ _DRIVER_WINDOW = [
 # Round-6 rotation candidates: queries registered in round 5
 # (sim_kmeans_recall_curve, txt_train_lr, evt_ab_test, grf_sssp,
 # tmp_interpolate, txt_bpe_encode, dd_lsh_sweep, sim_pq_recall,
-# prof_expectations, prof_k_anonymity, prof_forget_users, ...), plus
+# prof_expectations, prof_k_anonymity, prof_forget_users, agg_winsorized,
+# ...), plus
 # tq12_shipping_priority_mix and any
 # re-check that has not held a row since r1. Keep this comment current when
 # adding queries.

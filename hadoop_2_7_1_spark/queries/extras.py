@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
-from ..operators.aggregates import oracle_mad_outliers
+from ..operators.aggregates import oracle_mad_outliers, oracle_winsorized_stats
 from ..operators.funnel import (
     oracle_ab_test,
     oracle_funnel,
@@ -3419,6 +3419,21 @@ def agg_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return group_quantiles(li, "l_returnflag", "l_extendedprice")
+
+
+@register(
+    "agg_winsorized",
+    oracle_winsorized_stats("lineitem", "l_returnflag", "l_extendedprice"),
+    doc="winsorized robust mean per return flag: exact nearest-rank "
+        "p05/p95 bounds (one group window), bound table broadcast back "
+        "onto the scan, clip, exact-cent means raw vs winsorized — the "
+        "outlier-robust rollup",
+)
+def agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import winsorized_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return winsorized_stats(li, "l_returnflag", "l_extendedprice")
 
 
 @register(
