@@ -1482,3 +1482,95 @@ def test_train_linear_filter_deterministic(spark):
     majority = max(r1.n_pos, r1.n - r1.n_pos) / r1.n
     full = textops.train_linear_filter(docs, "doc_id", "text", n_iter=8).collect()[0]
     assert full.accuracy > majority
+
+
+def test_sssp_hand_checked(spark):
+    """Bellman-Ford on a hand-built weighted graph: A->B=5, A->C=2,
+    C->B=1, B->D=1 — shortest A->B is 3 (via C), A->D is 4."""
+    from hadoop_2_7_1_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [("A", "B", 5), ("A", "C", 2), ("C", "B", 1), ("B", "D", 1),
+         ("A", "B", 7)],  # parallel edge collapses to min(5,7)
+        "src string, dst string, w long",
+    )
+    out = {r.node: r.dist for r in sssp(edges, "A", rounds=4).collect()}
+    assert out == {"A": 0, "B": 3, "C": 2, "D": 4}
+
+
+def test_gap_fill_interpolate_hand_checked(spark):
+    """Values 100 at hour 0 and 400 at hour 3 -> gaps at hours 1,2
+    interpolate to 200, 300; observed buckets keep exact values."""
+    from hadoop_2_7_1_spark.operators.temporal import gap_fill_interpolate
+
+    ev = spark.createDataFrame(
+        [("k", "2024-01-01 00:10:00", 1.00), ("k", "2024-01-01 03:20:00", 4.00)],
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rows = {
+        r.bucket.hour: (r.filled, r.is_gap)
+        for r in gap_fill_interpolate(ev).collect()
+    }
+    assert rows[0] == (100.0, False) and rows[3] == (400.0, False)
+    assert rows[1] == (200.0, True) and rows[2] == (300.0, True)
+
+
+def test_ab_test_degenerate_and_balanced(spark):
+    """Everyone converts -> z=0 via the se=0 guard; revenue Welch z is
+    finite; confusion of n_a + n_b equals the user count."""
+    from hadoop_2_7_1_spark.operators.funnel import ab_test
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = {r.metric: r for r in ab_test(ev, min_count=1).collect()}
+    conv = out["conversion"]
+    assert conv.stat_a == 1.0 and conv.stat_b == 1.0 and conv.z == 0.0
+    rev = out["revenue_per_user"]
+    assert rev.n_a + rev.n_b == ev.select("user_id").distinct().count()
+    assert abs(rev.z) < 100
+
+
+def test_k_anonymity_invariants(spark):
+    """Monotone in k; rows at risk bounded by violating-group sizes."""
+    from hadoop_2_7_1_spark.operators.profile import k_anonymity
+
+    cust = load_table(spark, SF_DIR, "customer")
+    rows = sorted(
+        k_anonymity(cust, ["c_nationkey", "c_mktsegment"]).collect(),
+        key=lambda r: r.k,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_violating_groups >= a.n_violating_groups
+        assert b.n_rows_at_risk >= a.n_rows_at_risk
+    for r in rows:
+        assert r.n_violating_groups <= r.n_rows_at_risk <= r.n_rows
+        assert r.anonymous == (r.n_violating_groups == 0)
+
+
+def test_winsorized_stats_invariants(spark):
+    """Bounds ordered, clip counts consistent with quantile levels, and
+    the winsorized mean lies within [lo, hi]."""
+    from hadoop_2_7_1_spark.operators.aggregates import winsorized_stats
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    for r in winsorized_stats(li, "l_returnflag", "l_extendedprice").collect():
+        assert r.lo <= r.hi
+        assert r.n_clipped_low <= r.n * 0.05 + 1
+        assert r.n_clipped_high <= r.n * 0.05 + 1
+        assert r.lo <= r.mean_winsorized <= r.hi
+
+
+def test_lsh_band_sweep_monotone(spark):
+    """More bands (fewer rows per band) can only add candidates, and
+    recall is non-decreasing in bands for a fixed K."""
+    from hadoop_2_7_1_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = sorted(
+        dedup.lsh_band_sweep(docs, "doc_id", "text").collect(),
+        key=lambda r: r.bands,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.recall >= a.recall
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0 and r.n_found <= r.n_truth
