@@ -1448,31 +1448,16 @@ def _lr_feature_df(
     )
 
 
-def train_linear_filter(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_iter: int = 8,
-    min_words: int = 50,
-) -> DataFrame:
-    """Train the linear quality filter and report weights + confusion matrix.
-
-    Output (one row): n, n_pos, w_bias, w_len, w_stop, w_mwl, tp, fp, fn,
-    tn, accuracy. Per iteration only four 1e-9-scaled gradient sums cross
-    to the driver; the feature pass is map-only, so at 100 TB each step is
-    a scan + partial aggregate (no shuffle beyond the 4-cell fold).
-    """
-    feats = _lr_feature_df(df, id_col, text_col, min_words)
+def train_linear_weights(feats: DataFrame, n_iter: int) -> tuple[list[float], int]:
+    """The GD loop on a prepared (y, x1, x2, x3) feature frame; returns
+    (weights [bias, w1, w2, w3], n). Per iteration only four 1e-9-scaled
+    exact gradient sums reach the driver."""
     n = feats.count()  # metadata-scale: one long
     w = [0.0, 0.0, 0.0, 0.0]
     if n > 0:
         xs = ("1.0D", "x1", "x2", "x3")
         for _ in range(n_iter):
-            z = (
-                f"(cast('{w[0]!r}' as double) + cast('{w[1]!r}' as double) * x1"
-                f" + cast('{w[2]!r}' as double) * x2"
-                f" + cast('{w[3]!r}' as double) * x3)"
-            )
+            z = lr_z_expr(w)
             s = f"(0.5D * (1.0D + {z} / (1.0D + abs({z}))))"
             row = feats.agg(
                 *[
@@ -1488,11 +1473,36 @@ def train_linear_filter(
                 ]
             ).collect()[0]
             w = [w[j] + float(row[j]) / n / 1e9 * _LR_LR for j in range(4)]
-    z = (
+    return w, n
+
+
+def lr_z_expr(w: list[float]) -> str:
+    """Spark SQL logit expression for weight vector ``w`` (repr-injected
+    double literals round-trip exactly)."""
+    return (
         f"(cast('{w[0]!r}' as double) + cast('{w[1]!r}' as double) * x1"
         f" + cast('{w[2]!r}' as double) * x2"
         f" + cast('{w[3]!r}' as double) * x3)"
     )
+
+
+def train_linear_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_iter: int = 8,
+    min_words: int = 50,
+) -> DataFrame:
+    """Train the linear quality filter and report weights + confusion matrix.
+
+    Output (one row): n, n_pos, w_bias, w_len, w_stop, w_mwl, tp, fp, fn,
+    tn, accuracy. Per iteration only four 1e-9-scaled gradient sums cross
+    to the driver; the feature pass is map-only, so at 100 TB each step is
+    a scan + partial aggregate (no shuffle beyond the 4-cell fold).
+    """
+    feats = _lr_feature_df(df, id_col, text_col, min_words)
+    w, n = train_linear_weights(feats, n_iter)
+    z = lr_z_expr(w)
     pred = f"({z} >= 0)"  # s(z) >= 0.5  <=>  z >= 0
     return (
         feats.agg(
@@ -1529,13 +1539,12 @@ def train_linear_filter(
     )
 
 
-def oracle_train_linear_filter(
-    table: str, id_col: str, text_col: str, n_iter: int = 8, min_words: int = 50
+def _oracle_lr_ctes(
+    table: str, id_col: str, text_col: str, n_iter: int, min_words: int
 ) -> str:
-    """DuckDB replay of :func:`train_linear_filter`: the weight trajectory is
-    recomputed through a CTE chain (it0 -> g{i} -> it{i+1}) with the same
-    scaled-integer gradient folds and the same left-to-right update
-    arithmetic, so every weight double is bit-identical."""
+    """Shared CTE chain replaying the GD weight trajectory in DuckDB:
+    feats -> nn -> it0 -> (g{i} -> it{i+1}) * n_iter. Ends after
+    it{n_iter}; callers append their own final SELECT."""
     toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
     stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
@@ -1574,6 +1583,17 @@ def oracle_train_linear_filter(
              w.a3 + CAST(g.s3 AS DOUBLE) / nn.n / 1e9 * {lr} AS a3
       FROM it{i} w, g{i} g, nn
     )"""
+    return sql
+
+
+def oracle_train_linear_filter(
+    table: str, id_col: str, text_col: str, n_iter: int = 8, min_words: int = 50
+) -> str:
+    """DuckDB replay of :func:`train_linear_filter`: the weight trajectory is
+    recomputed through a CTE chain (it0 -> g{i} -> it{i+1}) with the same
+    scaled-integer gradient folds and the same left-to-right update
+    arithmetic, so every weight double is bit-identical."""
+    sql = _oracle_lr_ctes(table, id_col, text_col, n_iter, min_words)
     z = "(w.b + w.a1 * f.x1 + w.a2 * f.x2 + w.a3 * f.x3)"
     pred = f"({z} >= 0)"
     sql += f"""

@@ -1552,6 +1552,66 @@ def txt_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cur_pipeline_v2",
+    textops._oracle_lr_ctes("documents", "doc_id", "text", 8, 50)
+    + """,
+    zkeep AS (
+      SELECT f.id FROM feats f CROSS JOIN it8 w
+      WHERE (w.b + w.a1 * f.x1 + w.a2 * f.x2 + w.a3 * f.x3) >= 0
+    ),
+    winners AS (
+      SELECT min(d.doc_id) AS id
+      FROM documents d JOIN zkeep ON zkeep.id = d.doc_id
+      GROUP BY md5(d.text)
+    ),
+    tok AS (
+      SELECT d.doc_id AS id,
+             CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS toks
+      FROM documents d JOIN winners ON winners.id = d.doc_id
+    ),
+    c AS (
+      SELECT id, toks,
+             sum(toks) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) - toks
+               AS start_off
+      FROM tok
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(toks AS BIGINT) AS n_tokens,
+           CAST(start_off AS BIGINT) AS start_offset,
+           CAST(start_off // 2048 AS BIGINT) AS seq_first,
+           CAST((start_off + greatest(toks - 1, 0)) // 2048 AS BIGINT) AS seq_last
+    FROM c
+    """,
+    doc="training-data pipeline v2 capstone: TRAIN the linear quality "
+        "filter in-engine (8 GD iterations), keep model-approved docs "
+        "(z >= 0), exact-dup removal (min-id winner per content md5), "
+        "pack survivors into 2048-token sequences via two-phase prefix "
+        "offsets; oracle replays the weight trajectory, the filter, the "
+        "dedup, and the packing in one CTE chain",
+)
+def cur_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = textops._lr_feature_df(docs, "doc_id", "text", 50)
+    w, _ = textops.train_linear_weights(feats, n_iter=8)
+    kept_ids = feats.filter(F.expr(f"{textops.lr_z_expr(w)} >= 0")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    winners = (
+        kept.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = kept.join(winners, "doc_id", "left_semi")
+    with_tokens = textops.token_stats(surv, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+    return pack_sequences(with_tokens, seq_len=2048)
+
+
+@register(
     "cur_pipeline_e2e",
     f"""
     WITH deduped AS (
