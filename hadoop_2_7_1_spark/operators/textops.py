@@ -1452,6 +1452,10 @@ def train_linear_weights(feats: DataFrame, n_iter: int) -> tuple[list[float], in
     """The GD loop on a prepared (y, x1, x2, x3) feature frame; returns
     (weights [bias, w1, w2, w3], n). Per iteration only four 1e-9-scaled
     exact gradient sums reach the driver."""
+    # The loop re-reads the feature frame n_iter times; materialize it
+    # once (same move at 100 TB: cache the prepared features, train over
+    # memory). count() doubles as the materialization action.
+    feats = feats.persist()
     n = feats.count()  # metadata-scale: one long
     w = [0.0, 0.0, 0.0, 0.0]
     if n > 0:
@@ -1473,6 +1477,7 @@ def train_linear_weights(feats: DataFrame, n_iter: int) -> tuple[list[float], in
                 ]
             ).collect()[0]
             w = [w[j] + float(row[j]) / n / 1e9 * _LR_LR for j in range(4)]
+    feats.unpersist()
     return w, n
 
 
