@@ -345,6 +345,9 @@ def kmeans_fit(
     """
     from ..functions import hex_hash32
 
+    # The fit reads emb n_iter+1 times (seed gate + one assignment pass per
+    # iteration); materialize once — at 100 TB you fit on a cached sample.
+    emb = emb.persist()
     cand = emb.filter(hex_hash32(F.col(id_col)) % 16 == 0)
     # degenerate-corpus guard: take(k) on the id column early-terminates as
     # soon as k gated rows exist — never a full count of the gated subset
@@ -382,6 +385,7 @@ def kmeans_fit(
             [by_cluster[c][i] for i in range(dim)] if c in by_cluster else cents[c]
             for c in range(k)
         ]
+    emb.unpersist()
     return cents
 
 
@@ -1098,7 +1102,17 @@ def kmeans_recall_curve(
         .withColumn("cos", _cos_expr("vec", "q_vec"))
         .select("q_id", "vec_id", "prb", "cos")
     )
-    truth = cosine_topk(emb, queries, k, id_col, vec_col).select("q_id", "vec_id")
+    # Three curve levels re-rank the same candidate set and re-join the
+    # same truth — materialize both once instead of three corpus passes.
+    # (Deliberately not unpersisted: the returned plan reads them lazily;
+    # both are sample-sized — probed candidates + k rows per query — and
+    # evict LRU.)
+    scored = scored.persist()
+    truth = (
+        cosine_topk(emb, queries, k, id_col, vec_col)
+        .select("q_id", "vec_id")
+        .persist()
+    )
     tot = truth.agg(
         F.count_distinct("q_id").cast("bigint").alias("n_queries"),
         F.count("*").cast("bigint").alias("possible"),
