@@ -94,8 +94,13 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 500,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    ``sig`` lets callers supply precomputed :func:`minhash_signatures`
+    (the sweep reuses ONE signature pass across band configs — the
+    signatures depend only on K, not on the banding).
 
     Docs agreeing on all rows of any band collide in a bucket; the join is on
     (band_idx, band_key) so work is proportional to bucket sizes, never |D|².
@@ -112,7 +117,8 @@ def lsh_candidate_pairs(
     of unique docs. Deterministic, so the DuckDB oracle replicates it exactly.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_cols = []
     for b in range(bands):
         hs = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -1434,14 +1440,19 @@ def lsh_band_sweep(
     candidate count is the Σ bucket² bill you pay for it. All outputs are
     ratios of exact integers.
     """
-    truth = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold).select(
-        "id_a", "id_b"
+    truth = (
+        ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold)
+        .select("id_a", "id_b")
+        .persist()
     )
     t_tot = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    # One signature pass serves every band config (the md5-per-shingle
+    # explode is the expensive part; banding is just a re-grouping).
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     curve = None
     for bands in bands_list:
         cands = lsh_candidate_pairs(
-            df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+            df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, sig=sig
         )
         n_c = cands.agg(F.count("*").cast("bigint").alias("n_candidates"))
         n_f = truth.join(cands, ["id_a", "id_b"]).agg(
