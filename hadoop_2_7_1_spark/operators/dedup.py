@@ -210,10 +210,10 @@ def minhash_accuracy(
     sharing a shingle — never all-pairs. The error values are rounded to
     9 decimals before the mean so the summary is order-independent.
     """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     cands = lsh_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, sig=sig
     )
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     sa = sig.select(
         F.col("id").alias("id_a"),
         *[F.col(f"h{k}").alias(f"a{k}") for k in range(num_hashes)],
