@@ -52,6 +52,8 @@ AUDITED = [
     "tmp_interpolate",
     "prof_expectations",
     "txt_bpe_encode",
+    "cur_pipeline_v2",
+    "agg_winsorized",
 ]
 
 
