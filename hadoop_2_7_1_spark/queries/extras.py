@@ -848,6 +848,60 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_session_window_native",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window (30 min gap) in batch mode, cross-"
+        "checked against first-principles SQL sessionization (lag-gap flag "
+        "+ cumulative session id; empirically verified exactly-gap events "
+        "MERGE, hence the strict > in the flag). Proves the native "
+        "operator's merge semantics match the portable definition — the "
+        "same operator the streaming session_counts twin uses",
+)
+def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "cents",
+        )
+    )
+
+
+@register(
     "evt_sessionize",
     """
     WITH ordered AS (
