@@ -3093,6 +3093,75 @@ def _binfile_dims(i: int) -> tuple[int, int]:
     return 8 + (i * 7) % 13, 8 + (i * 11) % 9
 
 
+_WDS_SHARDS, _WDS_PER = 2, 8
+
+
+def _wds_caption(i: int) -> str:
+    return "cap " * (1 + i % 3) + str(i)
+
+
+@register(
+    "src_webdataset",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('sample_{i:04d}', CAST({i // _WDS_PER} AS BIGINT), CAST(3 AS BIGINT), "
+        f"CAST({_binfile_dims(i)[0]} AS BIGINT), CAST({_binfile_dims(i)[1]} AS BIGINT), "
+        f"CAST({len(_wds_caption(i))} AS BIGINT), CAST({i} AS BIGINT))"
+        for i in range(_WDS_SHARDS * _WDS_PER)
+    )
+    + ") AS t(key, shard_idx, n_members, width, height, caption_len, meta_i)",
+    doc="WebDataset tar-shard ingest (the standard multimodal training "
+        "layout): binaryFile reads each shard whole (shard = unit of "
+        "parallelism), Arrow-batched stdlib tar parse regroups members "
+        "into one row per sample; PNG dims then parsed with pure JVM "
+        "binary expressions (substring/hex/conv), caption/meta as typed "
+        "columns — blobs never touch the driver",
+)
+def src_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from ..operators import multimodal as mm
+    from ..sources.webdataset import read_webdataset, write_webdataset_shard
+
+    d = _scratch_dir(spark, "wds", sf_dir)
+    os.makedirs(d, exist_ok=True)
+    for sh in range(_WDS_SHARDS):
+        path = os.path.join(d, f"shard_{sh:04d}.tar")
+        if not os.path.exists(path):
+            samples = []
+            for j in range(_WDS_PER):
+                i = sh * _WDS_PER + j
+                w, h = _binfile_dims(i)
+                samples.append(
+                    (
+                        f"sample_{i:04d}",
+                        {
+                            "png": mm.make_png_with_pixels(w, h, i),
+                            "txt": _wds_caption(i).encode(),
+                            "json": json.dumps({"i": i}).encode(),
+                        },
+                    )
+                )
+            write_webdataset_shard(path, samples)
+    out = read_webdataset(spark, os.path.join(d, "*.tar"))
+    return out.select(
+        "key",
+        F.expr("cast(regexp_extract(shard, 'shard_([0-9]+)', 1) as bigint)").alias(
+            "shard_idx"
+        ),
+        F.col("n_members").cast("bigint"),
+        F.expr("cast(conv(hex(substring(image, 17, 4)), 16, 10) as bigint)").alias(
+            "width"
+        ),
+        F.expr("cast(conv(hex(substring(image, 21, 4)), 16, 10) as bigint)").alias(
+            "height"
+        ),
+        F.length("caption").cast("bigint").alias("caption_len"),
+        F.get_json_object("meta", "$.i").cast("bigint").alias("meta_i"),
+    )
+
+
 @register(
     "src_binary_files",
     "SELECT * FROM (VALUES "

@@ -1083,3 +1083,38 @@ def test_dynamic_bloom_pure_python():
     assert back.vector_size == f.vector_size and len(back.rows) == 3
     assert all(back.test(k) for k in keys)
     assert back.to_bytes() == f.to_bytes()
+
+
+def test_webdataset_shard_roundtrip(spark, tmp_path):
+    """Two tar shards -> one input row per shard (binaryFile), one output
+    row per sample; typed member columns; binary blob intact."""
+    from hadoop_2_7_1_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset_shard,
+    )
+
+    for sh in range(2):
+        write_webdataset_shard(
+            str(tmp_path / f"s{sh}.tar"),
+            [
+                (
+                    f"k{sh}_{j}",
+                    {
+                        "png": bytes([sh, j, 255]),
+                        "txt": f"cap {sh}-{j}".encode(),
+                        "json": b'{"ok": true}',
+                    },
+                )
+                for j in range(3)
+            ],
+        )
+    out = read_webdataset(spark, str(tmp_path / "*.tar"))
+    rows = {r.key: r for r in out.collect()}
+    assert len(rows) == 6
+    assert bytes(rows["k1_2"].image) == bytes([1, 2, 255])
+    assert rows["k0_0"].caption == "cap 0-0"
+    assert rows["k0_1"].n_members == 3
+    # shard is the unit of parallelism: binaryFile yields 1 row per tar
+    assert (
+        spark.read.format("binaryFile").load(str(tmp_path / "*.tar")).count() == 2
+    )
