@@ -129,6 +129,7 @@ def test_registry_wide_plan_audit(spark):
         "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",
         "mm_frame_sample", "mm_audio_features", "mm_augment_chain",
         "mm_video_meta", "mm_dhash_neardup", "src_binary_files",
+        "src_webdataset",  # Arrow-batched stdlib tar parse IS the point
         "txt_udtf_ngrams",  # the UDTF surface demo IS the Python node
         "q22_pi_qmc",
         "q23_bbp_pi_digits", "bench_teragen", "bench_teragen_gensort",
