@@ -1661,17 +1661,27 @@ def bpe_encode(
     words = df.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.explode(F.expr(_tok_array(text_col))).alias("w"),
-    ).withColumn("syms", F.expr("filter(split(w, ''), s -> s <> '')"))
+    )
+    # Word-level memoization (the production tokenizer-application trick):
+    # the merge folds are a pure function of the word, and Zipf makes the
+    # vocabulary tiny relative to the token stream — encode each DISTINCT
+    # word once, then join the per-word symbol count back onto the
+    # occurrences (vocabulary-sized side, broadcastable).
+    vocab = words.select("w").distinct().withColumn(
+        "syms", F.expr("filter(split(w, ''), s -> s <> '')")
+    )
     for row in table:
-        words = words.withColumn(
+        vocab = vocab.withColumn(
             "syms", F.expr(_bpe_apply_expr("syms", row.left, row.right))
         )
+    encoded = vocab.select("w", F.size("syms").alias("w_syms"))
     return (
-        words.groupBy("id")
+        words.join(F.broadcast(encoded), "w")
+        .groupBy("id")
         .agg(
             F.count("*").cast("bigint").alias("n_words"),
             F.sum(F.length("w")).cast("bigint").alias("n_chars"),
-            F.sum(F.size("syms")).cast("bigint").alias("n_syms"),
+            F.sum("w_syms").cast("bigint").alias("n_syms"),
         )
         .select(
             "id",
