@@ -3093,6 +3093,31 @@ def _binfile_dims(i: int) -> tuple[int, int]:
     return 8 + (i * 7) % 13, 8 + (i * 11) % 9
 
 
+@register(
+    "src_kv_text",
+    "SELECT * FROM (VALUES "
+    "('a', '1'), ('b', '2' || chr(9) || 'x'), ('nosep', ''), "
+    "('', 'lead'), ('c', ''), ('d e', 'f g')"
+    ") AS t(key, value)",
+    doc="KeyValueTextInputFormat semantics driver-checked (KeyValueLine"
+        "RecordReader.java:39): first-separator split, whole line -> key "
+        "with empty value when no separator, empty key when the line "
+        "starts with one, value keeps later separators verbatim",
+)
+def src_kv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..io import read_kv_text
+
+    d = _scratch_dir(spark, "kvtext", sf_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "kv.txt")
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            fh.write("a\t1\nb\t2\tx\nnosep\n\tlead\nc\t\nd e\tf g\n")
+    return read_kv_text(spark, path)
+
+
 _WDS_SHARDS, _WDS_PER = 2, 8
 
 
