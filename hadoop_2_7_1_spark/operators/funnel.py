@@ -17,15 +17,20 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within: str | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: a user reaches step k at the earliest
-    event of type steps[k] strictly after their step-(k-1) time.
+    event of type steps[k] strictly after their step-(k-1) time — and,
+    when ``within`` is set (an INTERVAL string like ``'7 days'``), no
+    later than ``within`` after their funnel ENTRY time (the standard
+    product-analytics conversion window, anchored at step 1).
 
     Output: (stage, step, n_users) — stage is 1-based. Each stage is one
     filter + user-keyed min + co-partitioned join; nothing is ever sorted
-    per user, so there is no per-user state beyond one timestamp. Each
-    stage's frontier is checkpointed so stage k's count does not re-execute
-    stages 1..k-1's scans (k scans total, not k²/2).
+    per user, so there is no per-user state beyond two timestamps (entry
+    + previous step). Each stage's frontier is checkpointed so stage k's
+    count does not re-execute stages 1..k-1's scans (k scans total,
+    not k²/2).
     """
     reached = None
     stage_counts = []
@@ -34,14 +39,16 @@ def funnel(
             F.col(user_col).alias("u"), F.col(ts_col).alias("t")
         )
         if reached is None:
-            reached = sel.groupBy("u").agg(F.min("t").alias("t_prev"))
-        else:
             reached = (
-                sel.join(reached, "u")
-                .filter(F.col("t") > F.col("t_prev"))
-                .groupBy("u")
+                sel.groupBy("u")
                 .agg(F.min("t").alias("t_prev"))
+                .withColumn("t0", F.col("t_prev"))
             )
+        else:
+            nxt = sel.join(reached, "u").filter(F.col("t") > F.col("t_prev"))
+            if within is not None:
+                nxt = nxt.filter(F.expr(f"t <= t0 + INTERVAL {within}"))
+            reached = nxt.groupBy("u", "t0").agg(F.min("t").alias("t_prev"))
         reached = reached.localCheckpoint()
         stage_counts.append(
             reached.agg(
@@ -56,22 +63,26 @@ def funnel(
     return out
 
 
-def oracle_funnel(table: str, steps: list[str]) -> str:
+def oracle_funnel(table: str, steps: list[str], within: str | None = None) -> str:
     ctes = []
     prev = None
     for i, step in enumerate(steps):
         name = f"s{i}"
         if prev is None:
             ctes.append(
-                f"{name} AS (SELECT user_id AS u, min(ts) AS t_prev"
+                f"{name} AS (SELECT user_id AS u, min(ts) AS t_prev,"
+                f" min(ts) AS t0"
                 f" FROM {table} WHERE event_type = '{step}' GROUP BY user_id)"
             )
         else:
+            win = (
+                f" AND e.ts <= p.t0 + INTERVAL '{within}'" if within else ""
+            )
             ctes.append(
-                f"{name} AS (SELECT e.user_id AS u, min(e.ts) AS t_prev"
+                f"{name} AS (SELECT e.user_id AS u, min(e.ts) AS t_prev, p.t0"
                 f" FROM {table} e JOIN {prev} p ON e.user_id = p.u"
-                f" WHERE e.event_type = '{step}' AND e.ts > p.t_prev"
-                f" GROUP BY e.user_id)"
+                f" WHERE e.event_type = '{step}' AND e.ts > p.t_prev{win}"
+                f" GROUP BY e.user_id, p.t0)"
             )
         prev = name
     selects = " UNION ALL ".join(

@@ -2559,6 +2559,21 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_funnel_windowed",
+    oracle_funnel("events", ["view", "click", "purchase"], within="4 hours"),
+    doc="conversion-window funnel: each later step must land within 4 "
+        "hours of the user's funnel ENTRY time (anchored window, the "
+        "product-analytics default) — same k-scan join-min shape with the "
+        "entry timestamp carried along",
+)
+def evt_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], within="4 hours")
+
+
+@register(
     "evt_retention",
     oracle_retention("events"),
     doc="monthly cohort retention matrix: first-event cohort x active-month "
