@@ -399,3 +399,59 @@ def oracle_winsorized_stats(
              / count(*) / 100 AS mean_winsorized
     FROM j GROUP BY {group_col}
     """
+
+
+def weighted_median(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Exact weighted lower median per group: the smallest value whose
+    running cumulative weight (value order) reaches ``(W+1) div 2`` for
+    integer weights W — :func:`grouped_exact_median` generalized to
+    weighted rows (that function is the ``weight=1`` special case).
+
+    Same scale shape: per-(group, value) weight histogram, cumulative
+    window over the DISTINCT values per group (never input rows), one
+    conditional pick. All-integer arithmetic, engine-identical.
+    """
+    hist = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.sum(F.col(weight_col).cast("bigint")).alias("c"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "tot", F.sum("c").over(Window.partitionBy("g"))
+    )
+    return cum.groupBy("g").agg(
+        F.max("tot").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(tot + 1) div 2"), F.col("v"))
+        )
+        .cast("double")
+        .alias("weighted_median"),
+    ).select(F.col("g").alias(group_col), "total_weight", "weighted_median")
+
+
+def oracle_weighted_median(
+    table: str, group_col: str, value_col: str, weight_col: str
+) -> str:
+    return f"""
+    WITH hist AS (
+      SELECT {group_col} AS g, {value_col} AS v,
+             sum(CAST({weight_col} AS BIGINT)) AS c
+      FROM {table} GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY g) AS tot
+      FROM hist
+    )
+    SELECT g AS {group_col},
+           CAST(max(tot) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS DOUBLE)
+             AS weighted_median
+    FROM cum GROUP BY g
+    """

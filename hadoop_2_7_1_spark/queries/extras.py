@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup, multimodal, similarity, textops
-from ..operators.aggregates import oracle_mad_outliers, oracle_winsorized_stats
+from ..operators.aggregates import (
+    oracle_mad_outliers,
+    oracle_weighted_median,
+    oracle_winsorized_stats,
+)
 from ..operators.funnel import (
     oracle_ab_test,
     oracle_funnel,
@@ -3657,6 +3661,21 @@ def agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return winsorized_stats(li, "l_returnflag", "l_extendedprice")
+
+
+@register(
+    "agg_weighted_median",
+    oracle_weighted_median("lineitem", "l_returnflag", "l_extendedprice", "l_quantity"),
+    doc="exact weighted lower median per return flag (extended price "
+        "weighted by quantity): per-(group,value) weight histogram, "
+        "cumulative window over distinct values only, all-integer pick — "
+        "grouped_exact_median generalized to weighted rows",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(li, "l_returnflag", "l_extendedprice", "l_quantity")
 
 
 @register(
