@@ -13,7 +13,7 @@ Everything is a filter/withColumn — pushes into the scan, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hex_hash32, oracle_hash32
@@ -436,4 +436,83 @@ def oracle_epoch_mixture(
       FROM base, UNNEST(range(1, n_copies + 1)) AS u(epoch)
     )
     SELECT id, domain, epoch, {sk} AS shuffle_key FROM fanned
+    """
+
+
+def interleave_sources(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    key_salt: str = "interleave",
+) -> DataFrame:
+    """Deterministic balanced interleaving: order documents so sources
+    alternate (round-robin by within-source rank) — the training-order
+    curriculum that prevents long single-source runs after per-source
+    concatenation.
+
+    Within-source rank comes from a content-stable md5 order (no RNG, same
+    [[cur_global_shuffle]] trick), so the interleave is reproducible and
+    shuffle-free to CHANGE (re-salt to get a new epoch order). The
+    interleave position is pure integer arithmetic:
+    ``pos = rank * n_sources + source_idx`` — a total order with sources
+    cycling every n_sources positions. One domain-keyed window (balanced
+    while domains are) + a broadcast source-index table.
+    """
+    src_idx = (
+        df.select(F.col(domain_col).alias("d"))
+        .distinct()
+        .withColumn(
+            "source_idx",
+            F.row_number().over(Window.orderBy("d")) - 1,
+        )
+    )
+    n_src = F.max(F.col("source_idx")).over(Window.partitionBy(F.lit(1))) + 1
+    ranked = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(domain_col).alias("d"),
+            hex_hash32(F.concat_ws(":", F.lit(key_salt), F.col(id_col).cast("string"))).alias("__h"),
+        )
+        .withColumn(
+            "rank_in_source",
+            F.row_number().over(Window.partitionBy("d").orderBy("__h", "id")) - 1,
+        )
+        .drop("__h")
+    )
+    joined = ranked.join(F.broadcast(src_idx), "d")
+    return joined.select(
+        F.col("id").cast("bigint").alias(id_col),
+        F.col("d").alias(domain_col),
+        F.col("rank_in_source").cast("bigint"),
+        F.col("source_idx").cast("bigint"),
+        (F.col("rank_in_source") * n_src + F.col("source_idx"))
+        .cast("bigint")
+        .alias("interleave_pos"),
+    )
+
+
+def oracle_interleave_sources(
+    table: str, id_col: str, domain_col: str, key_salt: str = "interleave"
+) -> str:
+    from ..functions import oracle_hash32
+
+    h = oracle_hash32(f"'{key_salt}' || ':' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH src AS (
+      SELECT d, row_number() OVER (ORDER BY d) - 1 AS source_idx
+      FROM (SELECT DISTINCT {domain_col} AS d FROM {table})
+    ),
+    n AS (SELECT count(*) AS n_src FROM src),
+    ranked AS (
+      SELECT {id_col} AS id, {domain_col} AS d,
+             row_number() OVER (PARTITION BY {domain_col}
+                                ORDER BY {h}, {id_col}) - 1 AS rank_in_source
+      FROM {table}
+    )
+    SELECT CAST(r.id AS BIGINT) AS {id_col}, r.d AS {domain_col},
+           CAST(r.rank_in_source AS BIGINT) AS rank_in_source,
+           CAST(s.source_idx AS BIGINT) AS source_idx,
+           CAST(r.rank_in_source * n.n_src + s.source_idx AS BIGINT)
+             AS interleave_pos
+    FROM ranked r JOIN src s USING (d), n
     """

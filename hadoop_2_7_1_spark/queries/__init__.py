@@ -83,7 +83,7 @@ _DRIVER_WINDOW = [
 # tmp_interpolate, txt_bpe_encode, dd_lsh_sweep, sim_pq_recall,
 # prof_expectations, prof_k_anonymity, prof_forget_users, agg_winsorized,
 # cur_pipeline_v2, evt_session_window_native, src_webdataset, src_kv_text,
-# evt_funnel_windowed, agg_weighted_median, ...), plus
+# evt_funnel_windowed, agg_weighted_median, cur_interleave_sources, ...), plus
 # tq12_shipping_priority_mix and any
 # re-check that has not held a row since r1. Keep this comment current when
 # adding queries.

@@ -36,6 +36,7 @@ from ..operators.profile import (
     oracle_profile,
 )
 from ..operators.sampling import (
+    oracle_interleave_sources,
     oracle_domain_quota,
     oracle_epoch_mixture,
     oracle_hash_threshold,
@@ -3676,6 +3677,21 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return weighted_median(li, "l_returnflag", "l_extendedprice", "l_quantity")
+
+
+@register(
+    "cur_interleave_sources",
+    oracle_interleave_sources("documents", "doc_id", "source"),
+    doc="deterministic balanced source interleaving for training order: "
+        "content-stable within-source rank (md5, re-salt for a new epoch), "
+        "pos = rank * n_sources + source_idx — sources cycle every "
+        "n_sources positions; one domain-keyed window + broadcast index",
+)
+def cur_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import interleave_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_sources(docs, "doc_id", "source")
 
 
 @register(
