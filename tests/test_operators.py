@@ -1574,3 +1574,39 @@ def test_lsh_band_sweep_monotone(spark):
         assert b.recall >= a.recall
     for r in rows:
         assert 0.0 <= r.recall <= 1.0 and r.n_found <= r.n_truth
+
+
+def test_weighted_median_reduces_to_unweighted(spark):
+    """With constant weight 1 the weighted median equals the grouped
+    exact (lower) median; result sits inside the group's value range."""
+    from hadoop_2_7_1_spark.operators.aggregates import (
+        grouped_exact_median,
+        weighted_median,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").withColumn("one", F.lit(1))
+    wm = {
+        r.l_returnflag: r.weighted_median
+        for r in weighted_median(li, "l_returnflag", "l_quantity", "one").collect()
+    }
+    em = {
+        r.g if hasattr(r, "g") else r[0]: r[-1]
+        for r in grouped_exact_median(li, "l_returnflag", "l_quantity").collect()
+    }
+    assert wm == {k: float(v) for k, v in em.items()}
+
+
+def test_interleave_sources_cycle(spark):
+    """Positions are unique; within each full cycle of n_sources
+    positions every source appears at most once."""
+    from hadoop_2_7_1_spark.operators.sampling import interleave_sources
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = interleave_sources(docs, "doc_id", "source").collect()
+    n_src = len({r.source for r in out})
+    assert len({r.interleave_pos for r in out}) == len(out)
+    by_cycle = {}
+    for r in out:
+        by_cycle.setdefault(r.interleave_pos // n_src, []).append(r.source)
+    for cyc, sources in by_cycle.items():
+        assert len(sources) == len(set(sources)), f"cycle {cyc} repeats a source"
