@@ -46,6 +46,7 @@ partition's grouped stream exactly like PipeReducer.java:40.
 from __future__ import annotations
 
 import argparse
+import os
 import shlex
 
 from pyspark.sql import functions as F
@@ -71,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-reducer", default=None)
     p.add_argument("-combiner", default=None)
     p.add_argument("-file", "-files", action="append", default=[], dest="files")
+    # -archives archive[#alias] (repeatable): unpack a .har/.zip/.tar[.gz]
+    # into the task working directory under <alias> (default: archive
+    # basename), mirroring the reference's archive localization
+    # (ST/StreamJob.java flag table, HadoopStreaming.md.vm:101-156).
+    p.add_argument("-archives", action="append", default=[], dest="archives")
     p.add_argument("-cmdenv", action="append", default=[], dest="cmdenv")
     p.add_argument("-separator", default="\t")
     p.add_argument("-numReduceTasks", type=int, default=None, dest="num_reduce")
@@ -197,6 +203,40 @@ def _aggregate_reduce(df):
     return stats.select(F.col("id").alias("key"), result.alias("value"))
 
 
+def _localize_archive(spark, spec: str) -> None:
+    """Unpack ``archive[#alias]`` and ship the tree to tasks.
+
+    Reference semantics (mapreduce DistributedCache archives): the archive
+    is unpacked into the task cwd under its basename, or under the ``#``
+    fragment alias when given. ``.har`` unpacks via the engine's own reader
+    (``sources.har.har_extract``); ``.zip`` / ``.tar[.gz]`` / ``.tgz``/
+    ``.jar`` via the stdlib."""
+    import tempfile
+
+    path, _, alias = spec.partition("#")
+    alias = alias or os.path.basename(path.rstrip("/"))
+    stage = os.path.join(tempfile.mkdtemp(prefix="archives-"), alias)
+    os.makedirs(stage, exist_ok=True)
+    low = path.lower()
+    if low.endswith(".har"):
+        from .sources.har import har_extract
+
+        har_extract(path.rstrip("/"), stage)
+    elif low.endswith((".zip", ".jar")):
+        import zipfile
+
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(stage)
+    elif low.endswith((".tar", ".tar.gz", ".tgz")):
+        import tarfile
+
+        with tarfile.open(path) as tf:
+            tf.extractall(stage)
+    else:
+        raise ValueError(f"-archives: unsupported archive type {path!r}")
+    spark.sparkContext.addFile(stage, recursive=True)
+
+
 def run(argv: list[str] | None = None, spark=None) -> str:
     args = build_parser().parse_args(argv)
     if spark is None:
@@ -221,11 +261,13 @@ def run(argv: list[str] | None = None, spark=None) -> str:
     # cwd = the files root, so "python mapper.py" finds its script exactly
     # like a reference streaming task finds its packaged files.
     pipe_cwd = None
-    if args.files:
+    if args.files or args.archives:
         from pyspark import SparkFiles
 
         for f in args.files:
             spark.sparkContext.addFile(f)
+        for spec in args.archives:
+            _localize_archive(spark, spec)
         pipe_cwd = SparkFiles.getRootDirectory()
     env = dict(e.split("=", 1) for e in args.cmdenv) or None
 

@@ -395,8 +395,12 @@ def ab_test(
         F.expr(
             "cast(s1_b as double) / n_b / 100 - cast(s1_a as double) / n_a / 100"
         ).alias("lift"),
+        # n<=1 guarded explicitly: Welch's (n-1) divisor would divide by
+        # zero there, where Spark (non-ANSI) yields NULL but DuckDB yields
+        # inf/NaN — the engines must agree on degenerate inputs.
         F.expr(
-            f"case when {se} = 0 then cast(0 as double)"
+            f"case when n_a <= 1 or n_b <= 1 then cast(0 as double)"
+            f" when {se} = 0 then cast(0 as double)"
             f" else (cast(s1_b as double) / n_b - cast(s1_a as double) / n_a)"
             f" / {se} end"
         ).alias("z"),
@@ -462,7 +466,8 @@ def oracle_ab_test(
              CAST(s1_b AS DOUBLE) / n_b / 100 AS stat_b,
              CAST(s1_b AS DOUBLE) / n_b / 100
                - CAST(s1_a AS DOUBLE) / n_a / 100 AS lift,
-             CASE WHEN {se} = 0 THEN CAST(0 AS DOUBLE)
+             CASE WHEN n_a <= 1 OR n_b <= 1 THEN CAST(0 AS DOUBLE)
+                  WHEN {se} = 0 THEN CAST(0 AS DOUBLE)
                   ELSE (CAST(s1_b AS DOUBLE) / n_b - CAST(s1_a AS DOUBLE) / n_a)
                        / {se} END AS z
       FROM ab

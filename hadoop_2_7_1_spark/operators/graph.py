@@ -365,6 +365,114 @@ def sssp(
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
 
 
+def bfs_hops_converged(
+    edges: DataFrame,
+    source: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Frontier-delta BFS to convergence: loop until the frontier empties
+    instead of a fixed round count — the production form for graphs whose
+    diameter is unknown (:func:`bfs_hops` stays the engine-replayable
+    oracle query; the two agree whenever ``max_hops`` >= diameter).
+
+    Each round joins only the NEWLY discovered frontier against the edges
+    (settled nodes do no work), and every ``checkpoint_every`` rounds the
+    distance table is ``localCheckpoint``-ed so lineage stays shallow on
+    deep graphs. The per-round driver scalar is one count() of the frontier
+    — metadata-scale."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e.persist()
+    try:
+        spark = edges.sparkSession
+        dist = spark.createDataFrame([(source, 0)], "node string, hop int")
+        frontier = dist.select(F.col("node").alias("src"))
+        hop = 0
+        while hop < max_rounds:
+            hop += 1
+            arrivals = frontier.join(e, "src").select(F.col("dst").alias("node")).distinct()
+            new_nodes = arrivals.join(dist, "node", "left_anti").withColumn(
+                "hop", F.lit(hop)
+            )
+            if hop % checkpoint_every == 0:
+                new_nodes = new_nodes.localCheckpoint(eager=True)
+            if new_nodes.isEmpty():
+                break
+            dist = dist.unionByName(new_nodes)
+            if hop % checkpoint_every == 0:
+                dist = dist.localCheckpoint(eager=True)
+            frontier = new_nodes.select(F.col("node").alias("src"))
+        return dist.select("node", F.col("hop").cast("bigint").alias("hop"))
+    finally:
+        e.unpersist()
+
+
+def sssp_converged(
+    edges: DataFrame,
+    source: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    checkpoint_every: int = 3,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Delta-frontier Bellman-Ford to convergence: relax only nodes whose
+    distance improved last round, stop when no distance improves — the
+    production form whose fixed-round sibling :func:`sssp` is the oracle
+    query (they agree once the round count covers the shortest-path hop
+    depth; pytest pins that equality).
+
+    BIGINT distances keep every min-fold exact. Lineage is truncated with
+    ``localCheckpoint`` every ``checkpoint_every`` rounds; the only
+    driver-side scalar per round is ``isEmpty()`` on the improved set."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    e.persist()
+    try:
+        spark = edges.sparkSession
+        dist = spark.createDataFrame([(source, 0)], "node string, dist bigint")
+        improved = dist
+        rnd = 0
+        while rnd < max_rounds:
+            rnd += 1
+            arrivals = (
+                improved.withColumnRenamed("node", "src")
+                .join(e, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+            )
+            joined = dist.join(arrivals, "node", "full")
+            improved = joined.filter(
+                F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+            ).select("node", F.col("cand").alias("dist"))
+            dist = joined.select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.col("cand")),
+                    F.coalesce("cand", F.col("dist")),
+                ).alias("dist"),
+            )
+            if rnd % checkpoint_every == 0:
+                improved = improved.localCheckpoint(eager=True)
+                dist = dist.localCheckpoint(eager=True)
+            if improved.isEmpty():
+                break
+        return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+    finally:
+        e.unpersist()
+
+
 def oracle_sssp(edges_sql: str, source: str, rounds: int = 4) -> str:
     """Unrolled Bellman-Ford CTE chain; ``edges_sql`` must yield
     (src, dst, w)."""

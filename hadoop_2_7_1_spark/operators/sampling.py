@@ -466,7 +466,10 @@ def interleave_sources(
             F.row_number().over(Window.orderBy("d")) - 1,
         )
     )
-    n_src = F.max(F.col("source_idx")).over(Window.partitionBy(F.lit(1))) + 1
+    # Source count as a broadcast 1-row aggregate of the (tiny) source-index
+    # table — NOT a constant-partitioned window over the joined rows, which
+    # would funnel the whole dataset through one task.
+    n_src_row = src_idx.agg(F.count("*").cast("bigint").alias("__n_src"))
     ranked = (
         df.select(
             F.col(id_col).alias("id"),
@@ -479,13 +482,15 @@ def interleave_sources(
         )
         .drop("__h")
     )
-    joined = ranked.join(F.broadcast(src_idx), "d")
+    joined = ranked.join(F.broadcast(src_idx), "d").crossJoin(
+        F.broadcast(n_src_row)
+    )
     return joined.select(
         F.col("id").cast("bigint").alias(id_col),
         F.col("d").alias(domain_col),
         F.col("rank_in_source").cast("bigint"),
         F.col("source_idx").cast("bigint"),
-        (F.col("rank_in_source") * n_src + F.col("source_idx"))
+        (F.col("rank_in_source") * F.col("__n_src") + F.col("source_idx"))
         .cast("bigint")
         .alias("interleave_pos"),
     )

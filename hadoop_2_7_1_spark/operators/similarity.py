@@ -1032,7 +1032,7 @@ def clustered_fixture(
         F.col(id_col).alias("vec_id"),
         F.expr(
             f"transform(cast({vec_col} as array<double>), (x, j) -> "
-            f"(case when (shiftright(cast(vec_id % {n_anchors} as int), j % {bits}) & 1) = 1 "
+            f"(case when (shiftright(cast({id_col} % {n_anchors} as int), j % {bits}) & 1) = 1 "
             f"then 2.0D else -2.0D end) + 0.25D * x)"
         ).alias("embedding"),
     )

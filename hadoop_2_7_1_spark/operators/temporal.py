@@ -251,7 +251,10 @@ def gap_fill_interpolate(
     )
     joined = (
         spine.join(observed, [key_col, "bucket"], "left")
-        .withColumn("pos", F.expr("cast(unix_timestamp(bucket) as bigint)"))
+        # Timestamp->bigint CAST is epoch seconds regardless of the session
+        # timezone (unix_timestamp would re-interpret under a non-UTC
+        # session tz and diverge from the oracle's epoch() across DST).
+        .withColumn("pos", F.expr("cast(bucket as bigint)"))
         .withColumn("obs_pos", F.expr("case when cents is not null then pos end"))
     )
     back = (
@@ -294,8 +297,8 @@ def oracle_gap_fill_interpolate(
     value_col: str = "value",
     width: str = "hour",
 ) -> str:
-    """DuckDB mirror: epoch floored to BIGINT (Spark unix_timestamp
-    semantics), identical interpolation arithmetic."""
+    """DuckDB mirror: epoch floored to BIGINT (Spark's timestamp->bigint
+    cast semantics), identical interpolation arithmetic."""
     return f"""
     WITH observed AS (
       SELECT {key_col}, date_trunc('{width}', {ts_col}) AS bucket,

@@ -199,6 +199,39 @@ def har_create(
     return len(meta)
 
 
+def har_extract(har_path: str, dest_dir: str) -> int:
+    """Unpack a ``.har`` archive into ``dest_dir`` (pure Python: parse
+    ``_index``, slice the part files). Returns the number of files written.
+
+    This is the task-side localization step behind the streaming CLI's
+    ``-archives`` flag (ST/StreamJob.java flag table): the reference ships
+    an archive to each task and unpacks it into the working directory; we
+    unpack once and ship the tree via ``sc.addFile(recursive=True)``."""
+    import urllib.parse
+
+    count = 0
+    with open(os.path.join(har_path, "_index"), "rb") as fh:
+        for raw in fh.read().decode("utf-8").splitlines():
+            parts = raw.split(" ")
+            if len(parts) < 2:
+                continue
+            rel = urllib.parse.unquote(parts[0])
+            kind = parts[1]
+            target = os.path.join(dest_dir, rel.lstrip("/"))
+            if kind == "dir":
+                os.makedirs(target, exist_ok=True)
+                continue
+            partname, start, length = parts[2], int(parts[3]), int(parts[4])
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with open(os.path.join(har_path, partname), "rb") as pf:
+                pf.seek(start)
+                payload = pf.read(length)
+            with open(target, "wb") as out:
+                out.write(payload)
+            count += 1
+    return count
+
+
 def har_read_file(spark: SparkSession, har_path: str, inner: str) -> DataFrame:
     """Read one archived text file back THROUGH Hadoop's HarFileSystem
     (har:// URI against the default local fs) — the parity check that the

@@ -287,41 +287,70 @@ def _scan_data_from(data_path: str, pos: int, target, max_records: int):
 def _scan_block_data(data_path: str, pos: int, target, key_class, value_class):
     """BLOCK-compressed interval scan: the index position is a block start
     (sync escape); decode blocks from there until the target key is found or
-    overshot. Each block decompresses independently, so this reads one or
-    two blocks, not the file."""
-    from .seqfile import _parse_seq_stream
+    overshot. Blocks are read incrementally in 64 KiB chunks, so a lookup
+    touches one or two blocks of I/O — not the whole file tail."""
+    from .seqfile import _decompressor_for
 
     with open(data_path, "rb") as fh:
         head = fh.read(4096)
         _, _, hpos = _read_seq_header(head)
+        compressed, block = struct.unpack_from(">??", head, hpos)
+        decompress = None
+        if compressed or block:
+            clen, cpos = read_vlong(head, hpos + 2)
+            decompress = _decompressor_for(head[cpos : cpos + clen].decode())
         fh.seek(pos)
-        # Re-frame: header + the stream from pos, so the block parser can
-        # run; it stops at the first key past target (sorted data).
-        tail = fh.read()
-    for kb, vb, kcls, vcls in _parse_seq_stream(head[: _header_end(head)] + tail):
-        k = _norm(_decode_writable(kcls, kb))
-        if k == target:
-            return (True, _decode_writable(vcls, vb))
-        if k > target:
-            return None
-    return None
+        buf = b""
+        off = 0
 
+        def ensure(n: int) -> bool:
+            nonlocal buf, off
+            while len(buf) - off < n:
+                chunk = fh.read(65536)
+                if not chunk:
+                    return False
+                buf = buf[off:] + chunk
+                off = 0
+            return True
 
-def _header_end(head: bytes) -> int:
-    """Byte offset just past the full SequenceFile header (classnames,
-    compression flags + codec, metadata, sync marker)."""
-    _, _, pos = _read_seq_header(head)
-    compressed, block = struct.unpack_from(">??", head, pos)
-    pos += 2
-    if compressed or block:
-        clen, pos = read_vlong(head, pos)
-        pos += clen
-    (n_meta,) = struct.unpack_from(">i", head, pos)
-    pos += 4
-    for _ in range(n_meta * 2):
-        slen, pos = read_vlong(head, pos)
-        pos += slen
-    return pos + 16  # sync
+        while True:
+            if not ensure(4):
+                return None
+            (esc,) = struct.unpack_from(">i", buf, off)
+            if esc != -1:
+                return None  # trailing garbage / truncation
+            off += 4
+            if not ensure(16):
+                return None
+            off += 16  # sync marker
+            try:
+                ensure(10)  # a vlong is at most 9 bytes
+                n_rec, off = read_vlong(buf, off)
+                blobs = []
+                for _ in range(4):
+                    ensure(10)
+                    blen, off = read_vlong(buf, off)
+                    if not ensure(blen):
+                        return None  # truncated block
+                    blobs.append(decompress(buf[off : off + blen]))
+                    off += blen
+            except (struct.error, IndexError, OSError, ValueError):
+                return None
+            key_lens_b, keys_b, val_lens_b, vals_b = blobs
+            kp = vp = klp = vlp = 0
+            for _ in range(n_rec):
+                klen, klp = read_vlong(key_lens_b, klp)
+                vlen, vlp = read_vlong(val_lens_b, vlp)
+                k = _norm(_decode_writable(key_class, keys_b[kp : kp + klen]))
+                if k == target:
+                    return (
+                        True,
+                        _decode_writable(value_class, vals_b[vp : vp + vlen]),
+                    )
+                if k > target:  # sorted data: overshot — stop reading
+                    return None
+                kp += klen
+                vp += vlen
 
 
 # ---------------------------------------------------------------------------

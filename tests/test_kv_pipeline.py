@@ -166,6 +166,56 @@ def test_streaming_cli_files_and_cmdenv(spark, tmp_path):
     assert counts == {"m_hello": "2", "m_world": "1", "m_streaming": "1"}
 
 
+def test_streaming_cli_archives(spark, tmp_path):
+    """-archives (ST/StreamJob.java flag table): a .har built by the engine
+    and a .zip are unpacked into the task working directory under their
+    #alias, so the mapper runs scripts and reads side data out of the
+    archive exactly like reference archive localization."""
+    import zipfile
+
+    from hadoop_2_7_1_spark import cli
+    from hadoop_2_7_1_spark.sources.har import har_create
+
+    # .har payload: mapper script + stopword side file
+    tree = tmp_path / "tree"
+    tree.mkdir()
+    (tree / "mapper.py").write_text(
+        "import sys\n"
+        "stop = set(open('pkg/stop.txt').read().split())\n"
+        "tag = open('zside/tag.txt').read().strip()\n"
+        "for line in sys.stdin:\n"
+        "    for w in line.split():\n"
+        "        if w not in stop:\n"
+        "            print(f'{tag}{w}\\t1')\n"
+    )
+    (tree / "stop.txt").write_text("the a\n")
+    har = str(tmp_path / "pkg.har")
+    har_create(spark, str(tree), har)
+
+    # .zip payload: the tag file, under a different alias
+    zpath = tmp_path / "side.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("tag.txt", "t_")
+
+    src = tmp_path / "in.txt"
+    src.write_text("the quick fox\na quick dog\n")
+    out = str(tmp_path / "out_archives")
+    cli.run(
+        [
+            "-input", str(src),
+            "-output", out,
+            "-archives", f"{har}#pkg",
+            "-archives", f"{zpath}#zside",
+            "-mapper", "python3 pkg/mapper.py",
+            "-reducer", "NONE",
+            "-numReduceTasks", "0",
+        ],
+        spark=spark,
+    )
+    words = sorted(k for k, _ in _read_kv_output(out))
+    assert words == ["t_dog", "t_fox", "t_quick", "t_quick"]
+
+
 def test_streaming_cli_aggregate_reducer(spark, tmp_path):
     """'-reducer aggregate' (ValueAggregatorReducer): mapper emits
     Type:key<TAB>value records, framework folds them."""

@@ -1498,6 +1498,40 @@ def test_sssp_hand_checked(spark):
     assert out == {"A": 0, "B": 3, "C": 2, "D": 4}
 
 
+def test_converged_graph_equals_unrolled(spark):
+    """The while-loop+localCheckpoint production forms converge to the same
+    result as the fixed-round oracle forms once the round count covers the
+    graph: sssp_converged == sssp(rounds>=depth), bfs_hops_converged ==
+    bfs_hops(max_hops>=diameter) — including on a graph with a cycle and a
+    long chain that forces several checkpoint rounds."""
+    from hadoop_2_7_1_spark.operators.graph import (
+        bfs_hops,
+        bfs_hops_converged,
+        sssp,
+        sssp_converged,
+    )
+
+    # chain A->B->C->D->E->F->G plus shortcuts and a cycle back to A
+    chain = [(chr(65 + i), chr(66 + i), 2) for i in range(6)]
+    edges = spark.createDataFrame(
+        chain + [("A", "D", 9), ("D", "A", 1), ("C", "F", 1), ("G", "G", 5)],
+        "src string, dst string, w long",
+    )
+    unrolled = {r.node: r.dist for r in sssp(edges, "A", rounds=8).collect()}
+    converged = {
+        r.node: r.dist
+        for r in sssp_converged(edges, "A", checkpoint_every=2).collect()
+    }
+    assert converged == unrolled
+    assert converged["G"] == 7  # A->B(2)->C(2)->F(1)->G(2)
+    bfs_fixed = {r.node: r.hop for r in bfs_hops(edges, "A", max_hops=8).collect()}
+    bfs_conv = {
+        r.node: r.hop
+        for r in bfs_hops_converged(edges, "A", checkpoint_every=2).collect()
+    }
+    assert bfs_conv == bfs_fixed
+
+
 def test_gap_fill_interpolate_hand_checked(spark):
     """Values 100 at hour 0 and 400 at hour 3 -> gaps at hours 1,2
     interpolate to 200, 300; observed buckets keep exact values."""
