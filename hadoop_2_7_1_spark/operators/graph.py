@@ -14,7 +14,7 @@ computation as unrolled CTEs — which is how the oracle checks it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -471,6 +471,82 @@ def sssp_converged(
         return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
     finally:
         e.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.),
+    made deterministic: every node starts labeled with its own id; each
+    round it adopts the MOST FREQUENT label among its neighbors, ties
+    broken by the smallest label; ``rounds`` fixed synchronous updates (the
+    engine-replayable form — classic async LPA is order-dependent).
+
+    Each round is one equi-join (edge list against current labels) and one
+    (node, label) count + per-node top-1 — all keyed shuffles, never
+    all-pairs; per-node fan-in is its degree. Returns (node, label).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        winners = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+        )
+    return labels.select("node", "label")
+
+
+def oracle_label_propagation(edges_sql: str, rounds: int = 3) -> str:
+    """Unrolled synchronous-LPA CTE chain; final result is (node, label)."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "l0 AS (SELECT node, node AS label FROM"
+        " (SELECT DISTINCT src AS node FROM e))",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+    v{r} AS (
+      SELECT e.src AS node, l.label, count(*) AS cnt
+      FROM e JOIN l{r} l ON l.node = e.dst GROUP BY e.src, l.label
+    ),
+    w{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM v{r}
+      ) WHERE rn = 1
+    ),
+    l{r + 1} AS (
+      SELECT p.node, coalesce(w{r}.label, p.label) AS label
+      FROM l{r} p LEFT JOIN w{r} USING (node)
+    )""")
+    parts.append(f"SELECT node, label FROM l{rounds}")
+    return "\n".join(parts)
 
 
 def oracle_sssp(edges_sql: str, source: str, rounds: int = 4) -> str:

@@ -1345,3 +1345,178 @@ def oracle_pq_recall(
                 ELSE CAST(hits AS DOUBLE) / possible END AS recall
     FROM t, h
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer pruning + PQ-ADC scoring — the production ANN
+# index shape (FAISS IndexIVFPQ without residual encoding): the coarse cells
+# bound WHICH rows are scanned, the PQ codes bound WHAT is read per row.
+# ---------------------------------------------------------------------------
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: rank trained coarse cells per query, probe the
+    ``nprobe`` nearest, score ONLY the probed cells' rows by PQ-ADC table
+    lookups, take top-k by approximate distance.
+
+    One map-only corpus pass computes BOTH the coarse assignment and the m
+    subspace codes (centroids and codebooks ride the plan as literals), so
+    the persisted index row is (vec_id, cluster, m codes) — cluster id + m
+    bytes instead of dim floats. The probe is an equi-join on the cluster
+    key (queries broadcast); per query the scan touches ~nprobe/n_clusters
+    of the corpus and reads only codes. Scanned-fraction × compression
+    multiply — that is why this is the production layout at 100 TB.
+
+    Output: (id_q, id_vec, score_adc, rnk ascending by ADC distance).
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    corpus = assign_clusters(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+        cents,
+        "vec",
+    )
+    code_cols = []
+    for s in range(m):
+        d = _dists_expr(f"slice(vec, {s * sub + 1}, {sub})", _centroids_sql(books[s]))
+        code_cols.append(
+            (F.expr(f"array_position({d}, array_min({d}))") - 1)
+            .cast("int")
+            .alias(f"c{s}")
+        )
+    indexed = corpus.select(
+        "vec_id",
+        "cluster",
+        F.array(*code_cols).alias("codes"),
+    )
+
+    cd = _dists_expr("q_vec", _centroids_sql(cents))
+    adc_tables = [
+        F.expr(_dists_expr(f"slice(q_vec, {s * sub + 1}, {sub})", _centroids_sql(books[s])))
+        .alias(f"t{s}")
+        for s in range(m)
+    ]
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("_cd", F.expr(cd))
+        .select("q_id", "q_vec", F.posexplode("_cd").alias("cluster", "cdist"))
+    )
+    wp = Window.partitionBy("q_id").orderBy("cdist", "cluster")
+    probes = (
+        q.withColumn("prb", F.row_number().over(wp))
+        .filter(F.col("prb") <= nprobe)
+        .select(
+            "q_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            *adc_tables,
+        )
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "score_adc",
+            sum(
+                F.element_at(F.col(f"t{s}"), F.element_at("codes", s + 1) + 1)
+                for s in range(m)
+            ).cast("double"),
+        )
+        .select(F.col("q_id").alias("id_q"), F.col("vec_id").alias("id_vec"), "score_adc")
+    )
+    w = Window.partitionBy("id_q").orderBy(F.asc("score_adc"), F.asc("id_vec"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id_q").cast("bigint"),
+            F.col("id_vec").cast("bigint"),
+            "score_adc",
+            F.col("rnk").cast("bigint"),
+        )
+    )
+
+
+def oracle_ivf_pq(
+    table: str,
+    query_filter: str,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codebook: int = 8,
+    n_iter: int = 2,
+    k: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of :func:`ivf_pq_topk`: the coarse kmeans CTE chain
+    (seed_src/cent*/assign_final) and the per-subspace PQ chains
+    (pq_seed_src/s{i}_*) share one WITH clause; probes come from the coarse
+    centroids, ADC terms from per-(query, code) subspace distances."""
+    sub = dim // m
+    km = _oracle_kmeans_ctes(table, n_clusters, n_iter, dim)
+    pq = _oracle_pq_ctes(table, m, k_codebook, n_iter, dim)
+    pq_body = pq.strip()
+    assert pq_body.startswith("WITH")
+    pq_body = pq_body[len("WITH") :]
+    qdist = (
+        "list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), ct.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    qd_ctes = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        qd = (
+            f"list_sum(list_transform(list_zip(CAST(q.embedding[{lo}:{hi}] AS DOUBLE[]), ct.c), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+        qd_ctes.append(f"""
+    ipq_qd{s} AS (
+      SELECT q.vec_id AS q_id, ct.cluster, {qd} AS d
+      FROM {table} q CROSS JOIN s{s}_cent{n_iter} ct
+      WHERE {query_filter.replace('vec_id', 'q.vec_id')}
+    )""")
+    code_joins = " ".join(
+        f"JOIN s{s}_assign_final a{s} ON a{s}.vec_id = c.vec_id" for s in range(m)
+    )
+    adc_joins = " ".join(
+        f"JOIN ipq_qd{s} ON ipq_qd{s}.q_id = p.q_id AND ipq_qd{s}.cluster = a{s}.cluster"
+        for s in range(m)
+    )
+    total = " + ".join(f"ipq_qd{s}.d" for s in range(m))
+    return (
+        km
+        + ","
+        + pq_body
+        + ","
+        + ",".join(qd_ctes)
+        + f""",
+    ipq_probes AS (
+      SELECT q_id, cluster FROM (
+        SELECT q.vec_id AS q_id, ct.cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {qdist}, ct.cluster) AS prb
+        FROM {table} q CROSS JOIN cent{n_iter} ct
+        WHERE {query_filter.replace('vec_id', 'q.vec_id')}
+      ) WHERE prb <= {nprobe}
+    ),
+    ipq_scored AS (
+      SELECT p.q_id, c.vec_id, CAST({total} AS DOUBLE) AS score_adc
+      FROM assign_final c
+      JOIN ipq_probes p ON c.cluster = p.cluster AND c.vec_id <> p.q_id
+      {code_joins}
+      {adc_joins}
+    )
+    SELECT CAST(q_id AS BIGINT) AS id_q, CAST(vec_id AS BIGINT) AS id_vec,
+           score_adc,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score_adc, vec_id) AS BIGINT) AS rnk
+    FROM ipq_scored QUALIFY rnk <= {k}
+    """
+    )

@@ -23,7 +23,12 @@ from ..operators.funnel import (
     oracle_retention,
     oracle_trend_ols,
 )
-from ..operators.graph import oracle_bfs_hops, oracle_pagerank, oracle_sssp
+from ..operators.graph import (
+    oracle_bfs_hops,
+    oracle_label_propagation,
+    oracle_pagerank,
+    oracle_sssp,
+)
 from ..operators.temporal import oracle_gap_fill_interpolate, oracle_gap_fill_locf
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
@@ -904,6 +909,70 @@ def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+@register(
+    "cur_pipeline_stream",
+    """
+    WITH src AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+    deduped AS (SELECT DISTINCT * FROM src),
+    dim AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) AS type_weight
+      FROM events GROUP BY event_type
+    ),
+    enr AS (
+      SELECT d.user_id, d.ts, d.event_id,
+             CAST(round(d.value * 100) AS BIGINT) AS cents, m.type_weight
+      FROM deduped d JOIN dim m USING (event_type)
+      WHERE CAST(round(d.value * 100) AS BIGINT) >= 100
+    ),
+    ordered AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM enr
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, min(ts) AS t_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(sum(cents * type_weight) AS BIGINT) AS weighted_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Streaming curation capstone, batch twin: the ONE-query incremental "
+        "pipeline streaming.curate_sessions (stateful dedup -> broadcast dim "
+        "enrich -> cents quality gate -> session_window rollup) run on a "
+        "doubled events feed (every event delivered twice; the dedup stage "
+        "must collapse them). Oracle re-derives it from first principles: "
+        "DISTINCT * (event_id unique per source row) + lag-gap "
+        "sessionization. pytest runs the SAME function as a real stream "
+        "with availableNow and pins stream == batch",
+)
+def cur_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..streaming import curate_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "event_type",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), "event_type"))
+            .alias("type_weight"),
+        )
+    )
+    return curate_sessions(ev.unionByName(ev), dim)
 
 
 @register(
@@ -2449,6 +2518,34 @@ def grf_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grf_label_prop",
+    "SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members FROM ("
+    + oracle_label_propagation(_PR_EDGES_SQL, rounds=3)
+    + ") GROUP BY label",
+    doc="label-propagation community detection over the supplier-part "
+        "co-occurrence graph: 3 synchronous rounds of adopt-the-most-"
+        "frequent-neighbor-label (ties -> smallest label — the "
+        "deterministic, engine-replayable LPA variant); per round one "
+        "edge equi-join + per-node top-1 vote, all keyed shuffles; "
+        "output is community sizes",
+)
+def grf_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        label_propagation(edges, rounds=3)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+    )
+
+
+@register(
     "grf_jaccard_neighbors",
     """
     WITH e AS (
@@ -3620,6 +3717,27 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_fit(emb, m=4, k=8, n_iter=2, dim=64)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.pq_recall(emb, qs, books, k=5)
+
+
+@register(
+    "sim_ivf_pq",
+    similarity.oracle_ivf_pq(
+        "embeddings", "vec_id < 3", n_clusters=8, nprobe=2, m=4,
+        k_codebook=8, n_iter=2, k=3, dim=64,
+    ),
+    doc="IVF-PQ, the production ANN index shape (FAISS IndexIVFPQ sans "
+        "residuals): trained coarse cells bound WHICH rows are scanned "
+        "(nprobe=2 of 8 cells), PQ codes bound WHAT is read per row (4 "
+        "code bytes); one map-only pass builds (cluster, codes) per "
+        "vector; probe is a cluster equi-join; scanned-fraction and "
+        "compression multiply",
+)
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
+    books = similarity.pq_fit(emb, m=4, k=8, n_iter=2, dim=64)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_pq_topk(emb, qs, cents, books, k=3, nprobe=2)
 
 
 @register(

@@ -37,17 +37,50 @@ def _dsum(col, scale: int = 4):
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
+# Split-accumulator sum: the scan-dominated queries (tq1, tq6) pay ~1.3s in
+# decimal aggregate buffers at sf0.1 where plain long sums cost 0.7s — and
+# profiling showed the tax is the decimal SUM itself, not the per-row cast
+# (decimal(18) ≈ decimal(38) ≈ bigint-input-decimal-buffer ≈ 1.3s; two long
+# sums ≈ 0.76s, measured min-of-4 quiet-box, r6). So: round to scaled
+# BIGINT per row, accumulate TWO plain long sums (high 44 bits, low 20
+# bits), recombine in double. Exact and order-independent like the decimal
+# form, and overflow-safe at 100 TB: per-group lo-sum < 2^20 · rows
+# (6·10^11 rows → 6·10^17 < 2^63) and hi-sum < (maxval/2^20) · rows
+# (~10^3 · 6·10^11 = 6·10^14). Recombination is IEEE-identical on both
+# engines: hi·2^20 is a power-of-two scaling (exact), one rounded add, one
+# rounded divide — the oracle spells the same three ops.
+_SPLIT_BITS = 20
+_SPLIT = 1 << _SPLIT_BITS
+
+
+def _xsum(col, scale: int = 4):
+    v = F.round(col * (10**scale)).cast("bigint")
+    hi = F.sum(F.shiftright(v, _SPLIT_BITS))
+    lo = F.sum(v.bitwiseAND(F.lit(_SPLIT - 1)))
+    return (
+        hi.cast("double") * F.lit(float(_SPLIT)) + lo.cast("double")
+    ) / F.lit(float(10**scale))
+
+
+def _oracle_xsum(expr: str, scale: int = 4) -> str:
+    v = f"CAST(round(({expr}) * 1e{scale}) AS BIGINT)"
+    return (
+        f"(CAST(sum({v} >> {_SPLIT_BITS}) AS DOUBLE) * {float(_SPLIT)!r}"
+        f" + CAST(sum({v} & {_SPLIT - 1}) AS DOUBLE)) / 1e{scale}"
+    )
+
+
 @register(
     "tq1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_disc,
+           {_oracle_xsum('l_quantity')} AS sum_qty,
+           {_oracle_xsum('l_extendedprice')} AS sum_base_price,
+           {_oracle_xsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_oracle_xsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           ({_oracle_xsum('l_quantity')}) / count(*) AS avg_qty,
+           ({_oracle_xsum('l_extendedprice')}) / count(*) AS avg_price,
+           ({_oracle_xsum('l_discount')}) / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -62,13 +95,13 @@ def tq1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
-            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
-            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
-            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            _xsum(F.col("l_quantity")).alias("sum_qty"),
+            _xsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _xsum(disc_price).alias("sum_disc_price"),
+            _xsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            (_xsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_xsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_xsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
             F.count("*").cast("bigint").alias("count_order"),
         )
     )
@@ -187,8 +220,8 @@ def tq4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tq6_forecast_revenue",
-    """
-    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    f"""
+    SELECT {_oracle_xsum('l_extendedprice * l_discount')} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -207,7 +240,7 @@ def tq6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(_xsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 

@@ -139,6 +139,57 @@ def correlate_streams(
     )
 
 
+def curate_sessions(
+    events: DataFrame,
+    dim: DataFrame,
+    gap: str = "30 minutes",
+    min_cents: int = 100,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental-curation capstone: ONE streaming query chaining the
+    pipeline stages — stateful dedup (duplicate deliveries dropped within
+    the watermark horizon) → broadcast stream-static dimension enrichment →
+    quality gate (exact integer cents) → native session-window rollup with
+    an engagement-weighted value.
+
+    The SAME expression runs on a batch frame (dropDuplicatesWithinWatermark
+    degrades to dropDuplicates, session_window is identical), which is how
+    the registered batch twin ``cur_pipeline_stream`` carries a DuckDB
+    oracle; pytest pins stream ≡ batch on the doubled events feed.
+
+    At scale: dedup state and session state are both watermark-bounded; the
+    dim join ships only the (tiny) dimension; everything else is the one
+    user-keyed shuffle the session rollup needs.
+    """
+    if events.isStreaming:
+        deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    else:  # batch twin: Spark rejects the watermark form on batch frames
+        deduped = events.dropDuplicates(["event_id"])
+    enriched = deduped.join(F.broadcast(dim), "event_type", "inner")
+    kept = enriched.withColumn(
+        "cents", F.expr("cast(round(value * 100) as bigint)")
+    ).filter(F.col("cents") >= min_cents)
+    return (
+        kept.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.sum(F.col("cents") * F.col("type_weight"))
+            .cast("bigint")
+            .alias("weighted_cents"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("win.start").alias("t_start"),
+            "n_events",
+            "cents",
+            "weighted_cents",
+        )
+    )
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query on all currently-available input
     (availableNow trigger) into an in-memory table; returns the result as a

@@ -268,6 +268,28 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert n_urgent == orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
 
 
+def test_forget_users_cascade_is_semi_joins_no_rewrite(spark):
+    """The GDPR forget-users cascade must stay two semi-join key sets:
+    forgotten custkeys BROADCAST into orders, affected orderkeys semi-joined
+    into lineitem — never a row-wise rewrite of the fact tables. Guarded
+    like the dedup shapes: the executed plan has the two LeftSemi joins and
+    a broadcast, and each fact table is scanned at most twice (count +
+    semi-join; a rewrite pass would add a third full scan and a write)."""
+    plan = plan_of(spark, "prof_forget_users")
+    assert plan.count("LeftSemi") == 2, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("lineitem.parquet") <= 2, plan
+    assert plan.count("orders.parquet") <= 2, plan
+
+
+def test_k_anonymity_single_shuffle(spark):
+    """The k-anonymity audit is ONE quasi-identifier groupBy; every k
+    threshold folds over the resulting (tiny) group-size table. Exactly one
+    keyed exchange regardless of how many k levels are reported."""
+    plan = plan_of(spark, "prof_k_anonymity")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_domain_quota_partial_topk_before_shuffle(spark):
     """The per-domain quota must apply its rank cap map-side
     (WindowGroupLimit Partial) so a mega-domain ships at most `cap` rows per

@@ -47,6 +47,49 @@ def test_session_stream_matches_batch_sessionize(spark):
     assert_frames_match(out, batch, "session_stream_vs_batch")
 
 
+def test_curate_sessions_stream_matches_batch(spark, tmp_path):
+    """Streaming capstone parity: the ONE-query curation pipeline
+    (dedup -> dim enrich -> quality gate -> session rollup) over a stream
+    that delivers every event TWICE must equal the registered oracle-checked
+    batch twin cur_pipeline_stream on the doubled batch frame — the dedup
+    state has to collapse the duplicate deliveries for this to hold."""
+    import os
+
+    from pyspark.sql import Window
+
+    from hadoop_2_7_1_spark.queries import REGISTRY
+
+    # doubled delivery: the same parquet twice in the source directory
+    src = os.path.join(SF_DIR, "events.parquet")
+    stage = tmp_path / "doubled"
+    stage.mkdir()
+    os.symlink(src, stage / "a.parquet")
+    os.symlink(src, stage / "b.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).format("parquet").load(str(stage))
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    ev = load_table(spark, SF_DIR, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "event_type"))
+            .alias("type_weight"),
+        )
+    )
+    out = streaming.run_to_memory(
+        streaming.curate_sessions(sdf, dim), "t_curate", "complete"
+    ).toPandas()
+    batch = REGISTRY["cur_pipeline_stream"].fn(spark, SF_DIR).toPandas()
+    assert_frames_match(out, batch, "curate_sessions_stream_vs_batch")
+
+
 def test_dedup_stream(spark):
     sdf = streaming.stream_events(spark, SF_DIR)
     deduped = streaming.run_to_memory(
