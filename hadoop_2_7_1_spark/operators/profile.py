@@ -330,3 +330,99 @@ def oracle_forget_users(
            CAST(n_before - n_purged AS BIGINT) AS n_after
     FROM r
     """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift: population stability index (PSI) per monitored column
+# ---------------------------------------------------------------------------
+
+PSI_ALERT = 0.2  # the standard "significant shift" PSI threshold
+
+
+def drift_psi(
+    df: DataFrame,
+    base_filter_sql: str,
+    specs: list[tuple[str, str]],
+) -> DataFrame:
+    """Distribution drift between two snapshots of the same table, as the
+    population stability index per monitored column:
+
+        PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+    ``base_filter_sql`` splits rows into base (true) vs target (false);
+    ``specs`` is [(col_name, bin_sql_expr)] — each expr must yield a STRING
+    bin label (fixed-width numeric bins, raw categoricals, ...). The
+    monitoring pass every production table gets between training snapshots.
+
+    Bin proportions are Laplace-smoothed — p_i = (c_i + 0.5)/(N + 0.5·B)
+    with B the number of observed bins — so empty-on-one-side bins stay
+    finite and the whole computation is deterministic from exact integer
+    counts (per-bin terms round to DECIMAL(38,6) before the Σ, the standard
+    summation-order discipline). Plan: ONE scan fans every spec out via
+    stack (rows × n_specs, narrow), one (col_name, bin) count shuffle, one
+    tiny per-column fold. Output: (col_name, n_bins, psi, drifted).
+    """
+    n = len(specs)
+    stack_args = ", ".join(f"'{name}', cast(({e}) as string)" for name, e in specs)
+    binned = df.select(
+        F.expr(f"({base_filter_sql})").alias("is_base"),
+        F.expr(f"stack({n}, {stack_args}) as (col_name, bin)"),
+    )
+    counts = binned.groupBy("col_name", "bin").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("cb"),
+        F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = counts.groupBy("col_name").agg(
+        F.sum("cb").alias("tb"),
+        F.sum("ct").alias("tt"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = "((cast(cb as double) + 0.5) / (cast(tb as double) + 0.5 * nb))"
+    q = "((cast(ct as double) + 0.5) / (cast(tt as double) + 0.5 * nb))"
+    terms = counts.join(totals, "col_name").select(
+        "col_name",
+        "nb",
+        F.expr(f"cast(({p} - {q}) * ln({p} / {q}) as decimal(38,6))").alias("term"),
+    )
+    return terms.groupBy("col_name").agg(
+        F.max("nb").cast("bigint").alias("n_bins"),
+        F.sum("term").cast("double").alias("psi"),
+        (F.sum("term").cast("double") > PSI_ALERT).alias("drifted"),
+    )
+
+
+def oracle_drift_psi(
+    table: str,
+    base_filter_sql: str,
+    specs: list[tuple[str, str]],
+) -> str:
+    """DuckDB mirror of :func:`drift_psi` (stack → UNION ALL fan-out)."""
+    fan = " UNION ALL ".join(
+        f"SELECT ({base_filter_sql}) AS is_base, '{name}' AS col_name,"
+        f" CAST(({e}) AS VARCHAR) AS bin FROM {table}"
+        for name, e in specs
+    )
+    p = "((CAST(cb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * nb))"
+    q = "((CAST(ct AS DOUBLE) + 0.5) / (CAST(tt AS DOUBLE) + 0.5 * nb))"
+    return f"""
+    WITH binned AS ({fan}),
+    counts AS (
+      SELECT col_name, bin,
+             sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS cb,
+             sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS ct
+      FROM binned GROUP BY col_name, bin
+    ),
+    totals AS (
+      SELECT col_name, sum(cb) AS tb, sum(ct) AS tt, count(*) AS nb
+      FROM counts GROUP BY col_name
+    ),
+    terms AS (
+      SELECT c.col_name, t.nb,
+             CAST(({p} - {q}) * ln({p} / {q}) AS DECIMAL(38,6)) AS term
+      FROM counts c JOIN totals t ON c.col_name = t.col_name
+    )
+    SELECT col_name, CAST(max(nb) AS BIGINT) AS n_bins,
+           CAST(sum(term) AS DOUBLE) AS psi,
+           CAST(sum(term) AS DOUBLE) > {PSI_ALERT!r} AS drifted
+    FROM terms GROUP BY col_name
+    """

@@ -428,3 +428,150 @@ def oracle_hll_distinct(table: str, group_col: str, value_col: str) -> str:
            CAST(zeros AS BIGINT) AS n_zero_registers
     FROM ex JOIN est USING ({group_col})
     """
+
+
+def hll_sliding_distinct(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling ``window_days``-day distinct-count per day via MERGED HLL
+    registers — the query that shows WHY sketches, not exact sets, back
+    rolling uniques at scale: per-day register tables (day, bucket, max rho)
+    are built once, and the trailing window for every day is just max() over
+    the covered days' registers. Exact distinct is computed alongside as the
+    accuracy audit.
+
+    Merge-by-fanout keeps every shuffle equi-keyed: each per-day register
+    row covers days [d, d+window-1], expanded map-side with a sequence
+    explode (×window narrow fan-out of a register table that is at most
+    1024 rows/day — NOT of the event stream), then one (day, bucket) max
+    and one per-day fold. The exact side re-scans (day, value) pairs per
+    covered day — that ×window blowup of the DATA is exactly what the
+    sketch path avoids at 100 TB.
+
+    Output: (day_epoch, n_exact, hll_estimate, n_zero_registers) for each
+    observed day, window = the trailing ``window_days``.
+    """
+    cap, m = HLL_RHO_CAP, HLL_M
+    day = F.expr(f"datediff(cast({ts_col} as date), date '1970-01-01')")
+    h = _hash60(F.col(value_col))
+    d = events.filter(F.col(value_col).isNotNull()).select(
+        day.alias("day"),
+        F.shiftright(h, 50).alias("__b"),
+        (h % (1 << 50)).alias("__w"),
+    )
+    rho = (
+        F.when(F.col("__w") == 0, F.lit(51))
+        .otherwise(F.lit(51) - F.length(F.bin(F.col("__w"))))
+    )
+    day_regs = (
+        d.withColumn("__rho", F.least(rho, F.lit(cap)))
+        .groupBy("day", "__b")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    spine = d.select("day").distinct()
+    covered = day_regs.select(
+        F.explode(
+            F.expr(f"sequence(day, day + {window_days - 1})")
+        ).alias("day_s"),
+        "__b",
+        "__m",
+    )
+    merged = (
+        covered.join(spine.select(F.col("day").alias("day_s")), "day_s")
+        .groupBy("day_s", "__b")
+        .agg(F.max("__m").alias("__m"))
+    )
+    folded = merged.groupBy("day_s").agg(
+        F.sum(F.expr(f"cast(pow(2, {cap} - __m) as bigint)")).alias("__s_present"),
+        F.count("*").alias("__nb"),
+    )
+    zeros = F.lit(m) - F.col("__nb")
+    s_total = (F.col("__s_present") + zeros * (1 << cap)).cast("double")
+    e_raw = F.lit(HLL_NUMERATOR) / s_total
+    est = F.when(
+        (zeros > 0) & (e_raw <= 2.5 * m),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 4),
+    ).otherwise(F.round(e_raw, 4))
+    pairs = events.filter(F.col(value_col).isNotNull()).select(
+        day.alias("day"), F.col(value_col).alias("v")
+    ).distinct()
+    exact = (
+        pairs.select(
+            F.explode(
+                F.expr(f"sequence(day, day + {window_days - 1})")
+            ).alias("day_s"),
+            "v",
+        )
+        .join(spine.select(F.col("day").alias("day_s")), "day_s")
+        .groupBy("day_s")
+        .agg(F.count_distinct("v").cast("bigint").alias("n_exact"))
+    )
+    return exact.join(folded, "day_s").select(
+        F.col("day_s").cast("bigint").alias("day_epoch"),
+        "n_exact",
+        est.cast("double").alias("hll_estimate"),
+        zeros.cast("bigint").alias("n_zero_registers"),
+    )
+
+
+def oracle_hll_sliding_distinct(
+    table: str,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window_days: int = 7,
+) -> str:
+    cap, m = HLL_RHO_CAP, HLL_M
+    h = f"CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    day = f"CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS INT)"
+    return f"""
+    WITH d AS (
+      SELECT {day} AS day,
+             {h} // {1 << 50} AS b,
+             {h} % {1 << 50} AS w
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ), day_regs AS (
+      SELECT day, b,
+             max(least(CASE WHEN w = 0 THEN 51 ELSE 51 - len(bin(w)) END, {cap})) AS mreg
+      FROM d GROUP BY day, b
+    ), spine AS (SELECT DISTINCT day FROM d),
+    covered AS (
+      SELECT day + o AS day_s, b, mreg
+      FROM day_regs, UNNEST(range(0, {window_days})) AS u(o)
+    ),
+    merged AS (
+      SELECT c.day_s, c.b, max(c.mreg) AS mreg
+      FROM covered c JOIN spine s ON c.day_s = s.day
+      GROUP BY c.day_s, c.b
+    ),
+    folded AS (
+      SELECT day_s,
+             CAST(sum(CAST(2 ** ({cap} - mreg) AS BIGINT)) AS BIGINT) AS s_present,
+             count(*) AS nb
+      FROM merged GROUP BY day_s
+    ),
+    est AS (
+      SELECT day_s, {m} - nb AS zeros,
+             CAST(s_present + ({m} - nb) * {1 << cap} AS DOUBLE) AS s_total
+      FROM folded
+    ),
+    pairs AS (
+      SELECT DISTINCT {day} AS day, {value_col} AS v
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    exact AS (
+      SELECT p.day + o AS day_s, CAST(count(DISTINCT p.v) AS BIGINT) AS n_exact
+      FROM pairs p, UNNEST(range(0, {window_days})) AS u(o), spine s
+      WHERE p.day + o = s.day
+      GROUP BY p.day + o
+    )
+    SELECT CAST(e.day_s AS BIGINT) AS day_epoch, e.n_exact,
+           CAST(CASE WHEN zeros > 0 AND {HLL_NUMERATOR!r} / s_total <= {2.5 * m!r}
+                     THEN round({float(m)!r} * ln({float(m)!r} / zeros), 4)
+                     ELSE round({HLL_NUMERATOR!r} / s_total, 4) END AS DOUBLE)
+             AS hll_estimate,
+           CAST(zeros AS BIGINT) AS n_zero_registers
+    FROM exact e JOIN est USING (day_s)
+    """

@@ -1392,6 +1392,100 @@ def oracle_bigram_logprob(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+KN_DISCOUNT = 0.75  # absolute discount D (Kneser-Ney standard default)
+
+
+def kneser_ney_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bigrams, avg_logprob) under interpolated Kneser-Ney bigram
+    smoothing — the LM behind KenLM-style perplexity filters, upgraded from
+    :func:`bigram_logprob`'s Jelinek-Mercer mix:
+
+      P(w2|w1) = max(c(w1 w2) − D, 0) / c(w1·)
+                 + (D · N1+(w1 ·) / c(w1·)) · N1+(· w2) / n_types
+
+    where c(w1·) is the context count, N1+(w1 ·) the distinct-continuation
+    count, N1+(· w2) the distinct-history count, and n_types the number of
+    distinct bigram types — the continuation probability ranks words by how
+    many CONTEXTS they follow, not raw frequency (the 'Francisco' fix).
+
+    Every model quantity is an exact integer aggregate, so the scoring
+    doubles are engine-identical given the spelled operation order; the
+    per-bigram ln rounds to DECIMAL(38,6) before the per-doc mean (the same
+    summation-order discipline as the other LM scorers). Plan shape: three
+    vocab-sized count tables + one type-count scalar, then the bigram
+    stream joins each on its own key — all equi-keyed, map-side combined.
+    """
+    d = float(KN_DISCOUNT)
+    toks_arr = _tok_array(text_col)
+    bi_expr = (
+        f"CASE WHEN size({toks_arr}) >= 2 THEN "
+        f"transform(sequence(1, size({toks_arr}) - 1), i -> "
+        f"struct(element_at({toks_arr}, i) AS w1, element_at({toks_arr}, i + 1) AS w2))"
+        f" ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
+    )
+    bis = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(F.expr(bi_expr)).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cb = bis.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx = cb.groupBy("w1").agg(
+        F.sum("cb").alias("c1"), F.count("*").alias("nfol")
+    )
+    cont = cb.groupBy("w2").agg(F.count("*").alias("nprec"))
+    types = cb.agg(F.count("*").alias("ntypes"))
+    scored = (
+        bis.join(cb, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "id",
+            F.expr(
+                f"cast(ln("
+                f"  greatest(cast(cb as double) - {d!r}, cast(0 as double)) / c1"
+                f"  + ({d!r} * cast(nfol as double) / c1)"
+                f"    * (cast(nprec as double) / ntypes)"
+                f") as decimal(38,6))"
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (F.sum("lp").cast("double") / F.count("*")).alias("avg_logprob"),
+    )
+
+
+def oracle_kneser_ney_logprob(table: str, id_col: str, text_col: str) -> str:
+    d = float(KN_DISCOUNT)
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    return f"""
+    WITH tk AS (
+      SELECT {id_col} AS id, {toks} AS t FROM {table}
+    ), bis AS (
+      SELECT id, t[i] AS w1, t[i + 1] AS w2
+      FROM tk, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    ), cb AS (
+      SELECT w1, w2, count(*) AS cb FROM bis GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, sum(cb) AS c1, count(*) AS nfol FROM cb GROUP BY w1
+    ), cont AS (
+      SELECT w2, count(*) AS nprec FROM cb GROUP BY w2
+    ), types AS (SELECT count(*) AS ntypes FROM cb)
+    SELECT CAST(b.id AS BIGINT) AS id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(ln(
+             greatest(CAST(cb.cb AS DOUBLE) - {d!r}, CAST(0 AS DOUBLE)) / ctx.c1
+             + ({d!r} * CAST(ctx.nfol AS DOUBLE) / ctx.c1)
+               * (CAST(cont.nprec AS DOUBLE) / types.ntypes)
+           ) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_logprob
+    FROM bis b
+    JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+    JOIN ctx ON b.w1 = ctx.w1
+    JOIN cont ON b.w2 = cont.w2, types
+    GROUP BY b.id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Trained linear quality filter (distill a rule filter into a classifier)
 # ---------------------------------------------------------------------------

@@ -33,8 +33,13 @@ from ..operators.temporal import oracle_gap_fill_interpolate, oracle_gap_fill_lo
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
-from ..operators.sketches import oracle_hll_distinct, oracle_kmv_distinct
+from ..operators.sketches import (
+    oracle_hll_distinct,
+    oracle_hll_sliding_distinct,
+    oracle_kmv_distinct,
+)
 from ..operators.profile import (
+    oracle_drift_psi,
     oracle_expectations,
     oracle_forget_users,
     oracle_k_anonymity,
@@ -1643,6 +1648,38 @@ def prof_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(cust, ["c_nationkey", "c_mktsegment"])
 
 
+_DRIFT_SPECS = [
+    ("totalprice_bin", "least(9, cast(floor(o_totalprice / 60000) as int))"),
+    ("orderpriority", "o_orderpriority"),
+    ("orderstatus", "o_orderstatus"),
+]
+_DRIFT_SPECS_SQL = [
+    ("totalprice_bin", "least(9, CAST(floor(o_totalprice / 60000) AS INT))"),
+    ("orderpriority", "o_orderpriority"),
+    ("orderstatus", "o_orderstatus"),
+]
+_DRIFT_SPLIT = "o_orderdate < TIMESTAMP '1995-06-01 00:00:00'"
+
+
+@register(
+    "prof_drift_psi",
+    oracle_drift_psi("orders", _DRIFT_SPLIT, _DRIFT_SPECS_SQL),
+    doc="population stability index between the pre/post-1995-06 order "
+        "snapshots, per monitored column (fixed-width totalprice bins + two "
+        "categoricals): Laplace-smoothed bin proportions from exact integer "
+        "counts, per-bin terms rounded to DECIMAL(38,6) before the fold; "
+        "ONE scan fans all specs via stack, one (col, bin) shuffle, one "
+        "tiny per-column fold — the between-training-snapshots drift check",
+)
+def prof_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import drift_psi
+
+    orders = load_table(spark, sf_dir, "orders")
+    return drift_psi(
+        orders, "o_orderdate < timestamp '1995-06-01 00:00:00'", _DRIFT_SPECS
+    )
+
+
 @register(
     "prof_forget_users",
     oracle_forget_users("customer", "orders", "lineitem"),
@@ -2234,6 +2271,22 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return hll_distinct(ev, "event_type", "user_id")
+
+
+@register(
+    "evt_hll_sliding",
+    oracle_hll_sliding_distinct("events", "ts", "user_id", window_days=7),
+    doc="rolling 7-day distinct users per day via MERGED HLL registers — "
+        "the mergeability payoff: per-day register tables built once, each "
+        "trailing window is a max() over the covered days' registers "
+        "(register-table fan-out x7, never event-stream fan-out); exact "
+        "distinct computed alongside as the accuracy audit",
+)
+def evt_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_sliding_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_sliding_distinct(ev, "ts", "user_id", window_days=7)
 
 
 @register(
@@ -3082,6 +3135,21 @@ def txt_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.bigram_logprob(docs, "doc_id", "text")
+
+
+@register(
+    "txt_kneser_ney",
+    textops.oracle_kneser_ney_logprob("documents", "doc_id", "text"),
+    doc="interpolated Kneser-Ney bigram LM score per doc (the KenLM-style "
+        "perplexity filter): absolute discount D=0.75, continuation "
+        "probability from distinct-history counts (the 'Francisco' fix "
+        "over raw-frequency backoff); all model quantities exact integer "
+        "aggregates, per-bigram ln rounded to DECIMAL(38,6) before the "
+        "per-doc mean",
+)
+def txt_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.kneser_ney_logprob(docs, "doc_id", "text")
 
 
 @register(

@@ -1644,3 +1644,76 @@ def test_interleave_sources_cycle(spark):
         by_cycle.setdefault(r.interleave_pos // n_src, []).append(r.source)
     for cyc, sources in by_cycle.items():
         assert len(sources) == len(set(sources)), f"cycle {cyc} repeats a source"
+
+
+def test_label_propagation_hand_checked(spark):
+    """Triangle {a,b,c}: synchronous LPA with min-label tiebreak converges
+    to the min label. Disjoint pair {x,y}: the classic synchronous-LPA
+    2-cycle — labels swap every round (x<-'y', y<-'x', then back) — which
+    the fixed-round deterministic form reproduces exactly (that
+    replayability is the point; async LPA would break the tie by visit
+    order instead)."""
+    from hadoop_2_7_1_spark.operators.graph import label_propagation
+
+    und = [("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    even = {r.node: r.label for r in label_propagation(edges, rounds=4).collect()}
+    assert even == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "y"}
+    odd = {r.node: r.label for r in label_propagation(edges, rounds=3).collect()}
+    assert odd == {"a": "a", "b": "a", "c": "a", "x": "y", "y": "x"}
+
+
+def test_drift_psi_detects_shift(spark):
+    """Identical category distributions -> PSI ~ 0; a hard shift (all 'p'
+    to all 'q') -> PSI far above the 0.2 alert threshold."""
+    from hadoop_2_7_1_spark.operators.profile import drift_psi
+
+    rows = [(i, "p" if i < 400 else "q", "same") for i in range(800)]
+    df = spark.createDataFrame(rows, "id bigint, cat string, stable string")
+    out = {
+        r.col_name: r
+        for r in drift_psi(
+            df, "id % 2 = 0", [("cat", "cat"), ("stable", "stable")]
+        ).collect()
+    }
+    # even/odd split leaves both distributions identical -> tiny PSI
+    assert abs(out["stable"].psi) < 0.01 and not out["stable"].drifted
+    assert abs(out["cat"].psi) < 0.01 and not out["cat"].drifted
+    shifted = {
+        r.col_name: r
+        for r in drift_psi(df, "id < 400", [("cat", "cat")]).collect()
+    }
+    assert shifted["cat"].psi > 0.2 and shifted["cat"].drifted
+
+
+def test_hll_sliding_window1_equals_per_day(spark):
+    """With window_days=1 the rolling merge degenerates to the per-day
+    sketch: estimates must equal hll_distinct grouped by epoch day."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.io import load_table
+    from hadoop_2_7_1_spark.operators.sketches import (
+        hll_distinct,
+        hll_sliding_distinct,
+    )
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    rolled = {
+        r.day_epoch: (r.n_exact, r.hll_estimate)
+        for r in hll_sliding_distinct(ev, "ts", "user_id", window_days=1).collect()
+    }
+    per_day = {
+        r.d: (r.n_exact, r.hll_estimate)
+        for r in hll_distinct(
+            ev.withColumn(
+                "d", F.expr("datediff(cast(ts as date), date '1970-01-01')")
+            ),
+            "d",
+            "user_id",
+        ).collect()
+    }
+    assert rolled == per_day and len(rolled) > 0
