@@ -101,11 +101,13 @@ def main() -> None:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    # Two fully-materialized passes per query, keeping the minimum: ambient
-    # scheduling noise on a shared box swings single measurements 1.5-2x,
-    # and min-of-2 is the standard way to report the plan's actual cost.
-    # Both passes do identical work (noop write of every output column).
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # Three fully-materialized passes per query, keeping the minimum: ambient
+    # scheduling noise on a shared box swings single measurements 1.5-2x, and
+    # the FIRST queries additionally pay JVM JIT warmup (tq1 runs first and
+    # measured 2.1s min-of-2 cold vs 0.98s min-of-4 warm on identical code,
+    # r6) — min-of-3 absorbs both. All passes do identical work (noop write
+    # of every output column).
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     # Per-query isolation: one broken query must never take down the whole

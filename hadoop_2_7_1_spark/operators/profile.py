@@ -426,3 +426,76 @@ def oracle_drift_psi(
            CAST(sum(term) AS DOUBLE) > {PSI_ALERT!r} AS drifted
     FROM terms GROUP BY col_name
     """
+
+
+# ---------------------------------------------------------------------------
+# Laplace-mechanism histogram release (deterministic test-harness uniforms)
+# ---------------------------------------------------------------------------
+
+def dp_release(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private histogram release shape: per-group counts
+    (sensitivity 1) plus Laplace(1/ε) noise via the inverse CDF
+    ``−(1/ε)·sign(u)·ln(1 − 2|u|)`` on a uniform u ∈ (−½, ½).
+
+    DETERMINISM CAVEAT, by design: u derives from md5(group‖salt) — a
+    deterministic stand-in so the MECHANISM (sensitivity bookkeeping,
+    inverse-CDF transform, post-processing rounding) is oracle-checkable
+    and replayable in tests. A real release must draw u from secure
+    randomness (fresh per query); swap the hash for an RNG at deploy time
+    and nothing else changes. The engine-side cost is one group count plus
+    map-only noise arithmetic.
+
+    Output: (group, n_true, n_noised, epsilon) — n_true is reported here
+    because this is the audit artifact; a production release drops it.
+    """
+    from ..functions import hex_hash32
+
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    # (k + 0.5) / 2^20 is strictly inside (0,1) and never exactly 0.5
+    u01 = (
+        (hex_hash32(F.concat_ws(":", F.lit(salt), F.col("grp").cast("string")))
+         % (1 << 20)).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 20))
+    b = 1.0 / float(epsilon)
+    noised = counts.withColumn("u", u01 - F.lit(0.5)).select(
+        F.col("grp").alias(group_col),
+        "n_true",
+        F.expr(
+            f"round(cast(n_true as double) + (case when u < 0 then {b!r} else -{b!r} end)"
+            f" * ln(1 - 2 * abs(u)), 4)"
+        ).alias("n_noised"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )
+    return noised
+
+
+def oracle_dp_release(
+    table: str, group_col: str, epsilon: float = 1.0, salt: str = "dp"
+) -> str:
+    from ..functions import oracle_hash32
+
+    h = oracle_hash32(f"'{salt}' || ':' || CAST(grp AS VARCHAR)")
+    b = 1.0 / float(epsilon)
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS grp, CAST(count(*) AS BIGINT) AS n_true
+      FROM {table} GROUP BY {group_col}
+    ),
+    noise AS (
+      SELECT grp, n_true,
+             (CAST({h} % {1 << 20} AS DOUBLE) + 0.5) / {float(1 << 20)!r} - 0.5 AS u
+      FROM counts
+    )
+    SELECT grp AS {group_col}, n_true,
+           round(CAST(n_true AS DOUBLE) + (CASE WHEN u < 0 THEN {b!r} ELSE {-b!r} END)
+                 * ln(1 - 2 * abs(u)), 4) AS n_noised,
+           CAST({float(epsilon)!r} AS DOUBLE) AS epsilon
+    FROM noise
+    """

@@ -345,3 +345,225 @@ def oracle_gap_fill_interpolate(
            cents IS NULL AS is_gap
     FROM p
     """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection — the O(1)-state sequential recurrence in its
+# parallel prefix form
+# ---------------------------------------------------------------------------
+
+def cusum_alarms(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    h_cents: int = 50_000,
+) -> DataFrame:
+    """One-sided CUSUM change detection per key: the textbook recurrence
+    ``S_t = max(0, S_{t-1} + (x_t − k))`` rewritten in its parallel prefix
+    form — ``S_t = P_t − min(0, min_{j≤t} P_j)`` with ``P`` the prefix sum
+    of ``x − k`` — so the 'inherently sequential' monitor becomes two
+    window folds (prefix sum + running min) over one key-partitioned sort,
+    fully distributed and exactly integer (cents).
+
+    The reference level ``k`` is the per-key floor-mean of cents (exact
+    integer division of exact sums); an alarm fires when S exceeds
+    ``h_cents``. Output per key: (key, n_points, max_s, n_alarms,
+    first_alarm_ts).
+    """
+    cents = F.expr(f"cast(round({value_col} * 100) as bigint)")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col("event_id").alias("eid"),
+        cents.alias("c"),
+    )
+    ref = base.groupBy("k").agg(
+        F.floor(F.sum("c") / F.count("*")).cast("bigint").alias("kref")
+    )
+    w = Window.partitionBy("k").orderBy("ts", "eid")
+    run = (
+        base.join(ref, "k")
+        .withColumn("p", F.sum(F.col("c") - F.col("kref")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("pmin", F.min(F.least(F.col("p"), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("s", F.col("p") - F.col("pmin"))
+    )
+    return run.groupBy(F.col("k").alias(key_col)).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.max("s").cast("bigint").alias("max_s"),
+        F.sum(F.when(F.col("s") > h_cents, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarms"),
+        F.min(F.when(F.col("s") > h_cents, F.col("ts"))).alias("first_alarm_ts"),
+    )
+
+
+def oracle_cusum_alarms(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    h_cents: int = 50_000,
+) -> str:
+    """DuckDB mirror of :func:`cusum_alarms` — identical integer prefix
+    forms. floor() of the identical IEEE double ratio on both
+    engines pins the reference level (a bare double->bigint CAST would
+    truncate in Spark but round in DuckDB)."""
+    return f"""
+    WITH base AS (
+      SELECT {key_col} AS k, {ts_col} AS ts, event_id AS eid,
+             CAST(round({value_col} * 100) AS BIGINT) AS c
+      FROM {table}
+    ),
+    ref AS (
+      SELECT k, CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS kref
+      FROM base GROUP BY k
+    ),
+    pre AS (
+      SELECT b.k, b.ts, b.eid,
+             sum(b.c - r.kref) OVER (PARTITION BY b.k ORDER BY b.ts, b.eid
+                                     ROWS UNBOUNDED PRECEDING) AS p
+      FROM base b JOIN ref r USING (k)
+    ),
+    run AS (
+      SELECT k, ts, p,
+             min(least(p, 0)) OVER (PARTITION BY k ORDER BY ts, eid
+                                    ROWS UNBOUNDED PRECEDING) AS pmin
+      FROM pre
+    ),
+    scored AS (SELECT k, ts, p - pmin AS s FROM run)
+    SELECT k AS {key_col},
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(s) AS BIGINT) AS max_s,
+           CAST(coalesce(sum(CASE WHEN s > {h_cents} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_alarms,
+           min(CASE WHEN s > {h_cents} THEN ts END) AS first_alarm_ts
+    FROM scored GROUP BY k
+    """
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (largest-triangle-three-buckets), bucket-average variant
+# ---------------------------------------------------------------------------
+
+def lttb_downsample(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "day",
+) -> DataFrame:
+    """Per-key time-series downsampling to one representative point per
+    ``width`` bucket, keeping the point that forms the LARGEST TRIANGLE
+    with its neighbor buckets' average points (Steinarsson's LTTB) — the
+    visually-faithful decimation used for dashboard rendering of long
+    series.
+
+    This is the bucket-average (parallel) variant: classic LTTB anchors
+    each triangle at the previously SELECTED point, a strictly sequential
+    dependency; anchoring both sides at neighbor-bucket AVERAGES keeps the
+    visual property and makes every bucket independent — one per-bucket
+    aggregate, one lag/lead window over the (tiny) bucket table, one
+    per-bucket top-1. First/last buckets keep their first/last point
+    (LTTB always pins the endpoints).
+
+    Geometry runs on exact integers (epoch seconds, cents); the doubled
+    triangle area is evaluated in double with the identical operation
+    order in the oracle. Output: (key, bucket, ts, cents, n_bucket).
+    """
+    pts = events.select(
+        F.col(key_col).alias("k"),
+        F.date_trunc(width, F.col(ts_col)).alias("bucket"),
+        F.col(ts_col).alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.expr(f"cast({ts_col} as bigint)").alias("x"),
+        F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+    )
+    bag = pts.groupBy("k", "bucket").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.count("*").alias("n")
+    )
+    wb = Window.partitionBy("k").orderBy("bucket")
+    nb = (
+        bag.withColumn("xp", F.lag(F.expr("cast(sx as double) / n")).over(wb))
+        .withColumn("yp", F.lag(F.expr("cast(sy as double) / n")).over(wb))
+        .withColumn("xn", F.lead(F.expr("cast(sx as double) / n")).over(wb))
+        .withColumn("yn", F.lead(F.expr("cast(sy as double) / n")).over(wb))
+        .select("k", "bucket", "n", "xp", "yp", "xn", "yn")
+    )
+    joined = pts.join(nb, ["k", "bucket"])
+    area2 = (
+        "abs((xp - xn) * (cast(y as double) - yp)"
+        " - (xp - cast(x as double)) * (yn - yp))"
+    )
+    score = (
+        f"case when xp is null then cast(x as double)"
+        f" when xn is null then -cast(x as double)"
+        f" else -({area2}) end"
+    )
+    ws = Window.partitionBy("k", "bucket").orderBy(
+        F.expr(score).asc(), F.col("ts").asc(), F.col("eid").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            "bucket",
+            "ts",
+            F.col("y").cast("bigint").alias("cents"),
+            F.col("n").cast("bigint").alias("n_bucket"),
+        )
+    )
+
+
+def oracle_lttb_downsample(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "day",
+) -> str:
+    area2 = (
+        "abs((xp - xn) * (CAST(y AS DOUBLE) - yp)"
+        " - (xp - CAST(x AS DOUBLE)) * (yn - yp))"
+    )
+    score = (
+        f"CASE WHEN xp IS NULL THEN CAST(x AS DOUBLE)"
+        f" WHEN xn IS NULL THEN -CAST(x AS DOUBLE)"
+        f" ELSE -({area2}) END"
+    )
+    return f"""
+    WITH pts AS (
+      SELECT {key_col} AS k, date_trunc('{width}', {ts_col}) AS bucket,
+             {ts_col} AS ts, event_id AS eid,
+             CAST(floor(epoch({ts_col})) AS BIGINT) AS x,
+             CAST(round({value_col} * 100) AS BIGINT) AS y
+      FROM {table}
+    ),
+    bag AS (
+      SELECT k, bucket, sum(x) AS sx, sum(y) AS sy, count(*) AS n
+      FROM pts GROUP BY k, bucket
+    ),
+    nb AS (
+      SELECT k, bucket, n,
+             lag(CAST(sx AS DOUBLE) / n) OVER (PARTITION BY k ORDER BY bucket) AS xp,
+             lag(CAST(sy AS DOUBLE) / n) OVER (PARTITION BY k ORDER BY bucket) AS yp,
+             lead(CAST(sx AS DOUBLE) / n) OVER (PARTITION BY k ORDER BY bucket) AS xn,
+             lead(CAST(sy AS DOUBLE) / n) OVER (PARTITION BY k ORDER BY bucket) AS yn
+      FROM bag
+    ),
+    joined AS (
+      SELECT p.*, nb.n, nb.xp, nb.yp, nb.xn, nb.yn
+      FROM pts p JOIN nb USING (k, bucket)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY k, bucket
+                                   ORDER BY {score} ASC, ts ASC, eid ASC) AS rn
+      FROM joined
+    )
+    SELECT k AS {key_col}, bucket, ts,
+           CAST(y AS BIGINT) AS cents, CAST(n AS BIGINT) AS n_bucket
+    FROM ranked WHERE rn = 1
+    """

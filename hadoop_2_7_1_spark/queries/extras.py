@@ -29,7 +29,12 @@ from ..operators.graph import (
     oracle_pagerank,
     oracle_sssp,
 )
-from ..operators.temporal import oracle_gap_fill_interpolate, oracle_gap_fill_locf
+from ..operators.temporal import (
+    oracle_cusum_alarms,
+    oracle_gap_fill_interpolate,
+    oracle_gap_fill_locf,
+    oracle_lttb_downsample,
+)
 from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
@@ -39,6 +44,7 @@ from ..operators.sketches import (
     oracle_kmv_distinct,
 )
 from ..operators.profile import (
+    oracle_dp_release,
     oracle_drift_psi,
     oracle_expectations,
     oracle_forget_users,
@@ -1210,6 +1216,54 @@ def tmp_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("bigint").alias("user_id"), "ts", "value", "event_id")
     )
     return temporal.asof_join(clicks, purchases, ["user_id"], "ts", "ts")
+
+
+@register(
+    "evt_cusum",
+    oracle_cusum_alarms("events", "event_type", "ts", "value", h_cents=50_000),
+    doc="one-sided CUSUM change-point monitor per event type: the "
+        "sequential recurrence S_t = max(0, S_(t-1) + x_t - k) rewritten "
+        "as its parallel prefix form S_t = P_t - min(0, running-min P) — "
+        "two window folds over ONE key-partitioned sort, exact integer "
+        "cents throughout; k = per-key floor-mean, alarms when S > $500",
+)
+def evt_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_alarms(ev, "event_type", "ts", "value", h_cents=50_000)
+
+
+@register(
+    "tmp_lttb",
+    oracle_lttb_downsample("events", "event_type", "ts", "value", width="day"),
+    doc="LTTB downsampling (largest-triangle-three-buckets), bucket-average "
+        "parallel variant: one representative point per (event type, day) "
+        "maximizing the triangle with neighbor-bucket average points; "
+        "endpoints pinned; geometry on exact epoch-seconds x cents "
+        "integers, identical double op order in the oracle",
+)
+def tmp_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    return lttb_downsample(ev, "event_type", "ts", "value", width="day")
+
+
+@register(
+    "prof_dp_release",
+    oracle_dp_release("customer", "c_nationkey", epsilon=1.0),
+    doc="Laplace-mechanism histogram release of per-nation customer counts "
+        "(sensitivity 1, epsilon=1): inverse-CDF noise on an md5-derived "
+        "uniform — a DETERMINISTIC stand-in for secure randomness so the "
+        "mechanism is oracle-checkable; swap hash for RNG at deploy time "
+        "(documented in operators/profile.py:dp_release)",
+)
+def prof_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import dp_release
+
+    cust = load_table(spark, sf_dir, "customer")
+    return dp_release(cust, "c_nationkey", epsilon=1.0)
 
 
 @register(

@@ -1717,3 +1717,89 @@ def test_hll_sliding_window1_equals_per_day(spark):
         ).collect()
     }
     assert rolled == per_day and len(rolled) > 0
+
+
+def test_cusum_prefix_form_matches_sequential(spark):
+    """The parallel prefix form S_t = P_t - min(0, running-min P) must
+    reproduce the sequential recurrence S_t = max(0, S_(t-1) + x_t - k)
+    exactly — checked against a driver-side replay on a series with a level
+    shift, including alarm count and max."""
+    import datetime
+
+    from hadoop_2_7_1_spark.operators.temporal import cusum_alarms
+
+    vals = [1.00] * 10 + [11.00] * 5
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i), "m", v)
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    h = 700
+    out = cusum_alarms(ev, "event_type", "ts", "value", h_cents=h).collect()[0]
+    cents = [round(v * 100) for v in vals]
+    kref = int(sum(cents) / len(cents))  # floor of the double ratio
+    s = 0
+    max_s, n_alarms, first_alarm = 0, 0, None
+    for i, c in enumerate(cents):
+        s = max(0, s + c - kref)
+        max_s = max(max_s, s)
+        if s > h:
+            n_alarms += 1
+            if first_alarm is None:
+                first_alarm = rows[i][1]
+    assert out.n_points == len(vals)
+    assert out.max_s == max_s
+    assert out.n_alarms == n_alarms and n_alarms > 0
+    assert out.first_alarm_ts == first_alarm
+
+
+def test_lttb_picks_largest_triangle_and_pins_endpoints(spark):
+    """Three daily buckets: the middle bucket must keep the point with the
+    largest triangle against the neighbor-bucket averages (the spike, not
+    the flat points); first/last buckets keep their first/last point."""
+    import datetime
+
+    from hadoop_2_7_1_spark.operators.temporal import lttb_downsample
+
+    def at(day, hour):
+        return datetime.datetime(2024, 3, day, hour)
+
+    rows = [
+        (1, at(1, 1), "m", 1.00), (2, at(1, 9), "m", 1.00),
+        # middle day: flat 1.00s plus a 9.00 spike at 12:00
+        (3, at(2, 6), "m", 1.00), (4, at(2, 12), "m", 9.00),
+        (5, at(2, 18), "m", 1.00),
+        (6, at(3, 4), "m", 1.00), (7, at(3, 20), "m", 1.00),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    picked = {
+        r.bucket.day: r.ts
+        for r in lttb_downsample(ev, "event_type", "ts", "value", "day").collect()
+    }
+    assert picked[1] == at(1, 1)    # first bucket: first point
+    assert picked[2] == at(2, 12)   # spike wins the triangle
+    assert picked[3] == at(3, 20)   # last bucket: last point
+
+
+def test_dp_release_deterministic_and_bounded(spark):
+    """The md5-uniform Laplace stand-in is replayable (two runs identical)
+    and its noise respects the inverse-CDF bound b*ln(2^20) ~ 13.87."""
+    import math
+
+    from hadoop_2_7_1_spark.io import load_table
+    from hadoop_2_7_1_spark.operators.profile import dp_release
+
+    from .conftest import SF_DIR
+
+    cust = load_table(spark, SF_DIR, "customer")
+    a = sorted(map(tuple, dp_release(cust, "c_nationkey").collect()))
+    b = sorted(map(tuple, dp_release(cust, "c_nationkey").collect()))
+    assert a == b and len(a) > 0
+    bound = math.log(1 << 20) + 1e-6
+    assert all(abs(row[2] - row[1]) <= bound for row in a)
+    # noise actually present (not all zero)
+    assert any(abs(row[2] - row[1]) > 0.01 for row in a)
