@@ -1823,3 +1823,81 @@ def oracle_bpe_encode(table: str, id_col: str, text_col: str, n_merges: int = 6)
     GROUP BY id
     """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-corpus line dedup
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 4,
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup (the C4 preprocessing rule): any line of
+    ``min_words``+ words that occurs anywhere else in the corpus is kept
+    ONLY at its first occurrence (smallest doc id, then position) and
+    dropped everywhere else; shorter lines (nav crumbs, headings) pass
+    through untouched.
+
+    One narrow explode to (doc, pos, line), one line-keyed window picking
+    the global first occurrence (row_number over the line hash — the only
+    shuffle, keyed on the line text, boilerplate lines being exactly the
+    hot keys the window's partial sort handles), one per-doc rebuild.
+    Output: (id, n_lines, n_kept, n_dropped, kept_text).
+    """
+    lines = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    eligible = F.expr(
+        f"size(filter(split(trim(line), '{WS_SQL}'), t -> t != '')) >= {min_words}"
+    )
+    w = Window.partitionBy("line").orderBy("id", "pos")
+    flagged = (
+        lines.withColumn("elig", eligible)
+        .withColumn(
+            "rn",
+            F.when(F.col("elig"), F.row_number().over(w)).otherwise(F.lit(1)),
+        )
+        .withColumn("keep", F.col("rn") == 1)
+    )
+    return flagged.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(case when keep then"
+            " struct(pos, line) end)), s -> s.line), char(10))"
+        ).alias("kept_text"),
+    )
+
+
+def oracle_line_dedup(
+    table: str, id_col: str, text_col: str, min_words: int = 4
+) -> str:
+    return f"""
+    WITH lines AS (
+      SELECT CAST({id_col} AS BIGINT) AS id, i - 1 AS pos, t[i] AS line
+      FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS t
+            FROM {table}),
+           UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    flagged AS (
+      SELECT id, pos, line,
+             len(list_filter(regexp_split_to_array(trim(line), '{WS}'), t -> t <> ''))
+               >= {min_words} AS elig,
+             row_number() OVER (PARTITION BY line ORDER BY id, pos) AS rn
+      FROM lines
+    ),
+    kept AS (
+      SELECT id, pos, line, (NOT elig) OR rn = 1 AS keep FROM flagged
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+             AS kept_text
+    FROM kept GROUP BY id
+    """

@@ -3192,6 +3192,19 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_line_dedup",
+    textops.oracle_line_dedup("documents", "doc_id", "text", min_words=4),
+    doc="C4-style corpus-wide exact line dedup: any 4+-word line keeps only "
+        "its first occurrence (smallest doc id, then position) and is "
+        "dropped everywhere else; short lines pass through; one line-keyed "
+        "window + per-doc rebuild (counts + reconstructed kept_text)",
+)
+def txt_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.line_dedup(docs, "doc_id", "text", min_words=4)
+
+
+@register(
     "txt_kneser_ney",
     textops.oracle_kneser_ney_logprob("documents", "doc_id", "text"),
     doc="interpolated Kneser-Ney bigram LM score per doc (the KenLM-style "
@@ -3932,6 +3945,74 @@ def cur_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return interleave_sources(docs, "doc_id", "source")
+
+
+@register(
+    "mm_scene_cuts",
+    # Fixture: animated GIF per doc, gradient pixel(x,y,k) = (3x + 5y + 17k
+    # + s + jump) % 256 with jump = 128 once k reaches nf//2 — a real scene
+    # change mid-sequence. Spark LZW-decodes the ACTUAL frames and scores
+    # consecutive-frame mean absolute difference; the oracle replays the
+    # gradient arithmetic (within-scene MAD ~31.7, cut MAD ~125.7).
+    """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 251 AS s,
+             6 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10 AS w,
+             4 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 10 AS h,
+             4 + doc_id % 4 AS nf
+      FROM documents
+    ), trans AS (
+      SELECT doc_id, s, w, h, nf, unnest(range(1, nf)) AS k FROM dims
+    ), scored AS (
+      SELECT doc_id, k, w, h,
+             CAST(list_sum([
+               list_sum([ abs(
+                 ((x*3 + y*5 + k*17 + s + CASE WHEN k >= nf // 2 THEN 128 ELSE 0 END) % 256)
+                 - ((x*3 + y*5 + (k-1)*17 + s + CASE WHEN (k - 1) >= nf // 2 THEN 128 ELSE 0 END) % 256) )
+               for x in range(w) ])
+             for y in range(h) ]) AS BIGINT) AS sad
+      FROM trans
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST((sad * 1000) // (w * h) AS BIGINT) AS mad1000,
+           (sad * 1000) // (w * h) > 60000 AS is_cut
+    FROM scored
+    """,
+    doc="scene-cut detection on REAL decoded motion frames: per-transition "
+        "mean absolute pixel difference (exact integer mad1000) over "
+        "LZW-decoded GIF frames, cut when MAD > 60 — the shot-boundary "
+        "stage of a video curation pipeline (multimodal.scene_cuts); "
+        "fixture embeds a genuine mid-sequence scene change",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hashlib.md5(str(text).encode("utf-8")).hexdigest()
+                w = 6 + int(hx[:8], 16) % 10
+                h = 4 + int(hx[8:16], 16) % 10
+                s = int(doc_id) % 251
+                nf = 4 + int(doc_id) % 4
+                frames = [
+                    bytes((x * 3 + y * 5 + k * 17 + s
+                           + (128 if k >= nf // 2 else 0)) % 256
+                          for y in range(h) for x in range(w))
+                    for k in range(nf)
+                ]
+                ids.append(int(doc_id))
+                blobs.append(multimodal.make_gif_animated(frames, w, h))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(build, "media_id long, content binary")
+    return multimodal.scene_cuts(media, threshold_mad1000=60_000)
 
 
 @register(

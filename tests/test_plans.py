@@ -128,7 +128,8 @@ def test_registry_wide_plan_audit(spark):
     python_ok = {
         "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",
         "mm_frame_sample", "mm_audio_features", "mm_augment_chain",
-        "mm_video_meta", "mm_dhash_neardup", "src_binary_files",
+        "mm_video_meta", "mm_dhash_neardup", "mm_scene_cuts",
+        "src_binary_files",
         "src_webdataset",  # Arrow-batched stdlib tar parse IS the point
         "txt_udtf_ngrams",  # the UDTF surface demo IS the Python node
         "q22_pi_qmc",
