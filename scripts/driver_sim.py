@@ -4,7 +4,8 @@ run entry() + every queries() entry at the given sf, hash-compare against
 oracle_sql() in DuckDB with the driver's canonicalization.
 
 Usage: python scripts/driver_sim.py [sf_dir] [name_substr ...]
-(optional name substrings restrict which queries run — skips entry())
+(optional name substrings restrict which queries run — skips entry();
+--window restricts to the first-50 driver sample window)
 """
 
 from __future__ import annotations
@@ -21,6 +22,10 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:]
+# --window: restrict to the FIRST 50 registry entries — exactly the set the
+# external driver samples for CORRECTNESS_r{N}.json.
+WINDOW = "--window" in ONLY
+ONLY = [a for a in ONLY if a != "--window"]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -86,6 +91,8 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if WINDOW:
+        qs = {n: f for i, (n, f) in enumerate(qs.items()) if i < 50}
     if ONLY:
         qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
     n_ok = n_bad = 0

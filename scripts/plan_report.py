@@ -54,6 +54,15 @@ AUDITED = [
     "txt_bpe_encode",
     "cur_pipeline_v2",
     "agg_winsorized",
+    # round-6 additions
+    "cur_pipeline_stream",
+    "evt_cusum",
+    "tmp_lttb",
+    "evt_hll_sliding",
+    "txt_line_dedup",
+    "txt_kneser_ney",
+    "prof_drift_psi",
+    "grf_label_prop",
 ]
 
 
