@@ -75,6 +75,13 @@ EXTRAS = [
     "sim_kmeans_recall_curve",
     "dd_lsh_sweep",
     "txt_bpe_encode",
+    # round-6 heavies: IVF-PQ (coarse + per-subspace trainings), C4 line
+    # dedup (line-keyed window + per-doc rebuild), streaming-capstone batch
+    # twin, KN LM scoring (three count tables + scoring joins)
+    "sim_ivf_pq",
+    "txt_line_dedup",
+    "cur_pipeline_stream",
+    "txt_kneser_ney",
 ]
 
 

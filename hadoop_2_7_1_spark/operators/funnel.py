@@ -475,3 +475,121 @@ def oracle_ab_test(
     SELECT metric, n_a, n_b, stat_a, stat_b, lift, z, abs(z) >= 1.96 AS significant
     FROM o
     """
+
+
+def attribution_linear(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 24,
+) -> DataFrame:
+    """Multi-touch attribution, linear model with EXACT integer credit: each
+    conversion's cents are split equally across the user's touch events
+    (click/view) in the ``lookback_hours`` before it; the integer remainder
+    goes to the earliest touch, so credits sum exactly to revenue at any
+    parallelism. Conversions with no preceding touch credit a synthetic
+    'direct' channel.
+
+    Join shape: conversions ⋈ touches on the USER key (equi — per-user
+    event counts are bounded in any real event stream; the same shape as
+    the funnel operators) with the time window as a residual filter, then
+    one per-conversion rank and one channel rollup.
+    Output: (channel, n_conversions, credited_cents).
+    """
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    conv = events.filter(F.col("event_type") == convert_type).select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("ts_c"),
+        F.col("event_id").alias("cid"),
+        cents.alias("cents"),
+    )
+    touch = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("t_uid"),
+        F.col("ts").alias("ts_t"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    # The window predicate lives IN the join condition: a conversion whose
+    # touches all fall outside the lookback must still surface (as a NULL
+    # touch row -> 'direct' credit), which a post-join WHERE would drop.
+    cond = (
+        (conv["uid"] == touch["t_uid"])
+        & (touch["ts_t"] <= conv["ts_c"])
+        & (
+            touch["ts_t"]
+            >= conv["ts_c"] - F.expr(f"interval {lookback_hours} hours")
+        )
+    )
+    joined = conv.join(touch, cond, "left")
+    w = Window.partitionBy("cid")
+    ws = Window.partitionBy("cid").orderBy("ts_t", "tid")
+    per_touch = (
+        joined.withColumn("n_touch", F.count("tid").over(w))
+        .withColumn(
+            "rk", F.when(F.col("tid").isNotNull(), F.row_number().over(ws))
+        )
+    )
+    credited = per_touch.select(
+        F.when(F.col("tid").isNull(), F.lit("direct"))
+        .otherwise(F.col("channel"))
+        .alias("channel"),
+        "cid",
+        F.when(F.col("tid").isNull(), F.col("cents"))
+        .when(
+            F.col("rk") == 1,
+            F.expr("cents - (n_touch - 1) * (cents div n_touch)"),
+        )
+        .otherwise(F.expr("cents div n_touch"))
+        .cast("bigint")
+        .alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count_distinct("cid").cast("bigint").alias("n_conversions"),
+        F.sum("credit").cast("bigint").alias("credited_cents"),
+    )
+
+
+def oracle_attribution_linear(
+    table: str,
+    convert_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 24,
+) -> str:
+    """DuckDB mirror of :func:`attribution_linear` — identical integer
+    floor-division credit split, remainder to the earliest touch."""
+    tl = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+    WITH conv AS (
+      SELECT user_id AS uid, ts AS ts_c, event_id AS cid,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {table} WHERE event_type = '{convert_type}'
+    ),
+    touch AS (
+      SELECT user_id AS uid, ts AS ts_t, event_id AS tid, event_type AS channel
+      FROM {table} WHERE event_type IN ({tl})
+    ),
+    joined AS (
+      SELECT c.*, t.ts_t, t.tid, t.channel
+      FROM conv c LEFT JOIN touch t
+        ON c.uid = t.uid
+       AND t.ts_t <= c.ts_c
+       AND t.ts_t >= c.ts_c - INTERVAL {lookback_hours} HOURS
+    ),
+    ranked AS (
+      SELECT *, count(tid) OVER (PARTITION BY cid) AS n_touch,
+             CASE WHEN tid IS NOT NULL THEN
+               row_number() OVER (PARTITION BY cid ORDER BY ts_t, tid) END AS rk
+      FROM joined
+    ),
+    credited AS (
+      SELECT CASE WHEN tid IS NULL THEN 'direct' ELSE channel END AS channel,
+             cid,
+             CAST(CASE WHEN tid IS NULL THEN cents
+                       WHEN rk = 1 THEN cents - (n_touch - 1) * (cents // n_touch)
+                       ELSE cents // n_touch END AS BIGINT) AS credit
+      FROM ranked
+    )
+    SELECT channel, CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+           CAST(sum(credit) AS BIGINT) AS credited_cents
+    FROM credited GROUP BY channel
+    """

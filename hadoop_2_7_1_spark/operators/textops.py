@@ -1901,3 +1901,86 @@ def oracle_line_dedup(
              AS kept_text
     FROM kept GROUP BY id
     """
+
+
+def ppmi_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts with positive PMI scoring — the
+    classic count-based embedding prep (word2vec's sampling target /
+    GloVe's input matrix): for every token, every context token within
+    ``window`` positions counts one directional (w, c) pair;
+    ``PPMI = max(0, ln(n_wc · N / (n_w · n_c)))`` from exact integer
+    counts.
+
+    The pair stream is generated MAP-SIDE by a nested array transform
+    (positions × their ±window neighbors — O(len·window) per doc, never
+    the len² position cross-product), then one (w, c) count with partials
+    and two marginal joins — the same equi-keyed shape as the LM scorers.
+    Pairs below ``min_count`` are dropped (standard PMI noise floor).
+    Output: (w, c, n_wc, ppmi) with ppmi rounded to 6 dp.
+    """
+    toks_arr = _tok_array(text_col)
+    pairs_expr = (
+        f"flatten(transform(sequence(1, size({toks_arr})), i -> "
+        f"transform(filter(sequence(greatest(1, i - {window}),"
+        f" least(size({toks_arr}), i + {window})), j -> j != i), j -> "
+        f"struct(element_at({toks_arr}, i) AS w, element_at({toks_arr}, j) AS c))))"
+    )
+    guarded = (
+        f"CASE WHEN size({toks_arr}) >= 2 THEN {pairs_expr}"
+        f" ELSE cast(array() as array<struct<w:string,c:string>>) END"
+    )
+    pairs = df.select(F.explode(F.expr(guarded)).alias("p")).select(
+        F.col("p.w").alias("w"), F.col("p.c").alias("c")
+    )
+    counts = pairs.groupBy("w", "c").agg(F.count("*").alias("n_wc"))
+    w_marg = counts.groupBy("w").agg(F.sum("n_wc").alias("n_w"))
+    c_marg = counts.groupBy("c").agg(F.sum("n_wc").alias("n_c"))
+    total = counts.agg(F.sum("n_wc").alias("n_total"))
+    return (
+        counts.filter(F.col("n_wc") >= min_count)
+        .join(w_marg, "w")
+        .join(c_marg, "c")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            "c",
+            F.col("n_wc").cast("bigint").alias("n_wc"),
+            F.expr(
+                "round(greatest(ln(cast(n_wc as double) * n_total"
+                " / (cast(n_w as double) * n_c)), cast(0 as double)), 6)"
+            ).alias("ppmi"),
+        )
+    )
+
+
+def oracle_ppmi_cooccurrence(
+    table: str, id_col: str, text_col: str, window: int = 2, min_count: int = 5
+) -> str:
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    return f"""
+    WITH tk AS (
+      SELECT {id_col} AS id, {toks} AS t FROM {table}
+    ), pairs AS (
+      SELECT t[i] AS w, t[j] AS c
+      FROM tk,
+           UNNEST(range(1, len(t) + 1)) AS u(i),
+           UNNEST(range(1, len(t) + 1)) AS v(j)
+      WHERE j != i AND abs(j - i) <= {window}
+    ), counts AS (
+      SELECT w, c, count(*) AS n_wc FROM pairs GROUP BY w, c
+    ), w_marg AS (SELECT w, sum(n_wc) AS n_w FROM counts GROUP BY w),
+    c_marg AS (SELECT c, sum(n_wc) AS n_c FROM counts GROUP BY c),
+    total AS (SELECT sum(n_wc) AS n_total FROM counts)
+    SELECT k.w, k.c, CAST(k.n_wc AS BIGINT) AS n_wc,
+           round(greatest(ln(CAST(k.n_wc AS DOUBLE) * n_total
+                 / (CAST(n_w AS DOUBLE) * n_c)), CAST(0 AS DOUBLE)), 6) AS ppmi
+    FROM counts k
+    JOIN w_marg USING (w) JOIN c_marg USING (c), total
+    WHERE k.n_wc >= {min_count}
+    """

@@ -17,6 +17,7 @@ from ..operators.aggregates import (
     oracle_winsorized_stats,
 )
 from ..operators.funnel import (
+    oracle_attribution_linear,
     oracle_ab_test,
     oracle_funnel,
     oracle_ohlc_bars,
@@ -1216,6 +1217,23 @@ def tmp_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("bigint").alias("user_id"), "ts", "value", "event_id")
     )
     return temporal.asof_join(clicks, purchases, ["user_id"], "ts", "ts")
+
+
+@register(
+    "evt_attribution",
+    oracle_attribution_linear("events", "purchase", ("click", "view"), 24),
+    doc="linear multi-touch attribution with EXACT integer credit: each "
+        "purchase's cents split by floor-division across the user's "
+        "click/view touches in the prior 24h, remainder to the earliest "
+        "touch (credits sum exactly to revenue at any parallelism); "
+        "no-touch conversions credit a 'direct' channel; user-keyed "
+        "equi-join with the window predicate in the join condition",
+)
+def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import attribution_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_linear(ev, "purchase", ("click", "view"), 24)
 
 
 @register(
@@ -3202,6 +3220,20 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.line_dedup(docs, "doc_id", "text", min_words=4)
+
+
+@register(
+    "txt_ppmi_cooc",
+    textops.oracle_ppmi_cooccurrence("documents", "doc_id", "text", window=2, min_count=5),
+    doc="skip-gram co-occurrence + positive PMI (the count-based embedding "
+        "prep behind word2vec/GloVe): +-2-position directional pairs "
+        "generated map-side by a nested array transform (O(len*window) per "
+        "doc, never the len^2 position cross), one (w,c) count, two "
+        "marginal joins, PPMI from exact integer counts rounded to 6 dp",
+)
+def txt_ppmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.ppmi_cooccurrence(docs, "doc_id", "text", window=2, min_count=5)
 
 
 @register(
