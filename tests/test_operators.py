@@ -1803,3 +1803,56 @@ def test_dp_release_deterministic_and_bounded(spark):
     assert all(abs(row[2] - row[1]) <= bound for row in a)
     # noise actually present (not all zero)
     assert any(abs(row[2] - row[1]) > 0.01 for row in a)
+
+
+def test_attribution_credits_sum_exactly_to_revenue(spark):
+    """Conservation law: summed channel credits (including 'direct') must
+    equal total conversion cents EXACTLY — the floor-division +
+    remainder-to-first scheme loses nothing."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.io import load_table
+    from hadoop_2_7_1_spark.operators.funnel import attribution_linear
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = attribution_linear(ev, "purchase", ("click", "view"), 24)
+    credited = out.agg(F.sum("credited_cents")).collect()[0][0]
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.expr("cast(round(value * 100) as bigint)")))
+        .collect()[0][0]
+    )
+    assert credited == total and total > 0
+    channels = {r.channel for r in out.collect()}
+    assert channels <= {"click", "view", "direct"}
+
+
+def test_ppmi_hand_checked(spark):
+    """'a b' repeated: with window 1 every pair is (a,b) or (b,a) plus the
+    cross-boundary (b,a)... — verify against a direct Python count + the
+    PMI formula on one corpus."""
+    import math
+
+    from hadoop_2_7_1_spark.operators.textops import ppmi_cooccurrence
+
+    text = "x y x y x y x y x y"
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = {
+        (r.w, r.c): (r.n_wc, r.ppmi)
+        for r in ppmi_cooccurrence(docs, "doc_id", "text", window=1, min_count=1).collect()
+    }
+    toks = text.split()
+    expect = {}
+    for i, w in enumerate(toks):
+        for j in (i - 1, i + 1):
+            if 0 <= j < len(toks):
+                expect[(w, toks[j])] = expect.get((w, toks[j]), 0) + 1
+    n_total = sum(expect.values())
+    for k, n_wc in expect.items():
+        n_w = sum(v for (w, _), v in expect.items() if w == k[0])
+        n_c = sum(v for (_, c), v in expect.items() if c == k[1])
+        ppmi = round(max(math.log(n_wc * n_total / (n_w * n_c)), 0.0), 6)
+        assert rows[k][0] == n_wc
+        assert abs(rows[k][1] - ppmi) < 1e-9
