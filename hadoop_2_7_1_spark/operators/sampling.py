@@ -521,3 +521,158 @@ def oracle_interleave_sources(
              AS interleave_pos
     FROM ranked r JOIN src s USING (d), n
     """
+
+
+def categorical_draws(
+    df: DataFrame,
+    text_col: str = "text",
+    n_draws: int = 10_000,
+    power: float = 0.75,
+    min_count: int = 10,
+    n_buckets: int = 256,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic inverse-CDF sampling from a LEARNED categorical
+    distribution — word2vec's negative-sampling table (unigram^0.75) as a
+    distributed primitive: build integer cumulative weight ranges over the
+    vocabulary, then resolve ``n_draws`` md5-derived uniforms to tokens via
+    a BUCKETED range join (each range row covers its bucket span, each
+    draw probes exactly one bucket) — never a per-draw binary search on the
+    driver and never a draws × vocab cross join.
+
+    Weights: ``wt = round(count^power · 1e6)`` (one documented
+    round-after-pow, the same ulp discipline as the ln() scorers);
+    cumulative ranges come from ONE vocab-sized ordered window (metadata
+    scale, the BPE-merge-table precedent); draw u_i = md5(salt:i) low 60
+    bits mod Σwt. Join fan-out is O(vocab + n_buckets + n_draws).
+
+    Output: (token, wt, n_drawn) for every vocab token with
+    ``count >= min_count`` — the draw histogram IS the check that the
+    sampler follows the table.
+    """
+    from .sketches import _hash60
+
+    from ..functions import WS_SQL
+
+    toks = df.select(
+        F.explode(
+            F.expr(f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t != '')")
+        ).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .withColumn(
+            "wt",
+            F.expr(f"cast(round(pow(cast(cnt as double), {power!r}) * 1e6) as bigint)"),
+        )
+    )
+    # vocab-scale ordered window (single partition over the vocabulary —
+    # the BPE merge-table precedent, documented metadata-scale)
+    wcum = Window.orderBy("token").rowsBetween(Window.unboundedPreceding, 0)
+    ranges = vocab.withColumn("cum_hi", F.sum("wt").over(wcum)).withColumn(
+        "cum_lo", F.col("cum_hi") - F.col("wt")
+    )
+    total = ranges.agg(F.max("cum_hi").alias("w_total"))
+    width_expr = "cast((w_total + {b} - 1) div {b} as bigint)".format(b=n_buckets)
+    r_bucketed = (
+        ranges.crossJoin(F.broadcast(total))
+        .withColumn("width", F.expr(width_expr))
+        .select(
+            "token",
+            "wt",
+            "cum_lo",
+            "cum_hi",
+            F.explode(
+                F.expr("sequence(cum_lo div width, (cum_hi - 1) div width)")
+            ).alias("bucket"),
+        )
+    )
+    draws = (
+        df.sparkSession.range(n_draws)
+        .crossJoin(F.broadcast(total))
+        .withColumn("width", F.expr(width_expr))
+        .select(
+            (
+                _hash60(F.concat_ws(":", F.lit(salt), F.col("id").cast("string")))
+                % F.col("w_total")
+            ).alias("v"),
+            "width",
+        )
+        .select("v", F.expr("v div width").alias("bucket"))
+    )
+    hits = (
+        draws.join(r_bucketed, "bucket")
+        .filter((F.col("v") >= F.col("cum_lo")) & (F.col("v") < F.col("cum_hi")))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        ranges.select("token", "wt")
+        .join(hits, "token", "left")
+        .select(
+            "token",
+            F.col("wt").cast("bigint").alias("wt"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_drawn"),
+        )
+    )
+
+
+def oracle_categorical_draws(
+    table: str,
+    text_col: str = "text",
+    n_draws: int = 10_000,
+    power: float = 0.75,
+    min_count: int = 10,
+    n_buckets: int = 256,
+    salt: str = "neg",
+) -> str:
+    from ..functions import WS
+
+    h60 = (
+        f"CAST(('0x' || substr(md5('{salt}' || ':' || CAST(i AS VARCHAR)), 1, 15))"
+        f" AS BIGINT)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
+                    t -> t <> '')) AS token
+      FROM {table}
+    ),
+    vocab AS (
+      SELECT token, count(*) AS cnt,
+             CAST(round(pow(CAST(count(*) AS DOUBLE), {power!r}) * 1e6) AS BIGINT) AS wt
+      FROM toks GROUP BY token HAVING count(*) >= {min_count}
+    ),
+    ranges AS (
+      SELECT token, wt,
+             CAST(sum(wt) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_hi,
+             CAST(sum(wt) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING) - wt
+                  AS BIGINT) AS cum_lo
+      FROM vocab
+    ),
+    tot AS (SELECT CAST(max(cum_hi) AS BIGINT) AS w_total,
+                   CAST((max(cum_hi) + {n_buckets} - 1) // {n_buckets}
+                        AS BIGINT) AS width
+            FROM ranges),
+    r_bucketed AS (
+      SELECT r.token, r.cum_lo, r.cum_hi,
+             unnest(range(r.cum_lo // t.width, (r.cum_hi - 1) // t.width + 1)) AS bucket
+      FROM ranges r, tot t
+    ),
+    draws AS (
+      SELECT ({h60}) % t.w_total AS v, (({h60}) % t.w_total) // t.width AS bucket
+      FROM range({n_draws}) u(i), tot t
+    ),
+    hits AS (
+      SELECT b.token, count(*) AS n
+      FROM draws d JOIN r_bucketed b ON d.bucket = b.bucket
+      WHERE d.v >= b.cum_lo AND d.v < b.cum_hi
+      GROUP BY b.token
+    )
+    SELECT r.token, CAST(r.wt AS BIGINT) AS wt,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_drawn
+    FROM ranges r LEFT JOIN hits h USING (token)
+    """

@@ -2043,6 +2043,25 @@ def smp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "smp_negative_sampling",
+    __import__(
+        "hadoop_2_7_1_spark.operators.sampling",
+        fromlist=["oracle_categorical_draws"],
+    ).oracle_categorical_draws("documents", "text", 10_000, 0.75, 10, 256),
+    doc="word2vec negative-sampling table as a distributed primitive: "
+        "unigram^0.75 integer weight ranges from ONE vocab-sized window, "
+        "10k md5-derived uniforms resolved to tokens by a bucketed range "
+        "join (O(vocab + buckets + draws) fan-out, no driver binary "
+        "search, no draws x vocab cross); output draw histogram per token",
+)
+def smp_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import categorical_draws
+
+    docs = load_table(spark, sf_dir, "documents")
+    return categorical_draws(docs, "text", 10_000, 0.75, 10, 256)
+
+
+@register(
     "smp_dsir_weights",
     __import__(
         "hadoop_2_7_1_spark.operators.sampling", fromlist=["oracle_dsir_importance"]
