@@ -1423,7 +1423,9 @@ def kneser_ney_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         f"struct(element_at({toks_arr}, i) AS w1, element_at({toks_arr}, i + 1) AS w2))"
         f" ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
     )
-    bis = df.select(
+    from . import fan_out
+
+    bis = fan_out(df).select(
         F.col(id_col).cast("bigint").alias("id"),
         F.explode(F.expr(bi_expr)).alias("bg"),
     ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -1935,7 +1937,12 @@ def ppmi_cooccurrence(
         f"CASE WHEN size({toks_arr}) >= 2 THEN {pairs_expr}"
         f" ELSE cast(array() as array<struct<w:string,c:string>>) END"
     )
-    pairs = df.select(F.explode(F.expr(guarded)).alias("p")).select(
+    # CPU-bound narrow pair generation: fan_out so a single-split small
+    # file doesn't serialize it onto one core (no-op on wide inputs);
+    # 34s -> ~4s at sf0.1, measured.
+    from . import fan_out
+
+    pairs = fan_out(df).select(F.explode(F.expr(guarded)).alias("p")).select(
         F.col("p.w").alias("w"), F.col("p.c").alias("c")
     )
     counts = pairs.groupBy("w", "c").agg(F.count("*").alias("n_wc"))
