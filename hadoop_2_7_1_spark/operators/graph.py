@@ -568,3 +568,94 @@ def oracle_sssp(edges_sql: str, source: str, rounds: int = 4) -> str:
         )
     parts.append(f"SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}")
     return "\n".join(parts)
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-community Newman modularity contributions over a directed
+    doubled edge list (every undirected edge present in both directions —
+    the convention all grf_* queries use): with m = |directed edges|,
+    ``Q_c = in_c/m − (deg_c/m)²`` where in_c counts edges with both ends
+    labeled c and deg_c sums out-degrees of c's nodes. Σ_c Q_c is the
+    standard partition-quality score — the evaluation step after
+    :func:`label_propagation`.
+
+    Three equi-joins (edges against the label table on each endpoint, the
+    label table against itself never) + community-keyed counts; m rides a
+    broadcast 1-row aggregate. Exact integers until the final spelled
+    double ops, rounded to 6 dp. Output:
+    (community, n_members, in_edges, deg_sum, q_contrib).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    m_row = e.agg(F.count("*").cast("bigint").alias("m"))
+    lab = labels.select(F.col("node"), F.col("label"))
+    within = (
+        e.join(lab.select(F.col("node").alias("src"), F.col("label").alias("ls")), "src")
+        .join(lab.select(F.col("node").alias("dst"), F.col("label").alias("ld")), "dst")
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("in_edges"))
+    )
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .join(lab.select(F.col("node").alias("src"), "label"), "src")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.sum("d").cast("bigint").alias("deg_sum"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+    )
+    return (
+        deg.join(within, "community", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("in_edges", F.lit(0)).cast("bigint").alias("in_edges"),
+            "deg_sum",
+            F.expr(
+                "round(cast(coalesce(in_edges, 0) as double) / m"
+                " - (cast(deg_sum as double) / m) * (cast(deg_sum as double) / m), 6)"
+            ).alias("q_contrib"),
+        )
+    )
+
+
+def oracle_modularity(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB mirror of :func:`modularity`; ``labels_sql`` yields
+    (node, label) — e.g. the unrolled LPA chain."""
+    return f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    lab AS (SELECT node, label FROM ({labels_sql})),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    within AS (
+      SELECT ls.label AS community, CAST(count(*) AS BIGINT) AS in_edges
+      FROM e
+      JOIN lab ls ON e.src = ls.node
+      JOIN lab ld ON e.dst = ld.node
+      WHERE ls.label = ld.label
+      GROUP BY ls.label
+    ),
+    deg AS (
+      SELECT l.label AS community,
+             CAST(sum(d.d) AS BIGINT) AS deg_sum,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM (SELECT src, count(*) AS d FROM e GROUP BY src) d
+      JOIN lab l ON d.src = l.node
+      GROUP BY l.label
+    )
+    SELECT deg.community, deg.n_members,
+           CAST(coalesce(w.in_edges, 0) AS BIGINT) AS in_edges,
+           deg.deg_sum,
+           round(CAST(coalesce(w.in_edges, 0) AS DOUBLE) / m.m
+                 - (CAST(deg.deg_sum AS DOUBLE) / m.m)
+                   * (CAST(deg.deg_sum AS DOUBLE) / m.m), 6) AS q_contrib
+    FROM deg LEFT JOIN within w ON deg.community = w.community, m
+    """

@@ -575,3 +575,125 @@ def oracle_hll_sliding_distinct(
            CAST(zeros AS BIGINT) AS n_zero_registers
     FROM exact e JOIN est USING (day_s)
     """
+
+
+def histogram_quantiles(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width_cents: int = 500,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram, WITH the exact
+    audit alongside — completing the sketch-accuracy family (HLL, KMV, CMS,
+    MinHash all carry their audits): per key, values bucket into
+    ``width_cents`` cells; the q-quantile estimate is the upper edge of the
+    first bucket whose cumulative count reaches ``ceil(q·n)``; the exact
+    quantile (same rank definition) rides a per-key sort. Error bound is
+    the bucket width by construction — the audit shows the actual gap.
+
+    The sketch side is one (key, bucket) count + a window over the BUCKET
+    table (bounded: value-range/width rows per key, not data-sized); the
+    exact side is the per-key sort the sketch exists to avoid at scale —
+    shipped here as the audit. All integers until the final per-row
+    estimate. Output: (key, q, n, approx_cents, exact_cents, err_cents).
+    """
+    cents = F.expr(f"cast(round({value_col} * 100) as bigint)")
+    base = events.select(F.col(key_col).alias("k"), cents.alias("c"))
+    hist = (
+        base.withColumn("bucket", F.expr(f"c div {width_cents}"))
+        .groupBy("k", "bucket")
+        .agg(F.count("*").alias("bn"))
+    )
+    wc = Window.partitionBy("k").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("bn").over(wc))
+    totals = base.groupBy("k").agg(F.count("*").alias("n"))
+    qdf = events.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    targets = totals.crossJoin(F.broadcast(qdf)).withColumn(
+        "rank", F.expr("cast(ceil(q * n) as bigint)")
+    )
+    approx = (
+        cum.join(targets, "k")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("k", "q", "n", "rank")
+        .agg(F.min("bucket").alias("b"))
+        .withColumn(
+            "approx_cents", F.expr(f"(b + 1) * {width_cents}").cast("bigint")
+        )
+    )
+    # value-at-rank is tie-order independent (equal ranks carry equal c),
+    # so orderBy(c) alone is deterministic in the only thing that matters
+    ws = Window.partitionBy("k").orderBy("c")
+    ranked = base.withColumn("rn", F.row_number().over(ws))
+    exact = (
+        ranked.join(targets, "k")
+        .filter(F.col("rn") == F.col("rank"))
+        .select("k", "q", F.col("c").alias("exact_cents"))
+    )
+    return (
+        approx.join(exact, ["k", "q"])
+        .select(
+            F.col("k").alias(key_col),
+            "q",
+            F.col("n").cast("bigint").alias("n"),
+            "approx_cents",
+            F.col("exact_cents").cast("bigint").alias("exact_cents"),
+            (F.col("approx_cents") - F.col("exact_cents"))
+            .cast("bigint")
+            .alias("err_cents"),
+        )
+    )
+
+
+def oracle_histogram_quantiles(
+    table: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width_cents: int = 500,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    qvals = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+    WITH base AS (
+      SELECT {key_col} AS k, CAST(round({value_col} * 100) AS BIGINT) AS c
+      FROM {table}
+    ),
+    hist AS (
+      SELECT k, c // {width_cents} AS bucket, count(*) AS bn
+      FROM base GROUP BY k, c // {width_cents}
+    ),
+    cum AS (
+      SELECT k, bucket, sum(bn) OVER (PARTITION BY k ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    totals AS (SELECT k, count(*) AS n FROM base GROUP BY k),
+    targets AS (
+      SELECT t.k, q.q, t.n, CAST(ceil(q.q * t.n) AS BIGINT) AS rank
+      FROM totals t CROSS JOIN (VALUES {qvals}) q(q)
+    ),
+    approx AS (
+      SELECT c.k, t.q, t.n, t.rank,
+             CAST((min(c.bucket) + 1) * {width_cents} AS BIGINT) AS approx_cents
+      FROM cum c JOIN targets t ON c.k = t.k
+      WHERE c.cum >= t.rank
+      GROUP BY c.k, t.q, t.n, t.rank
+    ),
+    ranked AS (
+      SELECT k, c, row_number() OVER (PARTITION BY k ORDER BY c) AS rn
+      FROM base
+    ),
+    exact AS (
+      SELECT r.k, t.q, r.c AS exact_cents
+      FROM ranked r JOIN targets t ON r.k = t.k AND r.rn = t.rank
+    )
+    SELECT a.k AS {key_col}, a.q, CAST(a.n AS BIGINT) AS n,
+           a.approx_cents,
+           CAST(e.exact_cents AS BIGINT) AS exact_cents,
+           CAST(a.approx_cents - e.exact_cents AS BIGINT) AS err_cents
+    FROM approx a JOIN exact e ON a.k = e.k AND a.q = e.q
+    """

@@ -27,6 +27,7 @@ from ..operators.funnel import (
 from ..operators.graph import (
     oracle_bfs_hops,
     oracle_label_propagation,
+    oracle_modularity,
     oracle_pagerank,
     oracle_sssp,
 )
@@ -40,6 +41,7 @@ from ..operators.loadmodel import oracle_concurrency_curve, oracle_trace_digest
 from ..operators.packing import oracle_pack_sequences, oracle_split_long_docs
 from ..operators.partitioning import oracle_zorder_value
 from ..operators.sketches import (
+    oracle_histogram_quantiles,
     oracle_hll_distinct,
     oracle_hll_sliding_distinct,
     oracle_kmv_distinct,
@@ -2365,6 +2367,23 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_histogram_quantiles",
+    oracle_histogram_quantiles("events", "event_type", "value", 500),
+    doc="approximate quantiles (p50/p90/p99) from a $5-wide histogram "
+        "sketch WITH the exact audit alongside (the sketch-accuracy "
+        "family discipline): estimate = upper edge of the first bucket "
+        "reaching ceil(q*n); error bounded by bucket width, actual gap "
+        "reported per (key, q); sketch side is one (key,bucket) count + "
+        "a bounded bucket-table window",
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "event_type", "value", 500)
+
+
+@register(
     "evt_hll_sliding",
     oracle_hll_sliding_distinct("events", "ts", "user_id", window_days=7),
     doc="rolling 7-day distinct users per day via MERGED HLL registers — "
@@ -2687,6 +2706,28 @@ def grf_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("label").alias("community"))
         .agg(F.count("*").cast("bigint").alias("n_members"))
     )
+
+
+@register(
+    "grf_modularity",
+    oracle_modularity(_PR_EDGES_SQL, oracle_label_propagation(_PR_EDGES_SQL, rounds=3)),
+    doc="Newman modularity contributions of the LPA partition over the "
+        "supplier-part graph: Q_c = in_c/m - (deg_c/m)^2 per community — "
+        "the partition-quality audit for grf_label_prop; three equi-joins "
+        "+ community counts, m broadcast, exact integers until the final "
+        "spelled double ops",
+)
+def grf_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation, modularity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = label_propagation(edges, rounds=3)
+    return modularity(edges, labels)
 
 
 @register(

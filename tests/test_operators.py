@@ -1856,3 +1856,43 @@ def test_ppmi_hand_checked(spark):
         ppmi = round(max(math.log(n_wc * n_total / (n_w * n_c)), 0.0), 6)
         assert rows[k][0] == n_wc
         assert abs(rows[k][1] - ppmi) < 1e-9
+
+
+def test_histogram_quantiles_error_bounded_by_width(spark):
+    """The histogram quantile estimate must sit within one bucket width
+    above the exact value (upper-edge estimator: 0 < err <= width)."""
+    from hadoop_2_7_1_spark.io import load_table
+    from hadoop_2_7_1_spark.operators.sketches import histogram_quantiles
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = histogram_quantiles(ev, "event_type", "value", 500).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.err_cents <= 500, r
+
+
+def test_modularity_range_and_identity_partition(spark):
+    """Sum of contributions lies in [-1, 1]; the everyone-in-one-community
+    partition scores exactly 1/m * in - 1 = 0 (single community: in = m,
+    deg_sum = m -> Q = 1 - 1 = 0)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.operators.graph import label_propagation, modularity
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    labels = label_propagation(edges, rounds=4)
+    out = modularity(edges, labels)
+    q = out.agg(F.sum("q_contrib")).collect()[0][0]
+    assert -1.0 <= q <= 1.0
+    # two clean triangles -> strongly positive modularity
+    assert q > 0.3
+    one = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.lit("all")
+    )
+    q1 = modularity(edges, one).agg(F.sum("q_contrib")).collect()[0][0]
+    assert abs(q1) < 1e-12
