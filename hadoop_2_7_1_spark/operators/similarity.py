@@ -347,7 +347,13 @@ def kmeans_fit(
 
     # The fit reads emb n_iter+1 times (seed gate + one assignment pass per
     # iteration); materialize once — at 100 TB you fit on a cached sample.
-    emb = emb.persist()
+    # fan_out first: the assignment + posexplode passes are CPU-bound
+    # narrow work, and a single-split parquet would serialize every
+    # iteration onto one core (no-op on wide inputs; every downstream fold
+    # is order-independent — scaled-bigint means, ordered-limit seeds).
+    from . import fan_out
+
+    emb = fan_out(emb).persist()
     cand = emb.filter(hex_hash32(F.col(id_col)) % 16 == 0)
     # degenerate-corpus guard: take(k) on the id column early-terminates as
     # soon as k gated rows exist — never a full count of the gated subset
