@@ -499,3 +499,68 @@ def oracle_dp_release(
            CAST({float(epsilon)!r} AS DOUBLE) AS epsilon
     FROM noise
     """
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy per categorical column — the profiling signal behind
+    feature-selection and identifier-detection heuristics (near-zero
+    entropy = constant; ln(n_distinct) = unique key): ``H = −Σ p·ln p``
+    from exact value counts, plus ``H / ln(n_distinct)`` normalized to
+    [0, 1].
+
+    One scan fans all columns via stack (the drift_psi shape), one
+    (col, value) count, one tiny per-column fold; per-value terms round to
+    DECIMAL(38,6) before the Σ (ln ulp discipline). Output:
+    (col_name, n_distinct, entropy, norm_entropy).
+    """
+    n = len(cols)
+    stack_args = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    values = df.select(F.expr(f"stack({n}, {stack_args}) as (col_name, val)"))
+    counts = values.groupBy("col_name", "val").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("col_name").agg(
+        F.sum("c").alias("nt"), F.count("*").alias("nd")
+    )
+    terms = counts.join(totals, "col_name").select(
+        "col_name",
+        "nd",
+        F.expr(
+            "cast(-(cast(c as double) / nt) * ln(cast(c as double) / nt)"
+            " as decimal(38,6))"
+        ).alias("term"),
+    )
+    return terms.groupBy("col_name").agg(
+        F.max("nd").cast("bigint").alias("n_distinct"),
+        F.sum("term").cast("double").alias("entropy"),
+        F.expr(
+            "case when max(nd) <= 1 then cast(0 as double)"
+            " else round(cast(sum(term) as double) / ln(cast(max(nd) as double)), 6) end"
+        ).alias("norm_entropy"),
+    )
+
+
+def oracle_column_entropy(table: str, cols: list[str]) -> str:
+    fan = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM {table}"
+        for c in cols
+    )
+    return f"""
+    WITH v AS ({fan}),
+    counts AS (
+      SELECT col_name, val, count(*) AS c FROM v GROUP BY col_name, val
+    ),
+    totals AS (
+      SELECT col_name, sum(c) AS nt, count(*) AS nd FROM counts GROUP BY col_name
+    ),
+    terms AS (
+      SELECT c.col_name, t.nd,
+             CAST(-(CAST(c.c AS DOUBLE) / t.nt) * ln(CAST(c.c AS DOUBLE) / t.nt)
+                  AS DECIMAL(38,6)) AS term
+      FROM counts c JOIN totals t USING (col_name)
+    )
+    SELECT col_name, CAST(max(nd) AS BIGINT) AS n_distinct,
+           CAST(sum(term) AS DOUBLE) AS entropy,
+           CASE WHEN max(nd) <= 1 THEN CAST(0 AS DOUBLE)
+                ELSE round(CAST(sum(term) AS DOUBLE) / ln(CAST(max(nd) AS DOUBLE)), 6)
+           END AS norm_entropy
+    FROM terms GROUP BY col_name
+    """

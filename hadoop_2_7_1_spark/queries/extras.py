@@ -47,6 +47,7 @@ from ..operators.sketches import (
     oracle_kmv_distinct,
 )
 from ..operators.profile import (
+    oracle_column_entropy,
     oracle_dp_release,
     oracle_drift_psi,
     oracle_expectations,
@@ -1733,6 +1734,27 @@ _DRIFT_SPECS_SQL = [
     ("orderstatus", "o_orderstatus"),
 ]
 _DRIFT_SPLIT = "o_orderdate < TIMESTAMP '1995-06-01 00:00:00'"
+
+
+@register(
+    "prof_column_entropy",
+    oracle_column_entropy(
+        "orders", ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
+    ),
+    doc="Shannon entropy per column (+ normalized H/ln(n_distinct)) over "
+        "four orders columns spanning the spectrum: near-constant status, "
+        "small categorical priority, mid-cardinality custkey, unique key "
+        "(norm -> 1) — the profiling signal behind feature-selection and "
+        "identifier-detection heuristics; one stack-fanned scan, one "
+        "(col, value) count, DECIMAL(38,6)-rounded terms",
+)
+def prof_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import column_entropy
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_entropy(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
+    )
 
 
 @register(
