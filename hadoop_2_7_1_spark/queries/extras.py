@@ -3688,6 +3688,62 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_snapshot_table",
+    """
+    WITH v1 AS (SELECT count(*) AS n,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT count(*) AS n,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+    v3 AS (SELECT count(*) AS n,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders WHERE o_orderkey % 3 = 2)
+    SELECT CAST(1 AS BIGINT) AS version, CAST(n AS BIGINT) AS n_rows,
+           CAST(cents AS BIGINT) AS cents FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(n AS BIGINT), CAST(cents AS BIGINT) FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(n AS BIGINT), CAST(cents AS BIGINT) FROM v3
+    """,
+    doc="snapshot-versioned table with time travel (sources/snaptable.py): "
+        "commit v1 (a third of orders), APPEND v2 (another third — commit "
+        "cost O(delta), manifest = prior files + new dir), OVERWRITE v3 "
+        "(the last third); then read every version back through its "
+        "manifest. Publish order data -> manifest -> rename-atomic VERSION "
+        "pointer (FileOutputCommitter's rename discipline lifted to table "
+        "level); oracle derives each version's rows straight from orders",
+)
+def src_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources import snaptable
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = f"/tmp/h271_snaptable_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    snaptable.snap_commit(orders.filter(F.col("o_orderkey") % 3 == 0), root, "append")
+    snaptable.snap_commit(orders.filter(F.col("o_orderkey") % 3 == 1), root, "append")
+    snaptable.snap_commit(orders.filter(F.col("o_orderkey") % 3 == 2), root, "overwrite")
+    per_version = [
+        snaptable.snap_read(spark, root, v)
+        .agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+@register(
     "src_zstd_parquet",
     """
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

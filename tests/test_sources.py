@@ -1118,3 +1118,42 @@ def test_webdataset_shard_roundtrip(spark, tmp_path):
     assert (
         spark.read.format("binaryFile").load(str(tmp_path / "*.tar")).count() == 2
     )
+
+
+def test_snaptable_time_travel_atomicity_vacuum(spark, tmp_path):
+    """Snapshot table contract: (1) time travel returns each version's
+    exact rows; (2) a crash AFTER data files land but BEFORE the manifest/
+    pointer publish leaves readers on the previous version; (3) vacuum
+    drops only directories unreferenced by retained versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.sources import snaptable
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    v1 = snaptable.snap_commit(df.filter(F.col("id") < 40), root, "append")
+    v2 = snaptable.snap_commit(
+        df.filter((F.col("id") >= 40) & (F.col("id") < 70)), root, "append"
+    )
+    assert (v1, v2) == (1, 2)
+    assert snaptable.snap_read(spark, root, 1).count() == 40
+    assert snaptable.snap_read(spark, root, 2).count() == 70  # append unions
+    assert snaptable.snap_read(spark, root).count() == 70
+
+    # torn commit: data dir for v3 exists, manifest/pointer never published
+    df.filter(F.col("id") >= 70).write.mode("overwrite").parquet(
+        os.path.join(root, "data", "v3")
+    )
+    assert snaptable.current_version(root) == 2
+    assert snaptable.snap_read(spark, root).count() == 70  # readers unaffected
+
+    v3 = snaptable.snap_commit(df.filter(F.col("id") >= 70), root, "overwrite")
+    assert v3 == 3 and snaptable.snap_read(spark, root).count() == 30
+    assert [m["version"] for m in snaptable.snap_history(root)] == [1, 2, 3]
+
+    # vacuum keeping only v3: v1/v2's dirs go, v3's survives, v3 still reads
+    removed = snaptable.snap_vacuum(root, keep_last=1)
+    assert sorted(removed) == [os.path.join("data", "v1"), os.path.join("data", "v2")]
+    assert snaptable.snap_read(spark, root, 3).count() == 30
