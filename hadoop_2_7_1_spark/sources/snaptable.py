@@ -134,3 +134,39 @@ def snap_vacuum(root: str, keep_last: int = 1) -> list[str]:
             except FileNotFoundError:
                 pass
     return removed
+
+
+def snap_stream_sink(stream_df: DataFrame, root: str, checkpoint: str):
+    """Exactly-once streaming appends into a snapshot table: each
+    micro-batch commits one table version via ``foreachBatch``, recording
+    the batch id in the manifest; a REPLAYED batch (restart after a crash
+    between sink commit and checkpoint advance — the classic duplication
+    window) is detected by id and skipped, so the table never holds a
+    batch twice. Returns the started StreamingQuery.
+
+    This pairs Structured Streaming's replayable source offsets with the
+    table's atomic publish: offsets say WHAT might re-run, the manifest's
+    batch id says what already LANDED — together, exactly-once table
+    state with no distributed transaction.
+    """
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = current_version(root)
+        if cur > 0:
+            last = read_manifest(root, cur).get("batch_id", -1)
+            if batch_id <= last:
+                return  # replayed batch: already published, skip
+        version = snap_commit(batch_df, root, "append")
+        m = read_manifest(root, version)
+        m["batch_id"] = batch_id
+        mtmp = _manifest_path(root, version) + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(m, fh)
+        os.rename(mtmp, _manifest_path(root, version))
+
+    return (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
