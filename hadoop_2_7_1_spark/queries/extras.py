@@ -4517,6 +4517,40 @@ def cur_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "src_avro_roundtrip",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Avro Object Container File as a first-class source/sink "
+        "(sources/avrofile.py: pure-Python OCF writer+reader, deflate "
+        "codec, stock-JVM DataFileReader/Writer round-trips pinned in "
+        "tests/test_sources.py): lineitem columns round-trip through "
+        "deflate avro part files, then a decimal-accumulated aggregate "
+        "must hash-match the parquet-direct oracle",
+)
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    from ..sources.avrofile import read_avro, write_avro
+
+    path = _scratch_dir(spark, "avro", sf_dir) + "/lineitem"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    write_avro(li, path, codec="deflate")
+    back = read_avro(spark, path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sum_qty"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_key"),
+    )
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec
