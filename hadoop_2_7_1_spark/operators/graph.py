@@ -659,3 +659,128 @@ def oracle_modularity(edges_sql: str, labels_sql: str) -> str:
                    * (CAST(deg.deg_sum AS DOUBLE) / m.m), 6) AS q_contrib
     FROM deg LEFT JOIN within w ON deg.community = w.community, m
     """
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities) after ``iterations``
+    synchronous rounds over a directed edge list — the link-analysis
+    sibling of :func:`pagerank`, natural on bipartite graphs where the
+    two sides mean different things (supplier->part, user->item).
+
+    Per round: authority(v) = sum of hub over in-edges, L1-normalized;
+    then hub(u) = sum of authority over out-edges, L1-normalized. Two
+    keyed shuffles per half-step, normalization via a broadcast 1-row
+    total (never a global window). Same determinism recipe as
+    :func:`pagerank`: contributions accumulate as scaled BIGINT
+    (x1e15 — exact under any partial-sum grouping), the L1 total is an
+    exact integer, and the normalizing division is one IEEE double op —
+    bit-identical on any engine. The hub vector starts L1-normalized
+    (1/n_src via a broadcast 1-row count), so every later vector has
+    unit L1 mass and the scaled contribution total is bounded by
+    max_degree * 1e15 — not edge_count * 1e15, which would overflow
+    int64 beyond ~9k edges. Fixed iteration count keeps it
+    engine-replayable (oracle = unrolled CTE chain). At extreme skew
+    (max degree > ~9e3 * vector mass) drop the scale factor to 1e12
+    to keep headroom under int64.
+
+    Output: (node, side, score) with side in {'hub', 'auth'} — hub rows
+    for source nodes, auth rows for destination nodes.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    e = e.localCheckpoint()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_row = nodes.agg(F.count("*").alias("__n"))
+    hub = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("h")
+    )
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .select(
+                "dst",
+                F.round(F.col("h") * F.lit(1e15)).cast("bigint").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("tot"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("s").cast("double") / F.col("tot").cast("double")).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select(
+                "src",
+                F.round(F.col("a") * F.lit(1e15)).cast("bigint").alias("c"),
+            )
+            .groupBy("src")
+            .agg(F.sum("c").alias("s"))
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("tot"))
+        hub = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select(
+                F.col("src").alias("node"),
+                (F.col("s").cast("double") / F.col("tot").cast("double")).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return hub.select(
+        "node", F.lit("hub").alias("side"), F.col("h").cast("double").alias("score")
+    ).union(
+        auth.select(
+            "node", F.lit("auth").alias("side"), F.col("a").cast("double").alias("score")
+        )
+    )
+
+
+def oracle_hits(edges_sql: str, iterations: int = 2) -> str:
+    """Unrolled-CTE replay of :func:`hits` — scaled-bigint contribution
+    sums, exact-integer L1 totals, one double division per score."""
+    sql = f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    n0 AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
+    h0 AS (SELECT DISTINCT src AS node,
+                  CAST(1.0 AS DOUBLE) / CAST(n0.n AS DOUBLE) AS h
+           FROM e, n0)"""
+    for i in range(iterations):
+        sql += f""",
+    ar{i} AS (
+      SELECT e.dst, CAST(sum(CAST(round(h.h * 1e15) AS BIGINT)) AS BIGINT) AS s
+      FROM e JOIN h{i} h ON e.src = h.node GROUP BY e.dst
+    ),
+    a{i} AS (
+      SELECT dst AS node,
+             CAST(s AS DOUBLE)
+             / CAST((SELECT CAST(sum(s) AS BIGINT) FROM ar{i}) AS DOUBLE) AS a
+      FROM ar{i}
+    ),
+    hr{i} AS (
+      SELECT e.src, CAST(sum(CAST(round(a.a * 1e15) AS BIGINT)) AS BIGINT) AS s
+      FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+    ),
+    h{i + 1} AS (
+      SELECT src AS node,
+             CAST(s AS DOUBLE)
+             / CAST((SELECT CAST(sum(s) AS BIGINT) FROM hr{i}) AS DOUBLE) AS h
+      FROM hr{i}
+    )"""
+    sql += f"""
+    SELECT node, 'hub' AS side, CAST(h AS DOUBLE) AS score FROM h{iterations}
+    UNION ALL
+    SELECT node, 'auth' AS side, CAST(a AS DOUBLE) AS score FROM a{iterations - 1}
+    """
+    return sql

@@ -564,3 +564,98 @@ def oracle_column_entropy(table: str, cols: list[str]) -> str:
            END AS norm_entropy
     FROM terms GROUP BY col_name
     """
+
+
+def benford(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Benford first-significant-digit audit — the classic synthetic-data /
+    fraud / corrupted-feed screen: natural multiplicative quantities
+    (prices, populations) follow P(d) = log10(1 + 1/d); uniform or
+    fabricated ones don't. Reports, per column and digit 1-9: observed
+    count, expected count, and the chi-square contribution.
+
+    Shape: ONE scan fans all columns via stack (the drift_psi/entropy
+    pattern), one (col, digit) count, then a 9-row-per-column scaffold
+    (explode over a literal range) left-joined so zero-observation digits
+    still appear. First digit comes from the BIGINT cents rendering
+    (round(abs(x)*100)) — integer-to-string is engine-portable where
+    double-to-string is not. Expected proportions are Python-evaluated
+    doubles injected as literals into BOTH engines (repr round-trip), so
+    the only float ops are one multiply, one subtract, one pow, one
+    divide — identical order both sides, rounded to 6dp.
+    """
+    import math
+
+    n = len(cols)
+    stack_args = ", ".join(f"'{c}', cast(round(abs({c}) * 100) as bigint)" for c in cols)
+    v = df.select(
+        F.expr(f"stack({n}, {stack_args}) as (col_name, cents)")
+    ).filter("cents > 0")
+    digits = v.select(
+        "col_name",
+        F.expr("cast(substring(cast(cents as string), 1, 1) as int)").alias("digit"),
+    )
+    counts = digits.groupBy("col_name", "digit").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("col_name").agg(F.sum("c").alias("nt"))
+    scaffold = totals.select(
+        "col_name", "nt", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+    )
+    p_arr = "array(" + ", ".join(repr(math.log10(1 + 1 / d)) for d in range(1, 10)) + ")"
+    return (
+        scaffold.join(counts, ["col_name", "digit"], "left")
+        .select(
+            "col_name",
+            "digit",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_obs"),
+            F.expr(
+                f"round(cast(nt as double) * element_at({p_arr}, digit), 6)"
+            ).alias("expected_n"),
+            F.expr(
+                f"round(pow(cast(coalesce(c, 0) as double)"
+                f" - cast(nt as double) * element_at({p_arr}, digit), 2)"
+                f" / (cast(nt as double) * element_at({p_arr}, digit)), 6)"
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def oracle_benford(table: str, cols: list[str]) -> str:
+    import math
+
+    fan = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name,"
+        f" CAST(round(abs({c}) * 100) AS BIGINT) AS cents FROM {table}"
+        for c in cols
+    )
+    p_case = (
+        "CASE s.digit "
+        + " ".join(
+            f"WHEN {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+        )
+        + " END"
+    )
+    return f"""
+    WITH v AS (SELECT * FROM ({fan}) WHERE cents > 0),
+    digits AS (
+      SELECT col_name,
+             CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM v
+    ),
+    counts AS (
+      SELECT col_name, digit, count(*) AS c FROM digits GROUP BY col_name, digit
+    ),
+    totals AS (
+      SELECT col_name, CAST(sum(c) AS BIGINT) AS nt FROM counts GROUP BY col_name
+    ),
+    scaffold AS (
+      SELECT col_name, nt, CAST(u.d AS INT) AS digit
+      FROM totals, UNNEST(range(1, 10)) AS u(d)
+    )
+    SELECT s.col_name, s.digit,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n_obs,
+           round(CAST(s.nt AS DOUBLE) * ({p_case}), 6) AS expected_n,
+           round(pow(CAST(coalesce(c.c, 0) AS DOUBLE)
+                     - CAST(s.nt AS DOUBLE) * ({p_case}), 2)
+                 / (CAST(s.nt AS DOUBLE) * ({p_case})), 6) AS chi2_term
+    FROM scaffold s LEFT JOIN counts c
+      ON s.col_name = c.col_name AND s.digit = c.digit
+    """

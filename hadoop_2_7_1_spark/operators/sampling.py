@@ -676,3 +676,24 @@ def oracle_categorical_draws(
            CAST(coalesce(h.n, 0) AS BIGINT) AS n_drawn
     FROM ranges r LEFT JOIN hits h USING (token)
     """
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int = 5, fold_col: str = "fold"
+) -> DataFrame:
+    """K-fold cross-validation assignment: fold = md5(key) mod k — stable
+    under reruns, row order, partitioning, and engine (the same
+    content-stable hashing contract as :func:`train_test_split`, so a
+    later ingest assigns old keys to their old folds). Narrow map, no
+    shuffle; fold i's train set is ``fold != i`` — no materialization of
+    k copies.
+    """
+    return df.withColumn(fold_col, (hex_hash32(key_col) % k).cast("int"))
+
+
+def oracle_kfold(key_expr: str, k: int) -> str:
+    """DuckDB expression matching :func:`kfold_assign`'s fold id."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {k} AS INT)"
+    )

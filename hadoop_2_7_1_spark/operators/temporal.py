@@ -567,3 +567,80 @@ def oracle_lttb_downsample(
            CAST(y AS BIGINT) AS cents, CAST(n AS BIGINT) AS n_bucket
     FROM ranked WHERE rn = 1
     """
+
+
+def m4_downsample(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "hour",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (key, time bucket)
+    keep min, max, first and last — the four points that make a
+    pixel-perfect line rendering of an arbitrarily long series, and the
+    standard companion to LTTB (:func:`lttb_downsample`) in time-series
+    stores.
+
+    ONE keyed aggregation, no window: first/last are lexicographic
+    min/max over the exact-integer ``struct(epoch_second, cents)`` — a
+    total order, so ties on the timestamp break on the value identically
+    in any engine (the oracle's ordered-aggregate ``first(... ORDER BY
+    x, y)`` is the same total order). All outputs exact integers.
+
+    Output: (key, bucket, n_bucket, y_min, y_max, x_first, y_first,
+    x_last, y_last) with x = epoch seconds, y = value cents.
+    """
+    pts = events.select(
+        F.col(key_col).alias("k"),
+        F.date_trunc(width, F.col(ts_col)).alias("bucket"),
+        F.expr(f"cast({ts_col} as bigint)").alias("x"),
+        F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+    )
+    return (
+        pts.groupBy("k", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bucket"),
+            F.min("y").cast("bigint").alias("y_min"),
+            F.max("y").cast("bigint").alias("y_max"),
+            F.min(F.struct("x", "y")).alias("f"),
+            F.max(F.struct("x", "y")).alias("l"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "bucket",
+            "n_bucket",
+            "y_min",
+            "y_max",
+            F.col("f.x").cast("bigint").alias("x_first"),
+            F.col("f.y").cast("bigint").alias("y_first"),
+            F.col("l.x").cast("bigint").alias("x_last"),
+            F.col("l.y").cast("bigint").alias("y_last"),
+        )
+    )
+
+
+def oracle_m4_downsample(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "hour",
+) -> str:
+    return f"""
+    WITH pts AS (
+      SELECT {key_col} AS k, date_trunc('{width}', {ts_col}) AS bucket,
+             CAST(floor(epoch({ts_col})) AS BIGINT) AS x,
+             CAST(round({value_col} * 100) AS BIGINT) AS y
+      FROM {table}
+    )
+    SELECT k AS {key_col}, bucket,
+           CAST(count(*) AS BIGINT) AS n_bucket,
+           CAST(min(y) AS BIGINT) AS y_min,
+           CAST(max(y) AS BIGINT) AS y_max,
+           CAST(first(x ORDER BY x, y) AS BIGINT) AS x_first,
+           CAST(first(y ORDER BY x, y) AS BIGINT) AS y_first,
+           CAST(last(x ORDER BY x, y) AS BIGINT) AS x_last,
+           CAST(last(y ORDER BY x, y) AS BIGINT) AS y_last
+    FROM pts GROUP BY k, bucket
+    """

@@ -25,6 +25,7 @@ from ..operators.funnel import (
     oracle_trend_ols,
 )
 from ..operators.graph import (
+    oracle_hits,
     oracle_bfs_hops,
     oracle_label_propagation,
     oracle_modularity,
@@ -32,6 +33,7 @@ from ..operators.graph import (
     oracle_sssp,
 )
 from ..operators.temporal import (
+    oracle_m4_downsample,
     oracle_cusum_alarms,
     oracle_gap_fill_interpolate,
     oracle_gap_fill_locf,
@@ -47,6 +49,7 @@ from ..operators.sketches import (
     oracle_kmv_distinct,
 )
 from ..operators.profile import (
+    oracle_benford,
     oracle_column_entropy,
     oracle_dp_release,
     oracle_drift_psi,
@@ -60,6 +63,7 @@ from ..operators.sampling import (
     oracle_domain_quota,
     oracle_epoch_mixture,
     oracle_hash_threshold,
+    oracle_kfold,
     oracle_temperature_counts,
 )
 from . import register
@@ -1256,6 +1260,22 @@ def evt_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tmp_m4",
+    oracle_m4_downsample("events"),
+    doc="M4 downsampling (min/max/first/last per (series, hour) bucket, "
+        "VLDB'14): the pixel-perfect line-rendering decimation, one keyed "
+        "aggregation with first/last as lexicographic min/max over exact "
+        "(epoch, cents) structs — ties engine-portable by construction "
+        "(operators/temporal.py:m4_downsample)",
+)
+def tmp_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import m4_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    return m4_downsample(ev, width="hour")
+
+
+@register(
     "tmp_lttb",
     oracle_lttb_downsample("events", "event_type", "ts", "value", width="day"),
     doc="LTTB downsampling (largest-triangle-three-buckets), bucket-average "
@@ -1656,6 +1676,36 @@ def cur_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "smp_kfold",
+    f"""
+    SELECT {oracle_kfold("doc_id", 5)} AS fold,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="k-fold cross-validation assignment (k=5): fold = md5(doc_id) mod "
+        "k — content-stable so reruns/engines agree and later ingests keep "
+        "old keys in old folds; narrow map, no shuffle, no k-way "
+        "materialization; per-fold size/source/char report "
+        "(operators/sampling.py:kfold_assign)",
+)
+def smp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        kfold_assign(docs, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@register(
     "smp_train_test_split",
     f"""
     SELECT split, CAST(count(*) AS BIGINT) AS n
@@ -1721,6 +1771,24 @@ def prof_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return k_anonymity(cust, ["c_nationkey", "c_mktsegment"])
+
+
+@register(
+    "prof_benford",
+    oracle_benford("lineitem", ["l_extendedprice", "l_quantity"]),
+    doc="Benford first-digit audit (fraud / synthetic-feed screen): "
+        "l_extendedprice (multiplicative, Benford-ish) vs l_quantity "
+        "(uniform 1-50, deliberately violating) — per (column, digit 1-9): "
+        "observed count, expected count, chi-square term. One stack-fanned "
+        "scan, one (col, digit) count, 9-row scaffold per column; expected "
+        "log10 proportions are Python-evaluated doubles injected into both "
+        "engines (operators/profile.py:benford)",
+)
+def prof_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import benford
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford(li, ["l_extendedprice", "l_quantity"])
 
 
 _DRIFT_SPECS = [
@@ -2642,6 +2710,34 @@ def grf_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(edges, iterations=3, damping=0.85)
+
+
+_HITS_EDGES_SQL = """
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+"""
+
+
+@register(
+    "grf_hits",
+    oracle_hits(_HITS_EDGES_SQL, iterations=2),
+    doc="HITS hubs-and-authorities (2 synchronous rounds) over the "
+        "DIRECTED supplier->part graph: hub = supplier breadth, authority "
+        "= part demand concentration. Scaled-bigint contribution sums + "
+        "exact-integer L1 totals keep every score bit-identical at any "
+        "parallelism; oracle is the unrolled CTE chain (operators/"
+        "graph.py:hits)",
+)
+def grf_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return hits(edges, iterations=2)
 
 
 @register(

@@ -1896,3 +1896,70 @@ def test_modularity_range_and_identity_partition(spark):
     )
     q1 = modularity(edges, one).agg(F.sum("q_contrib")).collect()[0][0]
     assert abs(q1) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch: HITS, Benford, M4, k-fold
+
+
+def test_hits_bipartite_hand(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.operators.graph import hits
+
+    # s1 links 3 parts, s2 links 1; p1 referenced by both
+    edges = spark.createDataFrame(
+        [("s1", "p1"), ("s1", "p2"), ("s1", "p3"), ("s2", "p1")],
+        "src string, dst string",
+    )
+    out = {(r.node, r.side): r.score for r in hits(edges, iterations=2).collect()}
+    assert out[("s1", "hub")] > out[("s2", "hub")]
+    assert out[("p1", "auth")] > out[("p2", "auth")]
+    hub_sum = sum(v for (n, s), v in out.items() if s == "hub")
+    auth_sum = sum(v for (n, s), v in out.items() if s == "auth")
+    assert abs(hub_sum - 1.0) < 1e-9 and abs(auth_sum - 1.0) < 1e-9
+
+
+def test_benford_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import benford
+
+    # values 1..9 once each -> one observation per digit, n=9
+    df = spark.createDataFrame([(float(i),) for i in range(1, 10)], "v double")
+    rows = {r.digit: r for r in benford(df, ["v"]).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    assert all(rows[d].n_obs == 1 for d in rows)
+    import math
+
+    assert abs(rows[1].expected_n - round(9 * math.log10(2), 6)) < 1e-9
+
+
+def test_m4_tie_break_deterministic(spark):
+    from hadoop_2_7_1_spark.operators.temporal import m4_downsample
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:05", 3.0),
+            ("a", "2024-01-01 10:00:05", 1.0),  # same ts, smaller value
+            ("a", "2024-01-01 10:59:59", 2.0),
+        ],
+        "event_type string, ts_s string, value double",
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    r = m4_downsample(ev, width="hour").collect()[0]
+    assert (r.n_bucket, r.y_min, r.y_max) == (3, 100, 300)
+    assert r.y_first == 100  # ts tie broken toward the smaller value
+    assert r.y_last == 200
+
+
+def test_kfold_stable_and_total(spark):
+    from hadoop_2_7_1_spark.operators.sampling import kfold_assign
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = kfold_assign(df, "k", k=5).groupBy("fold").count().collect()
+    assert {r.fold for r in a} == {0, 1, 2, 3, 4}
+    assert sum(r["count"] for r in a) == 500
+    # repartitioned rerun assigns identically
+    b = kfold_assign(df.repartition(7), "k", k=5)
+    joined = kfold_assign(df, "k", k=5).alias("x").join(
+        b.alias("y"), "k"
+    ).filter("x.fold <> y.fold")
+    assert joined.count() == 0
