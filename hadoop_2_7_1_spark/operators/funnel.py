@@ -593,3 +593,151 @@ def oracle_attribution_linear(
            CAST(sum(credit) AS BIGINT) AS credited_cents
     FROM credited GROUP BY channel
     """
+
+
+def survival_km(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime — the standard
+    right-censored retention curve (Kaplan & Meier, JASA 1958): users whose
+    last activity is within ``censor_days`` of the corpus end are censored
+    (still alive), everyone else churned at lifetime = last_day - first_day.
+
+    At each distinct lifetime t: n_at_risk = users with lifetime >= t,
+    d = churns at t, c = censored at t, and S(t) multiplies in
+    (n_at_risk - d) / n_at_risk. The product is computed as
+    exp(Σ ln(factor)) with each per-step ln rounded to DECIMAL(38,6)
+    before the EXACT decimal cumulative sum — the unigram_logprob
+    summation-order discipline, so any partial-sum grouping and any
+    engine produce the same digits. Counts are all exact integers.
+
+    Scale shape: one user-keyed aggregation over the data (map-side
+    combined), then everything else happens on the per-lifetime frame —
+    at most max-lifetime-days rows, metadata scale — where the single
+    unpartitioned cumulative window is the textbook KM recurrence, not a
+    data-scale shuffle. Output: (t_days, n_at_risk, n_events, n_censored,
+    log_s, survival).
+    """
+    days = events.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    )
+    spans = days.groupBy("u").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    gmax = spans.agg(F.max("last_d").alias("__gmax"))
+    users = spans.crossJoin(F.broadcast(gmax)).select(
+        F.datediff(F.col("last_d"), F.col("first_d")).alias("t"),
+        F.when(
+            F.datediff(F.col("__gmax"), F.col("last_d")) >= censor_days, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churn"),
+    )
+    steps = users.groupBy("t").agg(
+        F.sum("churn").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("churn")).cast("bigint").alias("c"),
+    )
+    n_tot = users.agg(F.count("*").cast("bigint").alias("__n"))
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = (
+        steps.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("__n")
+                - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "__term",
+            F.when(
+                F.col("n_at_risk") > F.col("d"),
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                ).cast("decimal(38,6)"),
+            ),
+        )
+        .withColumn("__extinct", F.max(F.col("d") >= F.col("n_at_risk")).over(w_cum))
+        .withColumn("__logsum", F.sum("__term").over(w_cum))
+    )
+    return at_risk.select(
+        F.col("t").cast("int").alias("t_days"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("__extinct"), F.lit(None).cast("double"))
+        .otherwise(F.coalesce(F.col("__logsum").cast("double"), F.lit(0.0)))
+        .alias("log_s"),
+        F.when(F.col("__extinct"), F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.coalesce(F.col("__logsum").cast("double"), F.lit(0.0))), 6)
+        )
+        .alias("survival"),
+    )
+
+
+def oracle_survival_km(
+    table: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> str:
+    return f"""
+    WITH spans AS (
+      SELECT {user_col} AS u,
+             min(CAST({ts_col} AS DATE)) AS first_d,
+             max(CAST({ts_col} AS DATE)) AS last_d
+      FROM {table} GROUP BY 1
+    ),
+    gmax AS (SELECT max(last_d) AS g FROM spans),
+    users AS (
+      SELECT date_diff('day', first_d, last_d) AS t,
+             CASE WHEN date_diff('day', last_d, gmax.g) >= {censor_days}
+                  THEN 1 ELSE 0 END AS churn
+      FROM spans, gmax
+    ),
+    steps AS (
+      SELECT t, CAST(sum(churn) AS BIGINT) AS d,
+             CAST(sum(1 - churn) AS BIGINT) AS c
+      FROM users GROUP BY t
+    ),
+    ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
+    ar AS (
+      SELECT t, d, c,
+             CAST(ntot.n - coalesce(sum(d + c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_at_risk
+      FROM steps, ntot
+    ),
+    terms AS (
+      SELECT t, d, c, n_at_risk,
+             CASE WHEN n_at_risk > d
+                  THEN CAST(ln(CAST(n_at_risk - d AS DOUBLE)
+                               / CAST(n_at_risk AS DOUBLE)) AS DECIMAL(38,6))
+             END AS term,
+             max(d >= n_at_risk) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS extinct
+      FROM ar
+    ),
+    cum AS (
+      SELECT t, d, c, n_at_risk, extinct,
+             sum(term) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS logsum
+      FROM terms
+    )
+    SELECT CAST(t AS INT) AS t_days, n_at_risk,
+           d AS n_events, c AS n_censored,
+           CASE WHEN extinct THEN NULL
+                ELSE CAST(coalesce(logsum, 0) AS DOUBLE) END AS log_s,
+           CASE WHEN extinct THEN CAST(0 AS DOUBLE)
+                ELSE round(exp(CAST(coalesce(logsum, 0) AS DOUBLE)), 6)
+           END AS survival
+    FROM cum
+    """

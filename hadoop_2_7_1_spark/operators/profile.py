@@ -659,3 +659,86 @@ def oracle_benford(table: str, cols: list[str]) -> str:
     FROM scaffold s LEFT JOIN counts c
       ON s.col_name = c.col_name AND s.digit = c.digit
     """
+
+
+def join_skew(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_n: int = 25,
+) -> DataFrame:
+    """Pre-flight skew audit for an equi-join — the check you run BEFORE
+    launching a 100 TB join: which keys would dominate the shuffle?
+
+    For every key present on both sides, est_rows = n_left * n_right is
+    the exact number of output rows that key will produce; the report is
+    the top_n keys by that contribution with their share of total output.
+    A key holding >1% of a trillion-row join output is the signal to salt
+    it (agg_salted_join) or broadcast around it.
+
+    Scale shape: two map-side-combined keyed counts (one per side), one
+    keyed join of the COUNT tables (key-cardinality scale, not data
+    scale), a broadcast 1-row total, and top-n via sort+limit — Spark
+    plans that as TakeOrderedAndProject (per-partition heap, merge on the
+    driver), never a global sort. Output: (key, n_left, n_right,
+    est_rows, pct_of_output).
+    """
+    la = (
+        left.filter(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("key"))
+        .agg(F.count("*").cast("bigint").alias("n_left"))
+    )
+    ra = (
+        right.filter(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("key"))
+        .agg(F.count("*").cast("bigint").alias("n_right"))
+    )
+    est = la.join(ra, "key").withColumn(
+        "est_rows", (F.col("n_left") * F.col("n_right")).cast("bigint")
+    )
+    tot = est.agg(F.sum("est_rows").cast("bigint").alias("__tot"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "est_rows",
+            F.round(
+                F.col("est_rows").cast("double") / F.col("__tot").cast("double") * 100.0,
+                6,
+            ).alias("pct_of_output"),
+        )
+        .orderBy(F.col("est_rows").desc(), F.col("key"))
+        .limit(top_n)
+    )
+
+
+def oracle_join_skew(
+    left: str, right: str, left_key: str, right_key: str, top_n: int = 25
+) -> str:
+    return f"""
+    WITH la AS (
+      SELECT {left_key} AS key, count(*) AS n_left FROM {left}
+      WHERE {left_key} IS NOT NULL GROUP BY 1
+    ),
+    ra AS (
+      SELECT {right_key} AS key, count(*) AS n_right FROM {right}
+      WHERE {right_key} IS NOT NULL GROUP BY 1
+    ),
+    est AS (
+      SELECT la.key, la.n_left, ra.n_right,
+             la.n_left * ra.n_right AS est_rows
+      FROM la JOIN ra USING (key)
+    ),
+    tot AS (SELECT CAST(sum(est_rows) AS BIGINT) AS t FROM est)
+    SELECT key, CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(est_rows AS BIGINT) AS est_rows,
+           round(CAST(est_rows AS DOUBLE) / CAST(tot.t AS DOUBLE) * 100.0, 6)
+             AS pct_of_output
+    FROM est, tot
+    ORDER BY est_rows DESC, key
+    LIMIT {top_n}
+    """

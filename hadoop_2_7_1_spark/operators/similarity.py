@@ -1526,3 +1526,149 @@ def oracle_ivf_pq(
     FROM ipq_scored QUALIFY rnk <= {k}
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact second-moment matrix + PCA (embedding whitening / top direction)
+# ---------------------------------------------------------------------------
+
+
+def embedding_moments(
+    emb: DataFrame, vec_col: str = "embedding", dims: int = 16, scale: int = 10_000
+) -> DataFrame:
+    """EXACT second-moment matrix of the leading ``dims`` embedding
+    coordinates, as scaled integers — the distributed half of PCA
+    (covariance → :func:`pca_top_component` power-iterates the d×d result
+    driver-side), and the input to embedding whitening / decorrelation.
+
+    Each coordinate is fixed-pointed to ``round(x * scale)`` BIGINT, so
+    every sum and product sum is an exact integer — identical under any
+    partial-sum grouping and any engine, the same determinism recipe as
+    pagerank/HITS. Layout: one wide aggregation computes n, the d marginal
+    sums and the d(d+1)/2 upper-triangle product sums as SINGLE-ROW
+    partials (map-side combined — the shuffle carries one ~d²-cell row per
+    partition, data volume never moves), then a stack unpivots to rows.
+
+    Headroom: |s| <= scale * max|x|, so Σ s_i*s_j <= n * (scale*max|x|)².
+    With unit-norm embeddings and scale=1e4 that holds to n ≈ 9e10 rows;
+    at larger corpora drop scale to 1e3 (still 3 decimal digits of
+    per-coordinate precision and 9e16 rows of headroom).
+
+    Output rows: (i, -1, sum_i, n) marginals and (i, j, sum_ij, n) for
+    i <= j — covariance cell = s_ij/(n·scale²) − (s_i/(n·scale))·(s_j/(n·scale)).
+    """
+    s_cols = [
+        F.expr(
+            f"cast(round(cast(element_at({vec_col}, {i + 1}) as double) * {scale})"
+            f" as bigint)"
+        ).alias(f"__s{i}")
+        for i in range(dims)
+    ]
+    base = emb.select(*s_cols)
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for i in range(dims):
+        aggs.append(F.sum(F.col(f"__s{i}")).cast("bigint").alias(f"m_{i}"))
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(
+                F.sum(F.col(f"__s{i}") * F.col(f"__s{j}"))
+                .cast("bigint")
+                .alias(f"p_{i}_{j}")
+            )
+    one = base.agg(*aggs)
+    parts = [f"{i}, -1, m_{i}" for i in range(dims)]
+    parts += [f"{i}, {j}, p_{i}_{j}" for i in range(dims) for j in range(i, dims)]
+    stack_expr = f"stack({len(parts)}, " + ", ".join(parts) + ") as (i, j, s)"
+    return one.select("n", F.expr(stack_expr)).select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.col("s").cast("bigint").alias("s"),
+        "n",
+    )
+
+
+def oracle_embedding_moments(
+    table: str, vec_col: str = "embedding", dims: int = 16, scale: int = 10_000
+) -> str:
+    def cell(i: int) -> str:
+        return f"CAST(round(CAST({vec_col}[{i + 1}] AS DOUBLE) * {scale}) AS BIGINT)"
+
+    sums = [f"CAST(count(*) AS BIGINT) AS n"]
+    sums += [f"CAST(sum({cell(i)}) AS BIGINT) AS m_{i}" for i in range(dims)]
+    sums += [
+        f"CAST(sum({cell(i)} * {cell(j)}) AS BIGINT) AS p_{i}_{j}"
+        for i in range(dims)
+        for j in range(i, dims)
+    ]
+    # one struct per output cell, unnested from the SINGLE agg row — the
+    # naive UNION ALL of one SELECT per cell re-executes the aggregate CTE
+    # per branch in DuckDB (measured 9s vs 0.1s at sf0.01)
+    cells = [
+        f"struct_pack(i := CAST({i} AS INT), j := CAST(-1 AS INT), s := m_{i})"
+        for i in range(dims)
+    ]
+    cells += [
+        f"struct_pack(i := CAST({i} AS INT), j := CAST({j} AS INT), s := p_{i}_{j})"
+        for i in range(dims)
+        for j in range(i, dims)
+    ]
+    return (
+        "WITH agg AS (SELECT "
+        + ", ".join(sums)
+        + f" FROM {table})\n"
+        + "SELECT u.i AS i, u.j AS j, u.s AS s, n FROM agg, UNNEST(["
+        + ", ".join(cells)
+        + "]) AS t(u)"
+    )
+
+
+def pca_top_component(
+    moments_rows: list, dims: int, scale: int, iterations: int = 50
+):
+    """Power iteration for the top principal component on the EXACT moment
+    cells from :func:`embedding_moments` — pass `.collect()` of that frame
+    (metadata scale by construction: dims*(dims+3)/2 + marginals rows,
+    never data). Deterministic: fixed start vector (uniform), fixed
+    iteration count, float64 driver math on exact-integer inputs, sign
+    canonicalized so the largest-|coordinate| entry is positive.
+
+    Returns (eigenvector ndarray[dims], eigenvalue float).
+    """
+    import numpy as np
+
+    m = np.zeros(dims)
+    p = np.zeros((dims, dims))
+    n = None
+    for r in moments_rows:
+        n = r["n"]
+        if r["j"] == -1:
+            m[r["i"]] = r["s"]
+        else:
+            p[r["i"], r["j"]] = p[r["j"], r["i"]] = r["s"]
+    mean = m / (n * scale)
+    cov = p / (n * scale * scale) - np.outer(mean, mean)
+    v = np.ones(dims) / np.sqrt(dims)
+    for _ in range(iterations):
+        w = cov @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    eigval = float(v @ cov @ v)
+    return v, eigval
+
+
+def project_onto(
+    emb: DataFrame, direction, vec_col: str = "embedding", out_col: str = "proj"
+) -> DataFrame:
+    """Project each embedding onto a fixed direction (e.g. the top
+    principal component) as a narrow JVM map — the direction is injected
+    as repr'd double literals, so the fold is whole-stage-codegen with no
+    Python in the path."""
+    terms = " + ".join(
+        f"cast(element_at({vec_col}, {i + 1}) as double) * {float(x)!r}"
+        for i, x in enumerate(direction)
+    )
+    return emb.withColumn(out_col, F.expr(terms))

@@ -697,3 +697,172 @@ def oracle_histogram_quantiles(
            CAST(a.approx_cents - e.exact_cents AS BIGINT) AS err_cents
     FROM approx a JOIN exact e ON a.k = e.k AND a.q = e.q
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: pairwise overlap between groups without a data-scale join
+# ---------------------------------------------------------------------------
+
+
+def kmv_overlap(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise set-overlap report between every two groups from their KMV
+    sketches — "how much do these sources share?" answered at sketch scale,
+    the mergeable-sketch property :func:`kmv_distinct` only asserts, here
+    actually exercised as set algebra (Beyer et al., SIGMOD 2007).
+
+    Per group: the k smallest md5 fractions of its distinct values. Per
+    pair (a, b): merge the two sketches, keep the k smallest of the union;
+    the union's KMV estimate is (k-1)/h_(k), and the Jaccard estimate is
+    the fraction of those k that appear in BOTH input sketches. Exact
+    n_common / n_union ride along as the audit (the sketch-vs-exact
+    discipline of agg_minhash_accuracy / agg_sketch_report).
+
+    Scale shape: the sketch build is one distinct + one group-keyed
+    window keeping k rows per group — data touched once. Everything
+    pairwise happens on sketch rows (n_groups * k), never on data: the
+    pair expansion is two broadcast equi-joins of the tiny pair table
+    against sketch rows, Σ |pairs| * k rows total. The exact-audit join is
+    a value-keyed equi-join of the distinct sets (Σ per-value group-count²,
+    bounded by n_groups² per value) — at 100 TB drop the audit columns and
+    only sketch rows ever move.
+    """
+    d = df.select(group_col, value_col).filter(F.col(value_col).isNotNull()).distinct()
+    d = d.localCheckpoint()
+    hashed = d.withColumn("__frac", _frac(value_col))
+    w = Window.partitionBy(group_col).orderBy("__frac")
+    sk = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col(group_col).alias("g"), "__frac")
+    )
+    groups = d.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(F.broadcast(groups.select(F.col("g").alias("gb"))), F.col("ga") < F.col("gb"))
+    )
+    ma = pairs.join(sk, pairs["ga"] == sk["g"]).select(
+        "ga", "gb", "__frac", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    mb = pairs.join(sk, pairs["gb"] == sk["g"]).select(
+        "ga", "gb", "__frac", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        ma.union(mb)
+        .groupBy("ga", "gb", "__frac")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w2 = Window.partitionBy("ga", "gb").orderBy("__frac")
+    top = merged.withColumn("__rn", F.row_number().over(w2)).filter(F.col("__rn") <= k)
+    pairstats = top.groupBy("ga", "gb").agg(
+        F.count("*").cast("bigint").alias("n_merged"),
+        F.max("__frac").alias("__kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+    )
+    sizes = d.groupBy(group_col).agg(F.count("*").cast("bigint").alias("n"))
+    common = (
+        d.alias("p")
+        .join(
+            d.alias("q"),
+            (F.col(f"p.{value_col}") == F.col(f"q.{value_col}"))
+            & (F.col(f"p.{group_col}") < F.col(f"q.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"p.{group_col}").alias("ga"), F.col(f"q.{group_col}").alias("gb")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    na = sizes.select(F.col(group_col).alias("ga"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(group_col).alias("gb"), F.col("n").alias("n_b"))
+    return (
+        pairstats.join(F.broadcast(na), "ga")
+        .join(F.broadcast(nb), "gb")
+        .join(F.broadcast(common), ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_union"),
+            (
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("jaccard_exact"),
+            (
+                F.col("n_both").cast("double")
+                / F.least(F.lit(k), F.col("n_merged")).cast("double")
+            ).alias("jaccard_est"),
+            F.when(F.col("n_merged") < k, F.col("n_merged").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("__kth"))
+            .cast("double")
+            .alias("union_est"),
+        )
+    )
+
+
+def oracle_kmv_overlap(table: str, group_col: str, value_col: str, k: int = 64) -> str:
+    frac = (
+        f"CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" / {float(1 << 60)!r}"
+    )
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT {group_col} AS g, {value_col} AS v FROM {table}
+      WHERE {value_col} IS NOT NULL
+    ), h AS (
+      SELECT g, {frac} AS frac FROM d
+    ), r AS (
+      SELECT g, frac, row_number() OVER (PARTITION BY g ORDER BY frac) AS rn
+      FROM h
+    ), sk AS (SELECT g, frac FROM r WHERE rn <= {k}),
+    pairs AS (
+      SELECT x.g AS ga, y.g AS gb
+      FROM (SELECT DISTINCT g FROM d) x, (SELECT DISTINCT g FROM d) y
+      WHERE x.g < y.g
+    ),
+    m AS (
+      SELECT ga, gb, frac, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.ga, p.gb, s.frac, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON p.ga = s.g
+        UNION ALL
+        SELECT p.ga, p.gb, s.frac, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON p.gb = s.g
+      ) GROUP BY ga, gb, frac
+    ),
+    t AS (
+      SELECT ga, gb, frac, in_a, in_b,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY frac) AS rn
+      FROM m
+    ),
+    ps AS (
+      SELECT ga, gb, count(*) AS n_merged, max(frac) AS kth,
+             sum(in_a * in_b) AS n_both
+      FROM t WHERE rn <= {k} GROUP BY ga, gb
+    ),
+    sizes AS (SELECT g, count(*) AS n FROM d GROUP BY g),
+    com AS (
+      SELECT p.g AS ga, q.g AS gb, count(*) AS n_common
+      FROM d p JOIN d q ON p.v = q.v AND p.g < q.g
+      GROUP BY p.g, q.g
+    )
+    SELECT ps.ga AS group_a, ps.gb AS group_b,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CAST(coalesce(com.n_common, 0) AS BIGINT) AS n_common,
+           CAST(na.n + nb.n - coalesce(com.n_common, 0) AS BIGINT) AS n_union,
+           CAST(coalesce(com.n_common, 0) AS DOUBLE)
+           / CAST(na.n + nb.n - coalesce(com.n_common, 0) AS DOUBLE) AS jaccard_exact,
+           CAST(ps.n_both AS DOUBLE)
+           / CAST(least({k}, ps.n_merged) AS DOUBLE) AS jaccard_est,
+           CAST(CASE WHEN ps.n_merged < {k} THEN ps.n_merged
+                     ELSE ({k} - 1) / ps.kth END AS DOUBLE) AS union_est
+    FROM ps
+    JOIN sizes na ON ps.ga = na.g
+    JOIN sizes nb ON ps.gb = nb.g
+    LEFT JOIN com ON ps.ga = com.ga AND ps.gb = com.gb
+    """

@@ -4647,6 +4647,82 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.sketches import oracle_kmv_overlap
+from ..operators.profile import oracle_join_skew
+from ..operators.funnel import oracle_survival_km
+from ..operators.similarity import oracle_embedding_moments
+
+
+@register(
+    "agg_kmv_overlap",
+    oracle_kmv_overlap("events", "event_type", "user_id", k=64),
+    doc="KMV sketch SET ALGEBRA (Beyer et al. SIGMOD'07): pairwise "
+        "audience overlap between event types from merged k=64 sketches — "
+        "union estimate (k-1)/h_k of the merged k-smallest, Jaccard "
+        "estimate = fraction of the merged top-k present in both input "
+        "sketches; exact n_common/n_union audit columns alongside. All "
+        "pairwise work happens on sketch rows (n_groups*k), never data "
+        "(operators/sketches.py:kmv_overlap)",
+)
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_overlap(ev, "event_type", "user_id", k=64)
+
+
+@register(
+    "prof_join_skew",
+    oracle_join_skew("events", "orders", "user_id", "o_custkey", top_n=25),
+    doc="join-skew pre-flight audit: top-25 keys of the events.user_id x "
+        "orders.o_custkey equi-join by exact output contribution "
+        "n_left*n_right with share of total output — the 'which keys to "
+        "salt' report run before a 100 TB join; two keyed counts, one "
+        "count-table join, TakeOrderedAndProject top-n "
+        "(operators/profile.py:join_skew)",
+)
+def prof_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import join_skew
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return join_skew(ev, orders, "user_id", "o_custkey", top_n=25)
+
+
+@register(
+    "evt_survival",
+    oracle_survival_km("events"),
+    doc="Kaplan-Meier user-lifetime survival curve with right censoring "
+        "(last activity within 7d of corpus end = still alive): per "
+        "distinct lifetime t, exact n_at_risk/d/c counts and S(t) = "
+        "exp(sum ln((n-d)/n)) under the unigram_logprob decimal(38,6) "
+        "summation discipline; all post-aggregation work is on the "
+        "metadata-scale lifetime frame (operators/funnel.py:survival_km)",
+)
+def evt_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import survival_km
+
+    ev = load_table(spark, sf_dir, "events")
+    return survival_km(ev, "user_id", "ts", censor_days=7)
+
+
+@register(
+    "sim_embedding_cov",
+    oracle_embedding_moments("embeddings", "embedding", dims=16, scale=10_000),
+    doc="EXACT second-moment matrix of the leading 16 embedding dims as "
+        "scaled-integer sums (fixed-point 1e4): one wide map-side-combined "
+        "aggregation (single ~150-cell row per partition shuffles, never "
+        "data), stack-unpivoted to (i, j, sum, n) cells — the distributed "
+        "half of PCA; pca_top_component power-iterates the collected d x d "
+        "cells driver-side (operators/similarity.py:embedding_moments)",
+)
+def sim_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_moments(emb, "embedding", dims=16, scale=10_000)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

@@ -1963,3 +1963,84 @@ def test_kfold_stable_and_total(spark):
         b.alias("y"), "k"
     ).filter("x.fold <> y.fold")
     assert joined.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 2: KMV overlap, join skew, Kaplan-Meier, moments/PCA
+
+
+def test_kmv_overlap_exact_when_under_k(spark):
+    from hadoop_2_7_1_spark.operators.sketches import kmv_overlap
+
+    rows = [("a", v) for v in range(1, 11)] + [("b", v) for v in range(6, 16)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = kmv_overlap(df, "g", "v", k=64).collect()[0]
+    assert (r.n_a, r.n_b, r.n_common, r.n_union) == (10, 10, 5, 15)
+    assert abs(r.jaccard_exact - 5 / 15) < 1e-12
+    # sketches hold the full sets (n < k), so the estimates are exact too
+    assert abs(r.jaccard_est - 5 / 15) < 1e-12
+    assert r.union_est == 15.0
+
+
+def test_join_skew_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import join_skew
+
+    left = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], "k bigint")
+    right = spark.createDataFrame([(1,), (2,), (2,)], "k bigint")
+    rows = join_skew(left, right, "k", "k", top_n=10).collect()
+    assert [(r.key, r.est_rows) for r in rows] == [(1, 3), (2, 2)]
+    assert abs(rows[0].pct_of_output - 60.0) < 1e-9
+
+
+def test_survival_km_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import survival_km
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01"), (1, "2024-01-03"),     # lifetime 2, churned
+            (2, "2024-01-01"), (2, "2024-01-10"),     # lifetime 9, censored
+            (3, "2024-01-05"), (3, "2024-01-10"),     # lifetime 5, censored
+        ],
+        "user_id bigint, ts_s string",
+    ).selectExpr("user_id", "cast(ts_s as timestamp) as ts")
+    rows = {r.t_days: r for r in survival_km(ev, censor_days=7).collect()}
+    assert sorted(rows) == [2, 5, 9]
+    assert (rows[2].n_at_risk, rows[2].n_events, rows[2].n_censored) == (3, 1, 0)
+    assert (rows[5].n_at_risk, rows[5].n_events, rows[5].n_censored) == (2, 0, 1)
+    assert abs(rows[2].survival - round(2 / 3, 6)) < 2e-6
+    # censoring steps don't change S(t)
+    assert rows[5].survival == rows[2].survival
+    assert rows[9].survival == rows[2].survival
+
+
+def test_embedding_moments_and_pca(spark):
+    import numpy as np
+
+    from hadoop_2_7_1_spark.operators.similarity import (
+        embedding_moments,
+        pca_top_component,
+        project_onto,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id int, embedding array<float>"
+    )
+    cells = {
+        (r.i, r.j): r.s for r in embedding_moments(df, dims=2, scale=100).collect()
+    }
+    assert cells[(0, -1)] == 400 and cells[(1, -1)] == 600
+    assert cells[(0, 0)] == 100_000 and cells[(0, 1)] == 140_000
+    assert cells[(1, 1)] == 200_000
+
+    # 200 points spread along the (0.6, 0.8) axis -> top PC recovers it
+    pts = [
+        (i, [0.6 * float(t), 0.8 * float(t)])
+        for i, t in enumerate(np.linspace(-1, 1, 200))
+    ]
+    big = spark.createDataFrame(pts, "vec_id int, embedding array<float>")
+    rows = embedding_moments(big, dims=2, scale=10_000).collect()
+    v, eigval = pca_top_component(rows, dims=2, scale=10_000)
+    assert abs(abs(float(np.dot(v, [0.6, 0.8]))) - 1.0) < 1e-3
+    assert eigval > 0
+    proj = project_onto(big.limit(1), v).collect()[0]["proj"]
+    assert abs(abs(proj) - 1.0) < 1e-3  # first point is at t = -1, |t| = 1
