@@ -741,3 +741,62 @@ def oracle_survival_km(
            END AS survival
     FROM cum
     """
+
+
+def burst_flags(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_s: int = 60,
+    threshold: int = 5,
+) -> DataFrame:
+    """Burst / bot-rate screen: each user's PEAK event count inside any
+    sliding ``window_s``-second window (anchored at each event — the exact
+    sliding-window maximum, not a bucketed approximation), flagged against
+    ``threshold``. The standard abuse-detection primitive: humans don't
+    emit 20 events in 60 seconds, scrapers do.
+
+    ONE user-keyed RANGE window over epoch seconds (count of events in
+    [t - window_s + 1, t]) followed by the per-user max — a single shuffle
+    on the user key, no self-join, no per-user arrays. Output:
+    (user_id, n_events, peak_rate, is_burst).
+    """
+    pts = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"cast({ts_col} as bigint)").alias("x"),
+    )
+    w = Window.partitionBy("u").orderBy("x").rangeBetween(-(window_s - 1), 0)
+    cnt = pts.withColumn("c", F.count("*").over(w))
+    return cnt.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("c").cast("bigint").alias("peak_rate"),
+    ).select(
+        F.col("u").alias(user_col),
+        "n_events",
+        "peak_rate",
+        (F.col("peak_rate") >= threshold).alias("is_burst"),
+    )
+
+
+def oracle_burst_flags(
+    table: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_s: int = 60,
+    threshold: int = 5,
+) -> str:
+    return f"""
+    WITH pts AS (
+      SELECT {user_col} AS u, CAST(floor(epoch({ts_col})) AS BIGINT) AS x
+      FROM {table}
+    ),
+    cnt AS (
+      SELECT u, count(*) OVER (PARTITION BY u ORDER BY x
+               RANGE BETWEEN {window_s - 1} PRECEDING AND CURRENT ROW) AS c
+      FROM pts
+    )
+    SELECT u AS {user_col}, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(c) AS BIGINT) AS peak_rate,
+           max(c) >= {threshold} AS is_burst
+    FROM cnt GROUP BY u
+    """

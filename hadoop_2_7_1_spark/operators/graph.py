@@ -784,3 +784,121 @@ def oracle_hits(edges_sql: str, iterations: int = 2) -> str:
     SELECT node, 'auth' AS side, CAST(a AS DOUBLE) AS score FROM a{iterations - 1}
     """
     return sql
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed_pred: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart into a SEED SET
+    instead of the uniform vector — "importance as seen from these nodes",
+    the standard recommendation / trust-propagation variant of
+    :func:`pagerank` (Haveliwala, WWW 2002).
+
+    ``seed_pred`` is a boolean SQL expression over the column ``node``
+    (shared verbatim with the oracle). Init mass 1/|S| on seeds, 0
+    elsewhere; each round redistributes damped mass along out-edges and
+    teleports (1-d)/|S| back into the seeds only. Determinism recipe
+    identical to :func:`pagerank`: scaled-bigint (x1e15) contribution
+    sums, Python-evaluated double constants, fixed iteration count
+    (oracle = unrolled CTE chain). |S| is one metadata-scale driver
+    scalar, like pagerank's node count. Output: (node, rank_ppr).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("is_seed", F.expr(seed_pred))
+        .localCheckpoint()
+    )
+    s = nodes.filter("is_seed").count()  # metadata-scale scalar, |seed set|
+    if s == 0:
+        raise ValueError("seed_pred selects no node")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("rank_ppr"),
+    )
+    base = (1.0 - damping) / s
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                F.round((F.col("rank_ppr") / F.col("outdeg")) * F.lit(1e15))
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0.0))
+                    + damping
+                    * F.coalesce(
+                        F.col("in_sum").cast("double") / F.lit(1e15), F.lit(0.0)
+                    )
+                )
+                .cast("double")
+                .alias("rank_ppr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "rank_ppr")
+
+
+def oracle_personalized_pagerank(
+    edges_sql: str, seed_pred: str, iterations: int = 3, damping: float = 0.85
+) -> str:
+    """Unrolled-CTE replay of :func:`personalized_pagerank` — same scaled
+    bigint sums, same repr-injected double constants, same seed predicate
+    text."""
+    base_num = repr(1.0 - damping)
+    sql = f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS (
+      SELECT node, {seed_pred} AS is_seed
+      FROM (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION SELECT dst FROM e))
+    ),
+    s_cte AS (SELECT count(*) AS s FROM nodes WHERE is_seed),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (
+      SELECT node, is_seed,
+             CASE WHEN is_seed THEN CAST(1.0 AS DOUBLE) / s
+                  ELSE CAST(0.0 AS DOUBLE) END AS rank_ppr
+      FROM nodes CROSS JOIN s_cte
+    )"""
+    for i in range(iterations):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst,
+             sum(CAST(round(r.rank_ppr / o.outdeg * 1e15) AS BIGINT)) AS in_sum
+      FROM e JOIN r{i} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT nodes.node, nodes.is_seed,
+             CASE WHEN nodes.is_seed THEN CAST({base_num} AS DOUBLE) / s
+                  ELSE CAST(0.0 AS DOUBLE) END
+             + CAST({damping!r} AS DOUBLE)
+               * coalesce(CAST(c{i}.in_sum AS DOUBLE) / 1e15, 0.0) AS rank_ppr
+      FROM nodes CROSS JOIN s_cte LEFT JOIN c{i} ON nodes.node = c{i}.dst
+    )"""
+    sql += f"""
+    SELECT node, CAST(rank_ppr AS DOUBLE) AS rank_ppr FROM r{iterations}
+    """
+    return sql

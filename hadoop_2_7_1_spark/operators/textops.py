@@ -1991,3 +1991,74 @@ def oracle_ppmi_cooccurrence(
     JOIN w_marg USING (w) JOIN c_marg USING (c), total
     WHERE k.n_wc >= {min_count}
     """
+
+
+def inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
+) -> DataFrame:
+    """Positional inverted index — the search-engine primitive: per term,
+    document frequency, total term frequency, and an md5 digest of the
+    full ordered posting list ``doc:pos|pos .. doc:pos|pos`` (1-based
+    token positions). The digest makes the ENTIRE index content
+    hash-checkable cross-engine without shipping variable-width posting
+    strings through the comparator.
+
+    Scale shape: one posexplode of the shared tokenizer's array, a
+    (term, doc) aggregate with map-side partials, then a term-keyed
+    aggregate — vocabulary-scale output. In-group ordering uses the
+    proven array_sort(collect_list(struct)) ≡ string_agg(ORDER BY)
+    identity, so posting order is deterministic on both engines.
+    ``min_df`` drops hapax terms (the long tail that doubles index size
+    for no retrieval value).
+    """
+    toks = _tok_array(text_col)
+    tp = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(F.expr(toks)).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    per_doc = tp.groupBy("term", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(pos)),"
+            " x -> cast(x as string)), '|')"
+        ).alias("poss"),
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(doc_id, poss))),"
+                    " s -> concat(cast(s.doc_id as string), ':', s.poss)), ' ')"
+                ).cast("binary")
+            ).alias("postings_md5"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def oracle_inverted_index(
+    table: str, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
+) -> str:
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    return f"""
+    WITH base AS (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id, {toks} AS toks FROM {table}
+    ),
+    tp AS (
+      SELECT doc_id, toks[CAST(u.pos AS INT)] AS term, CAST(u.pos AS BIGINT) AS pos
+      FROM base, UNNEST(range(1, len(toks) + 1)) AS u(pos)
+    ),
+    per_doc AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+             string_agg(CAST(pos AS VARCHAR), '|' ORDER BY pos) AS poss
+      FROM tp GROUP BY term, doc_id
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || poss, ' '
+                          ORDER BY doc_id)) AS postings_md5
+    FROM per_doc GROUP BY term HAVING count(*) >= {min_df}
+    """

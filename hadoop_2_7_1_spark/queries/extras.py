@@ -4723,6 +4723,108 @@ def sim_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_moments(emb, "embedding", dims=16, scale=10_000)
 
 
+from ..functions import oracle_hash32
+from ..operators.graph import oracle_personalized_pagerank
+from ..operators.textops import oracle_inverted_index
+from ..operators.funnel import oracle_burst_flags
+from ..operators.profile import oracle_snapshot_diff
+
+
+@register(
+    "grf_ppr",
+    oracle_personalized_pagerank(
+        _PR_EDGES_SQL, "node IN ('s1', 's2', 's3')", iterations=3
+    ),
+    doc="Personalized PageRank (random walk with restart into seeds "
+        "{s1,s2,s3}, 3 rounds, d=0.85) over the undirected supplier-part "
+        "graph — 'which parts/suppliers matter as seen from these three "
+        "suppliers'; same scaled-bigint determinism recipe as grf_pagerank, "
+        "teleport mass lands only on the seed set "
+        "(operators/graph.py:personalized_pagerank)",
+)
+def grf_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return personalized_pagerank(
+        edges, "node IN ('s1', 's2', 's3')", iterations=3, damping=0.85
+    )
+
+
+@register(
+    "txt_inverted_index",
+    oracle_inverted_index("documents", "doc_id", "text", min_df=2),
+    doc="positional inverted index over documents (terms with df >= 2): "
+        "per term df, total tf, and an md5 digest of the full ordered "
+        "doc:pos|pos posting list — the whole index content hash-checked "
+        "cross-engine via the array_sort(collect_list(struct)) ≡ "
+        "string_agg(ORDER BY) identity "
+        "(operators/textops.py:inverted_index)",
+)
+def txt_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", min_df=2)
+
+
+@register(
+    "evt_burst",
+    oracle_burst_flags("events", "user_id", "ts", window_s=60, threshold=3),
+    doc="burst / bot-rate screen: per user the exact PEAK event count in "
+        "any sliding 60-second window (one user-keyed RANGE window over "
+        "epoch seconds + per-user max, no self-join), flagged at >= 3 "
+        "(operators/funnel.py:burst_flags)",
+)
+def evt_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import burst_flags
+
+    ev = load_table(spark, sf_dir, "events")
+    return burst_flags(ev, "user_id", "ts", window_s=60, threshold=3)
+
+
+_SNAP_H = oracle_hash32("CAST(doc_id AS VARCHAR)")
+_SNAP_OLD_SQL = f"SELECT * FROM documents WHERE {_SNAP_H} % 10 < 9"
+_SNAP_NEW_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN {_SNAP_H} % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+           lang, source, n_chars
+    FROM documents WHERE {_SNAP_H} % 10 > 0
+"""
+
+
+@register(
+    "cur_snapshot_diff",
+    oracle_snapshot_diff(
+        _SNAP_OLD_SQL, _SNAP_NEW_SQL, "doc_id", ["text", "lang"], "source"
+    ),
+    doc="change-data report between two dataset snapshots (derived here "
+        "from documents by content-stable hash: 90% old, 90% new, every "
+        "7th text mutated): per source, counts of added / removed / "
+        "changed / unchanged via md5 content identity and ONE key-keyed "
+        "full outer join (operators/profile.py:snapshot_diff)",
+)
+def cur_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hex_hash32
+    from ..operators.profile import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hex_hash32("doc_id")
+    old = docs.filter(h % 10 < 9)
+    new = docs.filter(h % 10 > 0).withColumn(
+        "text",
+        F.when(h % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new, "doc_id", ["text", "lang"], "source")
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

@@ -2044,3 +2044,73 @@ def test_embedding_moments_and_pca(spark):
     assert eigval > 0
     proj = project_onto(big.limit(1), v).collect()[0]["proj"]
     assert abs(abs(proj) - 1.0) < 1e-3  # first point is at t = -1, |t| = 1
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 3: PPR, inverted index, burst flags, snapshot diff
+
+
+def test_personalized_pagerank_mass_confined_to_seed_component(spark):
+    from hadoop_2_7_1_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c")],
+        "src string, dst string",
+    )
+    out = {
+        r.node: r.rank_ppr
+        for r in personalized_pagerank(edges, "node = 'a'", iterations=3).collect()
+    }
+    # the c<->d component is unreachable from the seed: zero mass
+    assert out["c"] == 0.0 and out["d"] == 0.0
+    # total mass conserved inside the seed component (2-cycle oscillates
+    # the split between a and b per round, so only the sum is stable)
+    assert out["a"] > 0.0 and out["b"] > 0.0
+    assert abs(out["a"] + out["b"] - 1.0) < 1e-9
+
+
+def test_inverted_index_hand(spark):
+    import hashlib
+
+    from hadoop_2_7_1_spark.operators.textops import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "x y x"), (2, "y z")], "doc_id bigint, text string"
+    )
+    rows = {r.term: r for r in inverted_index(docs, min_df=1).collect()}
+    assert rows["x"].df == 1 and rows["x"].tf_total == 2
+    assert rows["y"].df == 2 and rows["y"].tf_total == 2
+    assert rows["x"].postings_md5 == hashlib.md5(b"1:1|3").hexdigest()
+    assert rows["y"].postings_md5 == hashlib.md5(b"1:2 2:1").hexdigest()
+    # min_df=2 keeps only y
+    assert [r.term for r in inverted_index(docs, min_df=2).collect()] == ["y"]
+
+
+def test_burst_flags_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import burst_flags
+
+    ev = spark.createDataFrame(
+        [
+            (1, 0), (1, 10), (1, 20), (1, 70),   # 3 events inside [0, 59]
+            (2, 0), (2, 3600),
+        ],
+        "user_id bigint, x bigint",
+    ).selectExpr("user_id", "cast(timestamp_seconds(x) as timestamp) as ts")
+    rows = {r.user_id: r for r in burst_flags(ev, threshold=3).collect()}
+    assert rows[1].peak_rate == 3 and bool(rows[1].is_burst)
+    assert rows[2].peak_rate == 1 and not bool(rows[2].is_burst)
+
+
+def test_snapshot_diff_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "s"), (2, "b", "s"), (3, "c", "s")], "k bigint, v string, d string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "s"), (3, "c2", "s"), (4, "dd", "s")], "k bigint, v string, d string"
+    )
+    out = {
+        r.status: r.n for r in snapshot_diff(old, new, "k", ["v"], "d").collect()
+    }
+    assert out == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
