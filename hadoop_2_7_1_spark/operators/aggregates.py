@@ -455,3 +455,120 @@ def oracle_weighted_median(
              AS weighted_median
     FROM cum GROUP BY g
     """
+
+
+def jackknife_ratio_table(
+    df: DataFrame,
+    key_col: str,
+    num_cents: Column,
+    den_col: Column,
+    buckets: int = 10,
+) -> DataFrame:
+    """Delete-one-bucket jackknife table for a RATIO estimator — the
+    standard variance/bias machinery for non-linear statistics (a plain
+    group stddev is wrong for ratios; Efron & Tibshirani ch. 11, and the
+    same delete-one scheme production A/B systems run for ratio metrics).
+
+    Rows are hashed into ``buckets`` content-stable strata; per stratum g
+    the leave-one-out estimate theta_(g) = (N - n_g) / (D - d_g) comes
+    from EXACT integer (cents) sums, and the pseudo-value
+    G*theta_hat - (G-1)*theta_(g) is a fixed-order chain of IEEE double
+    ops on those exact inputs — deterministic on any engine, no float
+    accumulation anywhere (the driver-side :func:`jackknife_se` does the
+    tiny G-row reduction). Shape: ONE keyed aggregation + a broadcast
+    1-row total.
+
+    Output: (bucket, n_rows, num_cents, den_cents, theta_loo,
+    pseudo_value), bucket = md5(key) mod ``buckets``.
+    """
+    from ..functions import hex_hash32
+
+    g = buckets
+    base = df.select(
+        (hex_hash32(key_col) % g).cast("int").alias("bucket"),
+        num_cents.cast("bigint").alias("__n"),
+        den_col.cast("bigint").alias("__d"),
+    )
+    per = base.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("__n").cast("bigint").alias("num_cents"),
+        F.sum("__d").cast("bigint").alias("den_cents"),
+    )
+    tot = per.agg(
+        F.sum("num_cents").cast("bigint").alias("__tn"),
+        F.sum("den_cents").cast("bigint").alias("__td"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_rows",
+            "num_cents",
+            "den_cents",
+            (
+                (F.col("__tn") - F.col("num_cents")).cast("double")
+                / (F.col("__td") - F.col("den_cents")).cast("double")
+            ).alias("theta_loo"),
+            (
+                F.lit(float(g))
+                * (F.col("__tn").cast("double") / F.col("__td").cast("double"))
+                - F.lit(float(g - 1))
+                * (
+                    (F.col("__tn") - F.col("num_cents")).cast("double")
+                    / (F.col("__td") - F.col("den_cents")).cast("double")
+                )
+            ).alias("pseudo_value"),
+        )
+    )
+
+
+def jackknife_se(rows: list) -> tuple[float, float]:
+    """Driver-side jackknife point estimate + standard error from the
+    G-row table (metadata scale). Returns (theta_hat, se)."""
+    import math
+
+    tn = sum(r["num_cents"] for r in rows)
+    td = sum(r["den_cents"] for r in rows)
+    theta = tn / td
+    loos = [r["theta_loo"] for r in rows]
+    gn = len(loos)
+    mean_loo = sum(loos) / gn
+    var = (gn - 1) / gn * sum((x - mean_loo) ** 2 for x in loos)
+    return theta, math.sqrt(var)
+
+
+def oracle_jackknife_ratio_table(
+    table: str, key_expr: str, num_sql: str, den_sql: str, buckets: int = 10
+) -> str:
+    from ..functions import oracle_hash32
+
+    g = buckets
+    h = oracle_hash32(key_expr)
+    return f"""
+    WITH base AS (
+      SELECT CAST({h} % {g} AS INT) AS bucket,
+             CAST({num_sql} AS BIGINT) AS n,
+             CAST({den_sql} AS BIGINT) AS d
+      FROM {table}
+    ),
+    per AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n) AS BIGINT) AS num_cents,
+             CAST(sum(d) AS BIGINT) AS den_cents
+      FROM base GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(num_cents) AS BIGINT) AS tn,
+             CAST(sum(den_cents) AS BIGINT) AS td
+      FROM per
+    )
+    SELECT bucket, n_rows, num_cents, den_cents,
+           CAST(tot.tn - num_cents AS DOUBLE)
+           / CAST(tot.td - den_cents AS DOUBLE) AS theta_loo,
+           CAST({float(g)!r} AS DOUBLE)
+           * (CAST(tot.tn AS DOUBLE) / CAST(tot.td AS DOUBLE))
+           - CAST({float(g - 1)!r} AS DOUBLE)
+             * (CAST(tot.tn - num_cents AS DOUBLE)
+                / CAST(tot.td - den_cents AS DOUBLE)) AS pseudo_value
+    FROM per, tot
+    """

@@ -800,3 +800,109 @@ def oracle_burst_flags(
            max(c) >= {threshold} AS is_burst
     FROM cnt GROUP BY u
     """
+
+
+def peak_concurrency(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Peak number of SIMULTANEOUSLY active sessions — the capacity
+    question ("how many seats were in use at the worst moment?") answered
+    exactly by a sweep line over session boundaries: sessionize (gap
+    rule), emit +1 at each session start and -1 just after its end, take
+    the running sum in (time, delta) order; the maximum of that sum is
+    the peak concurrency and is ORDER-INDEPENDENT under ties (within a
+    same-timestamp group of equal deltas the running values form the same
+    multiset whatever the order — ends sort before starts so touching
+    sessions never double-count).
+
+    Scale shape: sessionization is one user-keyed window; the sweep is a
+    two-phase prefix over boundary rows (2 per session — session-scale,
+    not event-scale), never a one-task global window. Output one row:
+    (n_sessions, peak_concurrent, peak_at_epoch) — the earliest second
+    the peak is reached.
+    """
+    from ..operators.partitioning import two_phase_prefix
+
+    pts = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"cast({ts_col} as bigint)").alias("x"),
+    )
+    w_u = Window.partitionBy("u").orderBy("x")
+    sess = (
+        pts.withColumn("prev", F.lag("x").over(w_u))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull() | (F.col("x") - F.col("prev") > gap_s), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w_u.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("u", "sid")
+        .agg(F.min("x").alias("s_start"), F.max("x").alias("s_end"))
+    )
+    bounds = sess.select(
+        F.col("s_start").alias("x"), F.lit(1).alias("delta")
+    ).union(
+        sess.select((F.col("s_end") + 1).alias("x"), F.lit(-1).alias("delta"))
+    )
+    cum = two_phase_prefix(
+        bounds, [F.col("x"), F.col("delta")], F.col("delta"), "cc"
+    )
+    n_sessions = sess.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    peak = cum.agg(F.max("cc").cast("bigint").alias("peak_concurrent"))
+    peak_at = (
+        cum.join(F.broadcast(peak), cum["cc"] == peak["peak_concurrent"])
+        .agg(F.min("x").cast("bigint").alias("peak_at_epoch"))
+    )
+    return n_sessions.crossJoin(F.broadcast(peak)).crossJoin(F.broadcast(peak_at))
+
+
+def oracle_peak_concurrency(
+    table: str, user_col: str = "user_id", ts_col: str = "ts", gap_s: int = 1800
+) -> str:
+    return f"""
+    WITH pts AS (
+      SELECT {user_col} AS u, CAST(floor(epoch({ts_col})) AS BIGINT) AS x
+      FROM {table}
+    ),
+    marked AS (
+      SELECT u, x,
+             CASE WHEN lag(x) OVER (PARTITION BY u ORDER BY x) IS NULL
+                    OR x - lag(x) OVER (PARTITION BY u ORDER BY x) > {gap_s}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM pts
+    ),
+    sids AS (
+      SELECT u, x, CAST(sum(new_s) OVER (PARTITION BY u ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM marked
+    ),
+    sess AS (
+      SELECT u, sid, min(x) AS s_start, max(x) AS s_end
+      FROM sids GROUP BY u, sid
+    ),
+    bounds AS (
+      SELECT s_start AS x, 1 AS delta FROM sess
+      UNION ALL
+      SELECT s_end + 1 AS x, -1 AS delta FROM sess
+    ),
+    cum AS (
+      SELECT x, CAST(sum(delta) OVER (ORDER BY x, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+      FROM bounds
+    ),
+    pk AS (SELECT CAST(max(cc) AS BIGINT) AS peak_concurrent FROM cum)
+    SELECT CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions,
+           pk.peak_concurrent,
+           CAST((SELECT min(x) FROM cum, pk WHERE cum.cc = pk.peak_concurrent)
+                AS BIGINT) AS peak_at_epoch
+    FROM pk
+    """

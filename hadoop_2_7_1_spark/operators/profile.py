@@ -817,3 +817,45 @@ def oracle_snapshot_diff(
     SELECT {dim_col}, status, CAST(count(*) AS BIGINT) AS n
     FROM j GROUP BY {dim_col}, status
     """
+
+
+def fd_check(df: DataFrame, det_cols: list[str], dep_col: str) -> DataFrame:
+    """One-row functional-dependency check det_cols -> dep_col — the
+    data-profiling primitive behind schema inference and key discovery
+    (Metanome/Deequ territory): per determinant group, does exactly one
+    dependent value appear?
+
+    Exact counts, two-level aggregation (distinct (det, dep) pairs — one
+    keyed shuffle with partials — then a det-keyed rollup). Output:
+    (determinant, dependent, n_groups, n_pairs, n_violating_groups,
+    holds).
+    """
+    det = [F.col(c) for c in det_cols]
+    pairs = df.select(*det, F.col(dep_col)).distinct()
+    per_det = pairs.groupBy(*det).agg(F.count("*").alias("n_dep"))
+    return per_det.agg(
+        F.lit("+".join(det_cols)).alias("determinant"),
+        F.lit(dep_col).alias("dependent"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("n_dep").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+    ).withColumn("holds", F.col("n_violating_groups") == 0)
+
+
+def oracle_fd_check(table: str, det_cols: list[str], dep_col: str) -> str:
+    det = ", ".join(det_cols)
+    return f"""
+    SELECT '{"+".join(det_cols)}' AS determinant, '{dep_col}' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_dep) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (
+      SELECT {det}, count(*) AS n_dep
+      FROM (SELECT DISTINCT {det}, {dep_col} FROM {table})
+      GROUP BY {det}
+    )
+    """

@@ -697,3 +697,81 @@ def oracle_kfold(key_expr: str, k: int) -> str:
         f"CAST(CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
         f" % {k} AS INT)"
     )
+
+
+def systematic_resample(
+    df: DataFrame, key_col: str, weight_col: str, n_out: int
+) -> DataFrame:
+    """Deterministic weighted SYSTEMATIC resampling: exactly ``n_out``
+    draws (with multiplicity) proportional to integer weights, no RNG —
+    the stride sampler from particle filtering / survey sampling, and the
+    zero-variance way to materialize DSIR-style importance weights into an
+    actual training subset.
+
+    Lay all weights on a line (cumulative sum in content-stable order:
+    md5(key), key), then take strides at positions (i + 1/2) * W / n_out.
+    A record owning interval (cum - w, cum] is drawn
+    f(cum) - f(cum - w) times where f(c) = (2*n_out*c + W) div (2W) —
+    pure integer arithmetic (numerators kept positive so truncating and
+    flooring division agree on every engine), so the multiset of draws is
+    exact: Σ n_picked == n_out ALWAYS, and each record gets floor or ceil
+    of its expectation — variance provably below any multinomial scheme.
+
+    Scale shape: the cumulative sum is :func:`..operators.partitioning.
+    two_phase_prefix` (range partition + local windows + broadcast
+    offsets), never a one-task global window; the total W is a broadcast
+    1-row aggregate. Headroom: needs 2 * n_out * W < 2^63 — at larger
+    products, run the same formula in decimal(38,0) on both engines.
+
+    Output: (key, weight, n_picked) for records drawn at least once.
+    """
+    from .partitioning import two_phase_prefix
+
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(weight_col).cast("bigint").alias("__w"),
+        hex_hash32(key_col).alias("__h"),
+    ).filter(F.col("__w") > 0)
+    cum = two_phase_prefix(base, [F.col("__h"), F.col("k")], F.col("__w"), "cum")
+    tot = base.agg(F.sum("__w").cast("bigint").alias("__wtot"))
+    n2 = 2 * n_out
+    picked = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_picked",
+            (
+                F.expr(f"({n2} * cum + __wtot) div (2 * __wtot)")
+                - F.expr(f"({n2} * (cum - __w) + __wtot) div (2 * __wtot)")
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_picked") >= 1)
+    )
+    return picked.select(
+        F.col("k").alias(key_col),
+        F.col("__w").alias("weight"),
+        "n_picked",
+    )
+
+
+def oracle_systematic_resample(
+    table: str, key_col: str, weight_col: str, n_out: int
+) -> str:
+    h = oracle_hash32(f"CAST({key_col} AS VARCHAR)")
+    n2 = 2 * n_out
+    return f"""
+    WITH base AS (
+      SELECT {key_col} AS k, CAST({weight_col} AS BIGINT) AS w, {h} AS h
+      FROM {table} WHERE {weight_col} > 0
+    ),
+    cum AS (
+      SELECT k, w, CAST(sum(w) OVER (ORDER BY h, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM base
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM base)
+    SELECT k AS {key_col}, w AS weight,
+           CAST(({n2} * c + wt) // (2 * wt)
+                - ({n2} * (c - w) + wt) // (2 * wt) AS BIGINT) AS n_picked
+    FROM cum, tot
+    WHERE ({n2} * c + wt) // (2 * wt) - ({n2} * (c - w) + wt) // (2 * wt) >= 1
+    """

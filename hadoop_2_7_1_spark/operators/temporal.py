@@ -644,3 +644,195 @@ def oracle_m4_downsample(
            CAST(last(y ORDER BY x, y) AS BIGINT) AS y_last
     FROM pts GROUP BY k, bucket
     """
+
+
+def seasonal_baseline(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal (day-of-week × hour) baseline profile with dispersion and
+    the peak deviation — the ops-monitoring primitive behind "is this
+    Tuesday 9am normal for Tuesdays at 9am?": per (series, dow, hour)
+    cell, exact count and integer-cents sums yield mean, population
+    stddev, and the maximum absolute residual WITHOUT a second pass —
+    max|x - mean| = max(max_x - mean, mean - min_x), all from one keyed
+    aggregation.
+
+    Determinism: sums/min/max are exact BIGINT cents; mean/sd/peak are
+    fixed-order IEEE chains on those exact inputs (sqrt is
+    correctly-rounded by IEEE-754, unlike ln), rounded to 6dp. dow is
+    0=Sunday..6 on both engines (Spark dayofweek()-1 ≡ DuckDB dayofweek).
+    Output: (key, dow, hour, n, avg_cents, sd_cents, peak_resid, peak_z).
+    """
+    cells = events.select(
+        F.col(key_col).alias("k"),
+        (F.dayofweek(F.col(ts_col)) - 1).cast("int").alias("dow"),
+        F.hour(F.col(ts_col)).cast("int").alias("hour"),
+        F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+    )
+    agg = cells.groupBy("k", "dow", "hour").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+        F.min("y").cast("bigint").alias("mn"),
+        F.max("y").cast("bigint").alias("mx"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ss").cast("double") / F.col("n").cast("double") - mean * mean
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    peak = F.greatest(F.col("mx").cast("double") - mean, mean - F.col("mn").cast("double"))
+    return agg.select(
+        F.col("k").alias(key_col),
+        "dow",
+        "hour",
+        "n",
+        F.round(mean, 6).alias("avg_cents"),
+        F.round(sd, 6).alias("sd_cents"),
+        F.round(peak, 6).alias("peak_resid"),
+        F.when(sd > 0, F.round(peak / sd, 6)).otherwise(F.lit(None)).alias("peak_z"),
+    )
+
+
+def oracle_seasonal_baseline(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+    WITH cells AS (
+      SELECT {key_col} AS k,
+             CAST(dayofweek({ts_col}) AS INT) AS dow,
+             CAST(hour({ts_col}) AS INT) AS hour,
+             CAST(round({value_col} * 100) AS BIGINT) AS y
+      FROM {table}
+    ),
+    agg AS (
+      SELECT k, dow, hour, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss,
+             CAST(min(y) AS BIGINT) AS mn, CAST(max(y) AS BIGINT) AS mx
+      FROM cells GROUP BY k, dow, hour
+    )
+    SELECT k AS {key_col}, dow, hour, n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_cents,
+           round(sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)), 6) AS sd_cents,
+           round(greatest(CAST(mx AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(mn AS DOUBLE)), 6)
+             AS peak_resid,
+           CASE WHEN sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) > 0
+                THEN round(greatest(CAST(mx AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(mn AS DOUBLE))
+                     / sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)), 6)
+           END AS peak_z
+    FROM agg
+    """
+
+
+def ewma_hourly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    max_lag: int = 48,
+) -> DataFrame:
+    """Exponentially weighted moving average over hourly bucket sums —
+    the standard smoothing baseline for monitoring/forecast residuals,
+    computed WITHOUT a sequential recurrence so both engines replay it
+    exactly: s_t = Σ_{k=0..max_lag} w_k * y_{t-k} with
+    w_k = alpha*(1-alpha)^k (truncated-window EWMA; the tail beyond
+    max_lag carries (1-alpha)^max_lag ≈ 3e-8 of the mass at the
+    defaults, below the 6dp output rounding).
+
+    The weights are PYTHON-evaluated doubles injected into both engines
+    as literals (the pagerank-constants discipline), so pow() never runs
+    in-engine (its rounding is not cross-engine portable; IEEE only
+    guarantees sqrt). Each term y*w_k is one double multiply rounded to
+    DECIMAL(38,6); the per-t sum of those decimals is EXACT — the
+    unigram_logprob summation discipline, so any join order matches.
+
+    Shape: hourly aggregation first (data-scale work, one keyed
+    shuffle), then the lag expansion is a bounded self-equi-join of the
+    BUCKET frame with itself on (key, t-k) — Σ buckets * max_lag rows,
+    metadata scale. Output: (key, bucket, y_cents, ewma_cents).
+    """
+    weights = [alpha * (1.0 - alpha) ** k for k in range(max_lag + 1)]
+    w_arr = "array(" + ", ".join(repr(w) for w in weights) + ")"
+    hourly = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.sum("y").cast("bigint").alias("y_cents"))
+        .withColumn("t", F.expr("cast(bucket as bigint) div 3600"))
+    )
+    lags = hourly.select(
+        "k",
+        F.col("t").alias("t_src"),
+        F.col("y_cents").alias("y_lag"),
+        F.explode(F.sequence(F.lit(0), F.lit(max_lag))).alias("lag"),
+    ).select("k", (F.col("t_src") + F.col("lag")).alias("t"), "y_lag", "lag")
+    terms = lags.withColumn(
+        "term",
+        F.expr(f"cast(cast(y_lag as double) * element_at({w_arr}, lag + 1)"
+               f" as decimal(38,6))"),
+    )
+    sm = terms.groupBy("k", "t").agg(F.sum("term").alias("s"))
+    return (
+        hourly.join(sm, ["k", "t"])
+        .select(
+            F.col("k").alias(key_col),
+            "bucket",
+            "y_cents",
+            F.round(F.col("s").cast("double"), 6).alias("ewma_cents"),
+        )
+    )
+
+
+def oracle_ewma_hourly(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    max_lag: int = 48,
+) -> str:
+    weights = [alpha * (1.0 - alpha) ** k for k in range(max_lag + 1)]
+    w_case = (
+        "CASE l.lag "
+        + " ".join(f"WHEN {k} THEN CAST({w!r} AS DOUBLE)" for k, w in enumerate(weights))
+        + " END"
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT {key_col} AS k, date_trunc('hour', {ts_col}) AS bucket,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y_cents,
+             CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 AS t
+      FROM {table} GROUP BY 1, 2, 4
+    ),
+    lags AS (
+      SELECT h.k, h.t + l.lag AS t, h.y_cents AS y_lag, l.lag
+      FROM hourly h, (SELECT CAST(u.x AS INT) AS lag
+                      FROM UNNEST(range(0, {max_lag + 1})) AS u(x)) l
+    ),
+    sm AS (
+      SELECT k, t,
+             sum(CAST(CAST(y_lag AS DOUBLE) * ({w_case}) AS DECIMAL(38,6))) AS s
+      FROM lags l GROUP BY k, t
+    )
+    SELECT h.k AS {key_col}, h.bucket, h.y_cents,
+           round(CAST(sm.s AS DOUBLE), 6) AS ewma_cents
+    FROM hourly h JOIN sm ON h.k = sm.k AND h.t = sm.t
+    """

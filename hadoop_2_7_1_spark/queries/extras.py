@@ -4825,6 +4825,144 @@ def cur_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "doc_id", ["text", "lang"], "source")
 
 
+from ..operators.sampling import oracle_systematic_resample
+from ..operators.aggregates import oracle_jackknife_ratio_table
+from ..operators.temporal import oracle_seasonal_baseline
+
+
+@register(
+    "smp_resample",
+    oracle_systematic_resample("documents", "doc_id", "n_chars", n_out=100),
+    doc="deterministic weighted SYSTEMATIC resampling: exactly 100 draws "
+        "proportional to n_chars via strides over the content-stable "
+        "cumulative weight line — pure integer arithmetic (sum of draws "
+        "== n_out always, each record floor/ceil of its expectation, "
+        "variance below any multinomial scheme); cumulative sum is the "
+        "two-phase prefix, never a one-task window "
+        "(operators/sampling.py:systematic_resample)",
+)
+def smp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import systematic_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return systematic_resample(docs, "doc_id", "n_chars", n_out=100)
+
+
+@register(
+    "agg_jackknife",
+    oracle_jackknife_ratio_table(
+        "lineitem",
+        "CAST(l_orderkey AS VARCHAR)",
+        "round(l_extendedprice * (1 - l_discount) * 100)",
+        "CAST(l_quantity AS BIGINT)",
+        buckets=10,
+    ),
+    doc="delete-one-bucket jackknife table for the ratio metric "
+        "revenue-per-unit (Efron & Tibshirani ch.11): rows hashed into 10 "
+        "content-stable strata, leave-one-out estimates and pseudo-values "
+        "from EXACT integer cents sums — one keyed aggregation + a "
+        "broadcast total; jackknife_se() reduces the 10-row table "
+        "driver-side (operators/aggregates.py:jackknife_ratio_table)",
+)
+def agg_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import jackknife_ratio_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return jackknife_ratio_table(
+        li,
+        "l_orderkey",
+        F.expr("round(l_extendedprice * (1 - l_discount) * 100)"),
+        F.expr("cast(l_quantity as bigint)"),
+        buckets=10,
+    )
+
+
+@register(
+    "tmp_seasonal",
+    oracle_seasonal_baseline("events"),
+    doc="seasonal (dow x hour) baseline profile per event type: exact "
+        "count/sum/sumsq/min/max cents in ONE keyed aggregation yield "
+        "mean, population sd (IEEE sqrt is correctly rounded, unlike ln) "
+        "and the peak |residual| without a second pass via "
+        "max(max-mean, mean-min) (operators/temporal.py:seasonal_baseline)",
+)
+def tmp_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import seasonal_baseline
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_baseline(ev)
+
+
+from ..operators.temporal import oracle_ewma_hourly
+from ..operators.funnel import oracle_peak_concurrency
+from ..operators.profile import oracle_fd_check
+
+
+@register(
+    "tmp_ewma",
+    oracle_ewma_hourly("events"),
+    doc="truncated-window EWMA over hourly bucket sums (alpha=0.3, 48h "
+        "window — tail mass 3e-8, below 6dp rounding): weights are "
+        "Python-evaluated doubles injected into both engines so pow() "
+        "never runs in-engine; per-term decimal(38,6) rounding + exact "
+        "decimal sums make the smoothing order-independent; lag expansion "
+        "is a bounded self-join of the BUCKET frame, metadata scale "
+        "(operators/temporal.py:ewma_hourly)",
+)
+def tmp_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import ewma_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_hourly(ev)
+
+
+@register(
+    "evt_concurrency",
+    oracle_peak_concurrency("events"),
+    doc="peak simultaneous sessions via an exact sweep line over session "
+        "boundaries (+1 start / -1 end, running sum in (time, delta) "
+        "order — order-independent under ties, ends before starts): "
+        "sessionize = one user-keyed window, sweep = two-phase prefix over "
+        "session-scale boundary rows (operators/funnel.py:peak_concurrency)",
+)
+def evt_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import peak_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    return peak_concurrency(ev)
+
+
+_FD_CANDIDATES = [
+    ("orders", ["o_orderkey"], "o_custkey"),
+    ("orders", ["o_custkey"], "o_orderpriority"),
+    ("customer", ["c_nationkey"], "c_mktsegment"),
+    ("nation", ["n_nationkey"], "n_regionkey"),
+]
+
+
+@register(
+    "prof_fd_audit",
+    "\nUNION ALL\n".join(
+        oracle_fd_check(t, det, dep) for t, det, dep in _FD_CANDIDATES
+    ),
+    doc="functional-dependency audit (key/schema discovery, "
+        "Metanome/Deequ territory): for each candidate det -> dep, exact "
+        "group/pair/violation counts from a two-level aggregation — "
+        "o_orderkey->o_custkey and n_nationkey->n_regionkey hold, the "
+        "others violate (operators/profile.py:fd_check)",
+)
+def prof_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.profile import fd_check
+
+    parts = [
+        fd_check(load_table(spark, sf_dir, t), det, dep)
+        for t, det, dep in _FD_CANDIDATES
+    ]
+    return reduce(lambda a, b: a.union(b), parts)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

@@ -2114,3 +2114,120 @@ def test_snapshot_diff_hand(spark):
         r.status: r.n for r in snapshot_diff(old, new, "k", ["v"], "d").collect()
     }
     assert out == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 4: systematic resample, jackknife, seasonal baseline
+
+
+def test_systematic_resample_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.operators.sampling import systematic_resample
+
+    df = spark.range(1, 201).selectExpr("id as k", "(id % 7 + 1) * 10 as w")
+    out = systematic_resample(df, "k", "w", n_out=50)
+    rows = out.collect()
+    # the systematic guarantee: the draw count is EXACTLY n_out
+    assert sum(r.n_picked for r in rows) == 50
+    # each drawn record gets floor or ceil of its expectation
+    W = df.agg(F.sum("w")).collect()[0][0]
+    for r in rows:
+        exp = r.weight * 50 / W
+        assert exp - 1 < r.n_picked < exp + 1
+    # partitioning-independent
+    again = systematic_resample(df.repartition(13), "k", "w", n_out=50)
+    assert sorted((r.k, r.n_picked) for r in again.collect()) == sorted(
+        (r.k, r.n_picked) for r in rows
+    )
+
+
+def test_jackknife_ratio_hand(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.operators.aggregates import (
+        jackknife_ratio_table,
+        jackknife_se,
+    )
+
+    df = spark.range(1, 1001).selectExpr(
+        "id as k", "id * 3 as num", "id as den"
+    )
+    tbl = jackknife_ratio_table(
+        df, "k", F.col("num"), F.col("den"), buckets=5
+    )
+    rows = [r.asDict() for r in tbl.collect()]
+    assert len(rows) == 5
+    # the metric is exactly 3 everywhere -> every LOO estimate is 3, se 0
+    for r in rows:
+        assert abs(r["theta_loo"] - 3.0) < 1e-12
+        assert abs(r["pseudo_value"] - 3.0) < 1e-9
+    theta, se = jackknife_se(rows)
+    assert abs(theta - 3.0) < 1e-12 and se < 1e-12
+
+
+def test_seasonal_baseline_hand(spark):
+    from hadoop_2_7_1_spark.operators.temporal import seasonal_baseline
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-02 09:10:00", 1.0),   # Tuesday 9am
+            ("a", "2024-01-02 09:40:00", 3.0),   # same cell
+            ("a", "2024-01-02 10:00:00", 5.0),   # different hour
+        ],
+        "event_type string, ts_s string, value double",
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    rows = {(r.dow, r.hour): r for r in seasonal_baseline(ev).collect()}
+    r9 = rows[(2, 9)]  # dow 2 = Tuesday (0 = Sunday)
+    assert r9.n == 2 and r9.avg_cents == 200.0
+    assert r9.sd_cents == 100.0 and r9.peak_resid == 100.0 and r9.peak_z == 1.0
+    r10 = rows[(2, 10)]
+    assert r10.n == 1 and r10.sd_cents == 0.0 and r10.peak_z is None
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 5: EWMA, peak concurrency, FD audit
+
+
+def test_ewma_hourly_hand(spark):
+    from hadoop_2_7_1_spark.operators.temporal import ewma_hourly
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 01:10:00", 1.0),
+            ("a", "2024-01-01 02:10:00", 1.0),
+        ],
+        "event_type string, ts_s string, value double",
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    rows = sorted(ewma_hourly(ev, alpha=0.5, max_lag=10).collect(),
+                  key=lambda r: r.bucket)
+    # y = 100 cents each hour; s_0 = 0.5*100, s_1 = 0.5*100 + 0.25*100, ...
+    assert abs(rows[0].ewma_cents - 50.0) < 1e-6
+    assert abs(rows[1].ewma_cents - 75.0) < 1e-6
+    assert abs(rows[2].ewma_cents - 87.5) < 1e-6
+
+
+def test_peak_concurrency_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import peak_concurrency
+
+    # three users: sessions [0,100], [50,150], [200,300] -> peak 2 at t=50
+    ev = spark.createDataFrame(
+        [(1, 0), (1, 100), (2, 50), (2, 150), (3, 200), (3, 300)],
+        "user_id bigint, x bigint",
+    ).selectExpr("user_id", "cast(timestamp_seconds(x) as timestamp) as ts")
+    r = peak_concurrency(ev, gap_s=1800).collect()[0]
+    assert (r.n_sessions, r.peak_concurrent, r.peak_at_epoch) == (3, 2, 50)
+
+
+def test_fd_check_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (2, "z")], "a bigint, b string"
+    )
+    r = fd_check(df, ["a"], "b").collect()[0]
+    assert (r.n_groups, r.n_pairs, r.n_violating_groups) == (2, 3, 1)
+    assert not r.holds
+    ok = fd_check(df.filter("a = 1"), ["a"], "b").collect()[0]
+    assert ok.holds and ok.n_violating_groups == 0
