@@ -82,6 +82,14 @@ EXTRAS = [
     "txt_line_dedup",
     "cur_pipeline_stream",
     "txt_kneser_ney",
+    # round-6 late heavies: sketch set algebra (pairwise merge), HITS
+    # (4 keyed shuffles/round x2), PPR (same), the 152-cell wide moment
+    # aggregate, and the two-phase systematic resample
+    "agg_kmv_overlap",
+    "grf_hits",
+    "grf_ppr",
+    "sim_embedding_cov",
+    "smp_resample",
 ]
 
 

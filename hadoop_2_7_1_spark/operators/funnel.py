@@ -906,3 +906,371 @@ def oracle_peak_concurrency(
                 AS BIGINT) AS peak_at_epoch
     FROM pk
     """
+
+
+def new_vs_returning(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Daily new-vs-returning growth report — the first dashboard every
+    product ships: per day, active users, first-seen-today users,
+    returning users, and the running total of distinct users ever seen
+    (computed WITHOUT a running count-distinct: cumulative sum of the
+    per-day new-user counts, which is the same number by definition).
+
+    Shape: one (user, day) distinct, one user-keyed min for first-seen,
+    one day-keyed count pass, then the cumulative window runs over the
+    per-day frame — calendar scale, metadata-sized. All outputs exact
+    integers. Output: (day, n_active, n_new, n_returning, cum_users).
+    """
+    ud = events.select(
+        F.col(user_col).alias("u"), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).distinct()
+    first = ud.groupBy("u").agg(F.min("day").alias("first_day"))
+    active = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("n_active"))
+    new = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(new, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            (F.col("n_active") - F.coalesce("n_new", F.lit(0)))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w_cum).cast("bigint"))
+    )
+
+
+def oracle_new_vs_returning(
+    table: str, user_col: str = "user_id", ts_col: str = "ts"
+) -> str:
+    return f"""
+    WITH ud AS (
+      SELECT DISTINCT {user_col} AS u, date_trunc('day', {ts_col}) AS day FROM {table}
+    ),
+    first AS (SELECT u, min(day) AS first_day FROM ud GROUP BY u),
+    active AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM ud GROUP BY day),
+    nw AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+           FROM first GROUP BY first_day)
+    SELECT a.day, a.n_active,
+           CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+           CAST(a.n_active - coalesce(nw.n_new, 0) AS BIGINT) AS n_returning,
+           CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY a.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM active a LEFT JOIN nw ON a.day = nw.day
+    """
+
+
+_MK_SCALE = 1_000_000_000_000_000  # 1e15 as an exact integer literal
+
+
+def markov_attribution(
+    events: DataFrame,
+    channels: list[str],
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    steps: int = 8,
+) -> DataFrame:
+    """Markov-chain multi-touch attribution with REMOVAL EFFECTS — the
+    standard data-driven attribution model (Anderl et al. 2014): build
+    the first-order journey chain start -> touches -> {conv, null} from
+    sessionized user paths (truncated at the first conversion), then for
+    each channel ask "how much conversion probability disappears if this
+    channel vanishes?" and share credit proportionally.
+
+    Conversion probability is the ``steps``-step absorption mass reaching
+    'conv' from 'start' — a fixed-iteration value-vector recurrence
+    v_{t+1}(s) = Σ P(s->s') v_t(s'), the pagerank determinism recipe:
+    v carries as scaled BIGINT (x1e15), each edge term is
+    round(P * v) with P an exact bigint/bigint double division, so every
+    scenario probability is an EXACT INTEGER on any engine and the oracle
+    replays the unrolled CTE chain. Removal of channel c filters edges
+    touching c but KEEPS the original denominators (lost mass = journeys
+    that died with c — the definition of the removal effect). Credit
+    shares are ratios of exact integer effect masses — no float
+    accumulation anywhere.
+
+    Scale shape: sessionization + edge counting is the data-scale part
+    (two user-keyed windows, one (src,dst) count); the edge table is
+    channel-vocabulary sized and localCheckpointed once (annotated:
+    metadata scale), so the 1 + |channels| scenario recurrences run on a
+    tiny in-memory frame. Output per channel:
+    (channel, p_base, p_removed, removal_effect, attribution_share).
+    """
+    pts = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"cast({ts_col} as bigint)").alias("x"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("t"),
+    )
+    w_u = Window.partitionBy("u").orderBy("x", "eid")
+    sess = pts.withColumn("prev", F.lag("x").over(w_u)).withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("x") - F.col("prev") > gap_s), 1
+            ).otherwise(0)
+        ).over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_s = Window.partitionBy("u", "sid").orderBy("x", "eid")
+    w_sf = w_s.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pos = sess.withColumn("pos", F.row_number().over(w_s)).withColumn(
+        "conv_pos",
+        F.min(F.when(F.col("t") == conv_type, F.col("pos"))).over(w_sf),
+    )
+    kept = pos.filter(
+        (F.col("t") != conv_type)
+        & (F.col("conv_pos").isNull() | (F.col("pos") < F.col("conv_pos")))
+    )
+    w_k = Window.partitionBy("u", "sid").orderBy("pos")
+    k2 = kept.withColumn("nxt", F.lead("t").over(w_k)).withColumn(
+        "krank", F.row_number().over(w_k)
+    )
+    terminal = F.when(F.col("conv_pos").isNotNull(), F.lit("conv")).otherwise(
+        F.lit("null")
+    )
+    internal = k2.select(
+        F.col("t").alias("src"), F.coalesce("nxt", terminal).alias("dst")
+    )
+    starts = k2.filter(F.col("krank") == 1).select(
+        F.lit("start").alias("src"), F.col("t").alias("dst")
+    )
+    empty = (
+        pos.groupBy("u", "sid")
+        .agg(
+            F.max(F.when(F.col("t") == conv_type, 1).otherwise(0)).alias("hc"),
+            F.sum(
+                F.when(
+                    (F.col("t") != conv_type)
+                    & (F.col("conv_pos").isNull() | (F.col("pos") < F.col("conv_pos"))),
+                    1,
+                ).otherwise(0)
+            ).alias("nk"),
+        )
+        .filter(F.col("nk") == 0)
+        .select(
+            F.lit("start").alias("src"),
+            F.when(F.col("hc") == 1, F.lit("conv")).otherwise(F.lit("null")).alias("dst"),
+        )
+    )
+    edges = (
+        internal.union(starts)
+        .union(empty)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    den = edges.groupBy("src").agg(F.sum("n").cast("bigint").alias("den"))
+    ew = edges.join(den, "src")
+    # ALL scenarios (base + one per removed channel) stacked into one
+    # scenario-tagged edge frame, so the recurrence below runs ONCE for
+    # every scenario simultaneously — 8 tiny stages total instead of a
+    # separate 8-step chain per scenario (measured 173s -> seconds).
+    # Channel-vocabulary-sized; the single localCheckpoint pins it.
+    parts = [ew.withColumn("sc", F.lit("__base__"))]
+    for ch in channels:
+        parts.append(
+            ew.filter((F.col("src") != ch) & (F.col("dst") != ch)).withColumn(
+                "sc", F.lit(ch)
+            )
+        )
+    sce = parts[0]
+    for p_ in parts[1:]:
+        sce = sce.union(p_)
+    sce = sce.localCheckpoint()
+    conv_rows = (
+        sce.select("sc")
+        .distinct()
+        .select(
+            "sc", F.lit("conv").alias("state"), F.lit(_MK_SCALE).cast("bigint").alias("v")
+        )
+        .localCheckpoint()
+    )
+    v = conv_rows
+    for _ in range(steps):
+        contrib = (
+            sce.alias("e")
+            .join(
+                v.alias("vv"),
+                (F.col("e.sc") == F.col("vv.sc"))
+                & (F.col("e.dst") == F.col("vv.state")),
+            )
+            .select(
+                F.col("e.sc").alias("sc"),
+                F.col("e.src").alias("src"),
+                F.round(
+                    (F.col("e.n").cast("double") / F.col("e.den").cast("double"))
+                    * F.col("vv.v").cast("double")
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("sc", "src")
+            .agg(F.sum("c").cast("bigint").alias("v"))
+            .select("sc", F.col("src").alias("state"), "v")
+        )
+        v = contrib.union(conv_rows)
+    p_sc = (
+        v.filter(F.col("state") == "start")
+        .groupBy("sc")
+        .agg(F.sum("v").cast("bigint").alias("p"))
+        .localCheckpoint()
+    )
+    base = p_sc.filter(F.col("sc") == "__base__").select(F.col("p").alias("pb"))
+    spark = events.sparkSession
+    chf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in channels])).alias("channel")
+    )
+    rows = (
+        chf.join(
+            p_sc.select(F.col("sc").alias("channel"), F.col("p").alias("pr")),
+            "channel",
+            "left",
+        )
+        .withColumn("pr", F.coalesce(F.col("pr"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(base))
+    )
+    eff = rows.withColumn("es", (F.col("pb") - F.col("pr")).cast("bigint"))
+    tot = eff.agg(F.sum("es").cast("bigint").alias("te"))
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            (F.col("pb").cast("double") / F.lit(float(_MK_SCALE))).alias("p_base"),
+            (F.col("pr").cast("double") / F.lit(float(_MK_SCALE))).alias("p_removed"),
+            (F.col("es").cast("double") / F.col("pb").cast("double")).alias(
+                "removal_effect"
+            ),
+            (F.col("es").cast("double") / F.col("te").cast("double")).alias(
+                "attribution_share"
+            ),
+        )
+    )
+
+
+def oracle_markov_attribution(
+    table: str,
+    channels: list[str],
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    steps: int = 8,
+) -> str:
+    """Unrolled-CTE replay: same sessionized edge counts, same scaled
+    bigint absorption recurrence per scenario, same exact-integer credit
+    ratios."""
+    scale = _MK_SCALE
+    sql = f"""
+    WITH pts AS (
+      SELECT {user_col} AS u, CAST(floor(epoch({ts_col})) AS BIGINT) AS x,
+             event_id AS eid, event_type AS t
+      FROM {table}
+    ),
+    marked AS (
+      SELECT u, x, eid, t,
+             CASE WHEN lag(x) OVER (PARTITION BY u ORDER BY x, eid) IS NULL
+                    OR x - lag(x) OVER (PARTITION BY u ORDER BY x, eid) > {gap_s}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM pts
+    ),
+    sids AS (
+      SELECT u, x, eid, t,
+             CAST(sum(new_s) OVER (PARTITION BY u ORDER BY x, eid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM marked
+    ),
+    posn AS (
+      SELECT u, sid, t,
+             row_number() OVER (PARTITION BY u, sid ORDER BY x, eid) AS pos
+      FROM sids
+    ),
+    cp AS (
+      SELECT u, sid, t, pos,
+             min(CASE WHEN t = '{conv_type}' THEN pos END)
+               OVER (PARTITION BY u, sid) AS conv_pos
+      FROM posn
+    ),
+    k2 AS (
+      SELECT u, sid, t, pos, conv_pos,
+             lead(t) OVER (PARTITION BY u, sid ORDER BY pos) AS nxt,
+             row_number() OVER (PARTITION BY u, sid ORDER BY pos) AS krank
+      FROM cp
+      WHERE t <> '{conv_type}' AND (conv_pos IS NULL OR pos < conv_pos)
+    ),
+    internal AS (
+      SELECT t AS src,
+             coalesce(nxt, CASE WHEN conv_pos IS NOT NULL
+                                THEN 'conv' ELSE 'null' END) AS dst
+      FROM k2
+    ),
+    starts AS (SELECT 'start' AS src, t AS dst FROM k2 WHERE krank = 1),
+    empties AS (
+      SELECT 'start' AS src,
+             CASE WHEN hc = 1 THEN 'conv' ELSE 'null' END AS dst
+      FROM (
+        SELECT u, sid,
+               max(CASE WHEN t = '{conv_type}' THEN 1 ELSE 0 END) AS hc,
+               sum(CASE WHEN t <> '{conv_type}'
+                         AND (conv_pos IS NULL OR pos < conv_pos)
+                        THEN 1 ELSE 0 END) AS nk
+        FROM cp GROUP BY u, sid
+      ) WHERE nk = 0
+    ),
+    edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT * FROM internal
+        UNION ALL SELECT * FROM starts
+        UNION ALL SELECT * FROM empties
+      ) GROUP BY src, dst
+    ),
+    den AS (SELECT src, CAST(sum(n) AS BIGINT) AS den FROM edges GROUP BY src),
+    ew AS MATERIALIZED (
+      SELECT e.src, e.dst, e.n, d.den FROM edges e JOIN den d ON e.src = d.src
+    )"""
+    scenarios = [("base", None)] + [(f"c{i}", ch) for i, ch in enumerate(channels)]
+    for name, ch in scenarios:
+        flt = "" if ch is None else f" WHERE e.src <> '{ch}' AND e.dst <> '{ch}'"
+        sql += f""",
+    v_{name}_0 AS (SELECT 'conv' AS state, CAST({scale} AS BIGINT) AS v)"""
+        for t in range(steps):
+            sql += f""",
+    v_{name}_{t + 1} AS (
+      SELECT e.src AS state,
+             CAST(sum(CAST(round(CAST(e.n AS DOUBLE) / CAST(e.den AS DOUBLE)
+                  * CAST(v.v AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+      FROM ew e JOIN v_{name}_{t} v ON e.dst = v.state{flt}
+      GROUP BY e.src
+      UNION ALL SELECT 'conv', CAST({scale} AS BIGINT)
+    )"""
+        sql += f""",
+    p_{name} AS (
+      SELECT CAST(coalesce(sum(v), 0) AS BIGINT) AS p
+      FROM v_{name}_{steps} WHERE state = 'start'
+    )"""
+    ch_rows = "\n      UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, p_base.p AS pb, p_c{i}.p AS pr"
+        f" FROM p_base, p_c{i}"
+        for i, ch in enumerate(channels)
+    )
+    sql += f""",
+    eff AS (
+      SELECT channel, pb, pr, CAST(pb - pr AS BIGINT) AS es FROM (
+      {ch_rows}
+      )
+    ),
+    tot AS (SELECT CAST(sum(es) AS BIGINT) AS te FROM eff)
+    SELECT channel,
+           CAST(pb AS DOUBLE) / {float(scale)!r} AS p_base,
+           CAST(pr AS DOUBLE) / {float(scale)!r} AS p_removed,
+           CAST(es AS DOUBLE) / CAST(pb AS DOUBLE) AS removal_effect,
+           CAST(es AS DOUBLE) / CAST(tot.te AS DOUBLE) AS attribution_share
+    FROM eff, tot
+    """
+    return sql

@@ -1672,3 +1672,85 @@ def project_onto(
         for i, x in enumerate(direction)
     )
     return emb.withColumn(out_col, F.expr(terms))
+
+
+def pq_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k_short: int = 10,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ shortlist + EXACT re-rank — the production two-stage ANN serve
+    path (FAISS's IndexIVFPQ + refine): ADC over the m-byte codes selects
+    ``k_short`` candidates per query (the scan never touches raw
+    vectors), then ONLY those candidates fetch their full vectors for an
+    exact squared-L2 re-rank down to ``k``.
+
+    The refetch is an id-keyed equi-join of the shortlist (|Q| * k_short
+    rows — query-scale, not corpus-scale) against the vector table, so at
+    100 TB the expensive exact distances are computed for a vanishing
+    fraction of the corpus while final ranking quality comes from
+    uncompressed arithmetic. Exact distance is the in-order zip_with fold
+    (≡ DuckDB list_sum/list_zip, the proven cosine idiom). Output:
+    (id_q, id_vec, score_adc, d_exact, rnk) ranked by exact distance.
+    """
+    shortlist = pq_search_adc(emb, queries, books, k_short, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("id_q"), F.col(vec_col).alias("q_vec"))
+    c = emb.select(F.col(id_col).alias("id_vec"), F.col(vec_col).alias("c_vec"))
+    d_exact = F.expr(
+        "aggregate(zip_with(q_vec, c_vec,"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    ex = (
+        shortlist.drop("rnk")
+        .join(F.broadcast(q), "id_q")
+        .join(c, "id_vec")
+        .withColumn("d_exact", d_exact.cast("double"))
+    )
+    w = Window.partitionBy("id_q").orderBy(F.asc("d_exact"), F.asc("id_vec"))
+    return (
+        ex.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id_q").cast("bigint").alias("id_q"),
+            F.col("id_vec").cast("bigint").alias("id_vec"),
+            "score_adc",
+            "d_exact",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def oracle_pq_rerank(
+    table: str,
+    query_filter: str,
+    m: int = 4,
+    k_codebook: int = 8,
+    n_iter: int = 2,
+    k_short: int = 10,
+    k: int = 3,
+    dim: int = 64,
+) -> str:
+    inner = oracle_pq_search(table, query_filter, m, k_codebook, n_iter, k_short, dim)
+    exact = (
+        "list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]),"
+        " CAST(c.embedding AS DOUBLE[])), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+    WITH shortlist AS ({inner}),
+    ex AS (
+      SELECT s.id_q, s.id_vec, s.score_adc, CAST({exact} AS DOUBLE) AS d_exact
+      FROM shortlist s JOIN {table} q ON q.vec_id = s.id_q
+                       JOIN {table} c ON c.vec_id = s.id_vec
+    )
+    SELECT CAST(id_q AS BIGINT) AS id_q, CAST(id_vec AS BIGINT) AS id_vec,
+           score_adc, d_exact,
+           CAST(row_number() OVER (PARTITION BY id_q ORDER BY d_exact, id_vec)
+                AS BIGINT) AS rnk
+    FROM ex QUALIFY rnk <= {k}
+    """

@@ -4963,6 +4963,69 @@ def prof_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.union(b), parts)
 
 
+from ..operators.funnel import oracle_new_vs_returning
+
+
+@register(
+    "sim_pq_rerank",
+    similarity.oracle_pq_rerank(
+        "embeddings", "vec_id < 3", m=4, k_codebook=8, n_iter=2,
+        k_short=10, k=3, dim=64,
+    ),
+    doc="two-stage ANN serve path (FAISS IndexIVFPQ+refine shape): ADC "
+        "over the 4-byte PQ codes shortlists 10 candidates/query, then "
+        "ONLY those refetch full vectors for an exact squared-L2 re-rank "
+        "to top-3 — the refetch join is query-scale, the scan stays on "
+        "compressed codes (operators/similarity.py:pq_rerank)",
+)
+def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=4, k=8, n_iter=2, dim=64)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.pq_rerank(emb, qs, books, k_short=10, k=3)
+
+
+@register(
+    "evt_new_vs_returning",
+    oracle_new_vs_returning("events"),
+    doc="daily new-vs-returning growth report: active / first-seen / "
+        "returning users per day plus the running distinct-users total "
+        "computed as a cumulative sum of per-day new counts (never a "
+        "running count-distinct); cumulative window runs on the "
+        "calendar-scale frame (operators/funnel.py:new_vs_returning)",
+)
+def evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import new_vs_returning
+
+    ev = load_table(spark, sf_dir, "events")
+    return new_vs_returning(ev)
+
+
+from ..operators.funnel import oracle_markov_attribution
+
+_MK_CHANNELS = ["view", "click", "signup", "error"]
+
+
+@register(
+    "evt_markov_attribution",
+    oracle_markov_attribution("events", _MK_CHANNELS),
+    doc="Markov-chain multi-touch attribution with REMOVAL EFFECTS "
+        "(Anderl et al. 2014, the data-driven sibling of evt_attribution's "
+        "linear model): sessionized journeys truncated at first purchase "
+        "build the start->touch->conv/null chain; per channel, conversion "
+        "mass lost when its edges vanish (8-step scaled-bigint absorption "
+        "recurrence — every scenario probability an exact integer, credit "
+        "shares ratios of exact masses); edge table is channel-vocabulary "
+        "sized and checkpointed once "
+        "(operators/funnel.py:markov_attribution)",
+)
+def evt_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import markov_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_attribution(ev, _MK_CHANNELS)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

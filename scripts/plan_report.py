@@ -63,6 +63,24 @@ AUDITED = [
     "txt_kneser_ney",
     "prof_drift_psi",
     "grf_label_prop",
+    # round-6 late batch
+    "grf_hits",
+    "agg_kmv_overlap",
+    "sim_embedding_cov",
+    "evt_survival",
+    "prof_join_skew",
+    "grf_ppr",
+    "txt_inverted_index",
+    "evt_burst",
+    "cur_snapshot_diff",
+    "smp_resample",
+    "agg_jackknife",
+    "tmp_seasonal",
+    "tmp_ewma",
+    "evt_concurrency",
+    "prof_fd_audit",
+    "tmp_m4",
+    "prof_benford",
 ]
 
 

@@ -2231,3 +2231,67 @@ def test_fd_check_hand(spark):
     assert not r.holds
     ok = fd_check(df.filter("a = 1"), ["a"], "b").collect()[0]
     assert ok.holds and ok.n_violating_groups == 0
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 6: PQ re-rank, new-vs-returning, Markov attribution
+
+
+def test_pq_rerank_exact_order(spark):
+    from hadoop_2_7_1_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    books = similarity.pq_fit(emb, m=2, k=4, n_iter=2, dim=4)
+    qs = emb.filter("vec_id = 0")
+    out = similarity.pq_rerank(emb, qs, books, k_short=8, k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rnk)
+    assert len(rows) == 3
+    # re-rank orders by EXACT distance, ascending
+    assert rows[0].d_exact <= rows[1].d_exact <= rows[2].d_exact
+    # candidates came from the ADC shortlist (never the query itself)
+    assert all(r.id_vec != 0 for r in rows)
+
+
+def test_new_vs_returning_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import new_vs_returning
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+            (1, "2024-01-02 10:00:00"), (3, "2024-01-02 11:00:00"),
+        ],
+        "user_id bigint, ts_s string",
+    ).selectExpr("user_id", "cast(ts_s as timestamp) as ts")
+    rows = sorted(new_vs_returning(ev).collect(), key=lambda r: r.day)
+    assert (rows[0].n_active, rows[0].n_new, rows[0].n_returning) == (2, 2, 0)
+    assert (rows[1].n_active, rows[1].n_new, rows[1].n_returning) == (2, 1, 1)
+    assert rows[0].cum_users == 2 and rows[1].cum_users == 3
+
+
+def test_markov_attribution_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import markov_attribution
+
+    # u1: view->purchase; u2: view only; u3: click->purchase
+    # p_base = P(s->view)P(view->conv) + P(s->click)P(click->conv)
+    #        = (2/3)(1/2) + (1/3)(1) = 2/3; removing either channel
+    # leaves 1/3, so both get removal effect 1/2 and share 1/2.
+    ev = spark.createDataFrame(
+        [
+            (1, 0, 1, "view"), (1, 10, 2, "purchase"),
+            (2, 0, 3, "view"),
+            (3, 0, 4, "click"), (3, 10, 5, "purchase"),
+        ],
+        "user_id bigint, x bigint, event_id bigint, event_type string",
+    ).selectExpr(
+        "user_id", "cast(timestamp_seconds(x) as timestamp) as ts",
+        "event_id", "event_type",
+    )
+    rows = {r.channel: r for r in markov_attribution(ev, ["view", "click"]).collect()}
+    assert abs(rows["view"].p_base - 2 / 3) < 1e-9
+    assert abs(rows["view"].removal_effect - 0.5) < 1e-9
+    assert abs(rows["click"].removal_effect - 0.5) < 1e-9
+    assert abs(rows["view"].attribution_share - 0.5) < 1e-9
+    assert abs(rows["click"].attribution_share - 0.5) < 1e-9
