@@ -1274,3 +1274,162 @@ def oracle_markov_attribution(
     FROM eff, tot
     """
     return sql
+
+
+def pareto_tiers(
+    events: DataFrame,
+    user_col: str = "user_id",
+    tiers: list[int] = (1, 10, 50),
+) -> DataFrame:
+    """Activity-concentration (Pareto) report: what share of all events
+    comes from the top 1% / 10% / 50% most active users — the
+    "80/20 rule" readout behind capacity planning, abuse review, and
+    power-user analysis.
+
+    Users are ranked by exact event count (ties broken by user id — a
+    total order, so tier membership is deterministic); tier cutoff is
+    ceil(p% * n_users). The rank runs over the per-USER aggregate (one
+    row per user — user-scale, far below event scale; at extreme
+    cardinality swap in two_phase_prefix, same contract as
+    global_sort_with_rank). All outputs exact integers plus one rounded
+    ratio. Output: (tier_pct, n_users_tier, n_events_tier, pct_events).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("u"))
+    ranked = per_user.withColumn("rnk", F.row_number().over(w))
+    totals = per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    r = ranked.crossJoin(F.broadcast(totals))
+    out = None
+    for p in tiers:
+        cut = F.ceil(F.col("n_users") * p / 100).cast("bigint")
+        tier = r.filter(F.col("rnk") <= cut).agg(
+            F.lit(p).cast("int").alias("tier_pct"),
+            F.count("*").cast("bigint").alias("n_users_tier"),
+            F.sum("n").cast("bigint").alias("n_events_tier"),
+            F.round(
+                F.sum("n").cast("double") / F.first("n_events").cast("double") * 100.0,
+                6,
+            ).alias("pct_events"),
+        )
+        out = tier if out is None else out.union(tier)
+    return out
+
+
+def oracle_pareto_tiers(
+    table: str, user_col: str = "user_id", tiers: list[int] = (1, 10, 50)
+) -> str:
+    parts = []
+    for p in tiers:
+        parts.append(f"""
+    SELECT CAST({p} AS INT) AS tier_pct,
+           CAST(count(*) AS BIGINT) AS n_users_tier,
+           CAST(sum(n) AS BIGINT) AS n_events_tier,
+           round(CAST(sum(n) AS DOUBLE) / CAST(any_value(ne) AS DOUBLE) * 100.0, 6)
+             AS pct_events
+    FROM ranked WHERE rnk <= CAST(ceil(nu * {p} / 100.0) AS BIGINT)""")
+    return f"""
+    WITH per_user AS (
+      SELECT {user_col} AS u, CAST(count(*) AS BIGINT) AS n
+      FROM {table} GROUP BY 1
+    ),
+    ranked AS (
+      SELECT u, n, row_number() OVER (ORDER BY n DESC, u) AS rnk,
+             (SELECT count(*) FROM per_user) AS nu,
+             (SELECT CAST(sum(n) AS BIGINT) FROM per_user) AS ne
+      FROM per_user
+    )
+    {" UNION ALL ".join(parts)}
+    """
+
+
+def transition_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Journey predictability: Shannon entropy of the next-event
+    distribution per current state — low entropy = scripted/funnel-like
+    behavior (or a bot), high entropy = exploratory. The sequence-level
+    sibling of prof_column_entropy, computed from the same first-order
+    transition counts as evt_markov_transitions.
+
+    Per state: H = -Σ p ln p with p = n/tot an exact bigint/bigint
+    division and each p*ln(p) term rounded to DECIMAL(38,6) before the
+    EXACT per-state decimal sum (the unigram_logprob discipline). Also
+    reports the normalized entropy H / ln(k) over k observed successors.
+    Output: (state, n_out, n_next, entropy, norm_entropy).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    seq = events.select(
+        F.col(type_col).alias("cur"),
+        F.lead(type_col).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = seq.groupBy("cur", "nxt").agg(F.count("*").cast("bigint").alias("n"))
+    tot = counts.groupBy("cur").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    terms = counts.join(tot, "cur").withColumn(
+        "term", (p * F.log(p)).cast("decimal(38,6)")
+    )
+    return terms.groupBy("cur").agg(
+        F.first("tot").cast("bigint").alias("n_out"),
+        F.first("k").cast("bigint").alias("n_next"),
+        (-F.sum("term")).cast("double").alias("entropy"),
+        F.when(
+            F.first("k") > 1,
+            F.round(
+                (-F.sum("term")).cast("double")
+                / F.log(F.first("k").cast("double")),
+                6,
+            ),
+        ).alias("norm_entropy"),
+    ).select(
+        F.col("cur").alias("state"), "n_out", "n_next", "entropy", "norm_entropy"
+    )
+
+
+def oracle_transition_entropy(
+    table: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+    WITH seq AS (
+      SELECT {type_col} AS cur,
+             lead({type_col}) OVER (PARTITION BY {user_col}
+                                    ORDER BY {ts_col}, event_id) AS nxt
+      FROM {table}
+    ),
+    counts AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (
+      SELECT cur, CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS k
+      FROM counts GROUP BY cur
+    ),
+    terms AS (
+      SELECT c.cur, t.tot, t.k,
+             CAST((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                  * ln(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                  AS DECIMAL(38,6)) AS term
+      FROM counts c JOIN tot t ON c.cur = t.cur
+    )
+    SELECT cur AS state, CAST(any_value(tot) AS BIGINT) AS n_out,
+           CAST(any_value(k) AS BIGINT) AS n_next,
+           CAST(-sum(term) AS DOUBLE) AS entropy,
+           CASE WHEN any_value(k) > 1
+                THEN round(CAST(-sum(term) AS DOUBLE)
+                           / ln(CAST(any_value(k) AS DOUBLE)), 6)
+           END AS norm_entropy
+    FROM terms GROUP BY cur
+    """

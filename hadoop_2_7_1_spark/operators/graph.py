@@ -902,3 +902,80 @@ def oracle_personalized_pagerank(
     SELECT node, CAST(rank_ppr AS DOUBLE) AS rank_ppr FROM r{iterations}
     """
     return sql
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic 'random' walks — the DeepWalk/node2vec corpus
+    generator (Perozzi et al., KDD 2014), with the RNG replaced by the
+    engine's content-stable hash so the SAME walks come out of any run,
+    any partitioning, any engine: at step t from node v the walk picks
+    neighbor rank md5(walk_id || ':' || t) mod outdeg(v) among v's
+    rank-ordered neighbors.
+
+    One walk starts at every node (walk_id = start node). Each step is
+    one equi-join of the frontier against the rank-indexed adjacency
+    list — walk extension is embarrassingly parallel, K joins for K
+    steps, the textbook distributed walk shape (no per-walk state beyond
+    the frontier row). Output: (walk_id, seq) where seq is the
+    space-joined node sequence — feed straight to a skip-gram pipeline.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        e.withColumn("rnk", F.row_number().over(w) - 1)
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .localCheckpoint()
+    )
+    frontier = adj.select(F.col("src").alias("walk_id")).distinct().select(
+        "walk_id", F.col("walk_id").alias("node"), F.col("walk_id").cast("string").alias("seq")
+    )
+    for t in range(1, walk_len):
+        pick = F.expr(
+            f"cast(conv(substring(md5(cast(concat(walk_id, ':', {t}) as binary)), 1, 8),"
+            f" 16, 10) as bigint)"
+        )
+        frontier = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .filter(F.col("rnk") == pick % F.col("deg"))
+            .select(
+                "walk_id",
+                F.col("dst").alias("node"),
+                F.concat(F.col("seq"), F.lit(" "), F.col("dst")).alias("seq"),
+            )
+        )
+    return frontier.select("walk_id", "seq")
+
+
+def oracle_random_walks(edges_sql: str, walk_len: int = 6) -> str:
+    sql = f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    adj AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+             count(*) OVER (PARTITION BY src) AS deg
+      FROM e
+    ),
+    f0 AS (
+      SELECT src AS walk_id, src AS node, CAST(src AS VARCHAR) AS seq
+      FROM (SELECT DISTINCT src FROM e)
+    )"""
+    for t in range(1, walk_len):
+        pick = (
+            f"CAST(('0x' || substr(md5(CAST(walk_id || ':' || {t} AS VARCHAR)), 1, 8))"
+            f" AS BIGINT)"
+        )
+        sql += f""",
+    f{t} AS (
+      SELECT f.walk_id, a.dst AS node, f.seq || ' ' || a.dst AS seq
+      FROM f{t - 1} f JOIN adj a ON f.node = a.src
+      WHERE a.rnk = {pick} % a.deg
+    )"""
+    sql += f"""
+    SELECT walk_id, seq FROM f{walk_len - 1}
+    """
+    return sql

@@ -8,7 +8,7 @@ computes every stat in the same HashAggregate), then one narrow unpivot.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -858,4 +858,154 @@ def oracle_fd_check(table: str, det_cols: list[str], dep_col: str) -> str:
       FROM (SELECT DISTINCT {det}, {dep_col} FROM {table})
       GROUP BY {det}
     )
+    """
+
+
+def ref_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    label: str,
+) -> DataFrame:
+    """One-row referential-integrity check child.fk -> parent.pk — the
+    FK-orphan audit every warehouse load runs: how many child rows (and
+    distinct keys) reference a parent that does not exist?
+
+    Orphans via LEFT ANTI join (Spark broadcasts the parent key set when
+    small; stays a keyed shuffle otherwise — never a full outer
+    materialization). NULL fks are counted separately, not as orphans
+    (SQL FK semantics). Output: (relation, n_child, n_null_fk,
+    n_orphan_rows, n_orphan_keys, ok).
+    """
+    fk = child.select(F.col(fk_col).alias("fk"))
+    nn = fk.filter(F.col("fk").isNotNull())
+    orphans = nn.join(
+        parent.select(F.col(pk_col).alias("fk")).distinct(), "fk", "left_anti"
+    )
+    counts = fk.agg(
+        F.count("*").cast("bigint").alias("n_child"),
+        F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_fk"),
+    )
+    ostats = orphans.agg(
+        F.count("*").cast("bigint").alias("n_orphan_rows"),
+        F.countDistinct("fk").cast("bigint").alias("n_orphan_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(ostats))
+        .select(
+            F.lit(label).alias("relation"),
+            "n_child",
+            "n_null_fk",
+            "n_orphan_rows",
+            "n_orphan_keys",
+            (F.col("n_orphan_rows") == 0).alias("ok"),
+        )
+    )
+
+
+def oracle_ref_integrity(
+    child: str, parent: str, fk_col: str, pk_col: str, label: str
+) -> str:
+    return f"""
+    SELECT '{label}' AS relation,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM {child} WHERE {fk_col} IS NULL) AS BIGINT)
+             AS n_null_fk,
+           CAST(o.n_orphan_rows AS BIGINT) AS n_orphan_rows,
+           CAST(o.n_orphan_keys AS BIGINT) AS n_orphan_keys,
+           o.n_orphan_rows = 0 AS ok
+    FROM (
+      SELECT count(*) AS n_orphan_rows, count(DISTINCT c.{fk_col}) AS n_orphan_keys
+      FROM {child} c
+      WHERE c.{fk_col} IS NOT NULL
+        AND c.{fk_col} NOT IN (SELECT {pk_col} FROM {parent} WHERE {pk_col} IS NOT NULL)
+    ) o
+    """
+
+
+def drift_ks(
+    dfa: DataFrame, dfb: DataFrame, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic, EXACT — the
+    nonparametric sibling of drift_psi (no binning choice to defend):
+    KS = max over x of |ECDF_a(x) - ECDF_b(x)| over integer-cents values.
+
+    The comparison never divides: cumulative counts are cross-multiplied
+    (|cum_a * n_b - cum_b * n_a|, exact BIGINT), the max is taken over
+    those integers, and ONE double division at the end produces the
+    statistic — bit-identical on any engine, immune to float ECDF
+    accumulation. The cumulative window runs over the per-VALUE aggregate
+    (distinct-value scale; swap in two_phase_prefix if the value domain
+    is data-sized). Output: (n_a, n_b, ks_stat, at_cents) — at_cents is
+    the smallest value attaining the max.
+    """
+    a = dfa.select(F.expr(f"cast(round({value_col} * 100) as bigint)").alias("v"))
+    b = dfb.select(F.expr(f"cast(round({value_col} * 100) as bigint)").alias("v"))
+    tagged = a.select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb")).union(
+        b.select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.withColumn("cna", F.sum("na").over(w).cast("bigint")).withColumn(
+        "cnb", F.sum("nb").over(w).cast("bigint")
+    )
+    tot = per_v.agg(
+        F.sum("na").cast("bigint").alias("ta"), F.sum("nb").cast("bigint").alias("tb")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "diff", F.abs(F.col("cna") * F.col("tb") - F.col("cnb") * F.col("ta")).cast("bigint")
+    )
+    mx = d.agg(F.max("diff").cast("bigint").alias("mdiff"))
+    return (
+        d.join(F.broadcast(mx), d["diff"] == mx["mdiff"])
+        .agg(
+            F.first("ta").cast("bigint").alias("n_a"),
+            F.first("tb").cast("bigint").alias("n_b"),
+            (
+                F.first("mdiff").cast("double")
+                / (F.first("ta") * F.first("tb")).cast("double")
+            ).alias("ks_stat"),
+            F.min("v").cast("bigint").alias("at_cents"),
+        )
+    )
+
+
+def oracle_drift_ks(a_sql: str, b_sql: str, value_col: str) -> str:
+    return f"""
+    WITH av AS (SELECT CAST(round({value_col} * 100) AS BIGINT) AS v FROM ({a_sql})),
+    bv AS (SELECT CAST(round({value_col} * 100) AS BIGINT) AS v FROM ({b_sql})),
+    tagged AS (
+      SELECT v, 1 AS ca, 0 AS cb FROM av
+      UNION ALL SELECT v, 0 AS ca, 1 AS cb FROM bv
+    ),
+    per_v AS (
+      SELECT v, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM tagged GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cna,
+             CAST(sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cnb
+      FROM per_v
+    ),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+            FROM per_v),
+    d AS (
+      SELECT v, abs(cna * tot.tb - cnb * tot.ta) AS diff, tot.ta, tot.tb
+      FROM cum, tot
+    ),
+    mx AS (SELECT CAST(max(diff) AS BIGINT) AS mdiff FROM d)
+    SELECT CAST(any_value(d.ta) AS BIGINT) AS n_a,
+           CAST(any_value(d.tb) AS BIGINT) AS n_b,
+           CAST(any_value(mx.mdiff) AS DOUBLE)
+           / CAST(any_value(d.ta) * any_value(d.tb) AS DOUBLE) AS ks_stat,
+           CAST(min(d.v) AS BIGINT) AS at_cents
+    FROM d, mx WHERE d.diff = mx.mdiff
     """

@@ -775,3 +775,79 @@ def oracle_systematic_resample(
     FROM cum, tot
     WHERE ({n2} * c + wt) // (2 * wt) - ({n2} * (c - w) + wt) // (2 * wt) >= 1
     """
+
+
+def class_balance(
+    df: DataFrame, class_col: str, key_col: str
+) -> DataFrame:
+    """Deterministic class rebalancing report: downsample every class to
+    the MINORITY class size by content-stable hash thresholding — the
+    standard prep step before training on skewed labels, with zero RNG
+    (same rows survive any rerun/partitioning/engine).
+
+    keep(class c) = md5-fraction(key) < n_min / n_c. Expected kept ≈
+    n_min per class; exact counts of what actually survived ride along
+    (the hash is uniform, not stratified-exact — report, don't assume).
+    Two passes: one keyed count (broadcast back), one narrow filter.
+    Output: (class, n_before, n_after, target_rate).
+    """
+    counts = df.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n_before")
+    )
+    n_min = counts.agg(F.min("n_before").cast("bigint").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).withColumn(
+        "rate", F.col("n_min").cast("double") / F.col("n_before").cast("double")
+    )
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 60))
+    )
+    kept = (
+        df.select(F.col(class_col).alias("cls"), frac.alias("f"))
+        .join(F.broadcast(rates), "cls")
+        .filter(F.col("f") < F.col("rate"))
+        .groupBy("cls")
+        .agg(F.count("*").cast("bigint").alias("n_after"))
+    )
+    return (
+        rates.join(kept, "cls", "left")
+        .select(
+            F.col("cls").alias(class_col),
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.round("rate", 6).alias("target_rate"),
+        )
+    )
+
+
+def oracle_class_balance(table: str, class_col: str, key_col: str) -> str:
+    frac = (
+        f"CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" / {float(1 << 60)!r}"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT {class_col} AS cls, CAST(count(*) AS BIGINT) AS n_before
+      FROM {table} GROUP BY 1
+    ),
+    nm AS (SELECT CAST(min(n_before) AS BIGINT) AS n_min FROM counts),
+    rates AS (
+      SELECT cls, n_before,
+             CAST(nm.n_min AS DOUBLE) / CAST(n_before AS DOUBLE) AS rate
+      FROM counts, nm
+    ),
+    kept AS (
+      SELECT t.{class_col} AS cls, CAST(count(*) AS BIGINT) AS n_after
+      FROM {table} t JOIN rates r ON t.{class_col} = r.cls
+      WHERE {frac} < r.rate
+      GROUP BY t.{class_col}
+    )
+    SELECT r.cls AS {class_col}, r.n_before,
+           CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after,
+           round(r.rate, 6) AS target_rate
+    FROM rates r LEFT JOIN kept k ON r.cls = k.cls
+    """

@@ -2062,3 +2062,57 @@ def oracle_inverted_index(
                           ORDER BY doc_id)) AS postings_md5
     FROM per_doc GROUP BY term HAVING count(*) >= {min_df}
     """
+
+
+def lang_confusion(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Confusion matrix of the stopword-vote language identifier against
+    the labeled language column — the eval loop for :func:`lang_id`
+    (never ship a classifier without its confusion matrix): per
+    (label, predicted) cell, count and the share of that label's rows
+    (row-normalized recall decomposition).
+
+    One prediction pass (pure JVM expressions), one id-keyed join back
+    to labels, one (label, pred) count, a label-keyed total join — all
+    exact integers plus one rounded ratio.
+    Output: (lang, pred_lang, n, share_of_lang).
+    """
+    preds = lang_id(df, id_col, text_col)
+    labeled = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(label_col).alias("lang")
+    )
+    cells = (
+        labeled.join(preds, "id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nt"))
+    return cells.join(tot, "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("nt").cast("double"), 6).alias(
+            "share_of_lang"
+        ),
+    )
+
+
+def oracle_lang_confusion(
+    table: str, id_col: str = "doc_id", text_col: str = "text",
+    label_col: str = "lang",
+) -> str:
+    inner = oracle_lang_id(table, id_col, text_col)
+    return f"""
+    WITH preds AS ({inner}),
+    cells AS (
+      SELECT t.{label_col} AS lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM {table} t JOIN preds p ON CAST(t.{id_col} AS BIGINT) = p.id
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY lang)
+    SELECT c.lang, c.pred_lang, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS share_of_lang
+    FROM cells c JOIN tot t ON c.lang = t.lang
+    """

@@ -5026,6 +5026,157 @@ def evt_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_attribution(ev, _MK_CHANNELS)
 
 
+from ..operators.graph import oracle_random_walks
+from ..operators.profile import oracle_ref_integrity
+from ..operators.funnel import oracle_pareto_tiers
+
+
+@register(
+    "grf_walks",
+    oracle_random_walks(_PR_EDGES_SQL, walk_len=6),
+    doc="deterministic DeepWalk corpus (one 6-node walk per start node "
+        "over the undirected supplier-part graph): next hop = neighbor "
+        "rank md5(walk_id:step) mod outdeg among rank-ordered adjacency — "
+        "content-stable hash replaces the RNG so any engine/partitioning "
+        "emits identical walks; K equi-joins for K steps, no per-walk "
+        "state (operators/graph.py:random_walks)",
+)
+def grf_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import random_walks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return random_walks(edges, walk_len=6)
+
+
+_RI_SPECS = [
+    ("orders", "customer", "o_custkey", "c_custkey", "orders.custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey", "lineitem.orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey", "lineitem.partkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey", "customer.nationkey"),
+]
+
+
+@register(
+    "prof_ref_integrity",
+    "\nUNION ALL\n".join(oracle_ref_integrity(*s) for s in _RI_SPECS),
+    doc="referential-integrity audit over four FK relations: orphan rows/"
+        "keys via LEFT ANTI join (parent key set broadcasts when small), "
+        "NULL fks counted separately per SQL FK semantics "
+        "(operators/profile.py:ref_integrity)",
+)
+def prof_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.profile import ref_integrity
+
+    parts = [
+        ref_integrity(
+            load_table(spark, sf_dir, c), load_table(spark, sf_dir, p), fk, pk, lbl
+        )
+        for c, p, fk, pk, lbl in _RI_SPECS
+    ]
+    return reduce(lambda a, b: a.union(b), parts)
+
+
+@register(
+    "evt_pareto_tiers",
+    oracle_pareto_tiers("events"),
+    doc="activity-concentration (Pareto) report: share of all events from "
+        "the top 1/10/50% most active users — exact counts, total-order "
+        "rank over the per-USER aggregate (user-scale; swap in "
+        "two_phase_prefix at extreme cardinality) "
+        "(operators/funnel.py:pareto_tiers)",
+)
+def evt_pareto_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import pareto_tiers
+
+    ev = load_table(spark, sf_dir, "events")
+    return pareto_tiers(ev)
+
+
+from ..operators.profile import oracle_drift_ks
+from ..operators.funnel import oracle_transition_entropy
+from ..operators.sampling import oracle_class_balance
+from ..operators.textops import oracle_lang_confusion
+
+
+@register(
+    "prof_drift_ks",
+    oracle_drift_ks(
+        "SELECT * FROM orders WHERE o_orderdate < DATE '1998-01-01'",
+        "SELECT * FROM orders WHERE o_orderdate >= DATE '1998-01-01'",
+        "o_totalprice",
+    ),
+    doc="EXACT two-sample Kolmogorov-Smirnov drift statistic between "
+        "pre/post-1998 order totals (the binning-free sibling of "
+        "prof_drift_psi): cumulative counts cross-multiplied as BIGINTs, "
+        "max over exact integers, ONE double division at the end; "
+        "cumulative window on the distinct-value frame "
+        "(operators/profile.py:drift_ks)",
+)
+def prof_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import drift_ks
+
+    o = load_table(spark, sf_dir, "orders")
+    return drift_ks(
+        o.filter("o_orderdate < date'1998-01-01'"),
+        o.filter("o_orderdate >= date'1998-01-01'"),
+        "o_totalprice",
+    )
+
+
+@register(
+    "evt_transition_entropy",
+    oracle_transition_entropy("events"),
+    doc="journey predictability: per-state Shannon entropy of the "
+        "next-event distribution (p ln p terms decimal(38,6)-rounded then "
+        "exactly summed — the unigram_logprob discipline), plus entropy "
+        "normalized by ln(successor count) "
+        "(operators/funnel.py:transition_entropy)",
+)
+def evt_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import transition_entropy
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_entropy(ev)
+
+
+@register(
+    "smp_class_balance",
+    oracle_class_balance("documents", "lang", "doc_id"),
+    doc="deterministic class rebalancing to the minority-class size via "
+        "content-stable hash thresholds (keep iff md5-frac(key) < "
+        "n_min/n_class) — zero RNG, same survivors on any engine; exact "
+        "before/after counts reported per class "
+        "(operators/sampling.py:class_balance)",
+)
+def smp_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import class_balance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return class_balance(docs, "lang", "doc_id")
+
+
+@register(
+    "txt_langid_confusion",
+    oracle_lang_confusion("documents"),
+    doc="confusion matrix of the stopword-vote language identifier vs the "
+        "labeled lang column (never ship a classifier without one): per "
+        "(label, predicted) exact count + row-normalized share "
+        "(operators/textops.py:lang_confusion)",
+)
+def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import lang_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_confusion(docs)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

@@ -2295,3 +2295,133 @@ def test_markov_attribution_hand(spark):
     assert abs(rows["click"].removal_effect - 0.5) < 1e-9
     assert abs(rows["view"].attribution_share - 0.5) < 1e-9
     assert abs(rows["click"].attribution_share - 0.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 7: random walks, ref integrity, Pareto tiers
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from hadoop_2_7_1_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    w1 = {r.walk_id: r.seq for r in random_walks(edges, walk_len=5).collect()}
+    w2 = {
+        r.walk_id: r.seq
+        for r in random_walks(edges.repartition(7), walk_len=5).collect()
+    }
+    assert w1 == w2  # partitioning-independent
+    assert set(w1) == {"a", "b", "c"}
+    eset = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")}
+    for start, seq in w1.items():
+        nodes = seq.split(" ")
+        assert len(nodes) == 5 and nodes[0] == start
+        for x, y in zip(nodes, nodes[1:]):
+            assert (x, y) in eset  # every hop is a real edge
+
+
+def test_ref_integrity_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import ref_integrity
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    r = ref_integrity(child, parent, "fk", "pk", "t").collect()[0]
+    assert (r.n_child, r.n_null_fk, r.n_orphan_rows, r.n_orphan_keys) == (5, 1, 1, 1)
+    assert not r.ok
+
+
+def test_pareto_tiers_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import pareto_tiers
+
+    # 10 users: one with 91 events, nine with 1 each -> top 10% = 1 user = 91%
+    rows = [(u, i) for u in range(1, 10) for i in range(1)] + [
+        (10, i) for i in range(91)
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, i bigint")
+    out = {r.tier_pct: r for r in pareto_tiers(ev, tiers=[10, 50]).collect()}
+    assert out[10].n_users_tier == 1 and out[10].n_events_tier == 91
+    assert abs(out[10].pct_events - 91.0) < 1e-9
+    assert out[50].n_users_tier == 5 and out[50].n_events_tier == 95
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 8: KS drift, transition entropy, class balance,
+# langid confusion
+
+
+def test_drift_ks_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import drift_ks
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    b = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    r = drift_ks(a, b, "v").collect()[0]
+    # ECDFs diverge most at v=2: F_a=0.5, F_b=0 -> KS=0.5
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert abs(r.ks_stat - 0.5) < 1e-12 and r.at_cents == 200
+    same = drift_ks(a, a, "v").collect()[0]
+    assert same.ks_stat == 0.0
+
+
+def test_transition_entropy_hand(spark):
+    import math
+
+    from hadoop_2_7_1_spark.operators.funnel import transition_entropy
+
+    # user path a->b, a->c (two users): state 'a' has uniform 2-way split
+    ev = spark.createDataFrame(
+        [
+            (1, 0, 1, "a"), (1, 10, 2, "b"),
+            (2, 0, 3, "a"), (2, 10, 4, "c"),
+        ],
+        "user_id bigint, x bigint, event_id bigint, event_type string",
+    ).selectExpr(
+        "user_id", "cast(timestamp_seconds(x) as timestamp) as ts",
+        "event_id", "event_type",
+    )
+    rows = {r.state: r for r in transition_entropy(ev).collect()}
+    assert rows["a"].n_out == 2 and rows["a"].n_next == 2
+    assert abs(rows["a"].entropy - math.log(2)) < 1e-5
+    assert abs(rows["a"].norm_entropy - 1.0) < 1e-5
+
+
+def test_class_balance_counts(spark):
+    from hadoop_2_7_1_spark.operators.sampling import class_balance
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "k bigint, cls string")
+    out = {r.cls: r for r in class_balance(df, "cls", "k").collect()}
+    assert out["small"].n_before == 50 and out["small"].n_after == 50
+    assert out["small"].target_rate == 1.0
+    assert out["big"].n_before == 400
+    # hash thresholding lands near the 50-row target (uniform, not exact)
+    assert 25 <= out["big"].n_after <= 80
+
+
+def test_lang_confusion_shares_sum_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.operators.textops import lang_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of with that", "en"),
+            (2, "der und die das nicht", "de"),
+            (3, "zzz qqq xxx", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = lang_confusion(docs).collect()
+    cells = {(r.lang, r.pred_lang): r.n for r in out}
+    assert cells[("en", "en")] == 1 and cells[("de", "de")] == 1
+    assert cells[("en", "unknown")] == 1
+    import collections
+
+    sums = collections.defaultdict(float)
+    for r in out:
+        sums[r.lang] += r.share_of_lang
+    assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
