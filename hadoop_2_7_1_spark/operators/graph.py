@@ -979,3 +979,98 @@ def oracle_random_walks(edges_sql: str, walk_len: int = 6) -> str:
     SELECT walk_id, seq FROM f{walk_len - 1}
     """
     return sql
+
+
+def assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over undirected edges — positive =
+    hubs link hubs (social nets), negative = hub-and-spoke
+    (supplier-part, web). THE one-number summary of whether skew
+    mitigation will matter for neighborhood joins on this graph.
+
+    Exact integer sums over both edge orientations (Sxy, Sx, Sx2, n —
+    degrees are BIGINTs, products stay within int64 for degrees < ~3e9),
+    combined in ONE fixed-order double expression rounded to 6dp — the
+    evt_trend_ols recipe. Two degree joins + one single-row aggregate.
+    Output: (n_edges, n_nodes, r_assort).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("dy"))
+    # both orientations so the correlation is symmetric (standard form)
+    pairs = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select("dx", "dy")
+    )
+    both = pairs.union(pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    agg = both.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sx2"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    nn = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    ne = und.agg(F.count("*").cast("bigint").alias("n_edges"))
+    m, sx, sx2, sxy = (F.col(c).cast("double") for c in ("m", "sx", "sx2", "sxy"))
+    r = (m * sxy - sx * sx) / (m * sx2 - sx * sx)
+    return (
+        ne.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_edges",
+            "n_nodes",
+            F.when(m * sx2 - sx * sx != 0, F.round(r, 6)).alias("r_assort"),
+        )
+    )
+
+
+def oracle_assortativity(edges_sql: str) -> str:
+    return f"""
+    WITH und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({edges_sql}) WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY v
+    ),
+    pairs AS (
+      SELECT da.deg AS dx, db.deg AS dy
+      FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v
+    ),
+    bothdir AS (
+      SELECT dx, dy FROM pairs UNION ALL SELECT dy AS dx, dx AS dy FROM pairs
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dx * dx) AS BIGINT) AS sx2,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM bothdir
+    )
+    SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CASE WHEN CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           END AS r_assort
+    FROM agg
+    """

@@ -2116,3 +2116,73 @@ def oracle_lang_confusion(
            round(CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS share_of_lang
     FROM cells c JOIN tot t ON c.lang = t.lang
     """
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-style readability features per document — the classic
+    quality-filter complement to gopher_rules: words, sentences, syllable
+    estimate (vowel-group count, the standard dictionary-free heuristic),
+    and the two derived ratios that drive the Flesch score.
+
+    All counts are regexp_replace/size expressions (one codegen'd map,
+    no shuffle); sentences = terminal-punctuation runs, clamped to >= 1;
+    syllables = vowel groups [aeiouyAEIOUY]+. The score itself is the
+    textbook linear form 206.835 - 1.015*(W/S) - 84.6*(Syl/W), computed
+    as a fixed-order double chain on exact integer counts with injected
+    literal coefficients, rounded to 4dp.
+    Output: (id, n_words, n_sentences, n_syllables, flesch).
+    """
+    toks = _tok_array(text_col)
+    words = F.expr(f"cast(size({toks}) as bigint)")
+    sents = F.expr(
+        f"cast(greatest(size(filter(split({text_col}, '[.!?]+'), s -> trim(s) <> '')),"
+        f" 1) as bigint)"
+    )
+    sylls = F.expr(
+        f"cast(size(filter(split({text_col}, '[aeiouyAEIOUY]+'), s -> true)) - 1"
+        f" as bigint)"
+    )
+    w, s, y = F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+        - F.lit(84.6) * (y.cast("double") / w.cast("double"))
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            words.alias("n_words"),
+            sents.alias("n_sentences"),
+            sylls.alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .withColumn("flesch", F.round(flesch, 4))
+    )
+
+
+def oracle_readability(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS}'), t -> t <> '')"
+    return f"""
+    WITH base AS (
+      SELECT CAST({id_col} AS BIGINT) AS id,
+             CAST(len({toks}) AS BIGINT) AS n_words,
+             CAST(greatest(len(list_filter(
+                    regexp_split_to_array({text_col}, '[.!?]+'),
+                    s -> trim(s) <> '')), 1) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_split_to_array({text_col}, '[aeiouyAEIOUY]+')) - 1
+                  AS BIGINT) AS n_syllables
+      FROM {table}
+    )
+    SELECT id, n_words, n_sentences, n_syllables,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE)
+                   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                 4) AS flesch
+    FROM base WHERE n_words > 0
+    """

@@ -5177,6 +5177,46 @@ def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_confusion(docs)
 
 
+from ..operators.textops import oracle_readability
+from ..operators.graph import oracle_assortativity
+
+
+@register(
+    "txt_readability",
+    oracle_readability("documents"),
+    doc="Flesch-style readability features (words / terminal-punctuation "
+        "sentences / vowel-group syllable estimate) + the textbook linear "
+        "score with injected literal coefficients — one codegen'd map, no "
+        "shuffle (operators/textops.py:readability)",
+)
+def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import readability
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability(docs)
+
+
+@register(
+    "grf_assortativity",
+    oracle_assortativity(_PR_EDGES_SQL),
+    doc="degree assortativity (Newman 2002): Pearson r of endpoint "
+        "degrees over both edge orientations — exact integer sums, one "
+        "fixed-order double combination; the one-number 'will skew "
+        "mitigation matter' summary for neighborhood joins "
+        "(operators/graph.py:assortativity)",
+)
+def grf_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import assortativity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return assortativity(edges)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

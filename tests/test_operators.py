@@ -2425,3 +2425,40 @@ def test_lang_confusion_shares_sum_to_one(spark):
     for r in out:
         sums[r.lang] += r.share_of_lang
     assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 9: readability, assortativity
+
+
+def test_readability_hand(spark):
+    from hadoop_2_7_1_spark.operators.textops import readability
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran.")], "doc_id bigint, text string"
+    )
+    r = readability(docs).collect()[0]
+    assert r.n_words == 6 and r.n_sentences == 2
+    # vowel groups: e, a, a, e, o, a -> 6
+    assert r.n_syllables == 6
+    expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 4)
+    assert abs(r.flesch - expected) < 1e-9
+
+
+def test_assortativity_star_is_negative(spark):
+    from hadoop_2_7_1_spark.operators.graph import assortativity
+
+    # star graph: hub h linked to 5 leaves -> perfectly disassortative
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)], "src string, dst string"
+    )
+    r = assortativity(edges).collect()[0]
+    assert (r.n_edges, r.n_nodes) == (5, 6)
+    assert abs(r.r_assort - (-1.0)) < 1e-9
+
+    # regular ring: all degrees equal -> undefined (NULL), not a crash
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r2 = assortativity(ring).collect()[0]
+    assert r2.r_assort is None
