@@ -81,6 +81,17 @@ AUDITED = [
     "prof_fd_audit",
     "tmp_m4",
     "prof_benford",
+    "grf_walks",
+    "prof_ref_integrity",
+    "evt_pareto_tiers",
+    "prof_drift_ks",
+    "evt_transition_entropy",
+    "smp_class_balance",
+    "txt_langid_confusion",
+    "txt_readability",
+    "grf_assortativity",
+    "sim_pq_rerank",
+    "evt_new_vs_returning",
 ]
 
 
