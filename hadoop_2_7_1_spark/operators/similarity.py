@@ -1754,3 +1754,99 @@ def oracle_pq_rerank(
                 AS BIGINT) AS rnk
     FROM ex QUALIFY rnk <= {k}
     """
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    prefix_dims: list[int] = (8, 16, 32),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka prefix-dimension recall curve (Kusupati et al. 2022):
+    recall@k of cosine search using only the FIRST d' coordinates, per
+    d', against full-dimension ground truth — the measurement that tells
+    you how far an MRL-style embedding can be truncated (and its index
+    shrunk 2-8x) before retrieval quality pays. The ANN-family
+    operating-point audit, applied to the dimension axis (siblings:
+    ann_recall over buckets, kmeans_recall_curve over nprobe, pq_recall
+    over codebooks).
+
+    Each prefix run reuses :func:`cosine_topk` on sliced arrays (the
+    slice happens in the codegen'd fold — no array materialization
+    shuffle); ground truth is computed once and joined against every
+    prefix. Output: (dim_prefix, n_queries, hits, possible, recall).
+    """
+    truth = (
+        cosine_topk(emb, queries, k, id_col, vec_col)
+        .select("q_id", "vec_id")
+        .localCheckpoint()
+    )
+    possible = truth.agg(
+        F.count_distinct("q_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("possible"),
+    )
+    out = None
+    for d in prefix_dims:
+        sliced = emb.select(
+            F.col(id_col), F.expr(f"slice({vec_col}, 1, {d})").alias(vec_col)
+        )
+        sq = queries.select(
+            F.col(id_col), F.expr(f"slice({vec_col}, 1, {d})").alias(vec_col)
+        )
+        approx = cosine_topk(sliced, sq, k, id_col, vec_col).select("q_id", "vec_id")
+        hits = truth.join(approx, ["q_id", "vec_id"]).agg(
+            F.count("*").cast("bigint").alias("hits")
+        )
+        row = (
+            hits.crossJoin(F.broadcast(possible))
+            .select(
+                F.lit(d).cast("int").alias("dim_prefix"),
+                "n_queries",
+                "hits",
+                "possible",
+                (F.col("hits").cast("double") / F.col("possible").cast("double")).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = row if out is None else out.union(row)
+    return out
+
+
+def oracle_matryoshka_recall(
+    table: str,
+    query_filter: str,
+    prefix_dims: list[int] = (8, 16, 32),
+    k: int = 5,
+) -> str:
+    truth = oracle_cosine_topk(table, query_filter, k)
+
+    def prefix_topk(d: int) -> str:
+        dot = ORACLE_DOT.format(a=f"c.embedding[1:{d}]", b=f"q.embedding[1:{d}]")
+        nc = ORACLE_NORM.format(a=f"c.embedding[1:{d}]")
+        nq = ORACLE_NORM.format(a=f"q.embedding[1:{d}]")
+        return f"""
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos
+        FROM {table} c CROSS JOIN
+             (SELECT vec_id, embedding FROM {table} WHERE {query_filter}) q
+        WHERE c.vec_id <> q.vec_id
+      ) QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= {k}
+    """
+
+    parts = []
+    for d in prefix_dims:
+        parts.append(f"""
+    SELECT CAST({d} AS INT) AS dim_prefix, t.n_queries, h.hits, t.possible,
+           CAST(h.hits AS DOUBLE) / t.possible AS recall
+    FROM (SELECT CAST(count(*) AS BIGINT) AS hits
+          FROM truth JOIN ({prefix_topk(d)}) a USING (q_id, vec_id)) h,
+         (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+                 CAST(count(*) AS BIGINT) AS possible FROM truth) t""")
+    return (
+        f"WITH truth AS MATERIALIZED (SELECT q_id, vec_id FROM ({truth}))\n"
+        + "\nUNION ALL\n".join(parts)
+    )

@@ -2186,3 +2186,94 @@ def oracle_readability(
                  4) AS flesch
     FROM base WHERE n_words > 0
     """
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Tokenizer fertility report: subword tokens per whitespace word,
+    per language — THE standard tokenizer-quality metric (a BPE trained
+    on the corpus majority language shows low fertility there and 2-4x
+    on under-represented scripts; high fertility = wasted context window
+    and slower training for that language).
+
+    Reuses the full BPE loop: train ``n_merges`` merges on the corpus
+    (:func:`bpe_merges`), apply them via the memoized distinct-vocabulary
+    path (encode each word ONCE, broadcast the vocabulary-sized result
+    back — the production tokenizer-application trick from bpe_encode),
+    then roll up per language. Exact integer counts, one division.
+    Output: (lang, n_docs, n_words, n_subwords, fertility).
+    """
+    table = bpe_merges(df, id_col, text_col, n_merges).orderBy("rank").collect()
+    words = df.select(
+        F.col(lang_col).alias("lang"),
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(F.expr(_tok_array(text_col))).alias("w"),
+    )
+    vocab = words.select("w").distinct().withColumn(
+        "syms", F.expr("filter(split(w, ''), s -> s <> '')")
+    )
+    for row in table:
+        vocab = vocab.withColumn(
+            "syms", F.expr(_bpe_apply_expr("syms", row.left, row.right))
+        )
+    encoded = vocab.select("w", F.size("syms").cast("bigint").alias("w_syms"))
+    return (
+        words.join(F.broadcast(encoded), "w")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("w_syms").cast("bigint").alias("n_subwords"),
+            F.round(
+                F.sum("w_syms").cast("double") / F.count("*").cast("double"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+def oracle_tokenizer_fertility(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_merges: int = 6,
+) -> str:
+    """DuckDB replay: train through the oracle_bpe_merges CTE chain, apply
+    with the chr(31) prefix-separator replace (same greedy semantics as
+    the engine's fold — the proven oracle_bpe_encode recipe), roll up per
+    language."""
+    sep = "chr(31)"
+    train = oracle_bpe_merges(table, text_col, n_merges)
+    train_ctes = train.split("\n    SELECT * FROM (")[0]
+    sql = train_ctes + f""",
+    dwords AS (
+      SELECT {lang_col} AS lang, CAST({id_col} AS BIGINT) AS id,
+             unnest(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
+                                t -> t <> '')) AS w
+      FROM {table}
+    ),
+    e0 AS (SELECT lang, id, w, regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS s
+           FROM dwords)"""
+    for i in range(n_merges):
+        sql += f""",
+    e{i + 1} AS (
+      SELECT lang, id, w, replace(s, {sep} || t{i}.l || {sep} || t{i}.r,
+                                  {sep} || t{i}.l || t{i}.r) AS s
+      FROM e{i}, t{i}
+    )"""
+    sql += f"""
+    SELECT lang, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(list_filter(str_split(s, {sep}), x -> x <> ''))) AS BIGINT)
+             AS n_subwords,
+           round(CAST(sum(len(list_filter(str_split(s, {sep}), x -> x <> '')))
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility
+    FROM e{n_merges}
+    GROUP BY lang
+    """
+    return sql

@@ -5217,6 +5217,46 @@ def grf_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assortativity(edges)
 
 
+from ..operators.similarity import oracle_matryoshka_recall
+from ..operators.textops import oracle_tokenizer_fertility
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle_matryoshka_recall(
+        "embeddings", "vec_id % 50 = 0", prefix_dims=(8, 16, 32), k=5
+    ),
+    doc="Matryoshka prefix-dimension recall curve (Kusupati et al. 2022): "
+        "recall@5 of cosine search over only the first 8/16/32 coordinates "
+        "vs full-64-dim ground truth — the how-far-can-you-truncate audit "
+        "for MRL-style embeddings; truth computed once, slices stay inside "
+        "the codegen'd fold (operators/similarity.py:matryoshka_recall)",
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import matryoshka_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return matryoshka_recall(emb, qs, prefix_dims=(8, 16, 32), k=5)
+
+
+@register(
+    "txt_fertility",
+    oracle_tokenizer_fertility("documents"),
+    doc="tokenizer fertility per language (subword tokens per word, the "
+        "standard tokenizer-quality metric): trains the 6-merge BPE on "
+        "the corpus, applies it via the memoized distinct-vocabulary "
+        "path, rolls up per lang — exposes which languages pay context-"
+        "window tax under a majority-language tokenizer "
+        "(operators/textops.py:tokenizer_fertility)",
+)
+def txt_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

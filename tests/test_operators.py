@@ -2462,3 +2462,46 @@ def test_assortativity_star_is_negative(spark):
     )
     r2 = assortativity(ring).collect()[0]
     assert r2.r_assort is None
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 10: matryoshka recall, tokenizer fertility
+
+
+def test_matryoshka_recall_saturates_when_prefix_holds_all_info(spark):
+    import math
+
+    from hadoop_2_7_1_spark.operators.similarity import matryoshka_recall
+
+    # all signal lives in the first 2 coords; dims 3-4 are zero
+    rows = [
+        (i, [math.cos(i / 3.0), math.sin(i / 3.0), 0.0, 0.0]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qs = emb.filter("vec_id < 3")
+    out = {r.dim_prefix: r for r in
+           matryoshka_recall(emb, qs, prefix_dims=(2, 4), k=3).collect()}
+    assert out[2].possible == 9 and out[4].possible == 9
+    assert out[2].recall == 1.0  # prefix 2 carries everything
+    assert out[4].recall == 1.0
+
+
+def test_tokenizer_fertility_bounds_and_grouping(spark):
+    from hadoop_2_7_1_spark.operators.textops import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa ab", "x"),
+            (2, "aa ab ab", "x"),
+            (3, "zzzz yyyy", "y"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = {r.lang: r for r in tokenizer_fertility(docs, n_merges=2).collect()}
+    assert rows["x"].n_docs == 2 and rows["x"].n_words == 6
+    assert rows["y"].n_docs == 1 and rows["y"].n_words == 2
+    for r in rows.values():
+        # every word is at least 1 and at most len(word) subwords
+        assert 1.0 <= r.fertility <= 4.0
+    # 'aa' dominates training, so lang x compresses at least as well as y
+    assert rows["x"].fertility <= rows["y"].fertility

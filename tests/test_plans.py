@@ -125,7 +125,8 @@ def test_registry_wide_plan_audit(spark):
         "q15_partitioned_write", "src_bucketed_join", "bench_terasort_big",
         "src_mapfile_lookup", "txt_bpe_merges", "grf_kcore", "dd_semdedup",
         "grf_hits", "grf_ppr", "smp_resample", "evt_markov_attribution",
-        "evt_concurrency", "grf_walks",
+        "evt_concurrency", "grf_walks", "sim_matryoshka_recall",
+        "txt_fertility",
     }
     python_ok = {
         "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",
