@@ -1009,3 +1009,97 @@ def oracle_drift_ks(a_sql: str, b_sql: str, value_col: str) -> str:
            CAST(min(d.v) AS BIGINT) AS at_cents
     FROM d, mx WHERE d.diff = mx.mdiff
     """
+
+
+def rater_agreement(
+    df: DataFrame, rater_a: str, rater_b: str, label: str = "a_vs_b"
+) -> DataFrame:
+    """Cohen's kappa between two binary raters (boolean SQL expressions
+    over the same rows) — the inter-annotator-agreement metric every
+    labeling/filter pipeline needs before trusting either signal:
+    kappa = (p_o - p_e) / (1 - p_e), chance-corrected agreement.
+
+    ONE pass builds the exact 2x2 contingency table (four integer
+    counts); kappa is a fixed-order double chain on those exact inputs,
+    rounded to 6dp. Output: (pair, n, n_both_pos, n_both_neg, n_only_a,
+    n_only_b, p_observed, kappa).
+    """
+    t = df.select(
+        F.expr(rater_a).cast("boolean").alias("ra"),
+        F.expr(rater_b).cast("boolean").alias("rb"),
+    )
+    agg = t.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both_pos"),
+        F.sum(F.when(~F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both_neg"),
+        F.sum(F.when(F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_only_a"),
+        F.sum(F.when(~F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_only_b"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n_both_pos") + F.col("n_both_neg")).cast("double") / n
+    pa1 = (F.col("n_both_pos") + F.col("n_only_a")).cast("double") / n
+    pb1 = (F.col("n_both_pos") + F.col("n_only_b")).cast("double") / n
+    pe = pa1 * pb1 + (F.lit(1.0) - pa1) * (F.lit(1.0) - pb1)
+    return agg.select(
+        F.lit(label).alias("pair"),
+        "n",
+        "n_both_pos",
+        "n_both_neg",
+        "n_only_a",
+        "n_only_b",
+        F.round(po, 6).alias("p_observed"),
+        F.when(pe != 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias("kappa"),
+    )
+
+
+def oracle_rater_agreement(
+    table: str, rater_a: str, rater_b: str, label: str = "a_vs_b"
+) -> str:
+    return f"""
+    WITH t AS (
+      SELECT CAST({rater_a} AS BOOLEAN) AS ra, CAST({rater_b} AS BOOLEAN) AS rb
+      FROM {table}
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both_pos,
+             CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both_neg,
+             CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_a,
+             CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_b
+      FROM t
+    )
+    SELECT '{label}' AS pair, n, n_both_pos, n_both_neg, n_only_a, n_only_b,
+           round(CAST(n_both_pos + n_both_neg AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS p_observed,
+           CASE WHEN (CAST(n_both_pos + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n_both_pos + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))
+                     + (1.0 - CAST(n_both_pos + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(n_both_pos + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))
+                     <> 1.0
+                THEN round(
+                  (CAST(n_both_pos + n_both_neg AS DOUBLE) / CAST(n AS DOUBLE)
+                   - ((CAST(n_both_pos + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(n_both_pos + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))
+                      + (1.0 - CAST(n_both_pos + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(n_both_pos + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))))
+                  / (1.0
+                     - ((CAST(n_both_pos + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(n_both_pos + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))
+                        + (1.0 - CAST(n_both_pos + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(n_both_pos + n_only_b AS DOUBLE) / CAST(n AS DOUBLE)))),
+                  6)
+           END AS kappa
+    FROM agg
+    """

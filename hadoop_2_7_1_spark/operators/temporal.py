@@ -836,3 +836,107 @@ def oracle_ewma_hourly(
            round(CAST(sm.s AS DOUBLE), 6) AS ewma_cents
     FROM hourly h JOIN sm ON h.k = sm.k AND h.t = sm.t
     """
+
+
+def acf_hourly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Autocorrelation function of the hourly bucket-sum series per key,
+    lags 1..max_lag — the seasonality/persistence detector (a daily cycle
+    shows as a peak at lag 24): ACF_l = Σ dev_t*dev_{t+l} / Σ dev_t²
+    with dev = y - mean.
+
+    Determinism: hourly sums are exact cents; the mean is ONE division;
+    each deviation product is a fixed-order double rounded to
+    DECIMAL(38,6) before the EXACT per-(key,lag) decimal sum (the
+    unigram_logprob discipline), so join order cannot move the result.
+    The lag join runs on the BUCKET frame (calendar scale), not events.
+    Output: (key, lag, n_pairs, acf).
+    """
+    hourly = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"cast(date_trunc('hour', {ts_col}) as bigint) div 3600").alias("t"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    stats = hourly.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("y").cast("bigint").alias("s")
+    )
+    dev = hourly.join(stats, "k").select(
+        "k",
+        "t",
+        (F.col("y").cast("double") - F.col("s").cast("double") / F.col("n").cast("double"))
+        .alias("d"),
+    )
+    den = dev.select(
+        "k", F.expr("cast(d * d as decimal(38,6))").alias("dd")
+    ).groupBy("k").agg(F.sum("dd").alias("den"))
+    lagged = dev.select(
+        "k",
+        F.col("t").alias("t2"),
+        F.col("d").alias("d2"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    ).select("k", (F.col("t2") - F.col("lag")).alias("t"), "d2", "lag")
+    pairs = dev.join(lagged, ["k", "t"]).select(
+        "k", "lag", F.expr("cast(d * d2 as decimal(38,6))").alias("num1")
+    )
+    num = pairs.groupBy("k", "lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"), F.sum("num1").alias("num")
+    )
+    return num.join(den, "k").select(
+        F.col("k").alias(key_col),
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6).alias(
+            "acf"
+        ),
+    )
+
+
+def oracle_acf_hourly(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 3,
+) -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 AS t,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM {table} GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM hourly GROUP BY k
+    ),
+    dev AS (
+      SELECT h.k, h.t,
+             CAST(h.y AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS d
+      FROM hourly h JOIN stats st ON h.k = st.k
+    ),
+    den AS (
+      SELECT k, sum(CAST(d * d AS DECIMAL(38,6))) AS den FROM dev GROUP BY k
+    ),
+    lags AS (SELECT CAST(u.x AS INT) AS lag FROM UNNEST(range(1, {max_lag + 1})) u(x)),
+    pairs AS (
+      SELECT a.k, l.lag, CAST(a.d * b.d AS DECIMAL(38,6)) AS num1
+      FROM dev a JOIN lags l ON true
+                 JOIN dev b ON a.k = b.k AND b.t = a.t + l.lag
+    ),
+    num AS (
+      SELECT k, lag, CAST(count(*) AS BIGINT) AS n_pairs, sum(num1) AS num
+      FROM pairs GROUP BY k, lag
+    )
+    SELECT n.k AS {key_col}, CAST(n.lag AS INT) AS lag, n.n_pairs,
+           round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
+    FROM num n JOIN den d ON n.k = d.k
+    """

@@ -5257,6 +5257,54 @@ def txt_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(docs)
 
 
+from ..functions import WS, WS_SQL
+from ..operators.profile import oracle_rater_agreement
+from ..operators.temporal import oracle_acf_hourly
+
+_RATER_STOPS = "'the', 'and', 'of', 'to', 'in', 'is', 'a', 'that'"
+_RATER_A = "n_chars BETWEEN 200 AND 5000"
+_RATER_B_SPARK = (
+    f"size(filter(split(trim(text), '{WS_SQL}'),"
+    f" t -> t in ({_RATER_STOPS}))) >= 2"
+)
+_RATER_B_DUCK = (
+    f"len(list_filter(regexp_split_to_array(trim(text), '{WS}'),"
+    f" t -> t IN ({_RATER_STOPS}))) >= 2"
+)
+
+
+@register(
+    "prof_rater_agreement",
+    oracle_rater_agreement("documents", _RATER_A, _RATER_B_DUCK, "len_vs_stop"),
+    doc="Cohen's kappa between two independent quality raters (length "
+        "gate vs stopword gate) over documents — the inter-annotator-"
+        "agreement check every labeling/filter pipeline needs: exact 2x2 "
+        "contingency counts in ONE pass, chance-corrected kappa as a "
+        "fixed-order double chain (operators/profile.py:rater_agreement)",
+)
+def prof_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import rater_agreement
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rater_agreement(docs, _RATER_A, _RATER_B_SPARK, "len_vs_stop")
+
+
+@register(
+    "tmp_acf",
+    oracle_acf_hourly("events", max_lag=3),
+    doc="autocorrelation of the hourly bucket-sum series per event type "
+        "(lags 1-3): the seasonality/persistence detector — exact cents "
+        "bucket sums, one mean division, deviation products decimal-"
+        "rounded then exactly summed; lag join runs on the calendar-scale "
+        "bucket frame (operators/temporal.py:acf_hourly)",
+)
+def tmp_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import acf_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return acf_hourly(ev, max_lag=3)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

@@ -2505,3 +2505,43 @@ def test_tokenizer_fertility_bounds_and_grouping(spark):
         assert 1.0 <= r.fertility <= 4.0
     # 'aa' dominates training, so lang x compresses at least as well as y
     assert rows["x"].fertility <= rows["y"].fertility
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 11: rater agreement, autocorrelation
+
+
+def test_rater_agreement_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import rater_agreement
+
+    # perfect agreement -> kappa 1; opposite raters -> kappa <= 0
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (0, 0), (0, 0)], "a int, b int"
+    )
+    r = rater_agreement(df, "a = 1", "b = 1").collect()[0]
+    assert r.p_observed == 1.0 and r.kappa == 1.0
+    opp = rater_agreement(df, "a = 1", "b = 0").collect()[0]
+    assert opp.p_observed == 0.0 and opp.kappa == -1.0
+    # independent coin-flips expectation: kappa near 0 on a crafted 2x2
+    mix = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 1), (0, 0)], "a int, b int"
+    )
+    m = rater_agreement(mix, "a = 1", "b = 1").collect()[0]
+    assert m.kappa == 0.0
+
+
+def test_acf_constant_and_alternating(spark):
+    from hadoop_2_7_1_spark.operators.temporal import acf_hourly
+
+    # strictly alternating hourly series -> ACF(1) near -1, ACF(2) near +1
+    rows = [
+        ("a", f"2024-01-01 {h:02d}:30:00", 1.0 if h % 2 == 0 else 3.0)
+        for h in range(24)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    out = {r.lag: r for r in acf_hourly(ev, max_lag=2).collect()}
+    assert out[1].n_pairs == 23 and out[2].n_pairs == 22
+    assert out[1].acf < -0.9
+    assert out[2].acf > 0.85
