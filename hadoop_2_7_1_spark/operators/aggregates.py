@@ -572,3 +572,106 @@ def oracle_jackknife_ratio_table(
                 / CAST(tot.td - den_cents AS DOUBLE)) AS pseudo_value
     FROM per, tot
     """
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient + Lorenz curve — the inequality profile of a spend /
+# token-count / contribution distribution (who holds the mass).
+# ---------------------------------------------------------------------------
+
+
+def gini_lorenz(df: DataFrame, key_col: str, cents_col: str) -> DataFrame:
+    """Exact Gini coefficient and Lorenz-curve decile points of a
+    non-negative integer (cents) measure per key.
+
+    Gini via the rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    values sorted ascending — which needs a GLOBAL rank, produced by the
+    two-phase range-partition prefix (``global_sort_with_rank``), never a
+    data-sized single-partition window. Σ i·xᵢ accumulates as
+    DECIMAL(38,0) over exact bigint products (rank ≤ n, cents exact), so
+    the result is engine-replayable at any parallelism. Lorenz deciles
+    bucket by integer arithmetic ((rank−1)·10 div n + 1) and cumulate over
+    the 10-row decile frame (metadata scale).
+
+    Output: (decile, n_cum, cum_cents, cum_share, gini) — 10 rows.
+    """
+    from .partitioning import global_sort_with_rank
+
+    ranked = global_sort_with_rank(
+        df.select(F.col(key_col).alias("k"), F.col(cents_col).cast("bigint").alias("x")),
+        ["x", "k"],
+        rank_col="rnk",
+    )
+    tot = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("total"),
+        F.sum(F.col("rnk").cast("decimal(38,0)") * F.col("x")).alias("rx"),
+    )
+    gini = tot.select(
+        "n",
+        "total",
+        F.round(
+            (
+                F.lit(2.0) * F.col("rx").cast("double")
+                - (F.col("n") + F.lit(1)).cast("double") * F.col("total").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+    dec = (
+        ranked.join(F.broadcast(gini), how="cross")
+        .withColumn("decile", F.expr("((rnk - 1) * 10) div n + 1"))
+        .groupBy("decile", "n", "gini")
+        .agg(F.count("*").cast("bigint").alias("n_dec"), F.sum("x").cast("bigint").alias("dec_cents"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        dec.join(F.broadcast(tot.select("total")), how="cross")
+        .withColumn("n_cum", F.sum("n_dec").over(w).cast("bigint"))
+        .withColumn("cum_cents", F.sum("dec_cents").over(w).cast("bigint"))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_cum",
+            "cum_cents",
+            F.round(F.col("cum_cents").cast("double") / F.col("total").cast("double"), 6).alias(
+                "cum_share"
+            ),
+            "gini",
+        )
+    )
+
+
+def oracle_gini_lorenz(rows_sql: str) -> str:
+    """DuckDB twin of :func:`gini_lorenz`; ``rows_sql`` yields (k, x)."""
+    return f"""
+    WITH base AS ({rows_sql}),
+    ranked AS (
+      SELECT k, CAST(x AS BIGINT) AS x,
+             CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS rnk
+      FROM base
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total,
+             sum(CAST(rnk AS DECIMAL(38,0)) * x) AS rx
+      FROM ranked
+    ),
+    gini AS (
+      SELECT n, total,
+             round((2.0 * CAST(rx AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
+      FROM tot
+    ),
+    dec AS (
+      SELECT CAST((rnk - 1) * 10 // g.n + 1 AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_dec, CAST(sum(x) AS BIGINT) AS dec_cents
+      FROM ranked, gini g GROUP BY 1, g.n
+    )
+    SELECT CAST(d.decile AS INT) AS decile,
+           CAST(sum(d.n_dec) OVER (ORDER BY d.decile) AS BIGINT) AS n_cum,
+           CAST(sum(d.dec_cents) OVER (ORDER BY d.decile) AS BIGINT) AS cum_cents,
+           round(CAST(sum(d.dec_cents) OVER (ORDER BY d.decile) AS DOUBLE)
+                 / CAST(g.total AS DOUBLE), 6) AS cum_share,
+           g.gini
+    FROM dec d, gini g
+    """

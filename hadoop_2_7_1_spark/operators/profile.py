@@ -1103,3 +1103,99 @@ def oracle_rater_agreement(
            END AS kappa
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC — the rank statistic (tie-corrected Mann-Whitney U) of a
+# score against a binary label: the standard "does this quality signal
+# actually predict the gate" model-eval readout.
+# ---------------------------------------------------------------------------
+
+
+def roc_auc(
+    df: DataFrame, score: str, label: str, name: str = "score_vs_label"
+) -> DataFrame:
+    """Exact AUC via the tie-corrected rank identity
+    AUC = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻), where R⁺ is the sum of the
+    average (mid) ranks of the positives.
+
+    Scale shape: rows collapse to the DISTINCT-SCORE frame first (one
+    keyed groupBy); the running count below each score comes from the
+    two-phase range-partition prefix — never a data-sized global window.
+    Everything up to the final division is exact BIGINT arithmetic
+    (2·midrank = 2·cum_below + n_s + 1 is always integral), so the result
+    is identical at any parallelism and in any engine. Degenerate inputs
+    (all-positive / all-negative) yield NULL auc in both engines.
+
+    Output: (metric, n, n_pos, n_neg, auc) — one row.
+    """
+    from .partitioning import two_phase_prefix
+
+    per = (
+        df.select(
+            F.expr(score).cast("bigint").alias("s"),
+            F.expr(label).cast("boolean").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("bigint").alias("ns"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("np"),
+        )
+    )
+    pref = two_phase_prefix(per, [F.col("s")], F.col("ns"), "cum_incl")
+    # 2·midrank of every row tied at s = 2·(cum_incl − ns) + ns + 1
+    agg = pref.agg(
+        F.sum("ns").cast("bigint").alias("n"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum(
+            F.col("np") * (F.lit(2) * (F.col("cum_incl") - F.col("ns")) + F.col("ns") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    n_neg = (F.col("n") - F.col("n_pos")).cast("bigint")
+    return agg.select(
+        F.lit(name).alias("metric"),
+        "n",
+        "n_pos",
+        n_neg.alias("n_neg"),
+        F.when(
+            (F.col("n_pos") > 0) & (n_neg > 0),
+            F.round(
+                (
+                    F.col("r2").cast("double")
+                    - F.col("n_pos").cast("double") * (F.col("n_pos") + F.lit(1)).cast("double")
+                )
+                / (F.lit(2.0) * F.col("n_pos").cast("double") * n_neg.cast("double")),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+def oracle_roc_auc(table: str, score: str, label: str, name: str = "score_vs_label") -> str:
+    return f"""
+    WITH per AS (
+      SELECT CAST({score} AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS ns,
+             CAST(sum(CASE WHEN CAST({label} AS BOOLEAN) THEN 1 ELSE 0 END) AS BIGINT) AS np
+      FROM {table} GROUP BY 1
+    ),
+    pref AS (
+      SELECT s, ns, np,
+             CAST(sum(ns) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_incl
+      FROM per
+    ),
+    agg AS (
+      SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(np * (2 * (cum_incl - ns) + ns + 1)) AS BIGINT) AS r2
+      FROM pref
+    )
+    SELECT '{name}' AS metric, n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+             round((CAST(r2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+                   / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)), 6)
+           END AS auc
+    FROM agg
+    """

@@ -940,3 +940,120 @@ def oracle_acf_hourly(
            round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
     FROM num n JOIN den d ON n.k = d.k
     """
+
+
+def ccf_hourly(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Cross-correlation between two event types' hourly bucket-sum
+    series at lags −max_lag..+max_lag — the lead/lag detector (a positive
+    peak at lag +2 means A leads B by two hours):
+    CCF_l = Σ devA_t·devB_{t+l} / sqrt(Σ devA² · Σ devB²).
+
+    Same determinism discipline as :func:`acf_hourly`: exact cents bucket
+    sums, ONE mean division per series, every deviation product rounded to
+    DECIMAL(38,6) before the exact per-lag decimal sum; sqrt runs once on
+    exact decimal inputs cast to double. The lag join runs on the
+    calendar-scale bucket frames, never on events.
+    Output: (lag, n_pairs, ccf).
+    """
+    hourly = (
+        events.filter(F.col(type_col).isin([type_a, type_b]))
+        .select(
+            F.col(type_col).alias("k"),
+            F.expr(f"cast(date_trunc('hour', {ts_col}) as bigint) div 3600").alias("t"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    stats = hourly.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("y").cast("bigint").alias("s")
+    )
+    dev = hourly.join(F.broadcast(stats), "k").select(
+        "k",
+        "t",
+        (F.col("y").cast("double") - F.col("s").cast("double") / F.col("n").cast("double"))
+        .alias("d"),
+    )
+    den = (
+        dev.select("k", F.expr("cast(d * d as decimal(38,6))").alias("dd"))
+        .groupBy("k")
+        .agg(F.sum("dd").alias("ss"))
+        .groupBy()
+        .pivot("k", [type_a, type_b])
+        .agg(F.first("ss"))
+        .select(
+            F.sqrt(F.col(f"`{type_a}`").cast("double") * F.col(f"`{type_b}`").cast("double"))
+            .alias("den")
+        )
+    )
+    a = dev.filter(F.col("k") == type_a).select(F.col("t").alias("t"), F.col("d").alias("da"))
+    b = dev.filter(F.col("k") == type_b).select(
+        F.col("t").alias("tb"),
+        F.col("d").alias("db"),
+        F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))).alias("lag"),
+    )
+    pairs = a.join(b.withColumn("t", F.col("tb") - F.col("lag")), "t").select(
+        "lag", F.expr("cast(da * db as decimal(38,6))").alias("p")
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"), F.sum("p").alias("num")
+    )
+    return (
+        num.join(F.broadcast(den), how="cross")
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("ccf"),
+        )
+    )
+
+
+def oracle_ccf_hourly(
+    table: str,
+    type_a: str,
+    type_b: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 3,
+) -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT {type_col} AS k,
+             CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 AS t,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM {table} WHERE {type_col} IN ('{type_a}', '{type_b}') GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM hourly GROUP BY k
+    ),
+    dev AS (
+      SELECT h.k, h.t,
+             CAST(h.y AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS d
+      FROM hourly h JOIN stats st ON h.k = st.k
+    ),
+    den AS (
+      SELECT sqrt(CAST((SELECT sum(CAST(d * d AS DECIMAL(38,6))) FROM dev WHERE k = '{type_a}') AS DOUBLE)
+                  * CAST((SELECT sum(CAST(d * d AS DECIMAL(38,6))) FROM dev WHERE k = '{type_b}') AS DOUBLE))
+             AS den
+    ),
+    lags AS (SELECT CAST(u.x AS INT) AS lag FROM UNNEST(range(-{max_lag}, {max_lag + 1})) u(x)),
+    pairs AS (
+      SELECT l.lag, CAST(a.d * b.d AS DECIMAL(38,6)) AS p
+      FROM dev a JOIN lags l ON true
+                 JOIN dev b ON b.k = '{type_b}' AND b.t = a.t + l.lag
+      WHERE a.k = '{type_a}'
+    )
+    SELECT CAST(p.lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(p.p) AS DOUBLE) / d.den, 6) AS ccf
+    FROM pairs p, den d GROUP BY p.lag, d.den
+    """

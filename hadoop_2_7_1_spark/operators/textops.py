@@ -2277,3 +2277,144 @@ def oracle_tokenizer_fertility(
     GROUP BY lang
     """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Corpus keyness — Dunning log-likelihood G² per (lang, token): which terms
+# are distinctive FOR a slice vs the rest of the corpus. The standard
+# corpus-linguistics readout for "what did this source/language contribute",
+# and the feature-selection step before training slice classifiers.
+# ---------------------------------------------------------------------------
+
+
+def keyness_g2(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-``top_k`` overrepresented tokens per language by Dunning G²
+    over the exact 2×2 contingency (a = token-in-lang, b = token-elsewhere,
+    c = lang-other-tokens, d = rest): G² = 2·Σ O·ln(O·N / (rowΣ·colΣ)).
+
+    Scale shape: ONE (lang, token) wordcount shuffle; lang totals broadcast
+    (dimension scale); token totals are a second keyed agg on the counted
+    frame, joined back by token. All contingency cells are exact BIGINTs —
+    the overrepresentation filter a·(N−langΣ) > b·langΣ is pure integer
+    compare — and G² is a fixed-order double chain on those exact inputs,
+    rounded to 6dp (the unigram_logprob ln-discipline). The rank window is
+    per-lang (keyed), over only the min_count-filtered candidates.
+    Output: (lang, token, n_in_lang, n_elsewhere, g2, rnk).
+    """
+    toks = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '{sql_regex(SUBTOKEN_RE)}', 0)")
+        ).alias("tok"),
+    )
+    lt = toks.groupBy("lang", "tok").agg(F.count("*").cast("bigint").alias("a"))
+    lang_tot = lt.groupBy("lang").agg(F.sum("a").cast("bigint").alias("lt_n"))
+    tok_tot = lt.groupBy("tok").agg(F.sum("a").cast("bigint").alias("tk_n"))
+    n_tot = lt.agg(F.sum("a").cast("bigint").alias("nn"))
+    cells = (
+        lt.filter(F.col("a") >= min_count)
+        .join(F.broadcast(lang_tot), "lang")
+        .join(tok_tot, "tok")
+        .join(F.broadcast(n_tot), how="cross")
+        .withColumn("b", (F.col("tk_n") - F.col("a")).cast("bigint"))
+        .withColumn("c", (F.col("lt_n") - F.col("a")).cast("bigint"))
+        .withColumn(
+            "d", (F.col("nn") - F.col("lt_n") - F.col("tk_n") + F.col("a")).cast("bigint")
+        )
+        .filter(
+            F.col("a") * (F.col("nn") - F.col("lt_n")) > F.col("b") * F.col("lt_n")
+        )
+    )
+
+    def _term(o: str, row_tot, col_tot):
+        od = F.col(o).cast("double")
+        return F.when(
+            F.col(o) > 0,
+            od
+            * F.log(
+                od * F.col("nn").cast("double") / (row_tot.cast("double") * col_tot.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    rest_rows = F.col("nn") - F.col("lt_n")
+    rest_cols = F.col("nn") - F.col("tk_n")
+    scored = cells.withColumn(
+        "g2",
+        F.round(
+            F.lit(2.0)
+            * (
+                _term("a", F.col("lt_n"), F.col("tk_n"))
+                + _term("b", rest_rows, F.col("tk_n"))
+                + _term("c", F.col("lt_n"), rest_cols)
+                + _term("d", rest_rows, rest_cols)
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("g2"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            "lang",
+            F.col("tok").alias("token"),
+            F.col("a").alias("n_in_lang"),
+            F.col("b").alias("n_elsewhere"),
+            "g2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def oracle_keyness_g2(
+    table: str,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_count: int = 5,
+) -> str:
+    term = (
+        "CASE WHEN {o} > 0 THEN CAST({o} AS DOUBLE) * ln(CAST({o} AS DOUBLE)"
+        " * CAST(nn AS DOUBLE) / (CAST({rt} AS DOUBLE) * CAST({ct} AS DOUBLE)))"
+        " ELSE 0.0 END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {lang_col} AS lang,
+             unnest(regexp_extract_all({text_col}, '{SUBTOKEN_RE}')) AS tok
+      FROM {table}
+    ),
+    lt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS a FROM toks GROUP BY 1, 2),
+    lang_tot AS (SELECT lang, CAST(sum(a) AS BIGINT) AS lt_n FROM lt GROUP BY 1),
+    tok_tot AS (SELECT tok, CAST(sum(a) AS BIGINT) AS tk_n FROM lt GROUP BY 1),
+    n_tot AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM lt),
+    cells AS (
+      SELECT lt.lang, lt.tok, lt.a,
+             CAST(tt.tk_n - lt.a AS BIGINT) AS b,
+             CAST(g.lt_n - lt.a AS BIGINT) AS c,
+             CAST(n.nn - g.lt_n - tt.tk_n + lt.a AS BIGINT) AS d,
+             g.lt_n, tt.tk_n, n.nn
+      FROM lt JOIN lang_tot g ON lt.lang = g.lang
+              JOIN tok_tot tt ON lt.tok = tt.tok, n_tot n
+      WHERE lt.a >= {min_count}
+        AND lt.a * (n.nn - g.lt_n) > (tt.tk_n - lt.a) * g.lt_n
+    ),
+    scored AS (
+      SELECT lang, tok, a, b,
+             round(2.0 * ({term.format(o='a', rt='lt_n', ct='tk_n')}
+                          + {term.format(o='b', rt='nn - lt_n', ct='tk_n')}
+                          + {term.format(o='c', rt='lt_n', ct='nn - tk_n')}
+                          + {term.format(o='d', rt='nn - lt_n', ct='nn - tk_n')}), 6) AS g2
+      FROM cells
+    )
+    SELECT lang, tok AS token, a AS n_in_lang, b AS n_elsewhere, g2,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY g2 DESC, tok) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= {top_k}
+    """

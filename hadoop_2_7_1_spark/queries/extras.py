@@ -5305,6 +5305,106 @@ def tmp_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_hourly(ev, max_lag=3)
 
 
+from ..operators.aggregates import oracle_gini_lorenz
+from ..operators.association import oracle_assoc_rules
+from ..operators.profile import oracle_roc_auc
+from ..operators.temporal import oracle_ccf_hourly
+from ..operators.textops import oracle_keyness_g2
+
+_SPEND_SQL = (
+    "SELECT o_custkey AS k, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x "
+    "FROM orders GROUP BY 1"
+)
+
+
+@register(
+    "agg_gini_lorenz",
+    oracle_gini_lorenz(_SPEND_SQL),
+    doc="Gini coefficient + Lorenz decile curve of per-customer spend — "
+        "the inequality profile of a contribution distribution: exact "
+        "rank identity over two-phase global ranks (never a data-sized "
+        "global window), Σ rank·cents as DECIMAL(38,0), integer decile "
+        "bucketing (operators/aggregates.py:gini_lorenz)",
+)
+def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import gini_lorenz
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("bigint")
+        .alias("x")
+    )
+    return gini_lorenz(spend, "k", "x")
+
+
+@register(
+    "prof_auc",
+    oracle_roc_auc(
+        "documents", "n_chars", f"{_RATER_B_DUCK}", "len_predicts_stop"
+    ),
+    doc="exact ROC-AUC (tie-corrected Mann-Whitney rank statistic) of the "
+        "document length score against the stopword quality gate — the "
+        "does-this-signal-predict-the-label model-eval readout: distinct-"
+        "score frame + two-phase prefix ranks, all-BIGINT midrank sums, "
+        "one final division (operators/profile.py:roc_auc)",
+)
+def prof_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import roc_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return roc_auc(docs, "n_chars", _RATER_B_SPARK, "len_predicts_stop")
+
+
+@register(
+    "txt_keyness",
+    oracle_keyness_g2("documents"),
+    doc="Dunning log-likelihood G² keyness: top-5 overrepresented tokens "
+        "per language from the exact 2x2 contingency — one (lang, token) "
+        "wordcount shuffle, broadcast lang totals, integer "
+        "overrepresentation filter, fixed-order double G² chain rounded "
+        "6dp (operators/textops.py:keyness_g2)",
+)
+def txt_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import keyness_g2
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyness_g2(docs)
+
+
+@register(
+    "tmp_ccf",
+    oracle_ccf_hourly("events", "click", "purchase", max_lag=3),
+    doc="cross-correlation of the click vs purchase hourly series at lags "
+        "-3..+3 — the lead/lag detector between two event streams: same "
+        "exact-cents + decimal-rounded-product discipline as tmp_acf, lag "
+        "join on the calendar-scale bucket frames "
+        "(operators/temporal.py:ccf_hourly)",
+)
+def tmp_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import ccf_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return ccf_hourly(ev, "click", "purchase", max_lag=3)
+
+
+@register(
+    "evt_assoc_rules",
+    oracle_assoc_rules("SELECT l_orderkey AS b, l_partkey AS i FROM lineitem"),
+    doc="market-basket association rules over order baskets: top-20 part "
+        "pairs by lift (support/confidence/lift from exact BIGINT counts, "
+        "single 6dp division each) — bounded Σ basket² within-order self-"
+        "join, TakeOrderedAndProject top-k "
+        "(operators/association.py:assoc_rules)",
+)
+def evt_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.association import assoc_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return assoc_rules(li, "l_orderkey", "l_partkey")
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

@@ -2545,3 +2545,102 @@ def test_acf_constant_and_alternating(spark):
     assert out[1].n_pairs == 23 and out[2].n_pairs == 22
     assert out[1].acf < -0.9
     assert out[2].acf > 0.85
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 12: gini/lorenz, AUC, keyness, CCF, association rules
+
+
+def test_gini_hand(spark):
+    from hadoop_2_7_1_spark.operators.aggregates import gini_lorenz
+
+    # perfect equality -> gini 0; one holder -> gini (n-1)/n
+    eq = spark.createDataFrame([(i, 100) for i in range(10)], "k int, x int")
+    rows = gini_lorenz(eq, "k", "x").collect()
+    assert all(r.gini == 0.0 for r in rows)
+    # deciles of an equal distribution: cum_share climbs linearly
+    assert [r.cum_share for r in sorted(rows, key=lambda r: r.decile)] == [
+        round(0.1 * i, 6) for i in range(1, 11)
+    ]
+    one = spark.createDataFrame(
+        [(0, 1000)] + [(i, 0) for i in range(1, 10)], "k int, x int"
+    )
+    g = gini_lorenz(one, "k", "x").collect()[0].gini
+    assert g == round(9 / 10, 6)
+
+
+def test_roc_auc_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import roc_auc
+
+    # perfectly separating score -> AUC 1; anti-separating -> 0; ties -> 0.5
+    df = spark.createDataFrame(
+        [(10, 0), (20, 0), (30, 1), (40, 1)], "s int, y int"
+    )
+    assert roc_auc(df, "s", "y = 1").collect()[0].auc == 1.0
+    assert roc_auc(df, "-s", "y = 1").collect()[0].auc == 0.0
+    tied = spark.createDataFrame([(5, 0), (5, 1), (5, 0), (5, 1)], "s int, y int")
+    assert roc_auc(tied, "s", "y = 1").collect()[0].auc == 0.5
+    # degenerate: single class -> NULL auc, not a crash
+    pos = spark.createDataFrame([(1, 1), (2, 1)], "s int, y int")
+    assert roc_auc(pos, "s", "y = 1").collect()[0].auc is None
+
+
+def test_keyness_distinctive_token(spark):
+    from hadoop_2_7_1_spark.operators.textops import keyness_g2
+
+    # 'zebra' appears only in lang x, shared filler in both -> top keyness
+    # token for x is zebra; the shared filler never ranks (not
+    # overrepresented by the integer filter)
+    docs = spark.createDataFrame(
+        [("x", "zebra zebra zebra zebra zebra common common common")] * 3
+        + [("y", "apple apple apple apple apple common common common")] * 3,
+        "lang string, text string",
+    )
+    out = keyness_g2(docs, top_k=2, min_count=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang["x"][0].token == "zebra" and by_lang["x"][0].g2 > 0
+    assert by_lang["y"][0].token == "apple"
+    assert all(r.token != "common" for r in out)
+    # zebra is x-only: n_elsewhere 0, counts exact
+    assert by_lang["x"][0].n_in_lang == 15 and by_lang["x"][0].n_elsewhere == 0
+
+
+def test_ccf_shifted_series(spark):
+    from hadoop_2_7_1_spark.operators.temporal import ccf_hourly
+
+    # b is a copied two hours later -> CCF peaks at lag +2
+    rows_a = [
+        ("a", f"2024-01-01 {h:02d}:15:00", float(v))
+        for h, v in zip(range(12), [1, 9, 2, 8, 3, 7, 4, 6, 5, 9, 1, 8])
+    ]
+    rows_b = [
+        ("b", f"2024-01-01 {h + 2:02d}:45:00", float(v))
+        for h, v in zip(range(12), [1, 9, 2, 8, 3, 7, 4, 6, 5, 9, 1, 8])
+    ]
+    ev = spark.createDataFrame(
+        rows_a + rows_b, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    out = {r.lag: r.ccf for r in ccf_hourly(ev, "a", "b", max_lag=3).collect()}
+    assert out[2] > 0.99
+    assert all(out[l] < out[2] for l in out if l != 2)
+
+
+def test_assoc_rules_hand(spark):
+    from hadoop_2_7_1_spark.operators.association import assoc_rules
+
+    # items 1,2 always together (4 baskets); item 3 independent filler
+    baskets = [(b, i) for b in range(4) for i in (1, 2)] + [
+        (0, 3), (4, 3), (5, 3), (4, 9), (5, 8),
+    ]
+    df = spark.createDataFrame(baskets, "b int, i int")
+    out = assoc_rules(df, "b", "i", min_pair=2, top_k=10).collect()
+    rules = {(r.antecedent, r.consequent): r for r in out}
+    r12 = rules[(1, 2)]
+    # 6 baskets total; 1 and 2 co-occur in all 4 of their baskets
+    assert r12.n_ab == 4 and r12.confidence == 1.0
+    assert r12.lift == round(4 * 6 / (4 * 4), 6)
+    assert (2, 1) in rules  # both directions emitted
+    # independent filler pairs never reach min_pair
+    assert (1, 3) not in rules and (3, 1) not in rules
