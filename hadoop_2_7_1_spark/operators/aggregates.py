@@ -675,3 +675,116 @@ def oracle_gini_lorenz(rows_sql: str) -> str:
            g.gini
     FROM dec d, gini g
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact higher moments — skewness / excess kurtosis per group from integer
+# power sums. Spark's built-in skewness()/kurtosis() accumulate running
+# doubles (order-dependent); this is the engine-replayable form.
+# ---------------------------------------------------------------------------
+
+
+def group_moments(df: DataFrame, group_col: str, int_col: str) -> DataFrame:
+    """Per-group mean / stddev / skewness / excess kurtosis from EXACT
+    integer power sums: Σx..Σx⁴ accumulate as DECIMAL(38,0) over bigint
+    values, so the sums are bit-identical at any parallelism; the central-
+    moment chain then runs in fixed-order IEEE doubles with sqrt (correctly
+    rounded — no pow(x, 1.5)), so both engines produce the same bits.
+    One partial+final HashAggregate, zero extra shuffles.
+
+    Output: (group, n, mean_val, stddev, skewness, kurtosis_excess).
+    """
+    d = F.col("__d")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(int_col).cast("decimal(19,0)").alias("__d"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d).cast("decimal(38,0)").alias("s1"),
+        F.sum(d * d).cast("decimal(38,0)").alias("s2"),
+        F.sum((d * d) * d).cast("decimal(38,0)").alias("s3"),
+        F.sum((d * d) * (d * d)).cast("decimal(38,0)").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - F.lit(3.0) * mu * (F.col("s2").cast("double") / nd)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / nd
+        - F.lit(4.0) * mu * (F.col("s3").cast("double") / nd)
+        + F.lit(6.0) * mu * mu * (F.col("s2").cast("double") / nd)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(mu, 6).alias("mean_val"),
+        F.round(F.sqrt(m2), 6).alias("stddev"),
+        F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), 6)).alias("kurtosis_excess"),
+    )
+
+
+def oracle_group_moments(table: str, group_col: str, int_expr: str) -> str:
+    """DuckDB twin of :func:`group_moments` — power sums in HUGEINT (128
+    bit, same exact integers as Spark's DECIMAL(38,0)), identical double
+    chain."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS grp, CAST({int_expr} AS HUGEINT) AS d FROM {table}
+    ),
+    agg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(d) AS s1, sum(d * d) AS s2,
+             sum((d * d) * d) AS s3, sum((d * d) * (d * d)) AS s4
+      FROM base GROUP BY grp
+    )
+    SELECT grp AS {group_col}, n,
+           round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_val,
+           round(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS stddev,
+           CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 0 THEN
+             round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+           END AS skewness,
+           CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 0 THEN
+             round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                    + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+                   - 3.0, 6)
+           END AS kurtosis_excess
+    FROM agg
+    """

@@ -1433,3 +1433,116 @@ def oracle_transition_entropy(
            END AS norm_entropy
     FROM terms GROUP BY cur
     """
+
+
+def ab_chisq(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    min_count: int = 1,
+) -> DataFrame:
+    """Pearson chi-square independence test on the conversion 2×2 — the
+    categorical sibling of :func:`ab_test`'s z-tests: variants split by
+    ``user_id % 2`` (the same deterministic assignment), cells are exact
+    per-user conversion counts, X² = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    runs as ONE fixed-order double chain on those exact integers.
+    ``significant`` compares X² against the df=1, α=0.05 critical value
+    3.841459 — a constant, so no p-value special function is needed.
+
+    Output: (metric, n_users, conv_a, n_a, conv_b, n_b, chi2, significant).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("uid")).agg(
+        F.when(
+            F.sum(F.when(F.col(type_col) == convert_type, 1).otherwise(0)) >= min_count,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("conv")
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("uid") % 2 == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("uid") % 2 == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("uid") % 2 == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("uid") % 2 == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    ad, bd, cd, dd = (F.col(x).cast("double") for x in "abcd")
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    det = ad * dd - bd * cd
+    denom = (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+    chi2 = F.when(denom > 0, F.round(n.cast("double") * det * det / denom, 6))
+    return cells.select(
+        F.lit("conversion_chisq").alias("metric"),
+        n.cast("bigint").alias("n_users"),
+        F.col("a").alias("conv_a"),
+        (F.col("a") + F.col("b")).cast("bigint").alias("n_a"),
+        F.col("c").alias("conv_b"),
+        (F.col("c") + F.col("d")).cast("bigint").alias("n_b"),
+        chi2.alias("chi2"),
+        (F.coalesce(chi2, F.lit(0.0)) > F.lit(3.841459)).alias("significant"),
+    )
+
+
+def oracle_ab_chisq(
+    table: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    min_count: int = 1,
+) -> str:
+    return f"""
+    WITH per_user AS (
+      SELECT {user_col} AS uid,
+             CASE WHEN sum(CASE WHEN {type_col} = '{convert_type}' THEN 1 ELSE 0 END)
+                       >= {min_count} THEN 1 ELSE 0 END AS conv
+      FROM {table} GROUP BY 1
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN uid % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN uid % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN uid % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN uid % 2 = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM per_user
+    )
+    SELECT 'conversion_chisq' AS metric,
+           CAST(a + b + c + d AS BIGINT) AS n_users,
+           a AS conv_a, CAST(a + b AS BIGINT) AS n_a,
+           c AS conv_b, CAST(c + d AS BIGINT) AS n_b,
+           CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                     * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                     * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                     * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)) > 0 THEN
+             round(CAST(a + b + c + d AS DOUBLE)
+                   * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                   * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                   / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                      * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                      * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                      * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))), 6)
+           END AS chi2,
+           coalesce(CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                     * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                     * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                     * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)) > 0 THEN
+             round(CAST(a + b + c + d AS DOUBLE)
+                   * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                   * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                   / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                      * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                      * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                      * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))), 6)
+           END, 0.0) > 3.841459 AS significant
+    FROM cells
+    """

@@ -1199,3 +1199,82 @@ def oracle_roc_auc(table: str, score: str, label: str, name: str = "score_vs_lab
            END AS auc
     FROM agg
     """
+
+
+def calibration_bins(
+    df: DataFrame,
+    score: str,
+    label: str,
+    bin_expr: str,
+    prob_expr: str,
+) -> DataFrame:
+    """Reliability diagram + per-bin Brier score of a probabilistic scorer
+    against a binary label — the "is this confidence actually a
+    probability" model-eval readout that pairs with :func:`roc_auc`.
+
+    Binning is by EXACT integer arithmetic on the raw score (``bin_expr``),
+    never by float thresholds on the probability — float-boundary binning
+    is the classic cross-engine divergence. The predicted probability
+    (``prob_expr``, a fixed deterministic formula of ``score``) is rounded
+    to 6dp per row and accumulated as DECIMAL(38,6) (exact, order-free);
+    the same for the per-row squared Brier term. One keyed groupBy.
+
+    Output: (bin, n, n_pos, obs_rate, mean_pred, brier).
+    """
+    t = df.select(
+        F.expr(bin_expr).cast("bigint").alias("bin"),
+        F.expr(label).cast("boolean").alias("y"),
+        F.round(F.expr(prob_expr), 6).alias("p"),
+    ).withColumn(
+        "sq",
+        F.expr("cast(round((p - cast(case when y then 1.0 else 0.0 end as double))"
+               " * (p - cast(case when y then 1.0 else 0.0 end as double)), 6)"
+               " as decimal(38,6))"),
+    )
+    agg = t.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.expr("cast(p as decimal(38,6))")).alias("sp"),
+        F.sum("sq").alias("ssq"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6).alias(
+            "obs_rate"
+        ),
+        F.round(F.col("sp").cast("double") / F.col("n").cast("double"), 6).alias(
+            "mean_pred"
+        ),
+        F.round(F.col("ssq").cast("double") / F.col("n").cast("double"), 6).alias(
+            "brier"
+        ),
+    )
+
+
+def oracle_calibration_bins(
+    table: str, score: str, label: str, bin_expr: str, prob_expr: str
+) -> str:
+    return f"""
+    WITH t AS (
+      SELECT CAST({bin_expr} AS BIGINT) AS bin,
+             CAST({label} AS BOOLEAN) AS y,
+             round({prob_expr}, 6) AS p
+      FROM {table}
+    ),
+    agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             sum(CAST(p AS DECIMAL(38,6))) AS sp,
+             sum(CAST(round((p - CAST(CASE WHEN y THEN 1.0 ELSE 0.0 END AS DOUBLE))
+                            * (p - CAST(CASE WHEN y THEN 1.0 ELSE 0.0 END AS DOUBLE)), 6)
+                      AS DECIMAL(38,6))) AS ssq
+      FROM t GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate,
+           round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_pred,
+           round(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS brier
+    FROM agg
+    """

@@ -1850,3 +1850,46 @@ def oracle_matryoshka_recall(
         f"WITH truth AS MATERIALIZED (SELECT q_id, vec_id FROM ({truth}))\n"
         + "\nUNION ALL\n".join(parts)
     )
+
+
+def knn_hubness(
+    emb: DataFrame,
+    k: int = 5,
+    bucket_dims: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hubness audit of the ANN graph: the k-occurrence (in-degree)
+    distribution of :func:`knn_join` run corpus-to-corpus. Heavy right
+    tails ("hub" vectors that appear in everyone's top-k) are the standard
+    high-dimensionality pathology that silently degrades retrieval — this
+    is the measurement that says whether the embedding space needs
+    centering/whitening before it ships.
+
+    Scale shape: the bucketed big-to-big kNN (Σ bucket² cost), one keyed
+    in-degree count, a left join back to the corpus so zero-degree vectors
+    are counted, and a final histogram groupBy. All integer counts.
+    Output: (k_occ, n_vectors).
+    """
+    knn = knn_join(emb, emb, k=k, bucket_dims=bucket_dims, id_col=id_col, vec_col=vec_col)
+    indeg = knn.groupBy("vec_id").agg(F.count("*").cast("bigint").alias("k_occ"))
+    allv = (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(indeg, "vec_id", "left")
+        .select(F.coalesce(F.col("k_occ"), F.lit(0)).cast("bigint").alias("k_occ"))
+    )
+    return allv.groupBy("k_occ").agg(F.count("*").cast("bigint").alias("n_vectors"))
+
+
+def oracle_knn_hubness(table: str, k: int = 5, bucket_dims: int = 6) -> str:
+    return f"""
+    WITH knn AS ({oracle_knn_join(table, "true", k=k, bucket_dims=bucket_dims)}),
+    indeg AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS k_occ FROM knn GROUP BY vec_id
+    ),
+    allv AS (
+      SELECT CAST(coalesce(i.k_occ, 0) AS BIGINT) AS k_occ
+      FROM {table} e LEFT JOIN indeg i ON e.vec_id = i.vec_id
+    )
+    SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors FROM allv GROUP BY k_occ
+    """

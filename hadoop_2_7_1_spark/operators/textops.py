@@ -2418,3 +2418,78 @@ def oracle_keyness_g2(
     FROM scored
     QUALIFY rnk <= {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — the log-log OLS slope of the token frequency-rank curve. A
+# healthy natural corpus sits near slope −1; template/boilerplate-heavy or
+# synthetic corpora bend the curve, so the slope is a one-number corpus
+# health check alongside the quality gates.
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", size: int = 1000) -> DataFrame:
+    """OLS fit of ln(freq) against ln(rank) over the top-``size`` tokens
+    of :func:`induce_vocab` (ranked deterministically by count desc,
+    token asc).
+
+    Determinism: ln(rank) and ln(freq) are rounded to 6dp per point, then
+    every OLS sum (Σx, Σy, Σxy, Σx²) accumulates as exact decimal on
+    those rounded points — so the normal-equation chain sees bit-identical
+    inputs in any engine at any parallelism. The fit frame is vocabulary
+    scale (``size`` rows), never the corpus.
+    Output: (n_points, slope, intercept) — one row.
+    """
+    vocab = induce_vocab(df, text_col=text_col, size=size)
+    pts = vocab.select(
+        F.expr("cast(round(ln(token_id + 1), 6) as decimal(18,6))").alias("x"),
+        F.expr("cast(round(ln(n), 6) as decimal(18,6))").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.expr("x * y")).cast("decimal(38,12)").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("decimal(38,12)").alias("sxx"),
+    )
+    vd = F.col("v").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (vd * sxy - sx * sy) / (vd * sxx - sx * sx)
+    return s.select(
+        F.col("v").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / vd, 6).alias("intercept"),
+    )
+
+
+def oracle_zipf_fit(table: str, text_col: str = "text", size: int = 1000) -> str:
+    return f"""
+    WITH {oracle_vocab_ctes(table, text_col, size)},
+    pts AS (
+      SELECT CAST(round(ln(token_id + 1), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(n), 6) AS DECIMAL(18,6)) AS y
+      FROM vocab
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+             CAST(sum(x * y) AS DECIMAL(38,12)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38,12)) AS sxx
+      FROM pts
+    )
+    SELECT v AS n_points,
+           round((CAST(v AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(v AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(v AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(v AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(v AS DOUBLE), 6) AS intercept
+    FROM s
+    """

@@ -5405,6 +5405,103 @@ def evt_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assoc_rules(li, "l_orderkey", "l_partkey")
 
 
+from ..operators.aggregates import oracle_group_moments
+from ..operators.funnel import oracle_ab_chisq
+from ..operators.profile import oracle_calibration_bins
+from ..operators.similarity import oracle_knn_hubness
+from ..operators.textops import oracle_zipf_fit
+
+_CAL_BIN = "n_chars div 500"
+_CAL_BIN_DUCK = "n_chars // 500"
+_CAL_PROB = "1.0 / (1.0 + exp(-((cast(n_chars as double) - 2500.0) / 1000.0)))"
+_CAL_PROB_DUCK = "1.0 / (1.0 + exp(-((CAST(n_chars AS DOUBLE) - 2500.0) / 1000.0)))"
+
+
+@register(
+    "agg_moments",
+    oracle_group_moments(
+        "lineitem", "l_returnflag", "CAST(round(l_extendedprice) AS BIGINT)"
+    ),
+    doc="exact per-group skewness / excess kurtosis of line amounts from "
+        "DECIMAL(38,0) integer power sums (Spark's built-in "
+        "skewness()/kurtosis() are order-dependent running doubles) — one "
+        "partial+final HashAggregate, sqrt-based fixed-order double chain "
+        "(operators/aggregates.py:group_moments)",
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import group_moments
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice) as bigint)").alias("amt"),
+    )
+    return group_moments(li, "l_returnflag", "amt")
+
+
+@register(
+    "prof_calibration",
+    oracle_calibration_bins(
+        "documents", "n_chars", _RATER_B_DUCK, _CAL_BIN_DUCK, _CAL_PROB_DUCK
+    ),
+    doc="reliability diagram + per-bin Brier score of a fixed logistic "
+        "length scorer against the stopword gate — integer-exact score "
+        "binning (never float thresholds), 6dp-rounded probabilities "
+        "accumulated as DECIMAL(38,6) "
+        "(operators/profile.py:calibration_bins)",
+)
+def prof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import calibration_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    return calibration_bins(docs, "n_chars", _RATER_B_SPARK, _CAL_BIN, _CAL_PROB)
+
+
+@register(
+    "sim_hubness",
+    oracle_knn_hubness("embeddings", k=5, bucket_dims=6),
+    doc="hubness audit of the ANN graph: k-occurrence (in-degree) "
+        "distribution of the bucketed big-to-big kNN join, zero-degree "
+        "vectors included — the high-dimensionality pathology check before "
+        "shipping an embedding space "
+        "(operators/similarity.py:knn_hubness)",
+)
+def sim_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_hubness
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_hubness(emb, k=5, bucket_dims=6)
+
+
+@register(
+    "evt_chisq",
+    oracle_ab_chisq("events"),
+    doc="Pearson chi-square independence test on the conversion 2x2 "
+        "(user_id%2 variants, same assignment as evt_ab_test) — exact "
+        "integer cells, one fixed-order double chain, significance vs the "
+        "df=1 critical constant (operators/funnel.py:ab_chisq)",
+)
+def evt_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import ab_chisq
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_chisq(ev)
+
+
+@register(
+    "txt_zipf",
+    oracle_zipf_fit("documents", size=1000),
+    doc="Zipf slope/intercept: log-log OLS over the top-1000 token "
+        "frequency-rank curve — 6dp-rounded ln points, exact decimal OLS "
+        "sums, vocabulary-scale fit frame "
+        "(operators/textops.py:zipf_fit)",
+)
+def txt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, size=1000)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

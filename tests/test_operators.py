@@ -2644,3 +2644,100 @@ def test_assoc_rules_hand(spark):
     assert (2, 1) in rules  # both directions emitted
     # independent filler pairs never reach min_pair
     assert (1, 3) not in rules and (3, 1) not in rules
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 13: moments, calibration, hubness, chi-square, Zipf
+
+
+def test_group_moments_hand(spark):
+    from hadoop_2_7_1_spark.operators.aggregates import group_moments
+
+    # symmetric values -> skewness 0; two-point distribution -> exkurt -2
+    df = spark.createDataFrame(
+        [("g", v) for v in (1, 1, 1, 5, 5, 5)], "grp string, v int"
+    )
+    r = group_moments(df, "grp", "v").collect()[0]
+    assert r.mean_val == 3.0 and r.stddev == 2.0
+    assert r.skewness == 0.0 and r.kurtosis_excess == -2.0
+    # right-skewed hand case
+    sk = spark.createDataFrame(
+        [("g", v) for v in (1, 1, 1, 1, 10)], "grp string, v int"
+    )
+    assert group_moments(sk, "grp", "v").collect()[0].skewness > 1.0
+    # constant column -> NULL skew/kurt, not division blowup
+    c = spark.createDataFrame([("g", 7), ("g", 7)], "grp string, v int")
+    rc = group_moments(c, "grp", "v").collect()[0]
+    assert rc.stddev == 0.0 and rc.skewness is None and rc.kurtosis_excess is None
+
+
+def test_calibration_bins_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import calibration_bins
+
+    # a perfectly calibrated 0.75 bin: 3 of 4 positive, brier = avg of
+    # (0.25² ×3, 0.75²) = 0.1875
+    df = spark.createDataFrame(
+        [(10, 1), (10, 1), (10, 1), (10, 0)], "s int, y int"
+    )
+    r = calibration_bins(df, "s", "y = 1", "s div 10", "0.75").collect()[0]
+    assert r.bin == 1 and r.n == 4 and r.obs_rate == 0.75
+    assert r.mean_pred == 0.75 and r.brier == 0.1875
+
+
+def test_knn_hubness_counts(spark):
+    from hadoop_2_7_1_spark.operators.similarity import knn_hubness
+
+    # 8 orthogonal-ish vectors: every vector has k=2 out-edges, so total
+    # in-degree mass equals 2*n; histogram masses must add back to n
+    import math
+
+    rows = []
+    for i in range(8):
+        v = [math.cos(i * 0.7 + d) for d in range(8)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hist = knn_hubness(emb, k=2, bucket_dims=3).collect()
+    assert sum(r.n_vectors for r in hist) == 8
+    total_edges = sum(r.k_occ * r.n_vectors for r in hist)
+    assert 0 < total_edges <= 2 * 8
+
+
+def test_ab_chisq_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import ab_chisq
+
+    # identical conversion in both variants -> chi2 == 0, not significant
+    rows = []
+    for uid in range(8):
+        rows.append((uid, "click"))
+        if uid in (0, 1, 2, 3):  # two even (0,2) and two odd (1,3) convert
+            rows.append((uid, "purchase"))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_chisq(ev).collect()[0]
+    assert r.n_a == 4 and r.n_b == 4 and r.conv_a == 2 and r.conv_b == 2
+    assert r.chi2 == 0.0 and r.significant is False
+    # perfectly dependent: all even convert, no odd converts
+    rows2 = [(u, "click") for u in range(8)] + [
+        (u, "purchase") for u in range(8) if u % 2 == 0
+    ]
+    ev2 = spark.createDataFrame(rows2, "user_id long, event_type string")
+    r2 = ab_chisq(ev2).collect()[0]
+    assert r2.chi2 == 8.0 and r2.significant is True
+
+
+def test_zipf_slope_sign(spark):
+    from hadoop_2_7_1_spark.operators.textops import zipf_fit
+
+    # geometric frequencies: freq(rank) = 2^(8-rank) -> ln-ln slope < 0
+    words = []
+    for i, w in enumerate(["aa", "bb", "cc", "dd", "ee", "ff"]):
+        words.extend([w] * (2 ** (6 - i)))
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_fit(docs, size=6).collect()[0]
+    assert r.n_points == 6
+    assert r.slope < -0.5
+    # intercept anchors near ln of the top frequency
+    import math
+
+    assert abs(r.intercept - math.log(64)) < 1.5
