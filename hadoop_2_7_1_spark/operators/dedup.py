@@ -1517,3 +1517,82 @@ def oracle_lsh_band_sweep(
                 ELSE CAST(n_found AS DOUBLE) / n_truth END AS recall
     FROM curve, tt
     """
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination — the benchmark-leakage audit: what fraction of
+# each held-out document's shingles already appears anywhere in the
+# training split. Run before every eval; near-dup thresholds don't catch
+# partial copying, containment-per-eval-doc does.
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_filter: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-eval-document shingle containment against the train split.
+
+    ONE shingle explosion over the whole corpus (fan_out for the
+    single-split local case), split into eval and train sides by the
+    boolean ``eval_filter``; the train side collapses to DISTINCT
+    shingles (the inverted-index key set); eval shingles left-join it and
+    count hits — a pure equi-join on the shingle hash space, never
+    doc×doc. Documents shorter than ``shingle_n`` words have no shingles
+    and emit no row (identical in both engines).
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination).
+    """
+    from . import fan_out
+
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(eval_filter).alias("is_eval"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    train = sh.filter(~F.col("is_eval")).select("shingle").distinct().withColumn(
+        "__hit", F.lit(True)
+    )
+    ev = sh.filter(F.col("is_eval")).join(train, "shingle", "left")
+    return ev.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("bigint").alias("n_contaminated"),
+        F.round(
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("contamination"),
+    )
+
+
+def oracle_contamination_report(
+    table: str, id_col: str, text_col: str, eval_filter: str, shingle_n: int = 3
+) -> str:
+    from ..functions import oracle_word_shingles
+
+    shingles = oracle_word_shingles(text_col, shingle_n)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT {id_col} AS id, ({eval_filter}) AS is_eval,
+             unnest({shingles}) AS shingle
+      FROM {table}
+    ),
+    train AS (SELECT DISTINCT shingle FROM sh WHERE NOT is_eval),
+    ev AS (
+      SELECT s.id, CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM sh s LEFT JOIN train t ON s.shingle = t.shingle
+      WHERE s.is_eval
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(hit) AS BIGINT) AS n_contaminated,
+           round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS contamination
+    FROM ev GROUP BY id
+    """

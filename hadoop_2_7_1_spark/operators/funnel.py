@@ -1546,3 +1546,116 @@ def oracle_ab_chisq(
            END, 0.0) > 3.841459 AS significant
     FROM cells
     """
+
+
+# df=1 two-sided alpha=0.05 and 80% power normal quantiles — public
+# constants (z_{0.975}, z_{0.80}); injected via repr so both engines see
+# the identical IEEE doubles.
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+
+
+def ab_power(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    min_count: int = 1,
+) -> DataFrame:
+    """Experiment-design readout for the A/B harness: observed conversion
+    rates per variant (user_id % 2, the evt_ab_test assignment), the
+    minimum detectable effect at the CURRENT sample size, and the
+    required per-arm n to detect the OBSERVED delta — both from the
+    standard two-proportion normal approximation
+    n = (z_α/2 + z_β)² · (p_a(1−p_a) + p_b(1−p_b)) / δ².
+
+    All counts are exact integers from one user-keyed aggregate; the
+    closed forms are fixed-order double chains (sqrt only — correctly
+    rounded), so both engines emit identical bits. δ=0 yields NULL
+    required_n, not a division blowup.
+
+    Output: (metric, n_a, p_a, n_b, p_b, delta, mde, required_n_per_arm).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("uid")).agg(
+        F.when(
+            F.sum(F.when(F.col(type_col) == convert_type, 1).otherwise(0)) >= min_count,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("conv")
+    )
+    cells = per_user.agg(
+        F.sum(F.when(F.col("uid") % 2 == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when((F.col("uid") % 2 == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("uid") % 2 == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when((F.col("uid") % 2 == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    z2 = (_Z_ALPHA + _Z_BETA) ** 2
+    pa = F.col("ca").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("cb").cast("double") / F.col("n_b").cast("double")
+    var = pa * (F.lit(1.0) - pa) + pb * (F.lit(1.0) - pb)
+    delta = F.abs(pa - pb)
+    return cells.select(
+        F.lit("conversion_power").alias("metric"),
+        "n_a",
+        F.round(pa, 6).alias("p_a"),
+        "n_b",
+        F.round(pb, 6).alias("p_b"),
+        F.round(delta, 6).alias("delta"),
+        F.round(
+            F.lit(_Z_ALPHA + _Z_BETA)
+            * F.sqrt(
+                pa * (F.lit(1.0) - pa) / F.col("n_a").cast("double")
+                + pb * (F.lit(1.0) - pb) / F.col("n_b").cast("double")
+            ),
+            6,
+        ).alias("mde"),
+        F.when(delta > 0, F.round(F.lit(z2) * var / (delta * delta), 6)).alias(
+            "required_n_per_arm"
+        ),
+    )
+
+
+def oracle_ab_power(
+    table: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    min_count: int = 1,
+) -> str:
+    z_sum = _Z_ALPHA + _Z_BETA
+    z2 = z_sum ** 2
+    pa = "(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    pb = "(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    var = f"({pa} * (1.0 - {pa}) + {pb} * (1.0 - {pb}))"
+    delta = f"abs({pa} - {pb})"
+    return f"""
+    WITH per_user AS (
+      SELECT {user_col} AS uid,
+             CASE WHEN sum(CASE WHEN {type_col} = '{convert_type}' THEN 1 ELSE 0 END)
+                       >= {min_count} THEN 1 ELSE 0 END AS conv
+      FROM {table} GROUP BY 1
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN uid % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN uid % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN uid % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN uid % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM per_user
+    )
+    SELECT 'conversion_power' AS metric,
+           n_a, round({pa}, 6) AS p_a,
+           n_b, round({pb}, 6) AS p_b,
+           round({delta}, 6) AS delta,
+           round(CAST({z_sum!r} AS DOUBLE)
+                 * sqrt({pa} * (1.0 - {pa}) / CAST(n_a AS DOUBLE)
+                        + {pb} * (1.0 - {pb}) / CAST(n_b AS DOUBLE)), 6) AS mde,
+           CASE WHEN {delta} > 0 THEN
+             round(CAST({z2!r} AS DOUBLE) * {var} / ({delta} * {delta}), 6)
+           END AS required_n_per_arm
+    FROM cells
+    """

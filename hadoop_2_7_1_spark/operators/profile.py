@@ -1278,3 +1278,94 @@ def oracle_calibration_bins(
            round(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS brier
     FROM agg
     """
+
+
+def gains_lift(df: DataFrame, key: str, score: str, label: str) -> DataFrame:
+    """Cumulative gains / lift table: rank rows by score descending,
+    bucket into population deciles, report what share of all positives
+    the top deciles capture and the lift over random targeting — the
+    third leg of the model-eval tripod next to :func:`roc_auc` and
+    :func:`calibration_bins`.
+
+    Ranking uses the two-phase range-partition global rank (never a
+    data-sized window); deciles are exact integer arithmetic; every
+    output ratio is one division of exact BIGINT counts rounded to 6dp.
+    Output: (decile, n_cum, pos_cum, capture, lift) — 10 rows.
+    """
+    from .partitioning import global_sort_with_rank
+
+    t = df.select(
+        F.col(key).alias("k"),
+        F.expr(score).cast("bigint").alias("s"),
+        F.expr(label).cast("boolean").alias("y"),
+    )
+    ranked = global_sort_with_rank(t, ["s", "k"], rank_col="rnk", ascending=[False, True])
+    tot = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("pos"),
+    )
+    dec = (
+        ranked.join(F.broadcast(tot), how="cross")
+        .withColumn("decile", F.expr("((rnk - 1) * 10) div n + 1"))
+        .groupBy("decile", "n", "pos")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dec"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("pos_dec"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.sum("n_dec").over(w).cast("bigint").alias("n_cum"),
+        F.sum("pos_dec").over(w).cast("bigint").alias("pos_cum"),
+        "n",
+        "pos",
+    )
+    return cum.select(
+        "decile",
+        "n_cum",
+        "pos_cum",
+        F.round(F.col("pos_cum").cast("double") / F.col("pos").cast("double"), 6).alias(
+            "capture"
+        ),
+        F.round(
+            (F.col("pos_cum").cast("double") / F.col("n_cum").cast("double"))
+            / (F.col("pos").cast("double") / F.col("n").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def oracle_gains_lift(table: str, key: str, score: str, label: str) -> str:
+    return f"""
+    WITH t AS (
+      SELECT {key} AS k, CAST({score} AS BIGINT) AS s,
+             CAST({label} AS BOOLEAN) AS y
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT k, s, y, CAST(row_number() OVER (ORDER BY s DESC, k) AS BIGINT) AS rnk
+      FROM t
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM ranked
+    ),
+    dec AS (
+      SELECT CAST((rnk - 1) * 10 // tt.n + 1 AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_dec,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_dec,
+             tt.n, tt.pos
+      FROM ranked, tot tt GROUP BY 1, tt.n, tt.pos
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(sum(n_dec) OVER (ORDER BY decile) AS BIGINT) AS n_cum,
+           CAST(sum(pos_dec) OVER (ORDER BY decile) AS BIGINT) AS pos_cum,
+           round(CAST(sum(pos_dec) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(pos AS DOUBLE), 6) AS capture,
+           round((CAST(sum(pos_dec) OVER (ORDER BY decile) AS DOUBLE)
+                  / CAST(sum(n_dec) OVER (ORDER BY decile) AS DOUBLE))
+                 / (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS lift
+    FROM dec
+    """

@@ -1893,3 +1893,240 @@ def oracle_knn_hubness(table: str, k: int = 5, bucket_dims: int = 6) -> str:
     )
     SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors FROM allv GROUP BY k_occ
     """
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_filter: str = "vec_id = 0",
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance: greedy diversified top-k —
+    round r picks argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s).
+    The standard retrieval de-redundancy step (RAG context building,
+    eval-set selection) that plain top-k can't express.
+
+    Scale shape: relevance is ONE broadcast-query pass over the corpus;
+    the greedy loop then runs on a ``pool``-row shortlist pinned with
+    localCheckpoint (top-``pool`` by relevance via TakeOrdered — never a
+    global sort). Each round is a broadcast 1-row crossJoin carrying the
+    selected set as an array (≤ k vectors — metadata scale) and an
+    array_max over JVM higher-order dot products; no Python, no driver
+    collect. Cosines round to 6dp BEFORE the argmax, and ties break by
+    vec_id, so every engine selects the identical set in the identical
+    order.
+
+    Output: (rnk, vec_id, relevance, mmr_score) — k rows.
+    """
+    q = emb.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("rel", F.round(_cos_expr("vec", "q_vec"), 6))
+        .select("vec_id", "vec", "rel")
+    )
+    shortlist = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(pool).localCheckpoint()
+    )
+    mmr_dot = DOT.format(a="vec", b="s_.vec")
+    mmr_na = NORM.format(a="vec")
+    mmr_nb = NORM.format(a="s_.vec")
+    ms_expr = (
+        f"array_max(transform(sels, s_ -> "
+        f"round({mmr_dot} / ({mmr_na} * {mmr_nb}), 6)))"
+    )
+    winners: list[DataFrame] = []
+    sel: DataFrame | None = None
+    for r in range(1, k + 1):
+        if sel is None:
+            scored = shortlist.withColumn("ms", F.lit(0.0))
+        else:
+            sel_arr = sel.agg(
+                F.collect_list(F.struct(F.col("vec_id").alias("sid"), F.col("vec"))).alias(
+                    "sels"
+                )
+            )
+            scored = (
+                shortlist.join(sel.select("vec_id"), "vec_id", "left_anti")
+                .crossJoin(F.broadcast(sel_arr))
+                .withColumn("ms", F.expr(ms_expr))
+                .drop("sels")
+            )
+        win = (
+            scored.withColumn(
+                "score",
+                F.round(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("ms"), 6),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "vec", "rel", "score", F.lit(r).cast("int").alias("rnk"))
+        )
+        winners.append(win)
+        sel = win.select("vec_id", "vec") if sel is None else sel.unionByName(
+            win.select("vec_id", "vec")
+        )
+    out = winners[0]
+    for w_df in winners[1:]:
+        out = out.unionByName(w_df)
+    return out.select(
+        "rnk",
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("rel").alias("relevance"),
+        F.col("score").alias("mmr_score"),
+    )
+
+
+def oracle_mmr_topk(
+    table: str,
+    query_filter: str = "vec_id = 0",
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> str:
+    dot_q = ORACLE_DOT.format(a="c.embedding", b="q.embedding")
+    nc = ORACLE_NORM.format(a="c.embedding")
+    nq = ORACLE_NORM.format(a="q.embedding")
+    dot_s = ORACLE_DOT.format(a="p.embedding", b="s.embedding")
+    np_ = ORACLE_NORM.format(a="p.embedding")
+    ns = ORACLE_NORM.format(a="s.embedding")
+    ctes = [
+        f"q AS (SELECT vec_id, embedding FROM {table} WHERE {query_filter})",
+        f"""pool AS MATERIALIZED (
+      SELECT c.vec_id, c.embedding, round(CAST({dot_q} / ({nc} * {nq}) AS DOUBLE), 6) AS rel
+      FROM {table} c, q WHERE c.vec_id <> q.vec_id
+      ORDER BY rel DESC, c.vec_id LIMIT {pool}
+    )""",
+        f"""s1 AS (
+      SELECT vec_id, embedding, rel, round({lam!r} * rel - {1.0 - lam!r} * 0.0, 6) AS score, 1 AS rnk
+      FROM pool ORDER BY round({lam!r} * rel - {1.0 - lam!r} * 0.0, 6) DESC, vec_id LIMIT 1
+    )""",
+        "selu1 AS (SELECT vec_id, embedding FROM s1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""sc{r} AS (
+      SELECT p.vec_id, p.rel,
+             max(round(CAST({dot_s} / ({np_} * {ns}) AS DOUBLE), 6)) AS ms
+      FROM pool p, selu{r - 1} s
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM selu{r - 1})
+      GROUP BY p.vec_id, p.rel
+    )"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+      SELECT c.vec_id, p2.embedding, c.rel, round({lam!r} * c.rel - {1.0 - lam!r} * c.ms, 6) AS score, {r} AS rnk
+      FROM sc{r} c JOIN pool p2 ON p2.vec_id = c.vec_id
+      ORDER BY round({lam!r} * c.rel - {1.0 - lam!r} * c.ms, 6) DESC, c.vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"selu{r} AS (SELECT vec_id, embedding FROM selu{r - 1} "
+            f"UNION ALL SELECT vec_id, embedding FROM s{r})"
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT rnk, vec_id, rel, score FROM s{r}" for r in range(1, k + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(rnk AS INT) AS rnk, CAST(vec_id AS BIGINT) AS vec_id,
+           rel AS relevance, score AS mmr_score
+    FROM ({union})
+    """
+
+
+def rrf_fusion(
+    emb: DataFrame,
+    query_filter: str = "vec_id = 0",
+    k: int = 20,
+    kconst: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal Rank Fusion of two retrieval rankings for the same
+    query — cosine top-k and squared-L2 top-k — the standard no-tuning
+    hybrid-search combiner: RRF(d) = Σ_r 1/(kconst + rank_r(d)).
+
+    Each 1/(kconst+rank) is one IEEE division of exact integers (bit-
+    identical in any engine), summed over exactly two lists in fixed
+    order. Both rankings come from the same broadcast-query brute-force
+    pass; the fusion is a tiny full-outer join on the ≤2k shortlisted
+    ids. Output: (vec_id, rank_cos, rank_l2, rrf).
+    """
+    q = emb.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "vec_id",
+        _cos_expr("vec", "q_vec").alias("cos"),
+        F.expr(L2.format(a="vec", b="q_vec")).alias("d2"),
+    )
+    w_cos = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    w_l2 = Window.orderBy(F.asc("d2"), F.asc("vec_id"))
+    ranked = scored.select(
+        "vec_id",
+        F.row_number().over(w_cos).cast("bigint").alias("rank_cos"),
+        F.row_number().over(w_l2).cast("bigint").alias("rank_l2"),
+    )
+    top = ranked.filter((F.col("rank_cos") <= k) | (F.col("rank_l2") <= k))
+    return top.select(
+        "vec_id",
+        F.when(F.col("rank_cos") <= k, F.col("rank_cos")).alias("rank_cos"),
+        F.when(F.col("rank_l2") <= k, F.col("rank_l2")).alias("rank_l2"),
+        F.round(
+            F.coalesce(
+                F.when(
+                    F.col("rank_cos") <= k,
+                    F.lit(1.0) / (F.lit(kconst) + F.col("rank_cos")).cast("double"),
+                ),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.when(
+                    F.col("rank_l2") <= k,
+                    F.lit(1.0) / (F.lit(kconst) + F.col("rank_l2")).cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("rrf"),
+    )
+
+
+def oracle_rrf_fusion(
+    table: str, query_filter: str = "vec_id = 0", k: int = 20, kconst: int = 60
+) -> str:
+    dot = ORACLE_DOT.format(a="c.embedding", b="q.embedding")
+    nc = ORACLE_NORM.format(a="c.embedding")
+    nq = ORACLE_NORM.format(a="q.embedding")
+    l2 = ORACLE_L2.format(a="c.embedding", b="q.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM {table} WHERE {query_filter}),
+    scored AS (
+      SELECT c.vec_id,
+             CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos,
+             CAST({l2} AS DOUBLE) AS d2
+      FROM {table} c, q WHERE c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_cos,
+             CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank_l2
+      FROM scored
+    )
+    SELECT vec_id,
+           CASE WHEN rank_cos <= {k} THEN rank_cos END AS rank_cos,
+           CASE WHEN rank_l2 <= {k} THEN rank_l2 END AS rank_l2,
+           round(coalesce(CASE WHEN rank_cos <= {k}
+                   THEN 1.0 / CAST({kconst} + rank_cos AS DOUBLE) END, 0.0)
+                 + coalesce(CASE WHEN rank_l2 <= {k}
+                   THEN 1.0 / CAST({kconst} + rank_l2 AS DOUBLE) END, 0.0), 9) AS rrf
+    FROM ranked
+    WHERE rank_cos <= {k} OR rank_l2 <= {k}
+    """

@@ -5502,6 +5502,90 @@ def txt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, size=1000)
 
 
+from ..operators.dedup import oracle_contamination_report
+from ..operators.funnel import oracle_ab_power
+from ..operators.profile import oracle_gains_lift
+from ..operators.similarity import oracle_mmr_topk, oracle_rrf_fusion
+
+
+@register(
+    "sim_mmr",
+    oracle_mmr_topk("embeddings", "vec_id = 0", k=5, pool=50, lam=0.7),
+    doc="Maximal Marginal Relevance diversified top-5 for an anchor query "
+        "— greedy λ-tradeoff between relevance and redundancy over a "
+        "50-row TakeOrdered shortlist; each round a broadcast 1-row array "
+        "crossJoin + JVM higher-order dot products, 6dp rounding before "
+        "every argmax; oracle replays the greedy trajectory as chained "
+        "CTEs (operators/similarity.py:mmr_topk)",
+)
+def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, "vec_id = 0", k=5, pool=50, lam=0.7)
+
+
+@register(
+    "sim_rrf",
+    oracle_rrf_fusion("embeddings", "vec_id = 0", k=20),
+    doc="Reciprocal Rank Fusion of the cosine and L2 rankings for one "
+        "query — the no-tuning hybrid-search combiner; 1/(60+rank) exact "
+        "integer divisions summed in fixed order "
+        "(operators/similarity.py:rrf_fusion)",
+)
+def sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rrf_fusion
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rrf_fusion(emb, "vec_id = 0", k=20)
+
+
+@register(
+    "cur_contamination",
+    oracle_contamination_report("documents", "doc_id", "text", "source = 'src0'"),
+    doc="train/eval contamination audit: per held-out doc (source src0), "
+        "the fraction of its distinct 3-gram shingles present anywhere in "
+        "the train split — one shingle explosion, train side collapsed to "
+        "a distinct inverted-index key set, pure equi-join "
+        "(operators/dedup.py:contamination_report)",
+)
+def cur_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_report(docs, "doc_id", "text", "source = 'src0'")
+
+
+@register(
+    "evt_power",
+    oracle_ab_power("events"),
+    doc="A/B experiment-design readout: observed per-variant conversion, "
+        "minimum detectable effect at current n, required per-arm n for "
+        "the observed delta (two-proportion normal approximation, public "
+        "z constants repr-injected) (operators/funnel.py:ab_power)",
+)
+def evt_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import ab_power
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_power(ev)
+
+
+@register(
+    "prof_gainlift",
+    oracle_gains_lift("documents", "doc_id", "n_chars", _RATER_B_DUCK),
+    doc="cumulative gains/lift table of the length score against the "
+        "stopword gate — decile capture rates and lift over random "
+        "targeting, two-phase global ranks, exact integer counts "
+        "(operators/profile.py:gains_lift)",
+)
+def prof_gainlift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import gains_lift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gains_lift(docs, "doc_id", "n_chars", _RATER_B_SPARK)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

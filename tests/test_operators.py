@@ -2741,3 +2741,104 @@ def test_zipf_slope_sign(spark):
     import math
 
     assert abs(r.intercept - math.log(64)) < 1.5
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 14: MMR, RRF, contamination, power, gains/lift
+
+
+def test_mmr_prefers_diversity(spark):
+    from hadoop_2_7_1_spark.operators.similarity import mmr_topk
+
+    # q at e0; a,b nearly identical along e0; c diverse but still relevant.
+    # Plain top-2 would pick a,b; MMR must pick a then c.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0, 0.0]),        # a: most relevant
+        (2, [0.985, 0.17, 0.0, 0.0]),       # b: near-duplicate of a
+        (3, [0.7, 0.0, 0.71, 0.0]),         # c: relevant and diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        mmr_topk(emb, "vec_id = 0", k=2, pool=3, lam=0.5).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.vec_id for r in out] == [1, 3]
+    assert out[0].mmr_score > out[1].mmr_score
+
+
+def test_rrf_fusion_hand(spark):
+    from hadoop_2_7_1_spark.operators.similarity import rrf_fusion
+
+    # unit-norm plane: cosine and L2 rankings agree -> rrf = 2/(60+r)
+    import math
+
+    rows = [(0, [1.0, 0.0])] + [
+        (i, [math.cos(i * 0.2), math.sin(i * 0.2)]) for i in range(1, 6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in rrf_fusion(emb, "vec_id = 0", k=5).collect()}
+    for vid, r in out.items():
+        assert r.rank_cos == r.rank_l2
+        assert r.rrf == round(2.0 / (60 + r.rank_cos), 9)
+    assert out[1].rank_cos == 1 and out[5].rank_cos == 5
+
+
+def test_contamination_hand(spark):
+    from hadoop_2_7_1_spark.operators.dedup import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "eval"),    # 3 shingles, 1 in train
+            (2, "totally novel eval sentence here", "eval"),  # 0 contaminated
+            (10, "the quick brown dog sleeps", "train"),
+            (11, "another train document entirely", "train"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination_report(
+            docs, "doc_id", "text", "split = 'eval'"
+        ).collect()
+    }
+    # doc 1: shingles {the quick brown, quick brown fox, brown fox jumps};
+    # only the first appears in train
+    assert out[1].n_shingles == 3 and out[1].n_contaminated == 1
+    assert out[1].contamination == round(1 / 3, 6)
+    assert out[2].n_contaminated == 0 and out[2].contamination == 0.0
+    assert 10 not in out and 11 not in out
+
+
+def test_ab_power_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import ab_power
+
+    # 4 even users (2 convert), 4 odd users (0 convert)
+    rows = [(u, "click") for u in range(8)] + [
+        (u, "purchase") for u in (0, 2)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_power(ev).collect()[0]
+    assert r.n_a == 4 and r.n_b == 4
+    assert r.p_a == 0.5 and r.p_b == 0.0 and r.delta == 0.5
+    # required n for delta=0.5 with var=0.25: 7.84888*0.25/0.25 ≈ 7.85
+    assert 7.0 < r.required_n_per_arm < 8.5
+    assert r.mde > 0
+    # no conversions anywhere -> delta 0 -> NULL required_n
+    ev0 = spark.createDataFrame(
+        [(u, "click") for u in range(8)], "user_id long, event_type string"
+    )
+    assert ab_power(ev0).collect()[0].required_n_per_arm is None
+
+
+def test_gains_lift_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import gains_lift
+
+    # 20 rows; scores descending; all 4 positives in the top-4 scores ->
+    # decile 2 (top 20%) captures 100% at lift 5.0
+    rows = [(i, 100 - i, 1 if i < 4 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "k int, s int, y int")
+    out = {r.decile: r for r in gains_lift(df, "k", "s", "y = 1").collect()}
+    assert out[2].pos_cum == 4 and out[2].capture == 1.0
+    assert out[2].lift == 5.0
+    assert out[10].n_cum == 20 and out[10].lift == 1.0
