@@ -1659,3 +1659,49 @@ def oracle_ab_power(
            END AS required_n_per_arm
     FROM cells
     """
+
+
+def srm_check(
+    events: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """Sample Ratio Mismatch guardrail: chi-square goodness-of-fit of the
+    observed variant split (user_id % 2) against the designed 50/50 —
+    THE first check on any experiment readout; a significant SRM
+    invalidates the A/B result before any metric is looked at.
+
+    For two cells at 50/50 the statistic collapses to
+    X² = (n_a − n_b)² / (n_a + n_b): exact integers, one division,
+    df=1 critical constant. Output: (metric, n_a, n_b, chi2, srm_detected).
+    """
+    users = events.select(F.col(user_col).alias("uid")).distinct()
+    cells = users.agg(
+        F.sum(F.when(F.col("uid") % 2 == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("uid") % 2 == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    diff = (F.col("n_a") - F.col("n_b")).cast("double")
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    chi2 = F.round(diff * diff / tot, 6)
+    return cells.select(
+        F.lit("srm_50_50").alias("metric"),
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("srm_detected"),
+    )
+
+
+def oracle_srm_check(table: str, user_col: str = "user_id") -> str:
+    return f"""
+    WITH users AS (SELECT DISTINCT {user_col} AS uid FROM {table}),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN uid % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN uid % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM users
+    )
+    SELECT 'srm_50_50' AS metric, n_a, n_b,
+           round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+           round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE), 6) > 3.841459 AS srm_detected
+    FROM cells
+    """

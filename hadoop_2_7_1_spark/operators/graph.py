@@ -1074,3 +1074,101 @@ def oracle_assortativity(edges_sql: str) -> str:
            END AS r_assort
     FROM agg
     """
+
+
+def clustering_coefficients(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient histogram: per node with degree ≥ 2,
+    cc(v) = triangles(v) / (deg(v)·(deg(v)−1)/2), bucketed by the EXACT
+    integer floor(cc·10) — never a float-boundary bin. The community-
+    structure fingerprint that the global triangle count flattens away.
+
+    Same degree-oriented wedge enumeration as :func:`triangle_count`
+    (per-key fan-out O(sqrt(E)) on power-law graphs); each closed
+    triangle then explodes to its 3 member vertices for the per-node
+    count, and zero-triangle nodes survive via a left join against the
+    degree frame. Output: (cc_bucket, n_nodes) — cc_bucket 0..10.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    w1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("lo", "hi").alias("x"), F.greatest("lo", "hi").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])
+    tri_v = tri.select(
+        F.explode(F.array(F.col("pivot"), F.col("x"), F.col("y"))).alias("v")
+    )
+    tric = tri_v.groupBy("v").agg(F.count("*").cast("bigint").alias("tri"))
+    j = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tric, "v", "left")
+        .select("deg", F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("tri"))
+    )
+    return (
+        j.withColumn("cc_bucket", F.expr("cast((2 * tri * 10) div (deg * (deg - 1)) as int)"))
+        .groupBy("cc_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+
+
+def oracle_clustering_coefficients(edges_sql: str) -> str:
+    """Oracle: a<b<c closed-wedge enumeration (each triangle once),
+    exploded to its 3 vertices — identical triangle set, identical exact
+    integer bucketing."""
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({edges_sql}) WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+      FROM und e1 JOIN und e2 ON e2.a = e1.b
+                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_v AS (
+      SELECT va AS v FROM tri UNION ALL SELECT vb FROM tri UNION ALL SELECT vc FROM tri
+    ),
+    tric AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM tri_v GROUP BY v),
+    j AS (
+      SELECT d.deg, CAST(coalesce(t.tri, 0) AS BIGINT) AS tri
+      FROM deg d LEFT JOIN tric t ON d.v = t.v
+      WHERE d.deg >= 2
+    )
+    SELECT CAST((2 * tri * 10) // (deg * (deg - 1)) AS INT) AS cc_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM j GROUP BY 1
+    """

@@ -1057,3 +1057,153 @@ def oracle_ccf_hourly(
            round(CAST(sum(p.p) AS DOUBLE) / d.den, 6) AS ccf
     FROM pairs p, den d GROUP BY p.lag, d.den
     """
+
+
+def interarrival_stats(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival gap moments per key — mean gap, dispersion, skew —
+    the Poisson-ness check (CV ≈ 1 means memoryless arrivals; CV ≫ 1
+    means bursts) that sizes streaming state and retry budgets.
+
+    Gaps are EXACT integer seconds from one key-partitioned lag window
+    ordered by (ts, id) — a total order, so the gap sequence is unique.
+    The moment math reuses :func:`..aggregates.group_moments`' exact
+    DECIMAL(38,0) power sums. Output: (key, n, mean_val, stddev,
+    skewness, kurtosis_excess, cv).
+    """
+    from pyspark.sql import Window as W
+
+    from .aggregates import group_moments
+
+    gaps = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"cast(unix_timestamp({ts_col}) as bigint)").alias("t"),
+            F.col(id_col).alias("i"),
+        )
+        .select("k", (F.col("t") - F.lag("t").over(
+            W.partitionBy("k").orderBy("t", "i")
+        )).alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    m = group_moments(gaps, "k", "gap_s")
+    return m.select(
+        F.col("k").alias(key_col),
+        "n",
+        "mean_val",
+        "stddev",
+        "skewness",
+        "kurtosis_excess",
+        F.when(
+            F.col("mean_val") > 0, F.round(F.col("stddev") / F.col("mean_val"), 6)
+        ).alias("cv"),
+    )
+
+
+def oracle_interarrival_stats(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    from .aggregates import oracle_group_moments
+
+    gaps = f"""(
+      SELECT k AS grp, gap_s FROM (
+        SELECT {key_col} AS k,
+               CAST(floor(epoch({ts_col})) AS BIGINT)
+               - lag(CAST(floor(epoch({ts_col})) AS BIGINT))
+                 OVER (PARTITION BY {key_col}
+                       ORDER BY CAST(floor(epoch({ts_col})) AS BIGINT), {id_col}) AS gap_s
+        FROM {table}
+      ) WHERE gap_s IS NOT NULL
+    ) g"""
+    inner = oracle_group_moments(gaps, "grp", "gap_s")
+    return f"""
+    WITH m AS ({inner})
+    SELECT grp AS {key_col}, n, mean_val, stddev, skewness, kurtosis_excess,
+           CASE WHEN mean_val > 0 THEN round(stddev / mean_val, 6) END AS cv
+    FROM m
+    """
+
+
+def sla_report(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Availability/SLA readout per key: over the key's own observed
+    span, how many calendar hours had at least one event, the
+    availability percentage, and the largest silent gap in seconds —
+    the uptime report for an ingest feed.
+
+    All integer arithmetic: hour buckets and gaps are exact bigints from
+    one keyed aggregate + one keyed lag window; the span frame is
+    calendar scale. Output: (key, span_hours, active_hours,
+    availability_pct, max_gap_s).
+    """
+    from pyspark.sql import Window as W
+
+    hours = events.select(
+        F.col(key_col).alias("k"),
+        F.expr(f"cast(date_trunc('hour', {ts_col}) as bigint) div 3600").alias("h"),
+        F.expr(f"cast(unix_timestamp({ts_col}) as bigint)").alias("t"),
+    )
+    per_key = hours.groupBy("k").agg(
+        (F.max("h") - F.min("h") + 1).cast("bigint").alias("span_hours"),
+        F.countDistinct("h").cast("bigint").alias("active_hours"),
+    )
+    gaps = hours.select(
+        "k",
+        (F.col("t") - F.lag("t").over(W.partitionBy("k").orderBy("t"))).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    mg = gaps.groupBy("k").agg(F.max("gap").cast("bigint").alias("max_gap_s"))
+    return (
+        per_key.join(mg, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            "span_hours",
+            "active_hours",
+            F.round(
+                F.col("active_hours").cast("double")
+                / F.col("span_hours").cast("double")
+                * F.lit(100.0),
+                6,
+            ).alias("availability_pct"),
+            F.coalesce(F.col("max_gap_s"), F.lit(0)).cast("bigint").alias("max_gap_s"),
+        )
+    )
+
+
+def oracle_sla_report(
+    table: str, key_col: str = "event_type", ts_col: str = "ts"
+) -> str:
+    return f"""
+    WITH hours AS (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 AS h,
+             CAST(floor(epoch({ts_col})) AS BIGINT) AS t
+      FROM {table}
+    ),
+    per_key AS (
+      SELECT k, CAST(max(h) - min(h) + 1 AS BIGINT) AS span_hours,
+             CAST(count(DISTINCT h) AS BIGINT) AS active_hours
+      FROM hours GROUP BY k
+    ),
+    gaps AS (
+      SELECT k, t - lag(t) OVER (PARTITION BY k ORDER BY t) AS gap FROM hours
+    ),
+    mg AS (
+      SELECT k, CAST(max(gap) AS BIGINT) AS max_gap_s
+      FROM gaps WHERE gap IS NOT NULL GROUP BY k
+    )
+    SELECT p.k AS {key_col}, p.span_hours, p.active_hours,
+           round(CAST(p.active_hours AS DOUBLE) / CAST(p.span_hours AS DOUBLE)
+                 * 100.0, 6) AS availability_pct,
+           CAST(coalesce(m.max_gap_s, 0) AS BIGINT) AS max_gap_s
+    FROM per_key p LEFT JOIN mg m ON p.k = m.k
+    """

@@ -2493,3 +2493,95 @@ def oracle_zipf_fit(table: str, text_col: str = "text", size: int = 1000) -> str
                  / CAST(v AS DOUBLE), 6) AS intercept
     FROM s
     """
+
+
+def char_entropy_rate(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Character-bigram conditional entropy per language,
+    H(c₂|c₁) = −Σ p(c₁c₂) · ln(p(c₁c₂)/p(c₁)), in nats — the language-
+    model-free entropy-rate estimate: anomalously low means boilerplate/
+    template text, anomalously high means noise/binary junk. The
+    info-theoretic sibling of the repetition and compression gates.
+
+    Scale shape: one character-bigram explosion (JVM substring over a
+    sequence — no Python), ONE (lang, bigram) wordcount shuffle, prefix
+    totals by a second keyed agg. Each entropy term is a fixed-order
+    double chain on exact BIGINT counts rounded to DECIMAL(38,6) before
+    the exact per-lang sum (the unigram_logprob ln-discipline), so
+    accumulation order cannot move the result.
+    Output: (lang, n_bigrams_distinct, n_bigrams_total, entropy_nats).
+    """
+    big = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.expr(
+                # sequence(1, 0) is DESCENDING in Spark, not empty — guard
+                # single-char/empty texts explicitly.
+                f"case when length({text_col}) >= 2 then "
+                f"transform(sequence(1, length({text_col}) - 1),"
+                f" i_ -> substring({text_col}, i_, 2))"
+                f" else cast(array() as array<string>) end"
+            )
+        ).alias("bg"),
+    )
+    counts = big.groupBy("lang", "bg").agg(F.count("*").cast("bigint").alias("c2"))
+    first = counts.select(
+        "lang", F.substring(F.col("bg"), 1, 1).alias("c1"), "c2"
+    ).groupBy("lang", "c1").agg(F.sum("c2").cast("bigint").alias("cc1"))
+    tot = counts.groupBy("lang").agg(F.sum("c2").cast("bigint").alias("n"))
+    terms = (
+        counts.withColumn("c1", F.substring(F.col("bg"), 1, 1))
+        .join(first, ["lang", "c1"])
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            F.expr(
+                "cast(round(-(cast(c2 as double) / cast(n as double))"
+                " * ln(cast(c2 as double) / cast(cc1 as double)), 6)"
+                " as decimal(38,6))"
+            ).alias("term"),
+        )
+    )
+    agg = terms.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_bigrams_distinct"),
+        F.round(F.sum("term").cast("double"), 6).alias("entropy_nats"),
+    )
+    return agg.join(tot.select("lang", F.col("n").alias("n_bigrams_total")), "lang").select(
+        "lang", "n_bigrams_distinct", "n_bigrams_total", "entropy_nats"
+    )
+
+
+def oracle_char_entropy_rate(
+    table: str, lang_col: str = "lang", text_col: str = "text"
+) -> str:
+    return f"""
+    WITH big AS (
+      SELECT {lang_col} AS lang,
+             substring({text_col}, i_, 2) AS bg
+      FROM {table}, UNNEST(range(1, greatest(length({text_col}) - 1, 0) + 1)) u(i_)
+    ),
+    counts AS (
+      SELECT lang, bg, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2
+    ),
+    first AS (
+      SELECT lang, substring(bg, 1, 1) AS c1, CAST(sum(c2) AS BIGINT) AS cc1
+      FROM counts GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(c2) AS BIGINT) AS n FROM counts GROUP BY 1),
+    terms AS (
+      SELECT c.lang,
+             CAST(round(-(CAST(c.c2 AS DOUBLE) / CAST(t.n AS DOUBLE))
+                        * ln(CAST(c.c2 AS DOUBLE) / CAST(f.cc1 AS DOUBLE)), 6)
+                  AS DECIMAL(38,6)) AS term
+      FROM counts c
+      JOIN first f ON c.lang = f.lang AND substring(c.bg, 1, 1) = f.c1
+      JOIN tot t ON c.lang = t.lang
+    )
+    SELECT tm.lang,
+           CAST(count(*) AS BIGINT) AS n_bigrams_distinct,
+           CAST(any_value(t.n) AS BIGINT) AS n_bigrams_total,
+           round(CAST(sum(tm.term) AS DOUBLE), 6) AS entropy_nats
+    FROM terms tm JOIN tot t ON tm.lang = t.lang
+    GROUP BY tm.lang
+    """

@@ -5586,6 +5586,90 @@ def prof_gainlift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gains_lift(docs, "doc_id", "n_chars", _RATER_B_SPARK)
 
 
+from ..operators.funnel import oracle_srm_check
+from ..operators.graph import oracle_clustering_coefficients
+from ..operators.temporal import oracle_interarrival_stats, oracle_sla_report
+from ..operators.textops import oracle_char_entropy_rate
+
+
+@register(
+    "grf_clustering",
+    oracle_clustering_coefficients(_TRI_EDGES_SQL),
+    doc="local clustering coefficient histogram over the parts-in-same-"
+        "order graph: per-node triangle counts from degree-oriented wedge "
+        "enumeration, exact integer floor(cc*10) buckets, zero-triangle "
+        "nodes kept (operators/graph.py:clustering_coefficients)",
+)
+def grf_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import clustering_coefficients
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    return clustering_coefficients(edges)
+
+
+@register(
+    "evt_interarrival",
+    oracle_interarrival_stats("events"),
+    doc="inter-arrival gap moments per event type (mean/stddev/skew/"
+        "kurtosis/CV) — the Poisson-ness check that sizes streaming state: "
+        "exact integer-second gaps from one keyed lag window, DECIMAL(38,0) "
+        "power-sum moments (operators/temporal.py:interarrival_stats)",
+)
+def evt_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import interarrival_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_stats(ev)
+
+
+@register(
+    "tmp_sla",
+    oracle_sla_report("events"),
+    doc="availability/SLA report per event type: active hours over the "
+        "observed span, availability percentage, max silent gap — all "
+        "integer arithmetic from one keyed agg + one keyed lag window "
+        "(operators/temporal.py:sla_report)",
+)
+def tmp_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import sla_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return sla_report(ev)
+
+
+@register(
+    "evt_srm",
+    oracle_srm_check("events"),
+    doc="sample-ratio-mismatch guardrail: chi-square goodness-of-fit of "
+        "the observed user_id%2 split vs designed 50/50 — "
+        "(n_a-n_b)^2/(n_a+n_b) on exact integers, the validity check that "
+        "precedes every A/B readout (operators/funnel.py:srm_check)",
+)
+def evt_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import srm_check
+
+    ev = load_table(spark, sf_dir, "events")
+    return srm_check(ev)
+
+
+@register(
+    "txt_entropy_rate",
+    oracle_char_entropy_rate("documents"),
+    doc="character-bigram conditional entropy per language H(c2|c1) in "
+        "nats — the LM-free entropy-rate quality signal (low = template, "
+        "high = junk); exact bigram counts, 6dp-rounded ln terms summed "
+        "as DECIMAL(38,6) (operators/textops.py:char_entropy_rate)",
+)
+def txt_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import char_entropy_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy_rate(docs)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

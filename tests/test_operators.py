@@ -2842,3 +2842,91 @@ def test_gains_lift_hand(spark):
     assert out[2].pos_cum == 4 and out[2].capture == 1.0
     assert out[2].lift == 5.0
     assert out[10].n_cum == 20 and out[10].lift == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 15: clustering coeff, interarrival, SLA, SRM, entropy
+
+
+def test_clustering_coefficients_hand(spark):
+    from hadoop_2_7_1_spark.operators.graph import clustering_coefficients
+
+    # triangle 1-2-3 plus pendant path 3-4-5: nodes 1,2 have cc=1
+    # (bucket 10), node 3 deg=3 tri=1 -> cc=1/3 (bucket 3), node 4 deg=2
+    # tri=0 (bucket 0), node 5 deg=1 excluded
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    out = {r.cc_bucket: r.n_nodes for r in clustering_coefficients(edges).collect()}
+    assert out == {10: 2, 3: 1, 0: 1}
+
+
+def test_interarrival_stats_hand(spark):
+    from hadoop_2_7_1_spark.operators.temporal import interarrival_stats
+
+    # constant 60s gaps -> mean 60, stddev 0, cv NULL-safe 0... stddev=0
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a") for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string"
+    ).selectExpr("event_id", "cast(ts_s as timestamp) as ts", "event_type")
+    r = interarrival_stats(ev).collect()[0]
+    assert r.n == 9 and r.mean_val == 60.0 and r.stddev == 0.0
+    assert r.cv == 0.0
+
+
+def test_sla_report_hand(spark):
+    from hadoop_2_7_1_spark.operators.temporal import sla_report
+
+    # events in hours 0,1,3 of a 4-hour span -> 3/4 = 75% availability;
+    # max gap = 02:00->03:30 is 2h10m = 7800s... use exact minutes
+    rows = [
+        (1, "2024-01-01 00:10:00", "a"),
+        (2, "2024-01-01 01:20:00", "a"),
+        (3, "2024-01-01 03:30:00", "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string"
+    ).selectExpr("event_id", "cast(ts_s as timestamp) as ts", "event_type")
+    r = sla_report(ev).collect()[0]
+    assert r.span_hours == 4 and r.active_hours == 3
+    assert r.availability_pct == 75.0
+    assert r.max_gap_s == 2 * 3600 + 10 * 60
+
+
+def test_srm_check_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import srm_check
+
+    # balanced split -> chi2 0; badly skewed 90/10 split -> detected
+    ok = spark.createDataFrame([(u, "x") for u in range(10)], "user_id long, event_type string")
+    r = srm_check(ok).collect()[0]
+    assert r.n_a == 5 and r.n_b == 5 and r.chi2 == 0.0 and r.srm_detected is False
+    bad = spark.createDataFrame(
+        [(2 * u, "x") for u in range(90)] + [(2 * u + 1, "x") for u in range(10)],
+        "user_id long, event_type string",
+    )
+    r2 = srm_check(bad).collect()[0]
+    assert r2.n_a == 90 and r2.chi2 == 64.0 and r2.srm_detected is True
+
+
+def test_char_entropy_rate_hand(spark):
+    from hadoop_2_7_1_spark.operators.textops import char_entropy_rate
+
+    import math
+
+    # 'ababab...' -> next char fully determined -> entropy 0
+    # 'aabb aabb' style with branching -> entropy > 0
+    docs = spark.createDataFrame(
+        [("det", "ababababab"), ("mix", "aabbaabbab")],
+        "lang string, text string",
+    )
+    out = {r.lang: r for r in char_entropy_rate(docs).collect()}
+    assert out["det"].entropy_nats == 0.0
+    assert out["det"].n_bigrams_total == 9
+    assert out["mix"].entropy_nats > 0.3
+    # upper bound: ln(alphabet size)
+    assert out["mix"].entropy_nats < math.log(4) + 1e-9
+    # single-char doc contributes no bigrams and no crash
+    tiny = spark.createDataFrame([("t", "x")], "lang string, text string")
+    assert char_entropy_rate(tiny).collect() == []
