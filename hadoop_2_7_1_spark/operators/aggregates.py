@@ -788,3 +788,101 @@ def oracle_group_moments(table: str, group_col: str, int_expr: str) -> str:
            END AS kurtosis_excess
     FROM agg
     """
+
+
+def iqr_outliers(df: DataFrame, group_col: str, int_col: str) -> DataFrame:
+    """Tukey-fence outlier counts per group: q1/q3 by the same
+    nearest-rank selection as :func:`group_quantiles` (value at
+    row_number ceil(q·n) — exact, engine-replayable), fences at
+    q1 − 1.5·IQR and q3 + 1.5·IQR, then one conditional re-aggregation
+    counting rows outside. The standard pre-training data-quality gate
+    for numeric columns.
+
+    Quantile values are exact integers, so the fence doubles are
+    bit-identical in every engine. Two passes over the group (rank
+    window + count), fences broadcast at group-count scale.
+    Output: (group, n, q1, q3, lo_fence, hi_fence, n_outliers).
+    """
+    w = Window.partitionBy("grp").orderBy("v")
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(int_col).cast("bigint").alias("v")
+    )
+    ranked = base.select(
+        "grp",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+    )
+    q = ranked.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(0.25) * F.col("n")), F.col("v")))
+        .cast("bigint")
+        .alias("q1"),
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(0.75) * F.col("n")), F.col("v")))
+        .cast("bigint")
+        .alias("q3"),
+    )
+    fences = q.select(
+        "grp",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1").cast("double") - F.lit(1.5) * (F.col("q3") - F.col("q1")).cast("double"))
+        .alias("lo_fence"),
+        (F.col("q3").cast("double") + F.lit(1.5) * (F.col("q3") - F.col("q1")).cast("double"))
+        .alias("hi_fence"),
+    )
+    out = (
+        base.join(F.broadcast(fences), "grp")
+        .filter(
+            (F.col("v").cast("double") < F.col("lo_fence"))
+            | (F.col("v").cast("double") > F.col("hi_fence"))
+        )
+        .groupBy("grp")
+        .agg(F.count("*").cast("bigint").alias("n_outliers"))
+    )
+    return fences.join(out, "grp", "left").select(
+        F.col("grp").alias(group_col),
+        "n",
+        "q1",
+        "q3",
+        F.round(F.col("lo_fence"), 6).alias("lo_fence"),
+        F.round(F.col("hi_fence"), 6).alias("hi_fence"),
+        F.coalesce(F.col("n_outliers"), F.lit(0)).cast("bigint").alias("n_outliers"),
+    )
+
+
+def oracle_iqr_outliers(table: str, group_col: str, int_expr: str) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS grp, CAST({int_expr} AS BIGINT) AS v FROM {table}
+    ),
+    ranked AS (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM base
+    ),
+    q AS (
+      SELECT grp, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(CASE WHEN rn = ceil(0.25 * n) THEN v END) AS BIGINT) AS q1,
+             CAST(max(CASE WHEN rn = ceil(0.75 * n) THEN v END) AS BIGINT) AS q3
+      FROM ranked GROUP BY grp
+    ),
+    fences AS (
+      SELECT grp, n, q1, q3,
+             CAST(q1 AS DOUBLE) - 1.5 * CAST(q3 - q1 AS DOUBLE) AS lo_fence,
+             CAST(q3 AS DOUBLE) + 1.5 * CAST(q3 - q1 AS DOUBLE) AS hi_fence
+      FROM q
+    ),
+    outs AS (
+      SELECT b.grp, CAST(count(*) AS BIGINT) AS n_outliers
+      FROM base b JOIN fences f ON b.grp = f.grp
+      WHERE CAST(b.v AS DOUBLE) < f.lo_fence OR CAST(b.v AS DOUBLE) > f.hi_fence
+      GROUP BY b.grp
+    )
+    SELECT f.grp AS {group_col}, f.n, f.q1, f.q3,
+           round(f.lo_fence, 6) AS lo_fence, round(f.hi_fence, 6) AS hi_fence,
+           CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+    FROM fences f LEFT JOIN outs o ON f.grp = o.grp
+    """

@@ -1705,3 +1705,70 @@ def oracle_srm_check(table: str, user_col: str = "user_id") -> str:
                  / CAST(n_a + n_b AS DOUBLE), 6) > 3.841459 AS srm_detected
     FROM cells
     """
+
+
+def stickiness(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the canonical product-
+    engagement ratio: average daily active users over monthly active
+    users (1.0 = everyone active every day).
+
+    Two distinct-count aggregates (day-keyed and month-keyed) and one
+    month-frame join; every ratio is one division of exact BIGINTs.
+    Output: (month, n_days, mau, avg_dau, stickiness).
+    """
+    base = events.select(
+        F.col(user_col).alias("uid"),
+        F.expr(f"date_trunc('day', {ts_col})").alias("d"),
+        F.expr(f"date_trunc('month', {ts_col})").alias("m"),
+    )
+    dau = base.groupBy("m", "d").agg(F.countDistinct("uid").cast("bigint").alias("dau"))
+    per_month = dau.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    mau = base.groupBy("m").agg(F.countDistinct("uid").cast("bigint").alias("mau"))
+    return (
+        per_month.join(mau, "m")
+        .select(
+            F.col("m").alias("month"),
+            "n_days",
+            "mau",
+            F.round(F.col("dau_sum").cast("double") / F.col("n_days").cast("double"), 6)
+            .alias("avg_dau"),
+            F.round(
+                F.col("dau_sum").cast("double")
+                / F.col("n_days").cast("double")
+                / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+def oracle_stickiness(
+    table: str, user_col: str = "user_id", ts_col: str = "ts"
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {user_col} AS uid, date_trunc('day', {ts_col}) AS d,
+             date_trunc('month', {ts_col}) AS m
+      FROM {table}
+    ),
+    dau AS (
+      SELECT m, d, CAST(count(DISTINCT uid) AS BIGINT) AS dau
+      FROM base GROUP BY 1, 2
+    ),
+    per_month AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dau) AS BIGINT) AS dau_sum
+      FROM dau GROUP BY m
+    ),
+    mau AS (SELECT m, CAST(count(DISTINCT uid) AS BIGINT) AS mau FROM base GROUP BY m)
+    SELECT p.m AS month, p.n_days, u.mau,
+           round(CAST(p.dau_sum AS DOUBLE) / CAST(p.n_days AS DOUBLE), 6) AS avg_dau,
+           round(CAST(p.dau_sum AS DOUBLE) / CAST(p.n_days AS DOUBLE)
+                 / CAST(u.mau AS DOUBLE), 6) AS stickiness
+    FROM per_month p JOIN mau u ON p.m = u.m
+    """

@@ -2130,3 +2130,82 @@ def oracle_rrf_fusion(
     FROM ranked
     WHERE rank_cos <= {k} OR rank_l2 <= {k}
     """
+
+
+def label_centroid_drift(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-slice embedding drift: cosine between each label's centroid
+    and the global centroid — the slice-skew detector (a label whose
+    centroid points away from the corpus is a distribution shift or a
+    labeling bug). Cosine is scale-invariant, so it runs directly on the
+    component SUM vectors, never materializing means.
+
+    Determinism: components quantize to exact BIGINTs (×1e9) at the
+    scan, per-(label, dim) sums are exact, and the dot/norm accumulations
+    run as exact DECIMAL(38,0) over dim-frame rows — the final cosine is
+    one fixed double chain. The dim frame is labels × dims (metadata
+    scale). Output: (label, n_vecs, cos_to_global).
+    """
+    comp = emb.select(
+        F.col(label_col).alias("lbl"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select("lbl", "id", "pos", F.expr("cast(round(x * 1e9) as bigint)").alias("xq"))
+    per_label = comp.groupBy("lbl", "pos").agg(F.sum("xq").cast("bigint").alias("sv"))
+    global_ = per_label.groupBy("pos").agg(F.sum("sv").cast("bigint").alias("gv"))
+    nvec = emb.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    j = per_label.join(global_, "pos")
+    dots = j.groupBy("lbl").agg(
+        F.sum(F.col("sv").cast("decimal(38,0)") * F.col("gv")).alias("dot"),
+        F.sum(F.col("sv").cast("decimal(38,0)") * F.col("sv")).alias("na"),
+    )
+    nb = global_.agg(
+        F.sum(F.col("gv").cast("decimal(38,0)") * F.col("gv")).alias("nb")
+    )
+    return (
+        dots.join(F.broadcast(nb), how="cross")
+        .join(nvec, "lbl")
+        .select(
+            F.col("lbl").alias(label_col),
+            "n_vecs",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                6,
+            ).alias("cos_to_global"),
+        )
+    )
+
+
+def oracle_label_centroid_drift(table: str, label_col: str = "label") -> str:
+    return f"""
+    WITH comp AS (
+      SELECT {label_col} AS lbl, vec_id AS id, u.pos,
+             CAST(round(embedding[u.pos] * 1e9) AS BIGINT) AS xq
+      FROM {table}, UNNEST(range(1, len(embedding) + 1)) u(pos)
+    ),
+    per_label AS (
+      SELECT lbl, pos, CAST(sum(xq) AS BIGINT) AS sv FROM comp GROUP BY 1, 2
+    ),
+    gtot AS (SELECT pos, CAST(sum(sv) AS BIGINT) AS gv FROM per_label GROUP BY pos),
+    nvec AS (SELECT {label_col} AS lbl, CAST(count(*) AS BIGINT) AS n_vecs
+             FROM {table} GROUP BY 1),
+    dots AS (
+      SELECT p.lbl,
+             sum(CAST(p.sv AS DECIMAL(38,0)) * g.gv) AS dot,
+             sum(CAST(p.sv AS DECIMAL(38,0)) * p.sv) AS na
+      FROM per_label p JOIN gtot g ON p.pos = g.pos GROUP BY p.lbl
+    ),
+    nb AS (SELECT sum(CAST(gv AS DECIMAL(38,0)) * gv) AS nb FROM gtot)
+    SELECT d.lbl AS {label_col}, v.n_vecs,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(d.na AS DOUBLE)) * sqrt(CAST(nb.nb AS DOUBLE))), 6)
+             AS cos_to_global
+    FROM dots d JOIN nvec v ON d.lbl = v.lbl, nb
+    """

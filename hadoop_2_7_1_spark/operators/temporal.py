@@ -1207,3 +1207,87 @@ def oracle_sla_report(
            CAST(coalesce(m.max_gap_s, 0) AS BIGINT) AS max_gap_s
     FROM per_key p LEFT JOIN mg m ON p.k = m.k
     """
+
+
+def theil_sen_hourly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes of the
+    hourly bucket-sum series per key — the outlier-immune alternative to
+    the OLS trend (one corrupt hour cannot move it).
+
+    Scale shape: the pair join runs on the BUCKET frame (calendar scale —
+    B² pairs where B is hours in the span, bounded regardless of event
+    volume). Each slope is ONE division of exact cents/seconds integers
+    rounded to 6dp; the median is nearest-rank selection over a keyed
+    window on the pair frame. Output: (key, n_pairs, slope_cents_per_hour).
+    """
+    hourly = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"cast(date_trunc('hour', {ts_col}) as bigint) div 3600").alias("t"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    a = hourly.select("k", F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = hourly.select("k", F.col("t").alias("t2"), F.col("y").alias("y2"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("t1") < F.col("t2"))
+        .select(
+            "k",
+            F.round(
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("t2") - F.col("t1")).cast("double"),
+                6,
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("slope")
+    ranked = pairs.select(
+        "k",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("k")).alias("np"),
+    )
+    return ranked.groupBy("k").agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        F.max(F.when(F.col("rn") == F.expr("(np + 1) div 2"), F.col("slope"))).alias(
+            "slope_cents_per_hour"
+        ),
+    ).select(F.col("k").alias(key_col), "n_pairs", "slope_cents_per_hour")
+
+
+def oracle_theil_sen_hourly(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 AS t,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM {table} GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.k,
+             round(CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE), 6) AS slope
+      FROM hourly a JOIN hourly b ON a.k = b.k AND a.t < b.t
+    ),
+    ranked AS (
+      SELECT k, slope,
+             row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY k) AS np
+      FROM pairs
+    )
+    SELECT k AS {key_col}, CAST(max(np) AS BIGINT) AS n_pairs,
+           max(CASE WHEN rn = (np + 1) // 2 THEN slope END) AS slope_cents_per_hour
+    FROM ranked GROUP BY k
+    """

@@ -2585,3 +2585,85 @@ def oracle_char_entropy_rate(
     FROM terms tm JOIN tot t ON tm.lang = t.lang
     GROUP BY tm.lang
     """
+
+
+def lexical_diversity(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-language lexical diversity rollup: mean type-token ratio,
+    root-TTR (Guiraud), and Maas a² = (ln n − ln t)/(ln n)² over
+    documents — the vocabulary-richness quality band (templated text
+    scores low TTR, keyword-stuffed spam scores anomalously high).
+
+    Per-doc type/token counts are ONE exact groupBy over the subtoken
+    explosion; each per-doc metric is a fixed-order double rounded to
+    6dp, then the per-lang means accumulate as DECIMAL(38,6) (order-free,
+    exact). Docs with fewer than 2 tokens are excluded identically in
+    both engines (ln 1 = 0 denominators). Output: (lang, n_docs,
+    mean_ttr, mean_root_ttr, mean_maas).
+    """
+    toks = df.select(
+        F.col(lang_col).alias("lang"),
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '{sql_regex(SUBTOKEN_RE)}', 0)")
+        ).alias("tok"),
+    )
+    per_doc = toks.groupBy("lang", "id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("tok").cast("bigint").alias("t"),
+    ).filter(F.col("n") >= 2)
+    metrics = per_doc.select(
+        "lang",
+        F.expr("cast(round(cast(t as double) / cast(n as double), 6) as decimal(38,6))")
+        .alias("ttr"),
+        F.expr("cast(round(cast(t as double) / sqrt(cast(n as double)), 6) as decimal(38,6))")
+        .alias("rttr"),
+        F.expr(
+            "cast(round((ln(cast(n as double)) - ln(cast(t as double)))"
+            " / (ln(cast(n as double)) * ln(cast(n as double))), 6) as decimal(38,6))"
+        ).alias("maas"),
+    )
+    return metrics.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.sum("ttr").cast("double") / F.count("*").cast("double"), 6).alias(
+            "mean_ttr"
+        ),
+        F.round(F.sum("rttr").cast("double") / F.count("*").cast("double"), 6).alias(
+            "mean_root_ttr"
+        ),
+        F.round(F.sum("maas").cast("double") / F.count("*").cast("double"), 6).alias(
+            "mean_maas"
+        ),
+    )
+
+
+def oracle_lexical_diversity(
+    table: str, lang_col: str = "lang", text_col: str = "text"
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT {lang_col} AS lang, doc_id AS id,
+             unnest(regexp_extract_all({text_col}, '{SUBTOKEN_RE}')) AS tok
+      FROM {table}
+    ),
+    per_doc AS (
+      SELECT lang, id, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT tok) AS BIGINT) AS t
+      FROM toks GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    metrics AS (
+      SELECT lang,
+             CAST(round(CAST(t AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DECIMAL(38,6)) AS ttr,
+             CAST(round(CAST(t AS DOUBLE) / sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(38,6)) AS rttr,
+             CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(t AS DOUBLE)))
+                        / (ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))), 6)
+                  AS DECIMAL(38,6)) AS maas
+      FROM per_doc
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(ttr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_ttr,
+           round(CAST(sum(rttr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_root_ttr,
+           round(CAST(sum(maas) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_maas
+    FROM metrics GROUP BY lang
+    """

@@ -5670,6 +5670,93 @@ def txt_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_rate(docs)
 
 
+from ..operators.aggregates import oracle_iqr_outliers
+from ..operators.funnel import oracle_stickiness
+from ..operators.similarity import oracle_label_centroid_drift
+from ..operators.temporal import oracle_theil_sen_hourly
+from ..operators.textops import oracle_lexical_diversity
+
+
+@register(
+    "txt_lexical_diversity",
+    oracle_lexical_diversity("documents"),
+    doc="per-language lexical diversity: mean TTR, root-TTR (Guiraud), "
+        "Maas a^2 over docs — vocabulary-richness quality band; exact "
+        "type/token counts, 6dp per-doc metrics summed as DECIMAL(38,6) "
+        "(operators/textops.py:lexical_diversity)",
+)
+def txt_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import lexical_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_diversity(docs)
+
+
+@register(
+    "prof_outlier_iqr",
+    oracle_iqr_outliers(
+        "lineitem", "l_returnflag", "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    ),
+    doc="Tukey-fence outlier counts per group: nearest-rank q1/q3 (the "
+        "group_quantiles selection), 1.5*IQR fences on exact integer "
+        "quantiles, one conditional recount "
+        "(operators/aggregates.py:iqr_outliers)",
+)
+def prof_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import iqr_outliers
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+    )
+    return iqr_outliers(li, "l_returnflag", "cents")
+
+
+@register(
+    "tmp_theil_sen",
+    oracle_theil_sen_hourly("events"),
+    doc="Theil-Sen robust trend per event type: median of all pairwise "
+        "hourly-bucket slopes — outlier-immune trend on the calendar-"
+        "scale bucket frame (B^2 pairs bounded by span, not volume), "
+        "nearest-rank median of 6dp slopes "
+        "(operators/temporal.py:theil_sen_hourly)",
+)
+def tmp_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import theil_sen_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_hourly(ev)
+
+
+@register(
+    "evt_stickiness",
+    oracle_stickiness("events"),
+    doc="DAU/MAU stickiness per calendar month — avg daily actives over "
+        "monthly actives, two distinct-count aggregates + month-frame "
+        "join, exact integer ratios (operators/funnel.py:stickiness)",
+)
+def evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import stickiness
+
+    ev = load_table(spark, sf_dir, "events")
+    return stickiness(ev)
+
+
+@register(
+    "sim_centroid_drift",
+    oracle_label_centroid_drift("embeddings"),
+    doc="per-label embedding centroid drift: cosine of each label "
+        "centroid to the global centroid on exact 1e9-quantized component "
+        "sums (scale-invariant, so sums suffice) — the slice-skew "
+        "detector (operators/similarity.py:label_centroid_drift)",
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_drift(emb)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

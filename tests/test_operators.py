@@ -2930,3 +2930,93 @@ def test_char_entropy_rate_hand(spark):
     # single-char doc contributes no bigrams and no crash
     tiny = spark.createDataFrame([("t", "x")], "lang string, text string")
     assert char_entropy_rate(tiny).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 16: lexical diversity, IQR, Theil-Sen, stickiness,
+# centroid drift
+
+
+def test_lexical_diversity_hand(spark):
+    from hadoop_2_7_1_spark.operators.textops import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rich", "alpha beta gamma delta"),       # TTR 1.0
+            (2, "poor", "spam spam spam spam"),          # TTR 0.25
+            (3, "tiny", "x"),                            # excluded (n < 2)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in lexical_diversity(docs).collect()}
+    assert out["rich"].mean_ttr == 1.0 and out["rich"].mean_maas == 0.0
+    assert out["poor"].mean_ttr == 0.25 and out["poor"].mean_maas > 0.5
+    assert "tiny" not in out
+
+
+def test_iqr_outliers_hand(spark):
+    from hadoop_2_7_1_spark.operators.aggregates import iqr_outliers
+
+    # 11 tight values + one far outlier
+    vals = list(range(100, 111)) + [10_000]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v int")
+    r = iqr_outliers(df, "grp", "v").collect()[0]
+    assert r.n == 12
+    assert r.q1 == 102 and r.q3 == 108  # ceil(.25*12)=3rd, ceil(.75*12)=9th
+    assert r.n_outliers == 1
+    # uniform data -> zero outliers
+    u = spark.createDataFrame([("g", v) for v in range(20)], "grp string, v int")
+    assert iqr_outliers(u, "grp", "v").collect()[0].n_outliers == 0
+
+
+def test_theil_sen_hand(spark):
+    from hadoop_2_7_1_spark.operators.temporal import theil_sen_hourly
+
+    # clean +100 cents/hour trend with one corrupted hour: Theil-Sen
+    # stays at 100, OLS would not
+    rows = []
+    for h in range(10):
+        v = 1.0 * (h + 1) if h != 5 else 500.0
+        rows.append(("a", f"2024-01-01 {h:02d}:00:00", v))
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    r = theil_sen_hourly(ev).collect()[0]
+    assert r.n_pairs == 45
+    assert r.slope_cents_per_hour == 100.0
+
+
+def test_stickiness_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import stickiness
+
+    # 2 days; user 1 active both days, user 2 only day 1 ->
+    # dau = [2, 1], mau = 2, stickiness = 1.5/2
+    rows = [
+        (1, "2024-03-01 10:00:00"),
+        (2, "2024-03-01 11:00:00"),
+        (1, "2024-03-02 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").selectExpr(
+        "user_id", "cast(ts_s as timestamp) as ts"
+    )
+    r = stickiness(ev).collect()[0]
+    assert r.n_days == 2 and r.mau == 2
+    assert r.avg_dau == 1.5 and r.stickiness == 0.75
+
+
+def test_label_centroid_drift_hand(spark):
+    from hadoop_2_7_1_spark.operators.similarity import label_centroid_drift
+
+    # label 0 along +e0, label 1 along +e1: global centroid is diagonal,
+    # both labels sit at cos 1/sqrt(2) from it
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1), (3, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in label_centroid_drift(emb).collect()}
+    import math
+
+    want = round(1 / math.sqrt(2), 6)
+    assert out[0].n_vecs == 2 and abs(out[0].cos_to_global - want) < 2e-6
+    assert abs(out[1].cos_to_global - want) < 2e-6
