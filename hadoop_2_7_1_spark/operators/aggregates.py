@@ -886,3 +886,48 @@ def oracle_iqr_outliers(table: str, group_col: str, int_expr: str) -> str:
            CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
     FROM fences f LEFT JOIN outs o ON f.grp = o.grp
     """
+
+
+def group_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact per-group modal value with a deterministic tie-break (max
+    count, then MIN value) — the categorical-imputation primitive that
+    Spark's ``mode()`` leaves tie-ambiguous.
+
+    Two keyed aggregations: value-frequency count, then a max_by over
+    the (count, reversed-value) struct — no window, no sort. The second
+    agg's input is one row per distinct (group, value).
+    Output: (group, mode_value, mode_count).
+    """
+    freq = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("string").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    # max_by on (c, v-desc) picks highest count, lowest value on ties;
+    # expressed via min over a struct sort: use max of struct(c, neg) is
+    # awkward for strings — use two-stage: per-group max count, then min
+    # value among values at that count.
+    mx = freq.groupBy("grp").agg(F.max("c").cast("bigint").alias("mc"))
+    return (
+        freq.join(mx, "grp")
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("grp")
+        .agg(
+            F.min("v").alias("mode_value"),
+            F.max("mc").cast("bigint").alias("mode_count"),
+        )
+        .select(F.col("grp").alias(group_col), "mode_value", "mode_count")
+    )
+
+
+def oracle_group_mode(table: str, group_col: str, value_expr: str) -> str:
+    return f"""
+    WITH freq AS (
+      SELECT {group_col} AS grp, CAST({value_expr} AS VARCHAR) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1, 2
+    ),
+    mx AS (SELECT grp, CAST(max(c) AS BIGINT) AS mc FROM freq GROUP BY grp)
+    SELECT f.grp AS {group_col}, min(f.v) AS mode_value,
+           CAST(max(m.mc) AS BIGINT) AS mode_count
+    FROM freq f JOIN mx m ON f.grp = m.grp AND f.c = m.mc
+    GROUP BY f.grp
+    """

@@ -1772,3 +1772,97 @@ def oracle_stickiness(
                  / CAST(u.mau AS DOUBLE), 6) AS stickiness
     FROM per_month p JOIN mau u ON p.m = u.m
     """
+
+
+def bot_flags(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    burst_threshold: int = 5,
+    rapid_ms: int = 1000,
+) -> DataFrame:
+    """Bot/abuse screening per user: peak events-per-minute and the count
+    of sub-second consecutive gaps — the two superhuman-rate signals a
+    curation pipeline uses to drop automated traffic before computing
+    engagement metrics.
+
+    One minute-bucket keyed aggregate for the burst peak; one user-keyed
+    lag window (total (ts, id) order) for rapid-fire gaps; both exact
+    integers, the flag is an integer-threshold OR.
+    Output: (user_id, n_events, peak_per_minute, n_rapid, is_bot).
+    """
+    base = events.select(
+        F.col(user_col).alias("uid"),
+        F.expr(f"cast(unix_millis({ts_col}) as bigint)").alias("tms"),
+        F.col(id_col).alias("eid"),
+    )
+    per_min = (
+        base.withColumn("minute", F.expr("tms div 60000"))
+        .groupBy("uid", "minute")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("uid")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.max("c").cast("bigint").alias("peak_per_minute"),
+        )
+    )
+    w = Window.partitionBy("uid").orderBy("tms", "eid")
+    rapid = (
+        base.select("uid", (F.col("tms") - F.lag("tms").over(w)).alias("gap_ms"))
+        .filter(F.col("gap_ms").isNotNull() & (F.col("gap_ms") < rapid_ms))
+        .groupBy("uid")
+        .agg(F.count("*").cast("bigint").alias("n_rapid"))
+    )
+    return (
+        per_min.join(rapid, "uid", "left")
+        .select(
+            F.col("uid").alias(user_col),
+            "n_events",
+            "peak_per_minute",
+            F.coalesce(F.col("n_rapid"), F.lit(0)).cast("bigint").alias("n_rapid"),
+            (
+                (F.col("peak_per_minute") >= burst_threshold)
+                | (F.coalesce(F.col("n_rapid"), F.lit(0)) > 0)
+            ).alias("is_bot"),
+        )
+    )
+
+
+def oracle_bot_flags(
+    table: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    burst_threshold: int = 5,
+    rapid_ms: int = 1000,
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {user_col} AS uid,
+             CAST(floor(epoch_ms(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) AS tms,
+             {id_col} AS eid
+      FROM {table}
+    ),
+    per_min AS (
+      SELECT uid, CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(max(c) AS BIGINT) AS peak_per_minute
+      FROM (
+        SELECT uid, tms // 60000 AS minute, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2
+      ) GROUP BY uid
+    ),
+    rapid AS (
+      SELECT uid, CAST(count(*) AS BIGINT) AS n_rapid
+      FROM (
+        SELECT uid, tms - lag(tms) OVER (PARTITION BY uid ORDER BY tms, eid) AS gap_ms
+        FROM base
+      ) WHERE gap_ms IS NOT NULL AND gap_ms < {rapid_ms}
+      GROUP BY uid
+    )
+    SELECT p.uid AS {user_col}, p.n_events, p.peak_per_minute,
+           CAST(coalesce(r.n_rapid, 0) AS BIGINT) AS n_rapid,
+           (p.peak_per_minute >= {burst_threshold}
+            OR coalesce(r.n_rapid, 0) > 0) AS is_bot
+    FROM per_min p LEFT JOIN rapid r ON p.uid = r.uid
+    """

@@ -2209,3 +2209,112 @@ def oracle_label_centroid_drift(table: str, label_col: str = "label") -> str:
              AS cos_to_global
     FROM dots d JOIN nvec v ON d.lbl = v.lbl, nb
     """
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 5,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection: start
+    from the deterministic anchor (lowest id in the pool), then each
+    round add the point whose distance to the CLOSEST already-selected
+    center is largest — the classic 2-approximation cover, used to pick
+    maximally-spread eval/calibration sets from an embedding corpus.
+
+    Same scale scaffold as :func:`mmr_topk`: a deterministic ``pool``-row
+    shortlist (lowest ids — the fixture convention, keeps the oracle
+    exact) pinned with localCheckpoint; each round one broadcast 1-row
+    selected-set array crossJoin and a JVM array_min over higher-order
+    squared-L2 distances, rounded to 6dp before every argmax (ties break
+    by vec_id). Output: (rnk, vec_id, min_dist_to_prior).
+    """
+    shortlist = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .orderBy(F.asc("vec_id"))
+        .limit(pool)
+        .localCheckpoint()
+    )
+    d2 = L2.format(a="vec", b="s_.vec")
+    md_expr = f"array_min(transform(sels, s_ -> round({d2}, 6)))"
+    first = (
+        shortlist.orderBy(F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            "vec",
+            F.lit(None).cast("double").alias("md"),
+            F.lit(1).cast("int").alias("rnk"),
+        )
+    )
+    winners = [first]
+    sel = first.select("vec_id", "vec")
+    for r in range(2, k + 1):
+        sel_arr = sel.agg(
+            F.collect_list(F.struct(F.col("vec_id").alias("sid"), F.col("vec"))).alias("sels")
+        )
+        win = (
+            shortlist.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(sel_arr))
+            .withColumn("md", F.expr(md_expr))
+            .drop("sels")
+            .orderBy(F.desc("md"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "vec", "md", F.lit(r).cast("int").alias("rnk"))
+        )
+        winners.append(win)
+        sel = sel.unionByName(win.select("vec_id", "vec"))
+    out = winners[0]
+    for w_df in winners[1:]:
+        out = out.unionByName(w_df)
+    return out.select(
+        "rnk",
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("md").alias("min_dist_to_prior"),
+    )
+
+
+def oracle_kcenter_select(table: str, k: int = 5, pool: int = 50) -> str:
+    d2 = ORACLE_L2.format(a="p.embedding", b="s.embedding")
+    ctes = [
+        f"""pool AS MATERIALIZED (
+      SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {pool}
+    )""",
+        """s1 AS (
+      SELECT vec_id, embedding, CAST(NULL AS DOUBLE) AS md, 1 AS rnk
+      FROM pool ORDER BY vec_id LIMIT 1
+    )""",
+        "selu1 AS (SELECT vec_id, embedding FROM s1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""sc{r} AS (
+      SELECT p.vec_id, min(round(CAST({d2} AS DOUBLE), 6)) AS md
+      FROM pool p, selu{r - 1} s
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM selu{r - 1})
+      GROUP BY p.vec_id
+    )"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+      SELECT c.vec_id, p2.embedding, c.md, {r} AS rnk
+      FROM sc{r} c JOIN pool p2 ON p2.vec_id = c.vec_id
+      ORDER BY c.md DESC, c.vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"selu{r} AS (SELECT vec_id, embedding FROM selu{r - 1} "
+            f"UNION ALL SELECT vec_id, embedding FROM s{r})"
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT rnk, vec_id, md FROM s{r}" for r in range(1, k + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(rnk AS INT) AS rnk, CAST(vec_id AS BIGINT) AS vec_id,
+           md AS min_dist_to_prior
+    FROM ({union})
+    """

@@ -2667,3 +2667,87 @@ def oracle_lexical_diversity(
            round(CAST(sum(maas) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_maas
     FROM metrics GROUP BY lang
     """
+
+
+def boilerplate_prefixes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    prefix_tokens: int = 3,
+    min_share_pct: int = 2,
+) -> DataFrame:
+    """Boilerplate-prefix mining per source: the token prefixes that open
+    a disproportionate share of a source's documents — the
+    header/template detector behind boilerplate stripping (a crawler
+    banner or license header shows up as one prefix covering most of a
+    source).
+
+    One (source, prefix) wordcount shuffle over JVM slice/concat
+    expressions; the share gate is EXACT integer arithmetic
+    (count·100 ≥ pct·n_docs — no float thresholds); per-source ranking
+    is a keyed window over the surviving candidates only.
+    Output: (source, prefix, n_docs_with, n_docs, share_pct, rnk).
+    """
+    pre = df.select(
+        F.col(group_col).alias("src"),
+        F.expr(
+            f"array_join(slice(split(trim({text_col}), '{WS_SQL}'), 1, {prefix_tokens}), ' ')"
+        ).alias("prefix"),
+    )
+    totals = pre.groupBy("src").agg(F.count("*").cast("bigint").alias("n_docs"))
+    counts = pre.groupBy("src", "prefix").agg(
+        F.count("*").cast("bigint").alias("n_with")
+    )
+    cand = counts.join(F.broadcast(totals), "src").filter(
+        F.col("n_with") * 100 >= F.lit(min_share_pct) * F.col("n_docs")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_with"), F.asc("prefix"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("src").alias(group_col),
+            "prefix",
+            F.col("n_with").alias("n_docs_with"),
+            "n_docs",
+            F.round(
+                F.col("n_with").cast("double") / F.col("n_docs").cast("double") * 100.0, 6
+            ).alias("share_pct"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def oracle_boilerplate_prefixes(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    prefix_tokens: int = 3,
+    min_share_pct: int = 2,
+) -> str:
+    return f"""
+    WITH pre AS (
+      SELECT {group_col} AS src,
+             array_to_string(regexp_split_to_array(trim({text_col}), '{WS}')
+                             [1:{prefix_tokens}], ' ') AS prefix
+      FROM {table}
+    ),
+    totals AS (SELECT src, CAST(count(*) AS BIGINT) AS n_docs FROM pre GROUP BY src),
+    counts AS (
+      SELECT src, prefix, CAST(count(*) AS BIGINT) AS n_with
+      FROM pre GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT c.src, c.prefix, c.n_with, t.n_docs
+      FROM counts c JOIN totals t ON c.src = t.src
+      WHERE c.n_with * 100 >= {min_share_pct} * t.n_docs
+    )
+    SELECT src AS {group_col}, prefix, n_with AS n_docs_with, n_docs,
+           round(CAST(n_with AS DOUBLE) / CAST(n_docs AS DOUBLE) * 100.0, 6)
+             AS share_pct,
+           CAST(row_number() OVER (PARTITION BY src ORDER BY n_with DESC, prefix)
+                AS INT) AS rnk
+    FROM cand QUALIFY rnk <= 3
+    """

@@ -5757,6 +5757,75 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_drift(emb)
 
 
+from ..operators.aggregates import oracle_group_mode
+from ..operators.funnel import oracle_bot_flags
+from ..operators.similarity import oracle_kcenter_select
+from ..operators.textops import oracle_boilerplate_prefixes
+
+
+@register(
+    "sim_kcenter",
+    oracle_kcenter_select("embeddings", k=5, pool=50),
+    doc="greedy k-center (farthest-point-first) coreset selection: "
+        "maximally-spread 5 representatives from a deterministic 50-row "
+        "pool — broadcast selected-set rounds, array_min over JVM L2 "
+        "distances, 6dp rounding before every argmax; oracle replays the "
+        "greedy trajectory as chained CTEs "
+        "(operators/similarity.py:kcenter_select)",
+)
+def sim_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kcenter_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=5, pool=50)
+
+
+@register(
+    "agg_group_mode",
+    oracle_group_mode("orders", "o_orderstatus", "o_orderpriority"),
+    doc="exact per-group modal value with deterministic tie-break (max "
+        "count then min value) — the categorical-imputation primitive "
+        "Spark's mode() leaves tie-ambiguous; two keyed aggregations, no "
+        "window (operators/aggregates.py:group_mode)",
+)
+def agg_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import group_mode
+
+    orders = load_table(spark, sf_dir, "orders")
+    return group_mode(orders, "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "txt_boilerplate",
+    oracle_boilerplate_prefixes("documents"),
+    doc="boilerplate-prefix mining: top token prefixes opening a "
+        "disproportionate share of each source's docs (header/template "
+        "detector) — one (source, prefix) shuffle, exact integer share "
+        "gate, keyed rank window over survivors "
+        "(operators/textops.py:boilerplate_prefixes)",
+)
+def txt_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import boilerplate_prefixes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_prefixes(docs)
+
+
+@register(
+    "evt_bot_flags",
+    oracle_bot_flags("events"),
+    doc="bot/abuse screening per user: peak events-per-minute + "
+        "sub-second consecutive-gap count, integer-threshold flag — the "
+        "automated-traffic filter before engagement metrics "
+        "(operators/funnel.py:bot_flags)",
+)
+def evt_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import bot_flags
+
+    ev = load_table(spark, sf_dir, "events")
+    return bot_flags(ev)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

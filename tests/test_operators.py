@@ -3020,3 +3020,75 @@ def test_label_centroid_drift_hand(spark):
     want = round(1 / math.sqrt(2), 6)
     assert out[0].n_vecs == 2 and abs(out[0].cos_to_global - want) < 2e-6
     assert abs(out[1].cos_to_global - want) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 17: k-center, group mode, boilerplate, bot flags
+
+
+def test_kcenter_spreads(spark):
+    from hadoop_2_7_1_spark.operators.similarity import kcenter_select
+
+    # cluster at origin-ish plus one far point: far point must be picked
+    # second (it maximizes min-distance to the anchor)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.0]),
+        (2, [0.0, 0.1]),
+        (3, [10.0, 10.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(kcenter_select(emb, k=3, pool=4).collect(), key=lambda r: r.rnk)
+    assert out[0].vec_id == 0 and out[0].min_dist_to_prior is None
+    assert out[1].vec_id == 3 and out[1].min_dist_to_prior == 200.0
+    # third pick: farthest from {0, 3} among {1, 2} -> tie on distance
+    # (0.01 to vec 0) broken by vec_id
+    assert out[2].vec_id == 1 and out[2].min_dist_to_prior == 0.01
+
+
+def test_group_mode_hand(spark):
+    from hadoop_2_7_1_spark.operators.aggregates import group_mode
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"),
+         ("h", "z")],
+        "grp string, v string",
+    )
+    out = {r.grp: r for r in group_mode(df, "grp", "v").collect()}
+    # tie between a and b at count 2 -> min value 'a' wins
+    assert out["g"].mode_value == "a" and out["g"].mode_count == 2
+    assert out["h"].mode_value == "z" and out["h"].mode_count == 1
+
+
+def test_boilerplate_prefixes_hand(spark):
+    from hadoop_2_7_1_spark.operators.textops import boilerplate_prefixes
+
+    docs = spark.createDataFrame(
+        [(i, "terms of service apply here doc%d" % i, "s1") for i in range(8)]
+        + [(100, "unique opening line once", "s1")]
+        + [(200 + i, "totally random text %d" % i, "s2") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    out = boilerplate_prefixes(docs, min_share_pct=50).collect()
+    s1 = [r for r in out if r.source == "s1"]
+    assert len(s1) == 1 and s1[0].prefix == "terms of service"
+    assert s1[0].n_docs_with == 8 and s1[0].n_docs == 9
+    assert s1[0].rnk == 1
+
+
+def test_bot_flags_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import bot_flags
+
+    rows = (
+        # user 1: 6 events in one minute -> burst bot
+        [(i, 1, f"2024-01-01 00:00:{i:02d}") for i in range(10, 16)]
+        # user 2: two events 10 minutes apart -> human
+        + [(20, 2, "2024-01-01 00:00:00"), (21, 2, "2024-01-01 00:10:00")]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).selectExpr("event_id", "user_id", "cast(ts_s as timestamp) as ts")
+    out = {r.user_id: r for r in bot_flags(ev).collect()}
+    assert out[1].peak_per_minute == 6 and out[1].is_bot is True
+    assert out[1].n_rapid == 0  # 1s gaps are not sub-second
+    assert out[2].peak_per_minute == 1 and out[2].is_bot is False
