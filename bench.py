@@ -90,6 +90,15 @@ EXTRAS = [
     "grf_ppr",
     "sim_embedding_cov",
     "smp_resample",
+    # round-6 final batches: corpus-to-corpus kNN hubness (Σ bucket²),
+    # per-node clustering coefficients (wedge enumeration + explode),
+    # train/eval shingle containment, greedy MMR rounds over the
+    # shortlist, and the B²-pair Theil-Sen median
+    "sim_hubness",
+    "grf_clustering",
+    "cur_contamination",
+    "sim_mmr",
+    "tmp_theil_sen",
 ]
 
 

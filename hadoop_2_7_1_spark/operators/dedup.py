@@ -1596,3 +1596,91 @@ def oracle_contamination_report(
            round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS contamination
     FROM ev GROUP BY id
     """
+
+
+def shingle_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Shingle-repetitiveness profile per source: total vs distinct
+    shingle counts, the repetition ratio 1 − distinct/total, and the
+    single most duplicated shingle — the quick corpus-health readout that
+    says WHERE near-dup pressure concentrates before running the full
+    dedup passes.
+
+    One shingle explosion (fan_out for the single-split local case), one
+    (source, shingle) count shuffle, a per-source rollup, and a keyed
+    top-1 window. Output: (source, n_shingles, n_distinct, repetition,
+    top_shingle, top_count).
+    """
+    from . import fan_out
+
+    sh = fan_out(df).select(
+        F.col(group_col).alias("src"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    counts = sh.groupBy("src", "shingle").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    roll = counts.groupBy("src").agg(
+        F.sum("c").cast("bigint").alias("n_shingles"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("shingle"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("shingle").alias("top_shingle"), F.col("c").alias("top_count"))
+    )
+    return roll.join(top, "src").select(
+        F.col("src").alias(group_col),
+        "n_shingles",
+        "n_distinct",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("repetition"),
+        "top_shingle",
+        "top_count",
+    )
+
+
+def oracle_shingle_profile(
+    table: str,
+    id_col: str,
+    text_col: str,
+    group_col: str = "source",
+    shingle_n: int = 3,
+) -> str:
+    from ..functions import oracle_word_shingles
+
+    shingles = oracle_word_shingles(text_col, shingle_n)
+    return f"""
+    WITH sh AS (
+      SELECT {group_col} AS src, unnest({shingles}) AS shingle FROM {table}
+    ),
+    counts AS (
+      SELECT src, shingle, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2
+    ),
+    roll AS (
+      SELECT src, CAST(sum(c) AS BIGINT) AS n_shingles,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM counts GROUP BY src
+    ),
+    top AS (
+      SELECT src, shingle AS top_shingle, c AS top_count
+      FROM (
+        SELECT src, shingle, c,
+               row_number() OVER (PARTITION BY src ORDER BY c DESC, shingle) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT r.src AS {group_col}, r.n_shingles, r.n_distinct,
+           round(1.0 - CAST(r.n_distinct AS DOUBLE) / CAST(r.n_shingles AS DOUBLE), 6)
+             AS repetition,
+           t.top_shingle, t.top_count
+    FROM roll r JOIN top t ON r.src = t.src
+    """

@@ -1866,3 +1866,106 @@ def oracle_bot_flags(
             OR coalesce(r.n_rapid, 0) > 0) AS is_bot
     FROM per_min p LEFT JOIN rapid r ON p.uid = r.uid
     """
+
+
+def ratio_metric_ci(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    numer_type: str = "purchase",
+) -> DataFrame:
+    """Delta-method confidence interval for a per-user ratio metric —
+    revenue cents per event, θ = Σr/Σs — per variant (user_id % 2).
+    Naive per-user-average CIs are wrong for ratio metrics because users
+    are the randomization unit; the delta method
+    se² = (var_r − 2θ·cov_rs + θ²·var_s) / (n·s̄²) is the standard fix.
+
+    ONE user-keyed aggregate produces exact integer (r, s) per user; all
+    second moments (Σr², Σs², Σrs) accumulate as DECIMAL(38,0); the
+    closed form is a fixed-order double chain with sqrt only. z = the
+    repr-injected 97.5% normal quantile.
+    Output: (variant, n_users, theta, se, ci_lo, ci_hi).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("uid")).agg(
+        F.sum(
+            F.when(
+                F.col(type_col) == numer_type,
+                F.expr(f"cast(round({value_col} * 100) as bigint)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.count("*").cast("bigint").alias("s"),
+    )
+    rd, sd = F.col("r").cast("decimal(38,0)"), F.col("s").cast("decimal(38,0)")
+    agg = per_user.groupBy((F.col("uid") % 2).cast("int").alias("variant")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum(rd * rd).alias("srr"),
+        F.sum(sd * sd).alias("sss"),
+        F.sum(rd * sd).alias("srs"),
+    )
+    nd = F.col("n").cast("double")
+    rbar = F.col("sr").cast("double") / nd
+    sbar = F.col("ss").cast("double") / nd
+    theta = F.col("sr").cast("double") / F.col("ss").cast("double")
+    var_r = F.col("srr").cast("double") / nd - rbar * rbar
+    var_s = F.col("sss").cast("double") / nd - sbar * sbar
+    cov = F.col("srs").cast("double") / nd - rbar * sbar
+    se = F.sqrt(
+        (var_r - F.lit(2.0) * theta * cov + theta * theta * var_s) / (nd * sbar * sbar)
+    )
+    z = 1.959964
+    return agg.select(
+        "variant",
+        F.col("n").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(se, 6).alias("se"),
+        F.round(theta - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(theta + F.lit(z) * se, 6).alias("ci_hi"),
+    )
+
+
+def oracle_ratio_metric_ci(
+    table: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    numer_type: str = "purchase",
+) -> str:
+    nd = "CAST(n AS DOUBLE)"
+    rbar = f"(CAST(sr AS DOUBLE) / {nd})"
+    sbar = f"(CAST(ss AS DOUBLE) / {nd})"
+    theta = "(CAST(sr AS DOUBLE) / CAST(ss AS DOUBLE))"
+    var_r = f"(CAST(srr AS DOUBLE) / {nd} - {rbar} * {rbar})"
+    var_s = f"(CAST(sss AS DOUBLE) / {nd} - {sbar} * {sbar})"
+    cov = f"(CAST(srs AS DOUBLE) / {nd} - {rbar} * {sbar})"
+    se = (
+        f"sqrt(({var_r} - 2.0 * {theta} * {cov} + {theta} * {theta} * {var_s})"
+        f" / ({nd} * {sbar} * {sbar}))"
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT {user_col} AS uid,
+             CAST(sum(CASE WHEN {type_col} = '{numer_type}'
+                  THEN CAST(round({value_col} * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS r,
+             CAST(count(*) AS BIGINT) AS s
+      FROM {table} GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(uid % 2 AS INT) AS variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS sr, CAST(sum(s) AS BIGINT) AS ss,
+             sum(CAST(r AS DECIMAL(38,0)) * r) AS srr,
+             sum(CAST(s AS DECIMAL(38,0)) * s) AS sss,
+             sum(CAST(r AS DECIMAL(38,0)) * s) AS srs
+      FROM per_user GROUP BY 1
+    )
+    SELECT variant, n AS n_users,
+           round({theta}, 6) AS theta,
+           round({se}, 6) AS se,
+           round({theta} - 1.959964 * {se}, 6) AS ci_lo,
+           round({theta} + 1.959964 * {se}, 6) AS ci_hi
+    FROM agg
+    """

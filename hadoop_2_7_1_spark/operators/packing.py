@@ -16,7 +16,7 @@ single-partition step touches ``num_partitions`` rows of metadata.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -143,4 +143,111 @@ def oracle_split_long_docs(
            CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {max_tokens}]) AS BIGINT)
              AS n_chunk_tokens
     FROM chunks
+    """
+
+
+def water_filling_budget(
+    per_source: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources: with budget
+    B = Σtokens · num/den (integer arithmetic), sources below the water
+    level keep everything; larger sources are clipped to a common cap
+    C = the largest level with Σ min(tokens, C) ≤ B — the standard fair
+    mixture-budgeting rule ("cap the giants, keep the tails whole").
+
+    Pure integer arithmetic on the SOURCE frame (mixture scale — tens of
+    rows): sort ascending, one cumulative window; a source is fully
+    funded iff cum_before + tokens·remaining ≤ B; the cap is one integer
+    division of the leftover. Output: (key, tokens, allocated, capped).
+    """
+    w = Window.orderBy("t", "k").rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.orderBy("t", "k")
+    base = per_source.select(
+        F.col(key_col).alias("k"), F.col(tokens_col).cast("bigint").alias("t")
+    )
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(f"(sum(t) * {budget_num}) div {budget_den}").cast("bigint").alias("b"),
+    )
+    ranked = (
+        base.join(F.broadcast(tot), how="cross")
+        .withColumn("cum_before", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint"))
+        .withColumn("rnk", F.row_number().over(wn).cast("bigint"))
+        .withColumn(
+            "funded",
+            F.col("cum_before") + F.col("t") * (F.col("n") - F.col("rnk") + 1)
+            <= F.col("b"),
+        )
+    )
+    funded_agg = ranked.filter(F.col("funded")).agg(
+        F.max("rnk").cast("bigint").alias("j"),
+        F.max(F.col("cum_before") + F.col("t")).cast("bigint").alias("cum_j"),
+    )
+    cap = funded_agg.join(F.broadcast(tot), how="cross").select(
+        F.when(
+            F.coalesce(F.col("j"), F.lit(0)) < F.col("n"),
+            F.expr("(b - coalesce(cum_j, 0)) div (n - coalesce(j, 0))"),
+        )
+        .otherwise(F.col("b"))
+        .cast("bigint")
+        .alias("cap"),
+    )
+    return (
+        ranked.join(F.broadcast(cap), how="cross")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("t").alias("tokens"),
+            F.when(F.col("funded"), F.col("t"))
+            .otherwise(F.least(F.col("t"), F.col("cap")))
+            .cast("bigint")
+            .alias("allocated"),
+            (~F.col("funded") & (F.col("t") > F.col("cap"))).alias("capped"),
+        )
+    )
+
+
+def oracle_water_filling_budget(
+    rows_sql: str, budget_num: int = 1, budget_den: int = 2
+) -> str:
+    """DuckDB twin; ``rows_sql`` yields (k, t) per-source token counts."""
+    return f"""
+    WITH base AS (SELECT k, CAST(t AS BIGINT) AS t FROM ({rows_sql})),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST((CAST(sum(t) AS BIGINT) * {budget_num}) // {budget_den} AS BIGINT) AS b
+      FROM base
+    ),
+    ranked AS (
+      SELECT k, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY t, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before,
+             CAST(row_number() OVER (ORDER BY t, k) AS BIGINT) AS rnk,
+             n, b
+      FROM base, tot
+    ),
+    flagged AS (
+      SELECT *, cum_before + t * (n - rnk + 1) <= b AS funded FROM ranked
+    ),
+    fa AS (
+      SELECT CAST(max(rnk) AS BIGINT) AS j,
+             CAST(max(cum_before + t) AS BIGINT) AS cum_j
+      FROM flagged WHERE funded
+    ),
+    cap AS (
+      SELECT CASE WHEN coalesce(fa.j, 0) < tot.n THEN
+               CAST((tot.b - coalesce(fa.cum_j, 0)) // (tot.n - coalesce(fa.j, 0))
+                    AS BIGINT)
+             ELSE tot.b END AS cap
+      FROM fa, tot
+    )
+    SELECT f.k, f.t AS tokens,
+           CAST(CASE WHEN f.funded THEN f.t ELSE least(f.t, c.cap) END AS BIGINT)
+             AS allocated,
+           (NOT f.funded AND f.t > c.cap) AS capped
+    FROM flagged f, cap c
     """

@@ -851,3 +851,65 @@ def oracle_class_balance(table: str, class_col: str, key_col: str) -> str:
            round(r.rate, 6) AS target_rate
     FROM rates r LEFT JOIN kept k ON r.cls = k.cls
     """
+
+
+def rebalance_classes(
+    df: DataFrame, class_col: str, id_col: str
+) -> DataFrame:
+    """Deterministic class-rebalance plan: downsample every class to the
+    minority class size by keeping the rows with the smallest
+    (content-stable hash, id) per class — exact target counts (a
+    probability threshold only hits the target in expectation), no RNG,
+    same selection on every engine and every run.
+
+    One keyed rank window per class (balanced when classes are) plus a
+    broadcast minimum. Output proves the selection, not just the counts:
+    (class, n_before, n_after, kept_id_sum).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(class_col).alias("cls"),
+        F.col(id_col).cast("bigint").alias("id"),
+        hex_hash32(id_col).alias("h"),
+    )
+    sizes = base.groupBy("cls").agg(F.count("*").cast("bigint").alias("n_before"))
+    min_n = sizes.agg(F.min("n_before").cast("bigint").alias("target"))
+    w = W.partitionBy("cls").orderBy("h", "id")
+    kept = (
+        base.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(min_n), how="cross")
+        .filter(F.col("rn") <= F.col("target"))
+    )
+    after = kept.groupBy("cls").agg(
+        F.count("*").cast("bigint").alias("n_after"),
+        F.sum("id").cast("bigint").alias("kept_id_sum"),
+    )
+    return sizes.join(after, "cls").select(
+        F.col("cls").alias(class_col), "n_before", "n_after", "kept_id_sum"
+    )
+
+
+def oracle_rebalance_classes(table: str, class_col: str, id_col: str) -> str:
+    h = oracle_hash32(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT {class_col} AS cls, CAST({id_col} AS BIGINT) AS id, {h} AS h
+      FROM {table}
+    ),
+    sizes AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_before FROM base GROUP BY cls),
+    min_n AS (SELECT CAST(min(n_before) AS BIGINT) AS target FROM sizes),
+    kept AS (
+      SELECT cls, id FROM (
+        SELECT cls, id, row_number() OVER (PARTITION BY cls ORDER BY h, id) AS rn
+        FROM base
+      ), min_n WHERE rn <= target
+    ),
+    after AS (
+      SELECT cls, CAST(count(*) AS BIGINT) AS n_after,
+             CAST(sum(id) AS BIGINT) AS kept_id_sum
+      FROM kept GROUP BY cls
+    )
+    SELECT s.cls AS {class_col}, s.n_before, a.n_after, a.kept_id_sum
+    FROM sizes s JOIN after a ON s.cls = a.cls
+    """

@@ -5826,6 +5826,82 @@ def evt_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bot_flags(ev)
 
 
+from ..operators.dedup import oracle_shingle_profile
+from ..operators.funnel import oracle_ratio_metric_ci
+from ..operators.packing import oracle_water_filling_budget
+from ..operators.sampling import oracle_rebalance_classes
+
+_SRC_CHARS_SQL = (
+    "SELECT source AS k, CAST(sum(n_chars) AS BIGINT) AS t "
+    "FROM documents GROUP BY 1"
+)
+
+
+@register(
+    "smp_rebalance",
+    oracle_rebalance_classes("documents", "lang", "doc_id"),
+    doc="deterministic class-rebalance plan: downsample every language to "
+        "the minority size by smallest (content hash, id) — EXACT target "
+        "counts (thresholds only hit them in expectation), selection "
+        "proven by kept_id_sum (operators/sampling.py:rebalance_classes)",
+)
+def smp_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import rebalance_classes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rebalance_classes(docs, "lang", "doc_id")
+
+
+@register(
+    "evt_ratio_ci",
+    oracle_ratio_metric_ci("events"),
+    doc="delta-method CI for the revenue-per-event ratio metric per "
+        "variant — users are the randomization unit, so naive per-user "
+        "CIs are wrong; exact integer (r, s) per user, DECIMAL(38,0) "
+        "second moments, fixed-order closed form "
+        "(operators/funnel.py:ratio_metric_ci)",
+)
+def evt_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import ratio_metric_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return ratio_metric_ci(ev)
+
+
+@register(
+    "cur_water_filling",
+    oracle_water_filling_budget(_SRC_CHARS_SQL, budget_num=1, budget_den=2),
+    doc="water-filling token-budget allocation: cap the giant sources at "
+        "the common level that spends exactly half the corpus budget, "
+        "keep small sources whole — pure integer arithmetic on the "
+        "mixture-scale source frame "
+        "(operators/packing.py:water_filling_budget)",
+)
+def cur_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import water_filling_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy(F.col("source").alias("k")).agg(
+        F.sum("n_chars").cast("bigint").alias("t")
+    )
+    return water_filling_budget(per_src, "k", "t", budget_num=1, budget_den=2)
+
+
+@register(
+    "dd_shingle_profile",
+    oracle_shingle_profile("documents", "doc_id", "text"),
+    doc="shingle-repetitiveness profile per source: total/distinct 3-gram "
+        "shingles, repetition ratio, most duplicated shingle — the "
+        "where-is-near-dup-pressure readout before the full dedup passes "
+        "(operators/dedup.py:shingle_profile)",
+)
+def dd_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_profile(docs, "doc_id", "text")
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

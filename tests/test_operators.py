@@ -3092,3 +3092,75 @@ def test_bot_flags_hand(spark):
     assert out[1].peak_per_minute == 6 and out[1].is_bot is True
     assert out[1].n_rapid == 0  # 1s gaps are not sub-second
     assert out[2].peak_per_minute == 1 and out[2].is_bot is False
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 18: rebalance, ratio CI, water filling, shingle profile
+
+
+def test_rebalance_classes_exact_counts(spark):
+    from hadoop_2_7_1_spark.operators.sampling import rebalance_classes
+
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = {r.cls: r for r in rebalance_classes(df, "cls", "id").collect()}
+    assert out["big"].n_before == 20 and out["big"].n_after == 3
+    assert out["small"].n_after == 3
+    # small class keeps everything -> id sum is exact
+    assert out["small"].kept_id_sum == 100 + 101 + 102
+    # determinism: second run selects the identical ids
+    out2 = {r.cls: r for r in rebalance_classes(df, "cls", "id").collect()}
+    assert out2["big"].kept_id_sum == out["big"].kept_id_sum
+
+
+def test_ratio_metric_ci_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import ratio_metric_ci
+
+    # identical users -> zero variance -> se 0, ci collapses to theta
+    rows = []
+    for uid in (0, 2, 4):  # variant 0 only
+        rows += [(uid, "click", 0.0), (uid, "purchase", 2.0)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    r = ratio_metric_ci(ev).collect()[0]
+    # theta = 200 cents / 2 events = 100 cents per event
+    assert r.variant == 0 and r.n_users == 3
+    assert r.theta == 100.0 and r.se == 0.0
+    assert r.ci_lo == 100.0 and r.ci_hi == 100.0
+
+
+def test_water_filling_hand(spark):
+    from hadoop_2_7_1_spark.operators.packing import water_filling_budget
+
+    # sizes 10, 20, 100, 200; budget = 330/2 = 165.
+    # 10 and 20 fully funded (cum 30); cap = (165-30) div 2 = 67
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 100), ("d", 200)], "k string, t int"
+    )
+    out = {r.k: r for r in water_filling_budget(df, "k", "t").collect()}
+    assert out["a"].allocated == 10 and out["a"].capped is False
+    assert out["b"].allocated == 20 and out["b"].capped is False
+    assert out["c"].allocated == 67 and out["c"].capped is True
+    assert out["d"].allocated == 67 and out["d"].capped is True
+    assert sum(r.allocated for r in out.values()) <= 165
+    # trivial: budget covers everything -> nobody capped
+    full = water_filling_budget(df, "k", "t", budget_num=1, budget_den=1).collect()
+    assert all(r.allocated == r.tokens for r in full)
+
+
+def test_shingle_profile_hand(spark):
+    from hadoop_2_7_1_spark.operators.dedup import shingle_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "s1"),
+            (2, "the cat sat on the rug", "s1"),   # shares 3 shingles with 1
+            (3, "all words differ here now", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in shingle_profile(docs, "doc_id", "text").collect()}
+    # s1: 2 docs x 4 shingles = 8 total; 'the cat sat'/'cat sat on'/
+    # 'sat on the' duplicated -> 5 distinct
+    assert out["s1"].n_shingles == 8 and out["s1"].n_distinct == 5
+    assert out["s1"].top_count == 2 and out["s1"].top_shingle == "cat sat on"
+    assert out["s2"].repetition == 0.0
