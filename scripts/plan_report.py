@@ -92,6 +92,38 @@ AUDITED = [
     "grf_assortativity",
     "sim_pq_rerank",
     "evt_new_vs_returning",
+    # round-6 final batches
+    "agg_gini_lorenz",
+    "prof_auc",
+    "prof_gainlift",
+    "txt_keyness",
+    "tmp_ccf",
+    "evt_assoc_rules",
+    "agg_moments",
+    "prof_calibration",
+    "sim_hubness",
+    "txt_zipf",
+    "sim_mmr",
+    "sim_rrf",
+    "sim_kcenter",
+    "cur_contamination",
+    "evt_power",
+    "grf_clustering",
+    "evt_interarrival",
+    "tmp_sla",
+    "txt_entropy_rate",
+    "txt_lexical_diversity",
+    "prof_outlier_iqr",
+    "tmp_theil_sen",
+    "evt_stickiness",
+    "sim_centroid_drift",
+    "agg_group_mode",
+    "txt_boilerplate",
+    "evt_bot_flags",
+    "smp_rebalance",
+    "evt_ratio_ci",
+    "cur_water_filling",
+    "dd_shingle_profile",
 ]
 
 
