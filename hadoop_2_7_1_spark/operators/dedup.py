@@ -1684,3 +1684,105 @@ def oracle_shingle_profile(
            t.top_shingle, t.top_count
     FROM roll r JOIN top t ON r.src = t.src
     """
+
+
+def decontaminate_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_filter: str,
+    group_col: str = "source",
+    shingle_n: int = 3,
+    max_hits: int = 2,
+) -> DataFrame:
+    """Decontamination pass (the flip side of :func:`contamination_report`):
+    DROP training documents that share more than ``max_hits`` distinct
+    shingles with the held-out split — the GPT-3/C4-style benchmark
+    hygiene step, reported as a per-source before/after plan.
+
+    The eval side collapses to a DISTINCT shingle key set; train shingles
+    semi-probe it with one equi-join and an exact integer hit count per
+    doc. No doc×doc comparison, no thresholds on floats. Output:
+    (source, n_train, n_dropped, drop_pct).
+    """
+    from . import fan_out
+
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(group_col).alias("src"),
+            F.col(id_col).alias("id"),
+            F.expr(eval_filter).alias("is_eval"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    eval_keys = sh.filter(F.col("is_eval")).select("shingle").distinct()
+    hits = (
+        sh.filter(~F.col("is_eval"))
+        .join(eval_keys.withColumn("__hit", F.lit(True)), "shingle", "left")
+        .groupBy("src", "id")
+        .agg(
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("bigint").alias("n_hits")
+        )
+    )
+    # docs with no shingles at all never contaminate; count them from the base
+    train_docs = df.filter(~F.expr(eval_filter)).groupBy(
+        F.col(group_col).alias("src")
+    ).agg(F.count("*").cast("bigint").alias("n_train"))
+    dropped = hits.filter(F.col("n_hits") > max_hits).groupBy("src").agg(
+        F.count("*").cast("bigint").alias("n_dropped")
+    )
+    return train_docs.join(dropped, "src", "left").select(
+        F.col("src").alias(group_col),
+        "n_train",
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+        F.round(
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("double")
+            / F.col("n_train").cast("double")
+            * 100.0,
+            6,
+        ).alias("drop_pct"),
+    )
+
+
+def oracle_decontaminate_train(
+    table: str,
+    id_col: str,
+    text_col: str,
+    eval_filter: str,
+    group_col: str = "source",
+    shingle_n: int = 3,
+    max_hits: int = 2,
+) -> str:
+    from ..functions import oracle_word_shingles
+
+    shingles = oracle_word_shingles(text_col, shingle_n)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT {group_col} AS src, {id_col} AS id,
+             ({eval_filter}) AS is_eval, unnest({shingles}) AS shingle
+      FROM {table}
+    ),
+    eval_keys AS (SELECT DISTINCT shingle FROM sh WHERE is_eval),
+    hits AS (
+      SELECT s.src, s.id,
+             CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+      FROM sh s LEFT JOIN eval_keys e ON s.shingle = e.shingle
+      WHERE NOT s.is_eval GROUP BY s.src, s.id
+    ),
+    train_docs AS (
+      SELECT {group_col} AS src, CAST(count(*) AS BIGINT) AS n_train
+      FROM {table} WHERE NOT ({eval_filter}) GROUP BY 1
+    ),
+    dropped AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS n_dropped
+      FROM hits WHERE n_hits > {max_hits} GROUP BY src
+    )
+    SELECT t.src AS {group_col}, t.n_train,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           round(CAST(coalesce(d.n_dropped, 0) AS DOUBLE)
+                 / CAST(t.n_train AS DOUBLE) * 100.0, 6) AS drop_pct
+    FROM train_docs t LEFT JOIN dropped d ON t.src = d.src
+    """

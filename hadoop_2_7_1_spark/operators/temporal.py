@@ -1291,3 +1291,102 @@ def oracle_theil_sen_hourly(
            max(CASE WHEN rn = (np + 1) // 2 THEN slope END) AS slope_cents_per_hour
     FROM ranked GROUP BY k
     """
+
+
+def backtest_wape(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Forecast backtest: hold out each key's LAST observed day, predict
+    its hourly totals with the hour-of-day means from all earlier days
+    (the seasonal-naive baseline), and score WAPE = Σ|err| / Σ|actual| —
+    the denominator-robust accuracy metric (MAPE explodes on near-zero
+    hours; WAPE cannot).
+
+    Fully exact until the final division: hourly actuals are cents
+    BIGINTs; the per-hour-of-day mean is ONE integer division
+    (sum div n — floor, identical in both engines); errors and totals
+    are integer sums. The test/train split is integer day arithmetic off
+    a broadcast per-key max-day. Output: (key, n_test_hours,
+    total_actual_cents, total_abs_err_cents, wape).
+    """
+    hourly = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"cast(date_trunc('hour', {ts_col}) as bigint) div 3600").alias("h"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "h")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+        .withColumn("day", F.expr("h div 24"))
+        .withColumn("hod", F.expr("h % 24"))
+    )
+    last_day = hourly.groupBy("k").agg(F.max("day").cast("bigint").alias("test_day"))
+    tagged = hourly.join(F.broadcast(last_day), "k")
+    train = tagged.filter(F.col("day") < F.col("test_day"))
+    test = tagged.filter(F.col("day") == F.col("test_day"))
+    model = train.groupBy("k", "hod").agg(
+        F.expr("sum(y) div count(*)").cast("bigint").alias("yhat")
+    )
+    scored = test.join(model, ["k", "hod"], "left").select(
+        "k",
+        "y",
+        F.abs(F.col("y") - F.coalesce(F.col("yhat"), F.lit(0))).cast("bigint").alias("abserr"),
+    )
+    return scored.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_test_hours"),
+        F.sum("y").cast("bigint").alias("total_actual_cents"),
+        F.sum("abserr").cast("bigint").alias("total_abs_err_cents"),
+        F.when(
+            F.sum("y") != 0,
+            F.round(
+                F.sum("abserr").cast("double") / F.abs(F.sum("y")).cast("double"), 6
+            ),
+        ).alias("wape"),
+    ).select(
+        F.col("k").alias(key_col),
+        "n_test_hours",
+        "total_actual_cents",
+        "total_abs_err_cents",
+        "wape",
+    )
+
+
+def oracle_backtest_wape(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 AS h,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM {table} GROUP BY 1, 2
+    ),
+    tagged AS (
+      SELECT k, h, y, h // 24 AS day, h % 24 AS hod,
+             max(h // 24) OVER (PARTITION BY k) AS test_day
+      FROM hourly
+    ),
+    model AS (
+      SELECT k, hod, CAST(sum(y) // count(*) AS BIGINT) AS yhat
+      FROM tagged WHERE day < test_day GROUP BY k, hod
+    ),
+    scored AS (
+      SELECT t.k, t.y,
+             CAST(abs(t.y - coalesce(m.yhat, 0)) AS BIGINT) AS abserr
+      FROM tagged t LEFT JOIN model m ON t.k = m.k AND t.hod = m.hod
+      WHERE t.day = t.test_day
+    )
+    SELECT k AS {key_col}, CAST(count(*) AS BIGINT) AS n_test_hours,
+           CAST(sum(y) AS BIGINT) AS total_actual_cents,
+           CAST(sum(abserr) AS BIGINT) AS total_abs_err_cents,
+           CASE WHEN sum(y) <> 0 THEN
+             round(CAST(sum(abserr) AS DOUBLE) / CAST(abs(sum(y)) AS DOUBLE), 6)
+           END AS wape
+    FROM scored GROUP BY k
+    """

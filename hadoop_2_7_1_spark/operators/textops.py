@@ -2751,3 +2751,117 @@ def oracle_boilerplate_prefixes(
                 AS INT) AS rnk
     FROM cand QUALIFY rnk <= 3
     """
+
+
+# ln(2) as a Python-evaluated double, repr-injected into both engines so
+# the missing-token mass term uses the identical IEEE constant.
+_LN2 = 0.6931471805599453
+
+
+def js_divergence_by_source(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Jensen–Shannon divergence between each source's unigram
+    distribution and the rest of the corpus — the bounded, symmetric
+    vocabulary-drift readout (0 = same distribution, ln 2 = disjoint):
+    JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2.
+
+    Tokens absent from the source contribute exactly q·ln 2 on the Q
+    side, so the whole divergence reduces to sums over the SOURCE's own
+    token frame plus one closed-form missing-mass term — never a
+    sources×vocabulary expansion. All probabilities are single divisions
+    of exact BIGINT counts; each summand rounds to DECIMAL(38,12)
+    (the summands are O(p·ln p) — 6dp would flush them) before the exact
+    decimal sum. Output: (source, n_tokens, jsd_to_rest).
+    """
+    toks = df.select(
+        F.col(group_col).alias("src"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '{sql_regex(SUBTOKEN_RE)}', 0)")
+        ).alias("tok"),
+    )
+    per = toks.groupBy("src", "tok").agg(F.count("*").cast("bigint").alias("c"))
+    glob = per.groupBy("tok").agg(F.sum("c").cast("bigint").alias("g"))
+    np_ = per.groupBy("src").agg(F.sum("c").cast("bigint").alias("n_src"))
+    ntot = per.agg(F.sum("c").cast("bigint").alias("n_tot"))
+    j = (
+        per.join(glob, "tok")
+        .join(F.broadcast(np_), "src")
+        .join(F.broadcast(ntot), how="cross")
+        .withColumn("r", (F.col("g") - F.col("c")).cast("bigint"))
+        .withColumn("n_rest", (F.col("n_tot") - F.col("n_src")).cast("bigint"))
+    )
+    pterm = F.expr(
+        "cast(round((cast(c as double) / cast(n_src as double))"
+        " * ln(2.0 * (cast(c as double) / cast(n_src as double))"
+        "      / ((cast(c as double) / cast(n_src as double))"
+        "         + (cast(r as double) / cast(n_rest as double)))), 12)"
+        " as decimal(38,12))"
+    )
+    qterm = F.expr(
+        "case when r > 0 then cast(round((cast(r as double) / cast(n_rest as double))"
+        " * ln(2.0 * (cast(r as double) / cast(n_rest as double))"
+        "      / ((cast(c as double) / cast(n_src as double))"
+        "         + (cast(r as double) / cast(n_rest as double)))), 12)"
+        " as decimal(38,12)) else cast(0 as decimal(38,12)) end"
+    )
+    qmass = F.expr("cast(round(cast(r as double) / cast(n_rest as double), 12) as decimal(38,12))")
+    agg = j.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(pterm).alias("sp"),
+        F.sum(qterm).alias("sq"),
+        F.sum(qmass).alias("smass"),
+    )
+    return agg.select(
+        F.col("src").alias(group_col),
+        "n_tokens",
+        F.round(
+            F.lit(0.5)
+            * (
+                F.col("sp").cast("double")
+                + F.col("sq").cast("double")
+                + F.lit(_LN2) * (F.lit(1.0) - F.col("smass").cast("double"))
+            ),
+            6,
+        ).alias("jsd_to_rest"),
+    )
+
+
+def oracle_js_divergence_by_source(
+    table: str, group_col: str = "source", text_col: str = "text"
+) -> str:
+    p = "(CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE))"
+    q = "(CAST(r AS DOUBLE) / CAST(n_rest AS DOUBLE))"
+    return f"""
+    WITH toks AS (
+      SELECT {group_col} AS src,
+             unnest(regexp_extract_all({text_col}, '{SUBTOKEN_RE}')) AS tok
+      FROM {table}
+    ),
+    per AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    gtok AS (SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM per GROUP BY tok),
+    np_ AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_src FROM per GROUP BY src),
+    ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM per),
+    j AS (
+      SELECT p.src, p.c, CAST(g.g - p.c AS BIGINT) AS r, n.n_src,
+             CAST(t.n_tot - n.n_src AS BIGINT) AS n_rest
+      FROM per p JOIN gtok g ON p.tok = g.tok
+                 JOIN np_ n ON p.src = n.src, ntot t
+    ),
+    agg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(CAST(round({p} * ln(2.0 * {p} / ({p} + {q})), 12)
+                      AS DECIMAL(38,12))) AS sp,
+             sum(CASE WHEN r > 0 THEN
+                   CAST(round({q} * ln(2.0 * {q} / ({p} + {q})), 12)
+                        AS DECIMAL(38,12))
+                 ELSE CAST(0 AS DECIMAL(38,12)) END) AS sq,
+             sum(CAST(round({q}, 12) AS DECIMAL(38,12))) AS smass
+      FROM j GROUP BY src
+    )
+    SELECT src AS {group_col}, n_tokens,
+           round(0.5 * (CAST(sp AS DOUBLE) + CAST(sq AS DOUBLE)
+                        + CAST({_LN2!r} AS DOUBLE)
+                          * (1.0 - CAST(smass AS DOUBLE))), 6) AS jsd_to_rest
+    FROM agg
+    """

@@ -5902,6 +5902,58 @@ def dd_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_profile(docs, "doc_id", "text")
 
 
+from ..operators.dedup import oracle_decontaminate_train
+from ..operators.temporal import oracle_backtest_wape
+from ..operators.textops import oracle_js_divergence_by_source
+
+
+@register(
+    "cur_decontam_plan",
+    oracle_decontaminate_train("documents", "doc_id", "text", "source = 'src0'"),
+    doc="decontamination pass: drop-plan for train docs sharing >2 "
+        "distinct 3-gram shingles with the held-out split (src0) — the "
+        "GPT-3/C4 benchmark-hygiene step; eval side collapses to a "
+        "distinct key set, one equi-join, exact integer hit counts "
+        "(operators/dedup.py:decontaminate_train)",
+)
+def cur_decontam_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import decontaminate_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_train(docs, "doc_id", "text", "source = 'src0'")
+
+
+@register(
+    "tmp_backtest",
+    oracle_backtest_wape("events"),
+    doc="forecast backtest: hold out each key's last day, predict hourly "
+        "totals with hour-of-day means from earlier days, score WAPE — "
+        "exact cents integers end-to-end, one final division "
+        "(operators/temporal.py:backtest_wape)",
+)
+def tmp_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import backtest_wape
+
+    ev = load_table(spark, sf_dir, "events")
+    return backtest_wape(ev)
+
+
+@register(
+    "txt_js_divergence",
+    oracle_js_divergence_by_source("documents"),
+    doc="Jensen-Shannon divergence of each source's unigram distribution "
+        "vs the rest of the corpus (bounded symmetric vocabulary drift) — "
+        "absent tokens reduce to a closed-form q*ln2 missing-mass term, "
+        "so the sum runs on the source's own token frame; 12dp decimal "
+        "summands (operators/textops.py:js_divergence_by_source)",
+)
+def txt_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import js_divergence_by_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    return js_divergence_by_source(docs)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

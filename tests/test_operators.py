@@ -3164,3 +3164,73 @@ def test_shingle_profile_hand(spark):
     assert out["s1"].n_shingles == 8 and out["s1"].n_distinct == 5
     assert out["s1"].top_count == 2 and out["s1"].top_shingle == "cat sat on"
     assert out["s2"].repetition == 0.0
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 19: decontamination plan, backtest WAPE, JS divergence
+
+
+def test_decontaminate_plan_hand(spark):
+    from hadoop_2_7_1_spark.operators.dedup import decontaminate_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "benchmark question about spark internals today", "eval"),
+            # train doc 10 copies 4+ shingles from eval -> dropped at max_hits=2
+            (10, "benchmark question about spark internals yesterday", "train"),
+            (11, "a completely unrelated training document", "train"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # treat the 'eval' source value as the held-out marker
+    out = {
+        r.source: r
+        for r in decontaminate_train(
+            docs, "doc_id", "text", "source = 'eval'", group_col="source"
+        ).collect()
+    }
+    assert out["train"].n_train == 2 and out["train"].n_dropped == 1
+    assert out["train"].drop_pct == 50.0
+    assert "eval" not in out
+
+
+def test_backtest_wape_hand(spark):
+    from hadoop_2_7_1_spark.operators.temporal import backtest_wape
+
+    # two train days with constant hourly value 2.0; test day at 3.0 ->
+    # model predicts 200 cents, actual 300 -> WAPE = 100/300 per hour
+    rows = []
+    for day in range(3):
+        v = 2.0 if day < 2 else 3.0
+        for h in range(4):
+            rows.append(("a", f"2024-01-0{day + 1} {h:02d}:00:00", v))
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    r = backtest_wape(ev).collect()[0]
+    assert r.n_test_hours == 4
+    assert r.total_actual_cents == 1200 and r.total_abs_err_cents == 400
+    assert r.wape == round(400 / 1200, 6)
+
+
+def test_js_divergence_bounds(spark):
+    from hadoop_2_7_1_spark.operators.textops import js_divergence_by_source
+
+    import math
+
+    # disjoint vocabularies -> JSD = ln 2; identical -> JSD ~ 0
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha alpha beta beta"),
+            ("b", "gamma gamma delta delta"),
+        ],
+        "source string, text string",
+    )
+    out = {r.source: r for r in js_divergence_by_source(docs).collect()}
+    assert abs(out["a"].jsd_to_rest - math.log(2)) < 1e-6
+    assert abs(out["b"].jsd_to_rest - math.log(2)) < 1e-6
+    same = spark.createDataFrame(
+        [("a", "x y z x y z"), ("b", "x y z x y z")], "source string, text string"
+    )
+    out2 = js_divergence_by_source(same).collect()
+    assert all(abs(r.jsd_to_rest) < 1e-6 for r in out2)
