@@ -1369,3 +1369,53 @@ def oracle_gains_lift(table: str, key: str, score: str, label: str) -> str:
                  / (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS lift
     FROM dec
     """
+
+
+def freshness_report(
+    events: DataFrame, key_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Feed-freshness audit: per key, the lag between its newest record
+    and the newest record anywhere in the table — the staleness readout
+    for a multi-feed ingest (wall-clock "now" is deliberately NOT used:
+    results must be replayable).
+
+    One keyed max + one broadcast global max; exact integer seconds.
+    Output: (key, newest, lag_s, stale_over_1h).
+    """
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.expr(f"cast(unix_timestamp({ts_col}) as bigint)").alias("t"),
+        F.col(ts_col).alias("raw_ts"),
+    )
+    per_key = base.groupBy("k").agg(
+        F.max("t").cast("bigint").alias("mt"),
+        F.max(F.expr("date_trunc('second', raw_ts)")).alias("newest"),
+    )
+    g = per_key.agg(F.max("mt").cast("bigint").alias("gt"))
+    return per_key.join(F.broadcast(g), how="cross").select(
+        F.col("k").alias(key_col),
+        "newest",
+        (F.col("gt") - F.col("mt")).cast("bigint").alias("lag_s"),
+        ((F.col("gt") - F.col("mt")) > 3600).alias("stale_over_1h"),
+    )
+
+
+def oracle_freshness_report(
+    table: str, key_col: str = "event_type", ts_col: str = "ts"
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch({ts_col})) AS BIGINT) AS t,
+             date_trunc('second', CAST({ts_col} AS TIMESTAMP)) AS rs
+      FROM {table}
+    ),
+    per_key AS (
+      SELECT k, CAST(max(t) AS BIGINT) AS mt, max(rs) AS newest FROM base GROUP BY k
+    ),
+    g AS (SELECT CAST(max(mt) AS BIGINT) AS gt FROM per_key)
+    SELECT k AS {key_col}, newest,
+           CAST(g.gt - mt AS BIGINT) AS lag_s,
+           (g.gt - mt) > 3600 AS stale_over_1h
+    FROM per_key, g
+    """

@@ -913,3 +913,38 @@ def oracle_rebalance_classes(table: str, class_col: str, id_col: str) -> str:
     SELECT s.cls AS {class_col}, s.n_before, a.n_after, a.kept_id_sum
     FROM sizes s JOIN after a ON s.cls = a.cls
     """
+
+
+def uncertainty_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    pivot: int,
+    k: int = 20,
+) -> DataFrame:
+    """Uncertainty sampling for an annotation queue: the k rows whose
+    integer score sits closest to the decision ``pivot`` — for a
+    monotone scorer (e.g. the logistic length gate), |score − pivot|
+    orders exactly like |p − 0.5|, so the selection is PURE INTEGER
+    (no probability floats anywhere near the boundary).
+
+    TakeOrderedAndProject on (|score−pivot|, id) — never a global sort.
+    Output: (id, score, dist).
+    """
+    t = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(score_col).cast("bigint").alias("score"),
+    ).withColumn("dist", F.abs(F.col("score") - F.lit(pivot)).cast("bigint"))
+    return t.orderBy(F.asc("dist"), F.asc("id")).limit(k)
+
+
+def oracle_uncertainty_sample(
+    table: str, id_col: str, score_expr: str, pivot: int, k: int = 20
+) -> str:
+    return f"""
+    SELECT CAST({id_col} AS BIGINT) AS id,
+           CAST({score_expr} AS BIGINT) AS score,
+           CAST(abs(CAST({score_expr} AS BIGINT) - {pivot}) AS BIGINT) AS dist
+    FROM {table}
+    ORDER BY dist, id LIMIT {k}
+    """

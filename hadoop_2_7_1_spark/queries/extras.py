@@ -5954,6 +5954,41 @@ def txt_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence_by_source(docs)
 
 
+from ..operators.profile import oracle_freshness_report
+from ..operators.sampling import oracle_uncertainty_sample
+
+
+@register(
+    "prof_freshness",
+    oracle_freshness_report("events"),
+    doc="feed-freshness audit: per event type, lag of its newest record "
+        "behind the table's newest (no wall-clock now() — replayable); "
+        "one keyed max + broadcast global max "
+        "(operators/profile.py:freshness_report)",
+)
+def prof_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import freshness_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return freshness_report(ev)
+
+
+@register(
+    "cur_uncertainty_sample",
+    oracle_uncertainty_sample("documents", "doc_id", "n_chars", 2500, k=20),
+    doc="uncertainty sampling for the annotation queue: 20 docs whose "
+        "length score sits closest to the logistic gate's pivot — pure "
+        "integer |score-pivot| ordering (monotone scorer ⇒ identical to "
+        "|p-0.5|), TakeOrderedAndProject "
+        "(operators/sampling.py:uncertainty_sample)",
+)
+def cur_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import uncertainty_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return uncertainty_sample(docs, "doc_id", "n_chars", 2500, k=20)
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

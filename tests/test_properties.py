@@ -456,3 +456,119 @@ def test_ks_integer_form_matches_float_ecdf(a, b):
         best_int = max(best_int, abs(ca * nb - cb * na))
         best_float = max(best_float, abs(ca / na - cb / nb))
     assert abs(best_int / (na * nb) - best_float) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-6 final batches: property-test the shared oracle formulas against
+# brute-force Python references (DuckDB side; the Spark side is proven
+# equivalent by the driver-sim exact-hash comparison).
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.booleans()), min_size=2, max_size=60
+    ).filter(lambda xs: any(y for _, y in xs) and any(not y for _, y in xs))
+)
+@settings(max_examples=40, deadline=None)
+def test_oracle_auc_matches_bruteforce(rows):
+    import duckdb
+    import pandas as pd
+
+    from hadoop_2_7_1_spark.operators.profile import oracle_roc_auc
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["s", "y"]))
+    got = con.sql(oracle_roc_auc("t", "s", "y")).df().iloc[0]
+    # brute force: P(score_pos > score_neg) + 0.5 P(tie)
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    want = wins / (len(pos) * len(neg))
+    assert abs(got["auc"] - want) < 1e-6
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_oracle_gini_matches_mad_formula(vals):
+    import duckdb
+    import pandas as pd
+
+    from hadoop_2_7_1_spark.operators.aggregates import oracle_gini_lorenz
+
+    if sum(vals) == 0:
+        return
+    con = duckdb.connect()
+    con.register("vals", pd.DataFrame({"k": range(len(vals)), "x": vals}))
+    rows = con.sql(oracle_gini_lorenz("SELECT k, x FROM vals")).df()
+    got = rows["gini"].iloc[0]
+    # brute force via mean absolute difference: G = Σ|xi-xj| / (2 n Σx)
+    n, s = len(vals), sum(vals)
+    mad = sum(abs(a - b) for a in vals for b in vals)
+    want = mad / (2 * n * s)
+    assert abs(got - want) < 1e-6
+    # Lorenz curve sanity: cumulative shares are monotone, end at 1
+    shares = sorted(rows["cum_share"])
+    assert shares == list(rows.sort_values("decile")["cum_share"])
+    assert abs(rows.sort_values("decile")["cum_share"].iloc[-1] - 1.0) < 1e-9
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=20),
+    st.integers(1, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_oracle_water_filling_matches_greedy(sizes, den):
+    import duckdb
+    import pandas as pd
+
+    from hadoop_2_7_1_spark.operators.packing import oracle_water_filling_budget
+
+    con = duckdb.connect()
+    con.register("src", pd.DataFrame({"k": [str(i) for i in range(len(sizes))], "t": sizes}))
+    out = con.sql(
+        oracle_water_filling_budget("SELECT k, t FROM src", budget_num=1, budget_den=den)
+    ).df()
+    budget = sum(sizes) // den
+    # reference: binary search the integer cap
+    def spend(cap):
+        return sum(min(t, cap) for t in sizes)
+
+    lo, hi = 0, max(sizes) if sizes else 0
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if spend(mid) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    total = int(out["allocated"].sum())
+    assert total <= budget
+    # every allocation is min(t, cap) for the discovered water level,
+    # except fully-funded prefix rows which keep everything
+    alloc = dict(zip(out["k"], out["allocated"]))
+    for i, t in enumerate(sizes):
+        a = alloc[str(i)]
+        assert a <= t
+        assert a >= min(t, lo)  # never allocates below the optimal level
+
+
+@given(st.lists(st.integers(-1000, 1000), min_size=2, max_size=80))
+@settings(max_examples=40, deadline=None)
+def test_oracle_moments_match_python_stats(vals):
+    import duckdb
+    import pandas as pd
+
+    from hadoop_2_7_1_spark.operators.aggregates import oracle_group_moments
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"g": ["x"] * len(vals), "v": vals}))
+    r = con.sql(oracle_group_moments("t", "g", "v")).df().iloc[0]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((v - mu) ** 2 for v in vals) / n
+    assert abs(r["mean_val"] - mu) < 1e-5
+    assert abs(r["stddev"] - m2 ** 0.5) < 1e-5
+    if m2 > 0:
+        m3 = sum((v - mu) ** 3 for v in vals) / n
+        m4 = sum((v - mu) ** 4 for v in vals) / n
+        assert abs(r["skewness"] - m3 / (m2 * m2 ** 0.5)) < 1e-4
+        assert abs(r["kurtosis_excess"] - (m4 / (m2 * m2) - 3.0)) < 1e-4
