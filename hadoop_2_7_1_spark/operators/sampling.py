@@ -948,3 +948,45 @@ def oracle_uncertainty_sample(
     FROM {table}
     ORDER BY dist, id LIMIT {k}
     """
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    n_folds: int = 5,
+    salt: str = "groupsplit",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment at the GROUP level: every row of a
+    group (user, session, document family) lands in the same fold,
+    because fold = content-stable hash of the group key — the split
+    discipline that keeps a user's history out of both train and test.
+    (Row-hash splits — smp_kfold — leak whenever rows within a group are
+    correlated.)
+
+    One keyed aggregate; fold assignment is the md5 bucket of the key,
+    so the split replays identically anywhere. Output per fold:
+    (fold, n_groups, n_rows).
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        (hex_hash32(group_col, salt=salt) % n_folds).cast("int").alias("fold"),
+    )
+    return base.groupBy("fold").agg(
+        F.countDistinct("g").cast("bigint").alias("n_groups"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+def oracle_group_split(
+    table: str, group_col: str, n_folds: int = 5, salt: str = "groupsplit"
+) -> str:
+    h = oracle_hash32(f"CAST({group_col} AS VARCHAR)", salt=salt)
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS g, CAST({h} % {n_folds} AS INT) AS fold
+      FROM {table}
+    )
+    SELECT fold, CAST(count(DISTINCT g) AS BIGINT) AS n_groups,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM base GROUP BY fold
+    """

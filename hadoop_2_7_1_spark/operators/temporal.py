@@ -1390,3 +1390,74 @@ def oracle_backtest_wape(
            END AS wape
     FROM scored GROUP BY k
     """
+
+
+def p_chart(
+    events: DataFrame,
+    match_expr: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Shewhart p-chart over hourly buckets: the share of matching events
+    (e.g. errors) per hour against 3σ binomial control limits derived
+    from the overall rate — the classic SPC monitor that complements the
+    CUSUM change-point detector (CUSUM finds sustained shifts; the
+    p-chart flags individual out-of-control hours).
+
+    Hourly (n, n_match) are exact integers; p̄ is ONE division of two
+    global integer sums (broadcast); limits are a fixed sqrt chain per
+    bucket row (calendar scale). Output: (bucket_h, n, n_match, p, ucl,
+    lcl, out_of_control).
+    """
+    hourly = (
+        events.select(
+            F.expr(f"cast(date_trunc('hour', {ts_col}) as bigint) div 3600").alias("h"),
+            F.expr(match_expr).cast("boolean").alias("m"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("m"), 1).otherwise(0)).cast("bigint").alias("nm"),
+        )
+    )
+    tot = hourly.agg(
+        F.sum("n").cast("bigint").alias("tn"), F.sum("nm").cast("bigint").alias("tm")
+    )
+    pbar = F.col("tm").cast("double") / F.col("tn").cast("double")
+    sig = F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n").cast("double"))
+    p = F.col("nm").cast("double") / F.col("n").cast("double")
+    ucl = pbar + F.lit(3.0) * sig
+    lcl = F.greatest(pbar - F.lit(3.0) * sig, F.lit(0.0))
+    return hourly.join(F.broadcast(tot), how="cross").select(
+        F.col("h").alias("bucket_h"),
+        "n",
+        F.col("nm").alias("n_match"),
+        F.round(p, 6).alias("p"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    )
+
+
+def oracle_p_chart(table: str, match_expr: str, ts_col: str = "ts") -> str:
+    pbar = "(CAST(tm AS DOUBLE) / CAST(tn AS DOUBLE))"
+    sig = f"sqrt({pbar} * (1.0 - {pbar}) / CAST(n AS DOUBLE))"
+    p = "(CAST(nm AS DOUBLE) / CAST(n AS DOUBLE))"
+    return f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN CAST({match_expr} AS BOOLEAN) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nm
+      FROM {table} GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(nm) AS BIGINT) AS tm FROM hourly
+    )
+    SELECT h AS bucket_h, n, nm AS n_match,
+           round({p}, 6) AS p,
+           round({pbar} + 3.0 * {sig}, 6) AS ucl,
+           round(greatest({pbar} - 3.0 * {sig}, 0.0), 6) AS lcl,
+           ({p} > {pbar} + 3.0 * {sig} OR {p} < greatest({pbar} - 3.0 * {sig}, 0.0))
+             AS out_of_control
+    FROM hourly, tot
+    """

@@ -5989,6 +5989,40 @@ def cur_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uncertainty_sample(docs, "doc_id", "n_chars", 2500, k=20)
 
 
+from ..operators.sampling import oracle_group_split
+from ..operators.temporal import oracle_p_chart
+
+
+@register(
+    "smp_group_split",
+    oracle_group_split("events", "user_id", n_folds=5),
+    doc="leakage-safe k-fold assignment at the USER level: fold = "
+        "content-stable hash of the group key, so correlated rows never "
+        "straddle train/test (row-hash kfold leaks); one keyed aggregate "
+        "(operators/sampling.py:group_split)",
+)
+def smp_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import group_split
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_split(ev, "user_id", n_folds=5)
+
+
+@register(
+    "tmp_p_chart",
+    oracle_p_chart("events", "event_type = 'error'"),
+    doc="Shewhart p-chart: hourly error share vs 3-sigma binomial control "
+        "limits from the overall rate — the SPC monitor complementing "
+        "CUSUM; exact hourly integers, one global division, fixed sqrt "
+        "chain per calendar-scale bucket (operators/temporal.py:p_chart)",
+)
+def tmp_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import p_chart
+
+    ev = load_table(spark, sf_dir, "events")
+    return p_chart(ev, "event_type = 'error'")
+
+
 def _attach_group_quantiles_oracle() -> None:
     from ..operators.aggregates import oracle_group_quantiles
     from . import REGISTRY, QuerySpec

@@ -3234,3 +3234,68 @@ def test_js_divergence_bounds(spark):
     )
     out2 = js_divergence_by_source(same).collect()
     assert all(abs(r.jsd_to_rest) < 1e-6 for r in out2)
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batch 20: freshness, uncertainty sample, group split, p-chart
+
+
+def test_freshness_report_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import freshness_report
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "fresh"),
+        (2, "2024-01-01 08:00:00", "stale"),
+        (3, "2024-01-01 09:30:00", "ok"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string"
+    ).selectExpr("event_id", "cast(ts_s as timestamp) as ts", "event_type")
+    out = {r.event_type: r for r in freshness_report(ev).collect()}
+    assert out["fresh"].lag_s == 0 and out["fresh"].stale_over_1h is False
+    assert out["stale"].lag_s == 7200 and out["stale"].stale_over_1h is True
+    assert out["ok"].lag_s == 1800 and out["ok"].stale_over_1h is False
+
+
+def test_uncertainty_sample_hand(spark):
+    from hadoop_2_7_1_spark.operators.sampling import uncertainty_sample
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([100, 2499, 2500, 2502, 9000])],
+        "id long, s long",
+    )
+    out = uncertainty_sample(df, "id", "s", 2500, k=3).collect()
+    assert [r.id for r in out] == [2, 1, 3]  # dist 0, 1, 2
+    assert out[0].dist == 0 and out[2].dist == 2
+
+
+def test_group_split_no_leakage(spark):
+    from hadoop_2_7_1_spark.operators.sampling import group_split
+
+    # every user appears many times; total rows and groups conserved
+    rows = [(u, i) for u in range(50) for i in range(4)]
+    df = spark.createDataFrame(rows, "user_id long, x int")
+    out = group_split(df, "user_id", n_folds=5).collect()
+    assert sum(r.n_groups for r in out) == 50      # each user in ONE fold
+    assert sum(r.n_rows for r in out) == 200
+    for r in out:
+        assert r.n_rows == 4 * r.n_groups          # whole groups travel
+
+
+def test_p_chart_flags_spike(spark):
+    from hadoop_2_7_1_spark.operators.temporal import p_chart
+
+    rows = []
+    for h in range(10):
+        for i in range(100):
+            # baseline 1% errors; hour 7 spikes to 30%
+            is_err = (i < 30) if h == 7 else (i < 1)
+            rows.append((f"2024-01-01 {h:02d}:00:{i % 60:02d}",
+                         "error" if is_err else "click"))
+    ev = spark.createDataFrame(rows, "ts_s string, event_type string").selectExpr(
+        "cast(ts_s as timestamp) as ts", "event_type"
+    )
+    out = {r.bucket_h % 24: r for r in p_chart(ev, "event_type = 'error'").collect()}
+    spiked = [h for h, r in out.items() if r.out_of_control]
+    assert spiked == [7]
+    assert out[7].p == 0.3 and out[0].p == 0.01
