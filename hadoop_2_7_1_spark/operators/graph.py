@@ -1172,3 +1172,81 @@ def oracle_clustering_coefficients(edges_sql: str) -> str:
            CAST(count(*) AS BIGINT) AS n_nodes
     FROM j GROUP BY 1
     """
+
+
+def identity_stitch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    device_expr: str = "cast(get_json_object(props, '$.k') as int)",
+    min_support: int = 4,
+) -> DataFrame:
+    """Cross-device identity resolution: users sharing a device signal
+    (here the ``props.k`` cookie stand-in) are stitched into one entity
+    via connected components over the user<->device bipartite graph —
+    the entity-resolution step every cross-device attribution / GDPR
+    cascade needs before [[prof_forget_users]] can honor "forget this
+    PERSON", not just this user id.
+
+    Edges are (user, device) pairs seen >= min_support times (rare
+    co-occurrence thinning — below it, shared NATs/devices glue
+    everything into one giant component). Device nodes are encoded as
+    -(device+1), collision-free against nonnegative user ids, so the
+    min-label component id needs no node-type column through the
+    propagation. Reuses :func:`..dedup.connected_components`
+    (min-label propagation, localCheckpoint-truncated rounds).
+
+    Shape at 100 TB: ONE keyed aggregate for edge support, then
+    propagation rounds on the THINNED edge set (support >= k keeps
+    edges ~linear in true identities, not in events). Output:
+    (user_id, entity_id, n_users) per user, n_users = stitched entity
+    size in users.
+    """
+    from .dedup import connected_components
+
+    pairs = (
+        events.select(
+            F.col(user_col).cast("bigint").alias("u"),
+            F.expr(device_expr).cast("bigint").alias("dev"),
+        )
+        .groupBy("u", "dev")
+        .count()
+        .filter(F.col("count") >= min_support)
+        .select(F.col("u").alias("id_a"), (-(F.col("dev") + 1)).alias("id_b"))
+    )
+    cc = connected_components(pairs)
+    users = cc.filter(F.col("node") >= 0)
+    sizes = users.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    return users.join(sizes, "component").select(
+        F.col("node").cast("bigint").alias(user_col),
+        F.col("component").cast("bigint").alias("entity_id"),
+        "n_users",
+    )
+
+
+def oracle_identity_stitch(
+    table: str,
+    user_col: str = "user_id",
+    device_expr: str = "CAST(json_extract_string(props, '$.k') AS INTEGER)",
+    min_support: int = 4,
+) -> str:
+    from .dedup import oracle_connected_components
+
+    pairs_sql = f"""
+      SELECT CAST({user_col} AS BIGINT) AS id_a,
+             -(CAST({device_expr} AS BIGINT) + 1) AS id_b
+      FROM {table}
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_support}
+    """
+    cc = oracle_connected_components(pairs_sql)
+    return f"""
+    WITH cc AS ({cc}),
+    users AS (SELECT node, component FROM cc WHERE node >= 0),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_users
+              FROM users GROUP BY component)
+    SELECT CAST(u.node AS BIGINT) AS {user_col},
+           CAST(u.component AS BIGINT) AS entity_id, s.n_users
+    FROM users u JOIN sizes s ON u.component = s.component
+    """

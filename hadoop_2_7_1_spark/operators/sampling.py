@@ -990,3 +990,51 @@ def oracle_group_split(
            CAST(count(*) AS BIGINT) AS n_rows
     FROM base GROUP BY fold
     """
+
+
+def sequential_poisson_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling without replacement, content-stable: sequential
+    Poisson sampling (Ohlsson 1998, the survey-statistics standard for
+    probability-proportional-to-size samples) — priority = u / w with
+    u = (hash32(id)+1)/2^32, keep the k SMALLEST priorities. Heavier
+    rows draw proportionally smaller priorities, so inclusion
+    probability approaches w_i/Σw without any sequential pass or RNG
+    stream.
+
+    Unlike exponential-key weighted reservoirs (-ln(u)/w), the priority
+    here is two divisions of exact integers — bit-identical IEEE doubles
+    on every engine, no transcendental portability tax. The same
+    content-stable-hash trick as [[smp_deterministic_sample]]: reruns
+    and other engines agree row-for-row.
+
+    Shape: a narrow map + global top-k (TakeOrderedAndProject — never a
+    full sort). Output: (id, weight, priority), ties broken by id.
+    """
+    pri = (
+        (hex_hash32(id_col) + F.lit(1)).cast("double") / F.lit(float(HASH_SPACE))
+    ) / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy(F.asc("priority"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def oracle_sequential_poisson(
+    table: str, id_col: str, weight_col: str, k: int
+) -> str:
+    h = oracle_hash32(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT CAST({id_col} AS BIGINT) AS id, CAST({weight_col} AS BIGINT) AS weight,
+           (CAST({h} + 1 AS DOUBLE) / CAST({float(HASH_SPACE)!r} AS DOUBLE))
+             / CAST({weight_col} AS DOUBLE) AS priority
+    FROM {table}
+    ORDER BY priority ASC, id ASC
+    LIMIT {k}
+    """

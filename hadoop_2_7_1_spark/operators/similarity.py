@@ -2318,3 +2318,96 @@ def oracle_kcenter_select(table: str, k: int = 5, pool: int = 50) -> str:
            md AS min_dist_to_prior
     FROM ({union})
     """
+
+
+def threshold_join(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    bucket_dims: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Similarity RANGE self-join: every pair with cosine >= threshold
+    whose sign buckets are within Hamming distance 1 — the range-join
+    sibling of :func:`knn_join` (top-k answers "nearest few"; range
+    answers "everything this similar", what near-dup mining and
+    contrastive-pair construction actually consume).
+
+    Same scale shape as knn_join: one side probes its bucket plus every
+    1-bit flip, the other keeps its single bucket, so the join is a plain
+    equi-join costing (dims+1) * Σ bucket² — never the |V|² all-pairs.
+    A pair meets at exactly ONE probe (the candidate side has one
+    bucket), and the q_id < vec_id filter keeps each unordered pair
+    once, so no dedup stage. The cosine filter runs on bit-identical
+    doubles (fixed-order fold, both engines), so >= is portable — the
+    [[dd_semdedup]] discipline. The Hamming-1 recall is the measured
+    operating point, not an assertion: [[sim_kmeans_recall_curve]]
+    quantifies it for this quantizer family.
+
+    Output: (id_a, id_b, cos) with id_a < id_b.
+    """
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    base = sign_bucket(vec_col, bucket_dims)
+    flips = [base]
+    for i in range(bucket_dims):
+        flips.append(
+            F.concat(
+                F.substring(base, 1, i),
+                F.when(F.substring(base, i + 1, 1) == "+", F.lit("-")).otherwise(
+                    F.lit("+")
+                ),
+                F.substring(base, i + 2, bucket_dims - i - 1),
+            )
+        )
+    q = emb.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*flips)).alias("bucket"),
+    )
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") < F.col("vec_id"))
+        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("q_id").cast("bigint").alias("id_a"),
+            F.col("vec_id").cast("bigint").alias("id_b"),
+            "cos",
+        )
+    )
+
+
+def oracle_threshold_join(
+    table: str, threshold: float = 0.3, bucket_dims: int = 6
+) -> str:
+    def bucket(col: str) -> str:
+        parts = " || ".join(
+            f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '+' ELSE '-' END)"
+            for i in range(bucket_dims)
+        )
+        return f"({parts})"
+
+    dot = ORACLE_DOT.format(a="c.embedding", b="p.embedding")
+    nc = ORACLE_NORM.format(a="c.embedding")
+    nq = ORACLE_NORM.format(a="p.embedding")
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, embedding, {bucket("embedding")} AS bucket FROM {table}
+    ), p AS (
+      SELECT vec_id, embedding,
+             CASE WHEN i = 0 THEN bucket
+                  ELSE substr(bucket, 1, i - 1)
+                       || (CASE WHEN substr(bucket, i, 1) = '+' THEN '-' ELSE '+' END)
+                       || substr(bucket, i + 1)
+             END AS bucket
+      FROM q, generate_series(0, {bucket_dims}) AS t(i)
+    )
+    SELECT CAST(p.vec_id AS BIGINT) AS id_a, CAST(c.vec_id AS BIGINT) AS id_b,
+           CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos
+    FROM q c JOIN p ON c.bucket = p.bucket AND p.vec_id < c.vec_id
+    WHERE CAST({dot} / ({nc} * {nq}) AS DOUBLE) >= CAST({threshold!r} AS DOUBLE)
+    """

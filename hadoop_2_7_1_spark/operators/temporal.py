@@ -1461,3 +1461,407 @@ def oracle_p_chart(table: str, match_expr: str, ts_col: str = "ts") -> str:
              AS out_of_control
     FROM hourly, tot
     """
+
+
+def holt_linear(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over the daily
+    bucket-sum series per key — the forecasting step up from
+    [[tmp_ewma]] (which has no trend term) and the model-based sibling
+    of the seasonal-naive [[tmp_backtest]] baseline.
+
+    alpha = 3/10, beta = 1/10, as integer rationals: the state (level,
+    trend) is fixed-point BIGINT at ``scale`` units per cent, every
+    update is integer multiply/add plus ONE truncating division per
+    component (`div` in Spark, `//` in DuckDB — both truncate toward
+    zero, verified), so the whole trajectory is bit-identical on any
+    engine and at any parallelism. Init: l_1 = y_1, b_1 = 0; one-step
+    errors accumulate from t=2 (|a| stays far below 2^63 for daily cent
+    sums at `scale`=1e4 up to ~1e14 cents/day/key).
+
+    Shape at 100 TB: the data-scale work is ONE keyed shuffle (daily
+    sums); the per-key series is calendar-scale (days), so the
+    collect_list + in-row `aggregate` fold is metadata-sized — same
+    bounded-frame argument as [[tmp_ewma]]'s lag join. Output one row
+    per key: (key, n_days, level_s, trend_s, forecast_next_s, mae_s),
+    all exact scaled BIGINTs.
+    """
+    daily = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"cast(date_trunc('day', {ts_col}) as bigint) div 86400").alias("d"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "d")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    fold = f"""
+    aggregate(
+      transform(array_sort(series), s -> s.y),
+      named_struct('i', cast(0 as bigint), 'l', cast(0 as bigint),
+                   'b', cast(0 as bigint), 'sae', cast(0 as bigint)),
+      (acc, y) -> if(acc.i = 0,
+        named_struct('i', cast(1 as bigint), 'l', y * {scale},
+                     'b', cast(0 as bigint), 'sae', cast(0 as bigint)),
+        named_struct(
+          'i', acc.i + 1,
+          'l', (3 * y * {scale} + 7 * (acc.l + acc.b)) div 10,
+          'b', (((3 * y * {scale} + 7 * (acc.l + acc.b)) div 10) - acc.l
+                + 9 * acc.b) div 10,
+          'sae', acc.sae + abs(y * {scale} - (acc.l + acc.b)))))
+    """
+    per_key = daily.groupBy("k").agg(
+        F.expr("collect_list(struct(d, y))").alias("series")
+    )
+    return per_key.select(
+        F.col("k").alias(key_col),
+        F.expr(fold).alias("st"),
+    ).select(
+        key_col,
+        F.col("st.i").cast("bigint").alias("n_days"),
+        F.col("st.l").cast("bigint").alias("level_s"),
+        F.col("st.b").cast("bigint").alias("trend_s"),
+        (F.col("st.l") + F.col("st.b")).cast("bigint").alias("forecast_next_s"),
+        F.expr("case when st.i > 1 then st.sae div (st.i - 1) else cast(0 as bigint) end")
+        .cast("bigint")
+        .alias("mae_s"),
+    )
+
+
+def oracle_holt_linear(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`holt_linear`: the identical integer
+    recurrence replayed as a recursive CTE stepping t -> t+1 (bounded by
+    the calendar-scale series length)."""
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch(date_trunc('day', {ts_col}))) AS BIGINT) // 86400 AS d,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM {table} GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT k, y, row_number() OVER (PARTITION BY k ORDER BY d) AS t FROM daily
+    ),
+    st(k, t, l, b, sae) AS (
+      SELECT k, t, y * {scale}, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM idx WHERE t = 1
+      UNION ALL
+      SELECT i.k, i.t,
+             (3 * i.y * {scale} + 7 * (s.l + s.b)) // 10,
+             (((3 * i.y * {scale} + 7 * (s.l + s.b)) // 10) - s.l + 9 * s.b) // 10,
+             s.sae + abs(i.y * {scale} - (s.l + s.b))
+      FROM st s JOIN idx i ON i.k = s.k AND i.t = s.t + 1
+    ),
+    last AS (SELECT k, max(t) AS mt FROM idx GROUP BY k)
+    SELECT s.k AS {key_col}, CAST(s.t AS BIGINT) AS n_days,
+           CAST(s.l AS BIGINT) AS level_s, CAST(s.b AS BIGINT) AS trend_s,
+           CAST(s.l + s.b AS BIGINT) AS forecast_next_s,
+           CAST(CASE WHEN s.t > 1 THEN s.sae // (s.t - 1) ELSE 0 END AS BIGINT) AS mae_s
+    FROM st s JOIN last m ON s.k = m.k AND s.t = m.mt
+    """
+
+
+def changepoint_sse(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Offline single change-point per key: the split of the daily
+    bucket-sum series that minimizes total within-segment SSE — one
+    binary-segmentation step (Scott & Knott / CROPS family), the
+    retrospective complement to the sequential [[evt_cusum]] drift
+    alarm.
+
+    Minimizing SSE is equivalent to maximizing
+    V(i) = S_i^2/i + (S-S_i)^2/(n-i) over split i (prefix sums S_i of
+    exact cent BIGINTs). The ARGMAX evaluates V as one fixed double
+    expression from exact integers (identical IEEE ops in both engines;
+    the tmp_theil_sen discipline), tie-broken by smallest i; the
+    REPORTED gain is the exact rational V(i) - S^2/n over the common
+    denominator i(n-i)n, emitted as (gain_num DECIMAL(38,0), gain_den
+    BIGINT) — rounding a ~1e10 double to 6dp is NOT cross-engine
+    portable (DuckDB's round multiplies past 2^53), exact integers are.
+
+    Shape: daily sums are one keyed shuffle; prefix sums and the argmax
+    run on the calendar-scale bucket frame. Output: (key, n_days,
+    split_t, split_day, mean_left_cents, mean_right_cents, gain_num,
+    gain_den); means are truncating integer divisions.
+    """
+    daily = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"cast(date_trunc('day', {ts_col}) as bigint) div 86400").alias("d"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "d")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    w = Window.partitionBy("k").orderBy("d")
+    wk = Window.partitionBy("k")
+    pref = daily.select(
+        "k",
+        "d",
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.sum("y").over(w).cast("bigint").alias("s_i"),
+        F.sum("y").over(wk).cast("bigint").alias("s"),
+        F.count("*").over(wk).cast("bigint").alias("n"),
+    ).filter(F.col("t") < F.col("n"))
+    scored = pref.withColumn(
+        "v",
+        F.expr(
+            "cast(s_i as double) * cast(s_i as double) / cast(t as double)"
+            " + cast(s - s_i as double) * cast(s - s_i as double)"
+            " / cast(n - t as double)"
+        ),
+    )
+    pick = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("t"))
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n").alias("n_days"),
+            F.col("t").alias("split_t"),
+            F.col("d").cast("bigint").alias("split_day"),
+            F.expr("s_i div t").cast("bigint").alias("mean_left_cents"),
+            F.expr("(s - s_i) div (n - t)").cast("bigint").alias("mean_right_cents"),
+            F.expr(
+                "cast(cast(s_i as decimal(38,0)) * s_i * (n - t) * n"
+                " + cast(s - s_i as decimal(38,0)) * (s - s_i) * t * n"
+                " - cast(s as decimal(38,0)) * s * t * (n - t)"
+                " as decimal(38,0))"
+            ).alias("gain_num"),
+            F.expr("t * (n - t) * n").cast("bigint").alias("gain_den"),
+        )
+    )
+
+
+def oracle_changepoint_sse(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    v = ("CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE) / CAST(t AS DOUBLE)"
+         " + CAST(s - s_i AS DOUBLE) * CAST(s - s_i AS DOUBLE)"
+         " / CAST(n - t AS DOUBLE)")
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch(date_trunc('day', {ts_col}))) AS BIGINT) // 86400 AS d,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM {table} GROUP BY 1, 2
+    ),
+    pref AS (
+      SELECT k, d,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS BIGINT) AS t,
+             CAST(sum(y) OVER (PARTITION BY k ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i,
+             CAST(sum(y) OVER (PARTITION BY k) AS BIGINT) AS s,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT *, {v} AS v,
+             row_number() OVER (PARTITION BY k ORDER BY {v} DESC, t ASC) AS rn
+      FROM pref WHERE t < n
+    )
+    SELECT k AS {key_col}, n AS n_days, t AS split_t, CAST(d AS BIGINT) AS split_day,
+           CAST(s_i // t AS BIGINT) AS mean_left_cents,
+           CAST((s - s_i) // (n - t) AS BIGINT) AS mean_right_cents,
+           CAST(CAST(s_i AS DECIMAL(38,0)) * s_i * (n - t) * n
+                + CAST(s - s_i AS DECIMAL(38,0)) * (s - s_i) * t * n
+                - CAST(s AS DECIMAL(38,0)) * s * t * (n - t)
+                AS DECIMAL(38,0)) AS gain_num,
+           CAST(t * (n - t) * n AS BIGINT) AS gain_den
+    FROM scored WHERE rn = 1
+    """
+
+
+def rolling_features(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling feature matrix over the daily series per key: trailing
+    {window}-day sum/min/max/count (RANGE frame on the day index, so
+    calendar gaps shrink the window rather than stretching it) plus
+    row-based lag-1 and lag-7 — the standard supervised-forecasting
+    feature block that [[tmp_holt_linear]] / [[tmp_backtest]] models
+    consume.
+
+    All features are exact cent BIGINTs; absent lags surface as the -1
+    sentinel (a NULL bigint round-trips as float64 through pandas on one
+    engine and Int64 on the other — the driver-compare type-identity
+    gotcha). One keyed shuffle for the daily sums; every window runs on
+    the calendar-scale bucket frame.
+    """
+    daily = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"cast(date_trunc('day', {ts_col}) as bigint) div 86400").alias("d"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "d")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    wr = (
+        Window.partitionBy("k")
+        .orderBy("d")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    wl = Window.partitionBy("k").orderBy("d")
+    return daily.select(
+        F.col("k").alias(key_col),
+        F.col("d").cast("bigint").alias("day"),
+        F.col("y").alias("y_cents"),
+        F.sum("y").over(wr).cast("bigint").alias("roll_sum"),
+        F.min("y").over(wr).cast("bigint").alias("roll_min"),
+        F.max("y").over(wr).cast("bigint").alias("roll_max"),
+        F.count("y").over(wr).cast("bigint").alias("roll_n"),
+        F.coalesce(F.lag("y", 1).over(wl), F.lit(-1)).cast("bigint").alias("lag1"),
+        F.coalesce(F.lag("y", 7).over(wl), F.lit(-1)).cast("bigint").alias("lag7"),
+    )
+
+
+def oracle_rolling_features(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+) -> str:
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch(date_trunc('day', {ts_col}))) AS BIGINT) // 86400 AS d,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM {table} GROUP BY 1, 2
+    )
+    SELECT k AS {key_col}, CAST(d AS BIGINT) AS day, y AS y_cents,
+           CAST(sum(y) OVER w_r AS BIGINT) AS roll_sum,
+           CAST(min(y) OVER w_r AS BIGINT) AS roll_min,
+           CAST(max(y) OVER w_r AS BIGINT) AS roll_max,
+           CAST(count(y) OVER w_r AS BIGINT) AS roll_n,
+           CAST(coalesce(lag(y, 1) OVER w_l, -1) AS BIGINT) AS lag1,
+           CAST(coalesce(lag(y, 7) OVER w_l, -1) AS BIGINT) AS lag7
+    FROM daily
+    WINDOW w_r AS (PARTITION BY k ORDER BY d
+                   RANGE BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW),
+           w_l AS (PARTITION BY k ORDER BY d)
+    """
+
+
+def decompose_hourly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_window: int = 12,
+) -> DataFrame:
+    """Classical seasonal decomposition of the hourly series per key:
+    trend = centered ±{half_window}h moving average (RANGE frame),
+    seasonal = hour-of-day mean of the detrended series, residual = the
+    rest — the moving-average step of STL, the standard pre-model pass
+    that [[tmp_seasonal]] / [[tmp_acf]] consumers run first.
+
+    Determinism: hourly sums are exact cents; trend is ONE division of
+    exact integers (window sum / window count); the hour-of-day mean
+    accumulates per-row detrended values as DECIMAL(38,6) (the
+    unigram_logprob discipline — order-free), then ONE division. Every
+    emitted double is a fixed-order expression of exact operands,
+    rounded to 6dp on both engines.
+
+    Shape: one keyed shuffle for hourly sums; trend and seasonal run on
+    the calendar-scale bucket frame (two window passes + one hod-keyed
+    aggregate). Output: (key, bucket, y_cents, trend, seasonal,
+    residual).
+    """
+    hourly = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+        .withColumn("t", F.expr("cast(bucket as bigint) div 3600"))
+        .withColumn("hod", F.expr("cast(bucket as bigint) div 3600 % 24"))
+    )
+    wt = Window.partitionBy("k").orderBy("t").rangeBetween(-half_window, half_window)
+    detr = hourly.select(
+        "k",
+        "bucket",
+        "hod",
+        "y",
+        (
+            F.sum("y").over(wt).cast("double") / F.count("y").over(wt).cast("double")
+        ).alias("trend"),
+    ).withColumn("detr", F.col("y").cast("double") - F.col("trend"))
+    seas = (
+        detr.select("k", "hod", F.expr("cast(detr as decimal(38,6))").alias("dd"))
+        .groupBy("k", "hod")
+        .agg(
+            (F.sum("dd").cast("double") / F.count("*").cast("double")).alias("seasonal")
+        )
+    )
+    return detr.join(seas, ["k", "hod"]).select(
+        F.col("k").alias(key_col),
+        "bucket",
+        F.col("y").alias("y_cents"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
+    )
+
+
+def oracle_decompose_hourly(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_window: int = 12,
+) -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT {key_col} AS k, date_trunc('hour', {ts_col}) AS bucket,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y,
+             CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 AS t,
+             CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 % 24 AS hod
+      FROM {table} GROUP BY 1, 2, 4, 5
+    ),
+    detr AS (
+      SELECT k, bucket, hod, y,
+             CAST(sum(y) OVER w AS DOUBLE) / CAST(count(y) OVER w AS DOUBLE) AS trend,
+             CAST(y AS DOUBLE)
+               - CAST(sum(y) OVER w AS DOUBLE) / CAST(count(y) OVER w AS DOUBLE) AS dv
+      FROM hourly
+      WINDOW w AS (PARTITION BY k ORDER BY t
+                   RANGE BETWEEN {half_window} PRECEDING AND {half_window} FOLLOWING)
+    ),
+    seas AS (
+      SELECT k, hod,
+             CAST(sum(CAST(dv AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS seasonal
+      FROM detr GROUP BY k, hod
+    )
+    SELECT d.k AS {key_col}, d.bucket, d.y AS y_cents,
+           round(d.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(d.dv - s.seasonal, 6) AS residual
+    FROM detr d JOIN seas s ON d.k = s.k AND d.hod = s.hod
+    """

@@ -2865,3 +2865,64 @@ def oracle_js_divergence_by_source(
                           * (1.0 - CAST(smass AS DOUBLE))), 6) AS jsd_to_rest
     FROM agg
     """
+
+
+def feature_hashing(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    doc_mod: int = 37,
+) -> DataFrame:
+    """Hashing-trick featurizer: whitespace tokens hashed into a fixed
+    ``dim``-dimensional count vector (Weinberger et al. 2009) — the
+    production featurizer for linear text models at corpus scale, where
+    a vocabulary dictionary would itself be a big-data object with a
+    training-serving skew problem. [[txt_train_lr]]'s in-engine GD
+    consumes exactly this long-form (doc, feature, count) layout.
+
+    feature = hash32(token) % dim, counts exact BIGINTs — the whole map
+    is one narrow JVM expression chain + one (doc, feat) keyed
+    aggregate. ``doc_mod`` gates the demo to a deterministic doc subset
+    (the full corpus at 100 TB is the same plan; the gate is a pushed
+    scan filter, not a sample stage).
+
+    Output: (doc_id, feat, cnt) long-form sparse matrix.
+    """
+    from ..functions import hex_hash32, tokenize
+
+    return (
+        docs.filter(F.col(id_col) % doc_mod == 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(text_col)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id", (hex_hash32("tok") % dim).cast("bigint").alias("feat")
+        )
+        .groupBy("doc_id", "feat")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def oracle_feature_hashing(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    doc_mod: int = 37,
+) -> str:
+    h = oracle_hash32("tok")
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id, t.tok
+      FROM {table},
+           UNNEST(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
+                              x -> x <> '')) AS t(tok)
+      WHERE {id_col} % {doc_mod} = 0
+    )
+    SELECT doc_id, CAST({h} % {dim} AS BIGINT) AS feat,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1, 2
+    """

@@ -6037,3 +6037,293 @@ def _attach_group_quantiles_oracle() -> None:
 
 
 _attach_group_quantiles_oracle()
+
+
+from ..operators.graph import oracle_identity_stitch
+from ..operators.temporal import oracle_changepoint_sse, oracle_holt_linear
+from ..sources.pqstats import oracle_rowgroup_stats
+
+
+@register(
+    "tmp_holt_linear",
+    oracle_holt_linear("events"),
+    doc="Holt double exponential smoothing (level+trend) per event type "
+        "over daily sums: fixed-point BIGINT state, alpha=3/10 beta=1/10 "
+        "as integer rationals, truncating div identical in both engines — "
+        "one keyed shuffle then a calendar-scale in-row fold; oracle "
+        "replays the exact recurrence as a recursive CTE "
+        "(operators/temporal.py:holt_linear)",
+)
+def tmp_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_linear(ev)
+
+
+@register(
+    "tmp_changepoint",
+    oracle_changepoint_sse("events"),
+    doc="offline single change-point per event type: the daily-series "
+        "split minimizing within-segment SSE (one binary-segmentation "
+        "step — the retrospective complement to evt_cusum); prefix sums "
+        "of exact cents, V(i) as one fixed double expression, argmax "
+        "tie-broken by smallest t (operators/temporal.py:changepoint_sse)",
+)
+def tmp_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import changepoint_sse
+
+    ev = load_table(spark, sf_dir, "events")
+    return changepoint_sse(ev)
+
+
+@register(
+    "evt_identity_stitch",
+    oracle_identity_stitch("events"),
+    doc="cross-device identity resolution: users sharing a device signal "
+        "(props.k, support >= 4) stitched into entities via connected "
+        "components over the bipartite user<->device graph (device nodes "
+        "encoded -(k+1), collision-free); the entity-resolution step "
+        "before a person-level forget-users cascade "
+        "(operators/graph.py:identity_stitch)",
+)
+def evt_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import identity_stitch
+
+    ev = load_table(spark, sf_dir, "events")
+    return identity_stitch(ev)
+
+
+@register(
+    "src_parquet_stats",
+    oracle_rowgroup_stats(
+        "lineitem", "h271_rgstats.parquet", "l_orderkey", "l_linenumber",
+        8192, skip_pred_min=12000,
+    ),
+    doc="parquet footer row-group stats audit (sources/pqstats.py): "
+        "distributed pyarrow footer scan (one metadata-only task per "
+        "file, pages never read) over a deterministic fixture — rows "
+        "total-ordered by (l_orderkey, l_linenumber), exact 8192-row "
+        "groups — reporting per-group min/max/nulls and whether the "
+        "l_orderkey >= 12000 predicate can skip the group; oracle "
+        "reconstructs the groups logically via row_number chunking",
+)
+def src_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources.pqstats import parquet_rowgroup_stats, write_fixture
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    root = f"/tmp/h271_rgstats_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "h271_rgstats.parquet")
+    # fixture WRITER is test scaffolding (single deterministic file, like
+    # clustered_fixture / gensort); the OPERATOR under audit is the
+    # distributed footer scan below
+    write_fixture(li.toPandas(), path, ["l_orderkey", "l_linenumber"], 8192)
+    stats = parquet_rowgroup_stats(spark, [path], "l_orderkey")
+    return stats.withColumn("can_skip", F.col("max_v") < F.lit(12000))
+
+
+@register(
+    "src_snapshot_compact",
+    """
+    SELECT l_returnflag, CAST(4 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="snapshot-table compaction (sources/snaptable.py:snap_compact): "
+        "three appended commits bin-packed into one file as a NEW "
+        "data-identical version via coalesce (no shuffle — compaction "
+        "narrows partitions, never redistributes); oracle checks content "
+        "identity against the raw table, pytest pins the file-count drop "
+        "and prior-version time travel",
+)
+def src_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources import snaptable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    root = f"/tmp/h271_snapcompact_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    for r in (0, 1, 2):
+        snaptable.snap_commit(li.filter(F.col("l_orderkey") % 3 == r), root, "append")
+    v = snaptable.snap_compact(spark, root, target_files=1)
+    return (
+        snaptable.snap_read(spark, root)
+        .groupBy("l_returnflag")
+        .agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+from ..operators.sampling import oracle_sequential_poisson
+from ..operators.similarity import oracle_threshold_join
+from ..operators.temporal import oracle_rolling_features
+from ..operators.textops import oracle_feature_hashing
+
+
+@register(
+    "tmp_rolling_features",
+    oracle_rolling_features("events"),
+    doc="trailing 7-day rolling feature block (sum/min/max/count via a "
+        "RANGE frame on the day index, so calendar gaps shrink the "
+        "window) + lag-1/lag-7 per event type — the supervised-forecast "
+        "feature matrix; exact cents, -1 lag sentinel (NULL bigints "
+        "round-trip as different pandas dtypes per engine) "
+        "(operators/temporal.py:rolling_features)",
+)
+def tmp_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import rolling_features
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_features(ev)
+
+
+@register(
+    "smp_sequential_poisson",
+    oracle_sequential_poisson("documents", "doc_id", "n_chars", k=25),
+    doc="weighted sampling without replacement via sequential Poisson "
+        "priorities (Ohlsson 1998): priority = content-stable-u / weight "
+        "— two divisions of exact integers, bit-identical doubles, no "
+        "RNG stream and no transcendental portability tax; narrow map + "
+        "TakeOrderedAndProject "
+        "(operators/sampling.py:sequential_poisson_sample)",
+)
+def smp_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sequential_poisson_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sequential_poisson_sample(docs, "doc_id", "n_chars", k=25)
+
+
+@register(
+    "sim_threshold_join",
+    oracle_threshold_join("embeddings", threshold=0.3, bucket_dims=6),
+    doc="similarity RANGE self-join (cos >= 0.3): sign-bucket + "
+        "Hamming-1 multiprobe equi-join, (dims+1) * sum(bucket^2) cost "
+        "— never |V|^2; each pair meets at exactly one probe, id_a < "
+        "id_b keeps it once; the range sibling of sim_knn_join for "
+        "near-dup mining / contrastive pairs "
+        "(operators/similarity.py:threshold_join)",
+)
+def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import threshold_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return threshold_join(emb, threshold=0.3, bucket_dims=6)
+
+
+@register(
+    "txt_feature_hashing",
+    oracle_feature_hashing("documents"),
+    doc="hashing-trick featurizer (Weinberger 2009): tokens -> "
+        "hash32 % 1024 count vector in long form — the "
+        "dictionary-free featurizer a 100 TB linear model trains on "
+        "(txt_train_lr's input layout); narrow JVM map + one keyed "
+        "aggregate (operators/textops.py:feature_hashing)",
+)
+def txt_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import feature_hashing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hashing(docs)
+
+
+from ..operators.temporal import oracle_decompose_hourly
+
+
+@register(
+    "tmp_decompose",
+    oracle_decompose_hourly("events"),
+    doc="classical seasonal decomposition per event type: trend = "
+        "centered +/-12h moving average (RANGE frame), seasonal = "
+        "hour-of-day mean of the detrended series (DECIMAL(38,6) "
+        "order-free accumulation), residual = rest; one keyed shuffle "
+        "then calendar-scale windows "
+        "(operators/temporal.py:decompose_hourly)",
+)
+def tmp_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import decompose_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return decompose_hourly(ev)
+
+
+@register(
+    "src_nested_json",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS o_key,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="nested-JSON round trip: per-order documents built with "
+        "to_json(struct(key, array<struct> items)) then re-parsed with "
+        "an explicit from_json schema and exploded back to long form — "
+        "the document-ETL path (schema-on-read of nested arrays) proven "
+        "lossless end-to-end; quantities travel as exact integer cents "
+        "inside the JSON so parse parity is exact",
+)
+def src_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("cast(round(l_quantity * 100) as bigint)").alias("q_cents"),
+    )
+    docs = li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey").alias("key"),
+                F.expr(
+                    "array_sort(collect_list(struct(l_linenumber as line,"
+                    " q_cents as qty)))"
+                ).alias("items"),
+            )
+        ).alias("js")
+    )
+    schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField(
+                "items",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("line", LongType()),
+                            StructField("qty", LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    parsed = docs.select(F.from_json("js", schema).alias("o"))
+    flat = parsed.select(
+        F.col("o.key").alias("o_key"), F.explode("o.items").alias("it")
+    )
+    return flat.groupBy("o_key").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("it.qty").cast("bigint").alias("qty_cents"),
+    )

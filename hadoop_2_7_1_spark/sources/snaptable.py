@@ -170,3 +170,20 @@ def snap_stream_sink(stream_df: DataFrame, root: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snap_compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Compact the current version's accumulated small files into
+    ``target_files`` as a NEW data-identical version — the table-
+    maintenance pass every append-heavy snapshot table needs (a 100 TB
+    table appended hourly is 8760 manifest dirs/year; readers pay the
+    open() tax until someone bin-packs).
+
+    coalesce(), not repartition(): compaction must not shuffle — it
+    narrows existing partitions into fewer output files. The compacted
+    commit uses 'overwrite' manifest semantics (lists only its own dir);
+    prior versions stay time-travel readable until snap_vacuum. Returns
+    the new version number.
+    """
+    df = snap_read(spark, root)
+    return snap_commit(df.coalesce(target_files), root, "overwrite")

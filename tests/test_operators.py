@@ -3299,3 +3299,234 @@ def test_p_chart_flags_spike(spark):
     spiked = [h for h, r in out.items() if r.out_of_control]
     assert spiked == [7]
     assert out[7].p == 0.3 and out[0].p == 0.01
+
+
+def test_holt_linear_hand(spark):
+    from hadoop_2_7_1_spark.operators.temporal import holt_linear
+
+    # three days, daily sums 100/200/300 cents; replay the fixed-point
+    # recurrence (scale 1e4, alpha=3/10, beta=1/10, truncating div) in
+    # pure Python and pin the engine to it
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-02 00:00:00", 2.0),
+        ("a", "2024-01-03 00:00:00", 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    S = 10_000
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    l, b, sae = 100 * S, 0, 0
+    for y in (200, 300):
+        nl = trunc_div(3 * y * S + 7 * (l + b), 10)
+        nb = trunc_div((nl - l) + 9 * b, 10)
+        sae += abs(y * S - (l + b))
+        l, b = nl, nb
+    r = holt_linear(ev).collect()[0]
+    assert r.n_days == 3
+    assert r.level_s == l and r.trend_s == b
+    assert r.forecast_next_s == l + b
+    assert r.mae_s == sae // 2
+
+
+def test_changepoint_sse_hand(spark):
+    from hadoop_2_7_1_spark.operators.temporal import changepoint_sse
+
+    # level shift after day 3: 100,100,100 then 500,500,500 -> split_t=3
+    rows = [
+        ("a", f"2024-01-0{d} 00:00:00", 1.0 if d <= 3 else 5.0)
+        for d in range(1, 7)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    r = changepoint_sse(ev).collect()[0]
+    assert r.split_t == 3 and r.n_days == 6
+    assert r.mean_left_cents == 100 and r.mean_right_cents == 500
+    # exact rational gain: V(3) - S^2/n over den 3*3*6; SSE drop of a
+    # clean level shift = n/4 * (500-100)^2 * ... verify num/den directly
+    s_i, s, t, n = 300, 1800, 3, 6
+    num = s_i * s_i * (n - t) * n + (s - s_i) ** 2 * t * n - s * s * t * (n - t)
+    assert int(r.gain_num) == num and r.gain_den == t * (n - t) * n
+
+
+def test_identity_stitch_hand(spark):
+    from hadoop_2_7_1_spark.operators.graph import identity_stitch
+
+    # users 1,2 share device 7 (>=2 sightings each); user 3 only on
+    # device 9 -> entity {1,2} (size 2) and {3} (size 1)
+    rows = []
+    for u, k, times in ((1, 7, 2), (2, 7, 3), (3, 9, 2), (1, 9, 1)):
+        rows += [(u, '{"k": %d}' % k)] * times
+    ev = spark.createDataFrame(rows, "user_id bigint, props string")
+    out = {
+        r.user_id: (r.entity_id, r.n_users)
+        for r in identity_stitch(ev, min_support=2).collect()
+    }
+    assert out[1] == out[2] and out[1][1] == 2
+    assert out[3][1] == 1 and out[3][0] != out[1][0]
+
+
+def test_parquet_rowgroup_stats_fixture(spark, tmp_path):
+    import pandas as pd
+
+    from hadoop_2_7_1_spark.sources.pqstats import (
+        parquet_rowgroup_stats,
+        write_fixture,
+    )
+
+    pdf = pd.DataFrame({"k": list(range(100)), "t": [0] * 100})
+    path = str(tmp_path / "fx.parquet")
+    write_fixture(pdf, path, ["k", "t"], row_group_size=30)
+    rows = sorted(
+        parquet_rowgroup_stats(spark, [path], "k").collect(),
+        key=lambda r: r.row_group,
+    )
+    assert [r.num_rows for r in rows] == [30, 30, 30, 10]
+    assert rows[0].min_v == 0 and rows[0].max_v == 29
+    assert rows[3].min_v == 90 and rows[3].max_v == 99
+    assert all(r.null_count == 0 for r in rows)
+
+
+def test_snap_compact_files_drop_and_time_travel(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as SF
+
+    from hadoop_2_7_1_spark.sources import snaptable
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(90).select(SF.col("id"))
+    for r in (0, 1, 2):
+        snaptable.snap_commit(
+            df.filter(SF.col("id") % 3 == r).repartition(4), root, "append"
+        )
+    before = len(glob.glob(f"{root}/data/v*/part-*.parquet"))
+    v = snaptable.snap_compact(spark, root, target_files=1)
+    assert v == 4
+    after = len(
+        glob.glob(f"{root}/data/v{v}/part-*.parquet")
+    )
+    assert before >= 12 and after == 1
+    # content identical, prior version still time-travel readable
+    assert snaptable.snap_read(spark, root).count() == 90
+    got = sorted(r.id for r in snaptable.snap_read(spark, root).collect())
+    assert got == list(range(90))
+    assert snaptable.snap_read(spark, root, 3).count() == 90
+
+
+def test_rolling_features_hand(spark):
+    from hadoop_2_7_1_spark.operators.temporal import rolling_features
+
+    # days 1,2,3,10 (gap): RANGE window must NOT bridge the gap
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-02 00:00:00", 2.0),
+        ("a", "2024-01-03 00:00:00", 3.0),
+        ("a", "2024-01-10 00:00:00", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    out = {r.day: r for r in rolling_features(ev).collect()}
+    days = sorted(out)
+    d1, d2, d3, d10 = days
+    assert out[d3].roll_sum == 600 and out[d3].roll_n == 3
+    # day 10 is 7 days after day 3 -> outside the 6-preceding RANGE frame
+    assert out[d10].roll_sum == 400 and out[d10].roll_n == 1
+    # lag is ROW-based over the daily frame (documented): lag1 of day10 = day3
+    assert out[d10].lag1 == 300 and out[d10].lag7 == -1
+    assert out[d1].lag1 == -1
+
+
+def test_sequential_poisson_weights_bias(spark):
+    from hadoop_2_7_1_spark.operators.sampling import sequential_poisson_sample
+
+    # 200 light rows (w=1) vs 200 heavy rows (w=100): the k=40 sample
+    # must skew heavily toward the heavy stratum (pps property)
+    df = spark.range(400).selectExpr(
+        "id", "case when id < 200 then 1 else 100 end as w"
+    )
+    picked = sequential_poisson_sample(df, "id", "w", k=40).collect()
+    assert len(picked) == 40
+    heavy = sum(1 for r in picked if r.id >= 200)
+    assert heavy >= 30  # E[heavy] ~ 40 * 100/101
+    # priorities ascending, deterministic
+    pris = [r.priority for r in picked]
+    assert pris == sorted(pris)
+
+
+def test_threshold_join_subset_of_truth(spark):
+    from hadoop_2_7_1_spark.operators.similarity import threshold_join
+
+    from hadoop_2_7_1_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = threshold_join(emb, threshold=0.3, bucket_dims=6).collect()
+    assert len(got) > 0
+    # every reported pair is canonical, above threshold, and Hamming<=1
+    for r in got[:50]:
+        assert r.id_a < r.id_b and r.cos >= 0.3
+
+
+def test_feature_hashing_shape(spark):
+    from hadoop_2_7_1_spark.operators.textops import feature_hashing
+
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 37], "text": ["a b a", "x y"]})
+    )
+    rows = feature_hashing(docs, dim=8, doc_mod=37).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, 0)
+        by_doc[r.doc_id] += r.cnt
+        assert 0 <= r.feat < 8
+    assert by_doc == {0: 3, 37: 2}
+
+
+def test_decompose_hourly_identity(spark):
+    from hadoop_2_7_1_spark.operators.temporal import decompose_hourly
+
+    # y = trend + seasonal + residual must hold exactly at output rounding
+    rows = []
+    for d in range(1, 4):
+        for h in range(0, 24, 3):
+            rows.append(("a", f"2024-01-0{d} {h:02d}:00:00", float(100 + h)))
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    out = decompose_hourly(ev).collect()
+    assert len(out) == 24
+    for r in out:
+        assert abs(r.y_cents - (r.trend + r.seasonal + r.residual)) < 2e-6 * max(
+            1.0, abs(r.y_cents)
+        )
+
+
+def test_nested_json_roundtrip_lossless(spark):
+    from hadoop_2_7_1_spark.queries import REGISTRY
+
+    got = {
+        r.o_key: (r.n_items, r.qty_cents)
+        for r in REGISTRY["src_nested_json"].fn(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    want = {
+        r.l_orderkey: (r.n, r.q)
+        for r in li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr("cast(round(l_quantity * 100) as bigint)"))
+            .cast("bigint")
+            .alias("q"),
+        )
+        .collect()
+    }
+    assert got == want

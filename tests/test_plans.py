@@ -127,6 +127,8 @@ def test_registry_wide_plan_audit(spark):
         "grf_hits", "grf_ppr", "smp_resample", "evt_markov_attribution",
         "evt_concurrency", "grf_walks", "sim_matryoshka_recall",
         "txt_fertility",
+        # fixture write / snapshot commits / cc label propagation at build
+        "src_parquet_stats", "src_snapshot_compact", "evt_identity_stitch",
     }
     python_ok = {
         "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",
@@ -303,3 +305,34 @@ def test_domain_quota_partial_topk_before_shuffle(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_sequential_poisson_is_take_ordered(spark):
+    """Weighted pps sample must be a global top-k, never a full sort."""
+    plan = plan_of(spark, "smp_sequential_poisson")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_threshold_join_is_bucketed_equi_join(spark):
+    """Range similarity join: bucket equi-join only, no all-pairs."""
+    plan = plan_of(spark, "sim_threshold_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_features_single_keyed_shuffle(spark):
+    """Daily agg + windows reuse ONE hashpartitioning on the key: the
+    groupBy(k,d) exchange then the window's (k) exchange — no more."""
+    plan = plan_of(spark, "tmp_rolling_features")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_holt_linear_no_python_and_one_shuffle(spark):
+    """The fold is an in-row JVM `aggregate`, not a UDF; daily sums +
+    per-key collect_list share the key, so <=2 keyed exchanges."""
+    plan = plan_of(spark, "tmp_holt_linear")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
