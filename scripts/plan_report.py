@@ -124,6 +124,15 @@ AUDITED = [
     "evt_ratio_ci",
     "cur_water_filling",
     "dd_shingle_profile",
+    # round-6 continuation batch
+    "tmp_holt_linear",
+    "tmp_changepoint",
+    "tmp_rolling_features",
+    "tmp_decompose",
+    "sim_threshold_join",
+    "smp_sequential_poisson",
+    "txt_feature_hashing",
+    "src_nested_json",
 ]
 
 
