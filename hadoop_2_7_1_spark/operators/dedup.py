@@ -1786,3 +1786,140 @@ def oracle_decontaminate_train(
                  / CAST(t.n_train AS DOUBLE) * 100.0, 6) AS drop_pct
     FROM train_docs t LEFT JOIN dropped d ON t.src = d.src
     """
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_min: int = 2,
+    df_max: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sparse TF-IDF cosine pairwise similarity via a df-capped inverted
+    index (the Elsayed/Lin/Oard 2008 pairwise-document-similarity
+    MapReduce shape, Spark-first): postings self-join on TERM, so cost is
+    Σ df² over kept terms — the df_max cap bounds it at |terms|·df_max²,
+    never |D|². Terms with df < df_min carry no pair, terms with
+    df > df_max carry little cosine mass but quadratic cost: drop both
+    (the prefix-filter discipline; norms run over KEPT terms, standard
+    for filtered pairwise similarity and replayed identically by the
+    oracle).
+
+    Cross-engine float discipline: idf = ln(N/df) rounded through
+    DECIMAL(38,6) per TERM (the [[txt_tfidf_topterms]] move — ln differs
+    in the last ulp across engines); every pair contribution wgt_a*wgt_b
+    and every norm term wgt² is rounded to DECIMAL(38,6) before the EXACT
+    decimal sum, so join/aggregation order cannot move the result.
+
+    Output: (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
+    """
+    from ..functions import tokenize
+
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= df_min) & (F.col("df") <= df_max))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    postings = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "wgt",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            )
+            .cast("decimal(38,6)")
+            .cast("double"),
+        )
+        .select("term", "doc_id", "wgt")
+    )
+    norms = (
+        postings.select(
+            "doc_id", F.expr("cast(wgt * wgt as decimal(38,6))").alias("w2")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w2").cast("double").alias("n2"))
+    )
+    a = postings.select(
+        "term", F.col("doc_id").alias("id_a"), F.col("wgt").alias("wa")
+    )
+    b = postings.select(
+        "term", F.col("doc_id").alias("id_b"), F.col("wgt").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.expr("cast(wa * wb as decimal(38,6))").alias("c")
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("c").cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cos",
+            F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            "cos",
+        )
+    )
+
+
+def oracle_tfidf_cosine_pairs(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_min: int = 2,
+    df_max: int = 20,
+    threshold: float = 0.5,
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id,
+             unnest(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
+                                t -> t <> '')) AS term
+      FROM {table}
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+      HAVING count(*) >= {df_min} AND count(*) <= {df_max}
+    ), n AS (SELECT count(*) AS n_docs FROM {table}),
+    postings AS MATERIALIZED (
+      SELECT tf.term, tf.doc_id,
+             CAST(CAST(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)
+                       AS DECIMAL(38,6)) AS DOUBLE) AS wgt
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, CAST(sum(CAST(wgt * wgt AS DECIMAL(38,6))) AS DOUBLE) AS n2
+      FROM postings GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(CAST(a.wgt * b.wgt AS DECIMAL(38,6))) AS DOUBLE) AS dot
+      FROM postings a JOIN postings b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(d.id_a AS BIGINT) AS id_a, CAST(d.id_b AS BIGINT) AS id_b,
+           round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+    FROM dots d JOIN norms na ON d.id_a = na.doc_id
+                JOIN norms nb ON d.id_b = nb.doc_id
+    WHERE round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= CAST({threshold!r} AS DOUBLE)
+    """

@@ -6327,3 +6327,66 @@ def src_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_items"),
         F.sum("it.qty").cast("bigint").alias("qty_cents"),
     )
+
+
+from ..operators.dedup import oracle_tfidf_cosine_pairs
+
+
+@register(
+    "dd_tfidf_cosine",
+    oracle_tfidf_cosine_pairs("documents"),
+    doc="sparse TF-IDF cosine pairwise similarity (Elsayed/Lin/Oard 2008 "
+        "shape): df-capped inverted index self-joined on TERM — cost "
+        "sum(df^2) <= |terms| * df_max^2, never |D|^2; idf and every "
+        "pair/norm contribution rounded through DECIMAL(38,6) so the "
+        "decimal sums are order-free "
+        "(operators/dedup.py:tfidf_cosine_pairs)",
+)
+def dd_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs)
+
+
+@register(
+    "src_copybook",
+    """
+    SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY l_returnflag
+    """,
+    doc="mainframe fixed-record ingest (sources/copybook.py): EBCDIC "
+        "IBM037 text + COMP-3 packed-decimal fields decoded entirely in "
+        "JVM expressions (binary substring records, hex() nibble parse, "
+        "decode(bin,'IBM037')) — zero Python per record; fixture written "
+        "from lineitem by the Python encoder (scaffolding), read back and "
+        "aggregated; oracle computes straight from the table",
+)
+def src_copybook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.copybook import read_copybook_records, write_copybook_fixture
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select(
+            "l_returnflag",
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+        )
+    )
+    layout = [("flag", "X", 1), ("cents", "P", 6)]
+    root = f"/tmp/h271_copybook_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "extract.bin")
+    # fixture writer = test scaffolding (deterministic single extract file,
+    # like pqstats.write_fixture); the operator under audit is the JVM reader
+    rows = [(r.l_returnflag, r.cents) for r in li.collect()]
+    write_copybook_fixture(rows, path, layout)
+    recs = read_copybook_records(spark, path, layout)
+    return recs.groupBy(F.col("flag")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )

@@ -133,6 +133,7 @@ AUDITED = [
     "smp_sequential_poisson",
     "txt_feature_hashing",
     "src_nested_json",
+    "dd_tfidf_cosine",
 ]
 
 

@@ -3530,3 +3530,33 @@ def test_nested_json_roundtrip_lossless(spark):
         .collect()
     }
     assert got == want
+
+
+def test_tfidf_cosine_pairs_hand(spark):
+    from hadoop_2_7_1_spark.operators.dedup import tfidf_cosine_pairs
+
+    import pandas as pd
+
+    # docs 1,2 identical over shared rare terms -> cos 1.0; doc 3 disjoint
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "alpha beta gamma",
+                    "alpha beta gamma",
+                    "delta epsilon zeta",
+                    "delta epsilon eta",
+                ],
+            }
+        )
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in tfidf_cosine_pairs(docs, df_min=2, df_max=3, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    # zeta/eta have df=1 -> dropped by df_min; docs 3,4 agree on every
+    # KEPT term (norms run over kept terms, the prefix-filter semantics)
+    assert got[(3, 4)] == 1.0
+    assert (1, 3) not in got and (2, 3) not in got

@@ -1293,3 +1293,47 @@ def test_avro_empty_write_readable(spark, tmp_path):
     av.write_avro(df, d)
     back = av.read_avro(spark, d)
     assert back.count() == 0 and back.columns == ["id"]
+
+
+def test_copybook_ebcdic_comp3_roundtrip(spark, tmp_path):
+    from hadoop_2_7_1_spark.sources.copybook import (
+        read_copybook_records,
+        write_copybook_fixture,
+    )
+
+    layout = [("flag", "X", 2), ("amount", "P", 5), ("qty", "P", 3)]
+    rows = [("A", 123456789, -450), ("Bx", -1, 99999), ("", 0, 0)]
+    path = str(tmp_path / "extract.bin")
+    write_copybook_fixture(rows, path, layout)
+    # 10 bytes/record, 3 records
+    import os
+
+    assert os.path.getsize(path) == 30
+    got = sorted(
+        read_copybook_records(spark, path, layout).collect(),
+        key=lambda r: r.rec_no,
+    )
+    assert [(r.flag, r.amount, r.qty) for r in got] == [
+        ("A", 123456789, -450),
+        ("Bx", -1, 99999),
+        ("", 0, 0),
+    ]
+
+
+def test_copybook_reader_stays_in_jvm(spark, tmp_path):
+    from hadoop_2_7_1_spark.sources.copybook import (
+        read_copybook_records,
+        write_copybook_fixture,
+    )
+
+    layout = [("flag", "X", 1), ("v", "P", 4)]
+    path = str(tmp_path / "x.bin")
+    write_copybook_fixture([("Z", 7)], path, layout)
+    plan = (
+        read_copybook_records(spark, path, layout)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
