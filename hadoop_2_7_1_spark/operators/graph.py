@@ -1250,3 +1250,162 @@ def oracle_identity_stitch(
            CAST(u.component AS BIGINT) AS entity_id, s.n_users
     FROM users u JOIN sizes s ON u.component = s.component
     """
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: list[str],
+    depth: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Sampled, depth-bounded betweenness centrality (Brandes 2001 with
+    pivot sources): run the forward BFS/path-count pass and the backward
+    dependency accumulation from each pivot, bc(v) = Σ_s δ_s(v) — the
+    broker-node detector that PageRank/HITS (volume-based) cannot
+    express. Sampling pivots instead of all sources is THE published
+    scale move (Brandes/Pich 2007); the depth bound additionally
+    truncates dependencies to paths of <= depth hops, and both
+    truncations are part of the operator's declared semantics (the
+    oracle replays them exactly).
+
+    Exactness: path counts sigma are BIGINTs (discovery-level BFS — a
+    node's sigma is fixed the round it is first reached, the anti-join
+    keeps later rounds from touching it); each backward contribution
+    (sigma_v/sigma_w)·(1+delta_w) is one fixed double chain rounded to
+    DECIMAL(38,6) before the per-node EXACT sum, and the cross-source
+    fold re-rounds the same way — order-free at any parallelism.
+
+    Shape: every step is an equi-keyed join/aggregate on (source, node)
+    — 2·depth·|pivots| keyed shuffles total, never a cartesian; frames
+    carry |pivots| × (reached nodes) rows. Output: (node, bc) for
+    bc > 0, rounded 6dp.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    d = spark.createDataFrame(
+        [(s, s, 0, 1) for s in sources], "s string, node string, dist int, sigma long"
+    )
+    levels = [d]
+    for k in range(depth):
+        frontier = levels[-1].filter(F.col("dist") == k).select(
+            "s", F.col("node").alias("src"), "sigma"
+        )
+        arrivals = (
+            frontier.join(e, "src")
+            .groupBy("s", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .withColumn("dist", F.lit(k + 1))
+        )
+        new_nodes = arrivals.join(
+            levels[-1].select("s", "node"), ["s", "node"], "left_anti"
+        ).select("s", "node", "dist", "sigma")
+        levels.append(levels[-1].unionByName(new_nodes))
+    d = levels[-1]
+    lvl = {l: d.filter(F.col("dist") == l) for l in range(depth + 1)}
+    delta = {
+        depth: lvl[depth].select("s", "node", F.lit(0.0).alias("delta"))
+    }
+    for l in range(depth - 1, -1, -1):
+        succ = (
+            lvl[l + 1]
+            .join(delta[l + 1], ["s", "node"])
+            .select(
+                "s",
+                F.col("node").alias("dst"),
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+        )
+        contrib = (
+            lvl[l]
+            .select("s", F.col("node").alias("src"), F.col("sigma").alias("sigma_v"))
+            .join(e, "src")
+            .join(succ, ["s", "dst"])
+            .select(
+                "s",
+                F.col("src").alias("node"),
+                F.expr(
+                    "cast((cast(sigma_v as double) / cast(sigma_w as double))"
+                    " * (1.0D + delta_w) as decimal(38,6))"
+                ).alias("c"),
+            )
+            .groupBy("s", "node")
+            .agg(F.sum("c").cast("double").alias("dsum"))
+        )
+        delta[l] = (
+            lvl[l]
+            .select("s", "node")
+            .join(contrib, ["s", "node"], "left")
+            .select("s", "node", F.coalesce(F.col("dsum"), F.lit(0.0)).alias("delta"))
+        )
+    acc = None
+    for l in range(1, depth + 1):
+        part = delta[l]
+        acc = part if acc is None else acc.unionByName(part)
+    return (
+        acc.select("node", F.expr("cast(delta as decimal(38,6))").alias("dd"))
+        .groupBy("node")
+        .agg(F.round(F.sum("dd").cast("double"), 6).alias("bc"))
+        .filter(F.col("bc") > 0)
+    )
+
+
+def oracle_betweenness_sampled(
+    edges_sql: str, sources: list[str], depth: int = 4
+) -> str:
+    """Unrolled forward/backward CTE chain mirroring
+    :func:`betweenness_sampled` (MATERIALIZED edge/level CTEs — every
+    unrolled step references them)."""
+    src_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS s, '{s}' AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma"
+        for s in sources
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        f"d0 AS MATERIALIZED ({src_rows})",
+    ]
+    for k in range(depth):
+        parts.append(
+            f", a{k + 1} AS (SELECT d.s, e.dst AS node, {k + 1} AS dist,"
+            f" CAST(sum(d.sigma) AS BIGINT) AS sigma"
+            f" FROM d{k} d JOIN e ON e.src = d.node WHERE d.dist = {k}"
+            f" GROUP BY d.s, e.dst)"
+        )
+        parts.append(
+            f", d{k + 1} AS MATERIALIZED (SELECT * FROM d{k} UNION ALL"
+            f" SELECT a.* FROM a{k + 1} a ANTI JOIN d{k} p"
+            f" ON a.s = p.s AND a.node = p.node)"
+        )
+    d = f"d{depth}"
+    parts.append(
+        f", x{depth} AS MATERIALIZED (SELECT s, node, CAST(0 AS DOUBLE) AS delta"
+        f" FROM {d} WHERE dist = {depth})"
+    )
+    for l in range(depth - 1, -1, -1):
+        parts.append(
+            f", c{l} AS (SELECT v.s, v.node,"
+            f" CAST(sum(CAST((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))"
+            f" * (1.0 + x.delta) AS DECIMAL(38,6))) AS DOUBLE) AS dsum"
+            f" FROM {d} v JOIN e ON e.src = v.node"
+            f" JOIN {d} w ON w.s = v.s AND w.node = e.dst AND w.dist = {l + 1}"
+            f" JOIN x{l + 1} x ON x.s = w.s AND x.node = w.node"
+            f" WHERE v.dist = {l} GROUP BY v.s, v.node)"
+        )
+        parts.append(
+            f", x{l} AS MATERIALIZED (SELECT v.s, v.node,"
+            f" coalesce(c.dsum, CAST(0 AS DOUBLE)) AS delta"
+            f" FROM {d} v LEFT JOIN c{l} c ON c.s = v.s AND c.node = v.node"
+            f" WHERE v.dist = {l})"
+        )
+    union_deltas = " UNION ALL ".join(
+        f"SELECT s, node, delta FROM x{l}" for l in range(1, depth + 1)
+    )
+    parts.append(
+        f"SELECT node, round(CAST(sum(CAST(delta AS DECIMAL(38,6))) AS DOUBLE), 6)"
+        f" AS bc FROM ({union_deltas}) GROUP BY node"
+        f" HAVING round(CAST(sum(CAST(delta AS DECIMAL(38,6))) AS DOUBLE), 6) > 0"
+    )
+    return "\n".join(parts)

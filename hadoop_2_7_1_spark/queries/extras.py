@@ -6390,3 +6390,30 @@ def src_copybook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("cents"),
     )
+
+
+from ..operators.graph import oracle_betweenness_sampled
+
+
+@register(
+    "grf_betweenness",
+    oracle_betweenness_sampled(_PR_EDGES_SQL, ["s1", "s2", "s3", "s4"], depth=4),
+    doc="sampled depth-bounded betweenness centrality (Brandes 2001, "
+        "Brandes/Pich 2007 pivots): forward BFS path counts (exact "
+        "BIGINT sigma via discovery-level anti-joins) + backward "
+        "dependency accumulation (per-edge contribution rounded through "
+        "DECIMAL(38,6) before the exact per-node sum) from 4 pivot "
+        "suppliers over the supplier-part graph, 4 hops — the broker "
+        "detector volume-based PageRank/HITS cannot express; all "
+        "equi-keyed shuffles (operators/graph.py:betweenness_sampled)",
+)
+def grf_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import betweenness_sampled
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return betweenness_sampled(edges, ["s1", "s2", "s3", "s4"], depth=4)

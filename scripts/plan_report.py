@@ -134,6 +134,7 @@ AUDITED = [
     "txt_feature_hashing",
     "src_nested_json",
     "dd_tfidf_cosine",
+    "grf_betweenness",
 ]
 
 

@@ -3560,3 +3560,29 @@ def test_tfidf_cosine_pairs_hand(spark):
     # KEPT term (norms run over kept terms, the prefix-filter semantics)
     assert got[(3, 4)] == 1.0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_betweenness_path_graph(spark):
+    from hadoop_2_7_1_spark.operators.graph import betweenness_sampled
+
+    # undirected path a-b-c-d from pivot a: delta(b)=2 (carries c,d),
+    # delta(c)=1 (carries d), delta(d)=0
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], "src string, dst string"
+    )
+    got = {r.node: r.bc for r in betweenness_sampled(edges, ["a"], depth=3).collect()}
+    assert got == {"b": 2.0, "c": 1.0}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    from hadoop_2_7_1_spark.operators.graph import betweenness_sampled
+
+    # diamond a->{b,c}->d: the single target d has two shortest paths, so
+    # each broker carries sigma_b/sigma_d = 1/2 of the pair dependency
+    pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], "src string, dst string"
+    )
+    got = {r.node: r.bc for r in betweenness_sampled(edges, ["a"], depth=2).collect()}
+    assert got == {"b": 0.5, "c": 0.5}
