@@ -99,6 +99,13 @@ EXTRAS = [
     "cur_contamination",
     "sim_mmr",
     "tmp_theil_sen",
+    # round-6 continuation: Brandes pivots (8 unrolled join rounds over
+    # the 2.4M-edge graph — the heaviest graph op by design), df-capped
+    # pairwise TF-IDF cosine (Σ df² postings join), and the Hamming-1
+    # bucketed range join
+    "grf_betweenness",
+    "dd_tfidf_cosine",
+    "sim_threshold_join",
 ]
 
 

@@ -1792,6 +1792,7 @@ def tfidf_cosine_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_n: int = 3,
     df_min: int = 2,
     df_max: int = 20,
     threshold: float = 0.5,
@@ -1800,7 +1801,11 @@ def tfidf_cosine_pairs(
     index (the Elsayed/Lin/Oard 2008 pairwise-document-similarity
     MapReduce shape, Spark-first): postings self-join on TERM, so cost is
     Σ df² over kept terms — the df_max cap bounds it at |terms|·df_max²,
-    never |D|². Terms with df < df_min carry no pair, terms with
+    never |D|². Terms are word ``shingle_n``-grams, not unigrams: on a
+    small-vocabulary corpus every unigram is corpus-wide (df ≈ |D|,
+    zero discrimination), while shingle df distributions have the rare
+    discriminative band this index lives on — the same reason MinHash
+    shingles. Terms with df < df_min carry no pair, terms with
     df > df_max carry little cosine mass but quadratic cost: drop both
     (the prefix-filter discipline; norms run over KEPT terms, standard
     for filtered pairwise similarity and replayed identically by the
@@ -1814,10 +1819,11 @@ def tfidf_cosine_pairs(
 
     Output: (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
     """
-    from ..functions import tokenize
+    from ..functions import word_shingles
 
     terms = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("term"),
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = (
@@ -1884,15 +1890,17 @@ def oracle_tfidf_cosine_pairs(
     table: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_n: int = 3,
     df_min: int = 2,
     df_max: int = 20,
     threshold: float = 0.5,
 ) -> str:
+    from ..functions import oracle_word_shingles
+
+    sh = oracle_word_shingles(text_col, shingle_n)
     return f"""
     WITH toks AS (
-      SELECT {id_col} AS doc_id,
-             unnest(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
-                                t -> t <> '')) AS term
+      SELECT {id_col} AS doc_id, unnest({sh}) AS term
       FROM {table}
     ), tf AS (
       SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term

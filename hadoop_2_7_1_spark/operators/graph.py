@@ -1282,9 +1282,11 @@ def betweenness_sampled(
     bc > 0, rounded 6dp.
     """
     spark = edges.sparkSession
+    # every forward and backward round joins e: lazy-checkpoint it so the
+    # scan+distinct runs once per action, not once per reference
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     d = spark.createDataFrame(
         [(s, s, 0, 1) for s in sources], "s string, node string, dist int, sigma long"
     )
@@ -1303,7 +1305,13 @@ def betweenness_sampled(
             levels[-1].select("s", "node"), ["s", "node"], "left_anti"
         ).select("s", "node", "dist", "sigma")
         levels.append(levels[-1].unionByName(new_nodes))
-    d = levels[-1]
+    # the backward pass references the distance frame ~3x per level: a
+    # LAZY localCheckpoint materializes the forward result once inside
+    # the first action and truncates the 4-round lineage (persist() would
+    # pin pre-AQE 200-partition shuffles under a default session and blow
+    # the stage count; plain lineage re-executes the forward chain per
+    # reference beyond what ReusedExchange dedups)
+    d = levels[-1].localCheckpoint(eager=False)
     lvl = {l: d.filter(F.col("dist") == l) for l in range(depth + 1)}
     delta = {
         depth: lvl[depth].select("s", "node", F.lit(0.0).alias("delta"))
