@@ -1865,3 +1865,240 @@ def oracle_decompose_hourly(
            round(d.dv - s.seasonal, 6) AS residual
     FROM detr d JOIN seas s ON d.k = s.k AND d.hod = s.hod
     """
+
+
+def periodogram(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    periods: tuple = (24, 168),
+) -> DataFrame:
+    """Seasonality-strength detector: the DFT power of the hourly series
+    at candidate periods (daily=24h, weekly=168h), reported as the
+    fitted sinusoid amplitude amp = 2*sqrt(cs²+ss²)/n — the quantitative
+    answer to "does this series actually have a daily cycle" that
+    [[tmp_acf]] only hints at.
+
+    No trig runs in-engine: for period P the angle set is the P residues
+    of t mod P, so cos/sin are PYTHON-evaluated literal arrays indexed by
+    element_at (the [[tmp_ewma]] weight-table trick — engine cos() is
+    not cross-engine portable to the last ulp). Each contribution
+    y·cos/y·sin rounds to DECIMAL(38,6) before the exact per-key sum.
+
+    Shape: one keyed shuffle for hourly sums; the projection fans each
+    bucket to |periods| rows (a 2-element explode) and re-aggregates per
+    (key, period) — calendar-scale frames throughout. Output:
+    (key, period, n_buckets, amp).
+    """
+    import math
+
+    hourly = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"cast(date_trunc('hour', {ts_col}) as bigint) div 3600").alias("t"),
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("y"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    branches = []
+    for p in periods:
+        cos_arr = "array(" + ", ".join(
+            repr(math.cos(2.0 * math.pi * i / p)) + "D" for i in range(p)
+        ) + ")"
+        sin_arr = "array(" + ", ".join(
+            repr(math.sin(2.0 * math.pi * i / p)) + "D" for i in range(p)
+        ) + ")"
+        branches.append(
+            hourly.select(
+                "k",
+                F.lit(p).cast("bigint").alias("period"),
+                F.expr(
+                    f"cast(cast(y as double) * element_at({cos_arr},"
+                    f" cast(t % {p} as int) + 1) as decimal(38,6))"
+                ).alias("c"),
+                F.expr(
+                    f"cast(cast(y as double) * element_at({sin_arr},"
+                    f" cast(t % {p} as int) + 1) as decimal(38,6))"
+                ).alias("s"),
+            )
+        )
+    proj = branches[0]
+    for b in branches[1:]:
+        proj = proj.unionByName(b)
+    agg = proj.groupBy("k", "period").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("c").cast("double").alias("cs"),
+        F.sum("s").cast("double").alias("ss"),
+    )
+    # x*x, not pow(x, 2): integer-exponent pow is not guaranteed to be the
+    # plain product on every libm (sqrt IS correctly rounded everywhere)
+    return agg.select(
+        F.col("k").alias(key_col),
+        "period",
+        "n_buckets",
+        F.round(
+            F.lit(2.0)
+            * F.sqrt(F.col("cs") * F.col("cs") + F.col("ss") * F.col("ss"))
+            / F.col("n_buckets").cast("double"),
+            6,
+        ).alias("amp"),
+    )
+
+
+def oracle_periodogram(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    periods: tuple = (24, 168),
+) -> str:
+    import math
+
+    branches = []
+    for p in periods:
+        cos_case = (
+            "CASE CAST(t % " + str(p) + " AS INT) "
+            + " ".join(
+                f"WHEN {i} THEN CAST({math.cos(2.0 * math.pi * i / p)!r} AS DOUBLE)"
+                for i in range(p)
+            )
+            + " END"
+        )
+        sin_case = (
+            "CASE CAST(t % " + str(p) + " AS INT) "
+            + " ".join(
+                f"WHEN {i} THEN CAST({math.sin(2.0 * math.pi * i / p)!r} AS DOUBLE)"
+                for i in range(p)
+            )
+            + " END"
+        )
+        branches.append(
+            f"SELECT k, CAST({p} AS BIGINT) AS period,"
+            f" CAST(CAST(y AS DOUBLE) * ({cos_case}) AS DECIMAL(38,6)) AS c,"
+            f" CAST(CAST(y AS DOUBLE) * ({sin_case}) AS DECIMAL(38,6)) AS s"
+            f" FROM hourly"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH hourly AS MATERIALIZED (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch(date_trunc('hour', {ts_col}))) AS BIGINT) // 3600 AS t,
+             CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM {table} GROUP BY 1, 2
+    ),
+    proj AS ({union}),
+    agg AS (
+      SELECT k, period, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(c) AS DOUBLE) AS cs, CAST(sum(s) AS DOUBLE) AS ss
+      FROM proj GROUP BY k, period
+    )
+    SELECT k AS {key_col}, period, n_buckets,
+           round(2.0 * sqrt(cs * cs + ss * ss)
+                 / CAST(n_buckets AS DOUBLE), 6) AS amp
+    FROM agg
+    """
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_window: int = 12,
+    n_mads: int = 3,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: decompose the hourly series
+    ([[tmp_decompose]]), then flag buckets whose RESIDUAL sits more than
+    ``n_mads`` robust sigmas from the per-key residual median — the
+    monitor that neither a raw threshold (fires every peak hour) nor a
+    global MAD ([[evt_anomaly_mad]], fires on seasonal swings) gets
+    right: only deviations the trend+seasonal model cannot explain fire.
+
+    Exactness: residuals are the 6dp-rounded decompose outputs; median
+    and MAD are exact nearest-rank order statistics over those rounded
+    values (no interpolation — identical on both engines); the fence
+    compare runs on 1.4826·MAD with the constant repr-injected. Output:
+    only the anomalous rows (key, bucket, y_cents, residual, med, mad).
+    """
+    dec = decompose_hourly(events, key_col, ts_col, value_col, half_window)
+    w = Window.partitionBy(key_col).orderBy("residual")
+    wk = Window.partitionBy(key_col)
+    ranked = dec.select(
+        key_col,
+        "bucket",
+        "y_cents",
+        "residual",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wk).alias("n"),
+    )
+    med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        key_col, F.col("residual").alias("med")
+    )
+    dev = dec.join(med, key_col).select(
+        key_col,
+        "bucket",
+        "y_cents",
+        "residual",
+        "med",
+        F.round(F.abs(F.col("residual") - F.col("med")), 6).alias("ad"),
+    )
+    wd = Window.partitionBy(key_col).orderBy("ad")
+    mad = (
+        dev.select(
+            key_col, "ad",
+            F.row_number().over(wd).alias("rn"),
+            F.count("*").over(Window.partitionBy(key_col)).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(key_col, F.col("ad").alias("mad"))
+    )
+    k_sigma = 1.4826 * n_mads
+    return (
+        dev.join(mad, key_col)
+        .filter(
+            F.abs(F.col("residual") - F.col("med"))
+            > F.lit(float(k_sigma)) * F.col("mad")
+        )
+        .select(key_col, "bucket", "y_cents", "residual", "med", "mad")
+    )
+
+
+def oracle_seasonal_anomaly(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_window: int = 12,
+    n_mads: int = 3,
+) -> str:
+    base = oracle_decompose_hourly(table, key_col, ts_col, value_col, half_window)
+    k_sigma = 1.4826 * n_mads
+    return f"""
+    WITH dec AS MATERIALIZED ({base}),
+    med AS (
+      SELECT {key_col}, residual AS med FROM (
+        SELECT {key_col}, residual,
+               row_number() OVER (PARTITION BY {key_col} ORDER BY residual) AS rn,
+               count(*) OVER (PARTITION BY {key_col}) AS n
+        FROM dec
+      ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT d.{key_col}, d.bucket, d.y_cents, d.residual, m.med,
+             round(abs(d.residual - m.med), 6) AS ad
+      FROM dec d JOIN med m USING ({key_col})
+    ),
+    mad AS (
+      SELECT {key_col}, ad AS mad FROM (
+        SELECT {key_col}, ad,
+               row_number() OVER (PARTITION BY {key_col} ORDER BY ad) AS rn,
+               count(*) OVER (PARTITION BY {key_col}) AS n
+        FROM dev
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.{key_col}, d.bucket, d.y_cents, d.residual, d.med, x.mad
+    FROM dev d JOIN mad x USING ({key_col})
+    WHERE abs(d.residual - d.med) > CAST({float(k_sigma)!r} AS DOUBLE) * x.mad
+    """

@@ -6417,3 +6417,40 @@ def grf_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return betweenness_sampled(edges, ["s1", "s2", "s3", "s4"], depth=4)
+
+
+from ..operators.temporal import oracle_periodogram, oracle_seasonal_anomaly
+
+
+@register(
+    "tmp_periodogram",
+    oracle_periodogram("events"),
+    doc="DFT seasonality strength at the daily/weekly periods: fitted "
+        "sinusoid amplitude per event type from exact hourly cents — "
+        "trig tables are Python-evaluated literals indexed by t mod P "
+        "(the ewma weight-table trick; engine cos() is not portable), "
+        "contributions DECIMAL(38,6)-rounded, x*x not pow(x,2) "
+        "(operators/temporal.py:periodogram)",
+)
+def tmp_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import periodogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return periodogram(ev)
+
+
+@register(
+    "tmp_seasonal_anomaly",
+    oracle_seasonal_anomaly("events"),
+    doc="seasonality-aware anomaly monitor: decompose (trend + hour-of-"
+        "day seasonal), then flag buckets whose RESIDUAL exceeds 3 "
+        "robust sigmas (1.4826*MAD, exact nearest-rank order statistics "
+        "on 6dp residuals) from the per-key residual median — fires only "
+        "on deviations the seasonal model cannot explain "
+        "(operators/temporal.py:seasonal_anomaly)",
+)
+def tmp_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import seasonal_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_anomaly(ev)

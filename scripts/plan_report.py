@@ -135,6 +135,8 @@ AUDITED = [
     "src_nested_json",
     "dd_tfidf_cosine",
     "grf_betweenness",
+    "tmp_periodogram",
+    "tmp_seasonal_anomaly",
 ]
 
 

@@ -3586,3 +3586,46 @@ def test_betweenness_diamond_split_paths(spark):
     )
     got = {r.node: r.bc for r in betweenness_sampled(edges, ["a"], depth=2).collect()}
     assert got == {"b": 0.5, "c": 0.5}
+
+
+def test_periodogram_detects_daily_cycle(spark):
+    import math
+
+    from hadoop_2_7_1_spark.operators.temporal import periodogram
+
+    # pure daily sinusoid: amp at period 24 ~ the injected amplitude,
+    # amp at period 168 near zero (partial-week leakage only)
+    rows = []
+    for d in range(1, 8):
+        for h in range(24):
+            v = 100.0 + 50.0 * math.cos(2 * math.pi * h / 24)
+            rows.append(("a", f"2024-01-0{d} {h:02d}:00:00", v))
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    out = {r.period: r.amp for r in periodogram(ev).collect()}
+    assert abs(out[24] - 5000.0) < 1.0  # 50.00 units = 5000 cents
+    assert out[168] < 100.0
+
+
+def test_seasonal_anomaly_fires_only_on_injected_spike(spark):
+    from hadoop_2_7_1_spark.operators.temporal import seasonal_anomaly
+
+    # strong hour-of-day seasonality (peak at noon every day) must NOT
+    # fire; a single 10x spike at an off-peak hour must
+    rows = []
+    for d in range(1, 10):
+        for h in range(24):
+            v = 100.0 + (400.0 if h == 12 else 0.0)
+            if d == 5 and h == 3:
+                v = 5000.0
+            rows.append(("a", f"2024-01-0{d} {h:02d}:00:00", v))
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value")
+    out = seasonal_anomaly(ev).collect()
+    assert len(out) >= 1
+    hits = {(r.bucket.day, r.bucket.hour) for r in out}
+    assert (5, 3) in hits
+    # the daily noon peak itself is explained by the seasonal component
+    assert not any(h == 12 and d != 5 for d, h in hits)
