@@ -1969,3 +1969,157 @@ def oracle_ratio_metric_ci(
            round({theta} + 1.959964 * {se}, 6) AS ci_hi
     FROM agg
     """
+
+
+def match_pattern(
+    events: DataFrame,
+    pattern: str,
+    type_chars: dict,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern matching over each user's
+    time-ordered event sequence — the CEP primitive ("a view that reaches
+    a purchase with no error in between") that window functions can't
+    express and SQL's MATCH_RECOGNIZE clause exists for.
+
+    Each event type maps to ONE character (``type_chars``); the user's
+    ordered history becomes a compact string via an in-row sorted fold
+    (array_sort(collect_list(struct(ts, id, chr))) — the canonical
+    deterministic-order trick), and ``pattern`` runs with
+    regexp_count-style semantics on both engines. Keep the pattern
+    lookaround-free and greedy (Java regex and DuckDB's RE2 then find
+    identical non-overlapping spans — the documented regex-portability
+    envelope).
+
+    Shape: ONE user-keyed aggregate (histories are per-user, bounded);
+    the regex runs once per user on a metadata-sized string. Output:
+    (user, n_events, n_matches) for users with >= 1 match.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in type_chars.items() for x in kv]
+    )
+    seq = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            mapping[F.col(type_col)].alias("ch"),
+        )
+        .groupBy("u")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(ts, eid, ch))),"
+                " s -> s.ch), '')"
+            ).alias("hist"),
+        )
+    )
+    return (
+        seq.select(
+            F.col("u").cast("bigint").alias(user_col),
+            "n_events",
+            F.expr(f"size(regexp_extract_all(hist, '{pattern}', 0))")
+            .cast("bigint")
+            .alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= 1)
+    )
+
+
+def oracle_match_pattern(
+    table: str,
+    pattern: str,
+    type_chars: dict,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    chr_case = (
+        f"CASE {type_col} "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in type_chars.items())
+        + " END"
+    )
+    return f"""
+    WITH seq AS (
+      SELECT {user_col} AS u, CAST(count(*) AS BIGINT) AS n_events,
+             string_agg({chr_case}, '' ORDER BY {ts_col}, {id_col}) AS hist
+      FROM {table} GROUP BY {user_col}
+    )
+    SELECT CAST(u AS BIGINT) AS {user_col}, n_events,
+           CAST(len(regexp_extract_all(hist, '{pattern}', 0)) AS BIGINT)
+             AS n_matches
+    FROM seq
+    WHERE len(regexp_extract_all(hist, '{pattern}', 0)) >= 1
+    """
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average (TWAP semantics): each observation holds
+    until the next one (LOCF), so the mean weights each value by its holding
+    interval — the correct average for irregularly sampled gauges, where
+    the plain mean over-counts bursts ([[evt_interarrival]]'s CV tells
+    you when the two diverge).
+
+    Exact: holding intervals are BIGINT seconds (lead(ts) - ts, last
+    observation contributes zero width — declared half-open semantics);
+    each weighted term v_cents * dt_s is an exact BIGINT product summed as
+    DECIMAL(38,0); ONE division at the end. Output: (key, n_obs,
+    span_s, twap_cents) with twap rounded 6dp.
+    """
+    w = Window.partitionBy("k").orderBy("ts", "eid")
+    obs = events.select(
+        F.col(key_col).alias("k"),
+        F.expr(f"cast({ts_col} as bigint)").alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.expr(f"cast(round({value_col} * 100) as bigint)").alias("v"),
+    ).withColumn("dt", (F.lead("ts").over(w) - F.col("ts")).cast("bigint"))
+    return (
+        obs.filter(F.col("dt").isNotNull())
+        .select("k", "v", "dt", F.expr("cast(v * dt as decimal(38,0))").alias("vdt"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum("dt").cast("bigint").alias("span_s"),
+            F.round(
+                F.sum("vdt").cast("double") / F.sum("dt").cast("double"), 6
+            ).alias("twap_cents"),
+        )
+        .select(F.col("k").alias(key_col), "n_obs", "span_s", "twap_cents")
+    )
+
+
+def oracle_time_weighted_avg(
+    table: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+    WITH obs AS (
+      SELECT {key_col} AS k,
+             CAST(floor(epoch({ts_col})) AS BIGINT) AS ts,
+             event_id AS eid,
+             CAST(round({value_col} * 100) AS BIGINT) AS v
+      FROM {table}
+    ),
+    d AS (
+      SELECT k, v,
+             CAST(lead(ts) OVER (PARTITION BY k ORDER BY ts, eid) - ts
+                  AS BIGINT) AS dt
+      FROM obs
+    )
+    SELECT k AS {key_col}, CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(dt) AS BIGINT) AS span_s,
+           round(CAST(sum(CAST(v * dt AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(sum(dt) AS DOUBLE), 6) AS twap_cents
+    FROM d WHERE dt IS NOT NULL GROUP BY k
+    """

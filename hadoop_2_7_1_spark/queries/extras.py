@@ -6454,3 +6454,42 @@ def tmp_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return seasonal_anomaly(ev)
+
+
+from ..operators.funnel import oracle_match_pattern, oracle_time_weighted_avg
+
+_CEP_CHARS = {"view": "v", "click": "c", "purchase": "p", "signup": "s",
+              "error": "e"}
+
+
+@register(
+    "evt_match_pattern",
+    oracle_match_pattern("events", "v[^ep]*p", _CEP_CHARS),
+    doc="MATCH_RECOGNIZE-lite CEP: per-user time-ordered history as a "
+        "one-char-per-event string (deterministic in-row sorted fold), "
+        "regex 'view reaching a purchase with no error between' counted "
+        "per user — lookaround-free so Java regex and RE2 find identical "
+        "greedy spans; ONE user-keyed aggregate "
+        "(operators/funnel.py:match_pattern)",
+)
+def evt_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import match_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    return match_pattern(ev, "v[^ep]*p", _CEP_CHARS)
+
+
+@register(
+    "evt_twap",
+    oracle_time_weighted_avg("events"),
+    doc="time-weighted average (TWAP/LOCF semantics): each observation "
+        "holds until the next, weighted by exact BIGINT holding seconds, "
+        "v*dt summed as DECIMAL(38,0), one division — the correct mean "
+        "for irregular sampling where the plain mean over-counts bursts "
+        "(operators/funnel.py:time_weighted_avg)",
+)
+def evt_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev)

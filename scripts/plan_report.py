@@ -137,6 +137,8 @@ AUDITED = [
     "grf_betweenness",
     "tmp_periodogram",
     "tmp_seasonal_anomaly",
+    "evt_match_pattern",
+    "evt_twap",
 ]
 
 

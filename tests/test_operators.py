@@ -3629,3 +3629,45 @@ def test_seasonal_anomaly_fires_only_on_injected_spike(spark):
     assert (5, 3) in hits
     # the daily noon peak itself is explained by the seasonal component
     assert not any(h == 12 and d != 5 for d, h in hits)
+
+
+def test_match_pattern_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import match_pattern
+
+    # user 1: v c p (match), v e p (error breaks it) -> 1 match
+    # user 2: p v c (no completion) -> filtered out
+    rows = [
+        (1, "2024-01-01 00:00:00", "view", 1),
+        (1, "2024-01-01 00:01:00", "click", 2),
+        (1, "2024-01-01 00:02:00", "purchase", 3),
+        (1, "2024-01-01 00:03:00", "view", 4),
+        (1, "2024-01-01 00:04:00", "error", 5),
+        (1, "2024-01-01 00:05:00", "purchase", 6),
+        (2, "2024-01-01 00:00:00", "purchase", 7),
+        (2, "2024-01-01 00:01:00", "view", 8),
+        (2, "2024-01-01 00:02:00", "click", 9),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts_s string, event_type string, event_id bigint"
+    ).selectExpr("user_id", "cast(ts_s as timestamp) as ts", "event_type", "event_id")
+    chars = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+    out = {r.user_id: r.n_matches for r in match_pattern(ev, "v[^ep]*p", chars).collect()}
+    assert out == {1: 1}
+
+
+def test_time_weighted_avg_hand(spark):
+    from hadoop_2_7_1_spark.operators.funnel import time_weighted_avg
+
+    # value 1.00 held 10s, then 3.00 held 30s, last obs zero-width:
+    # twap = (100*10 + 300*30) / 40 = 250.0 cents
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0, 1),
+        ("a", "2024-01-01 00:00:10", 3.0, 2),
+        ("a", "2024-01-01 00:00:40", 9.0, 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double, event_id bigint"
+    ).selectExpr("event_type", "cast(ts_s as timestamp) as ts", "value", "event_id")
+    r = time_weighted_avg(ev).collect()[0]
+    assert r.n_obs == 2 and r.span_s == 40
+    assert r.twap_cents == 250.0
