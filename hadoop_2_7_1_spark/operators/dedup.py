@@ -1931,3 +1931,97 @@ def oracle_tfidf_cosine_pairs(
                 JOIN norms nb ON d.id_b = nb.doc_id
     WHERE round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= CAST({threshold!r} AS DOUBLE)
     """
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    min_agree: int = 8,
+) -> DataFrame:
+    """Contrastive training pairs from the dedup index: LSH candidate
+    pairs labeled POSITIVE when their MinHash signatures agree on
+    >= min_agree of num_hashes permutations (estimated Jaccard >=
+    min_agree/num_hashes), else HARD NEGATIVE — pairs the index
+    considered similar but that aren't, exactly the negatives a
+    contrastive embedding loss needs (random negatives are too easy).
+
+    Reuses ONE signature pass for both candidate generation and
+    labeling (the [[dd_lsh_sweep]] sharing move). Output:
+    (id_a, id_b, agree, label).
+    """
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    cand = lsh_candidate_pairs(docs, id_col, text_col, num_hashes, sig=sig)
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            agree.cast("bigint").alias("agree"),
+            (agree >= min_agree).cast("bigint").alias("label"),
+        )
+    )
+
+
+def oracle_contrastive_pairs(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 500,
+    min_agree: int = 8,
+) -> str:
+    from ..functions import oracle_word_shingles
+
+    shingles = oracle_word_shingles(text_col, shingle_n)
+    p = 2147483647
+    mins = ", ".join(
+        f"min(({oracle_hash32('shingle')} + {k} * {oracle_hash32('shingle', salt='s')}) % {p}) AS h{k}"
+        for k in range(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        hs = " || '_' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT id, {b} AS band, {hs} AS key FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
+    ), sig AS MATERIALIZED (
+      SELECT id, {mins} FROM sh GROUP BY id
+    ), banded AS ({banded}), ok AS (
+      SELECT band, key FROM banded GROUP BY band, key
+      HAVING count(*) >= 2 AND count(*) <= {max_bucket}
+    ), pruned AS (
+      SELECT banded.* FROM banded JOIN ok USING (band, key)
+    ), cand AS (
+      SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
+      FROM pruned a JOIN pruned b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b, CAST({agree} AS BIGINT) AS agree,
+           CAST(CASE WHEN ({agree}) >= {min_agree} THEN 1 ELSE 0 END AS BIGINT)
+             AS label
+    FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+    """

@@ -1419,3 +1419,54 @@ def oracle_freshness_report(
            (g.gt - mt) > 3600 AS stale_over_1h
     FROM per_key, g
     """
+
+
+def key_candidates(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Primary-key discovery: for each audited column, distinct count vs
+    row count vs nulls — is_key iff unique and non-null. The profiling
+    sibling of [[prof_fd_audit]] (FDs need a key to hang off) and the
+    first question schema-on-read ingest asks of an undocumented table.
+
+    ONE shared scan: all count(DISTINCT col) aggregates ride a single
+    expand-aggregate (Catalyst plans multi-distinct via Expand), so the
+    audit costs one pass regardless of column count. Output one row per
+    column: (column, n_rows, n_distinct, n_nulls, is_key).
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in columns:
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"d_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{c}")
+        )
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', d_{c}, n_{c}" for c in columns)
+    long = wide.selectExpr(
+        "n_rows",
+        f"stack({len(columns)}, {stack}) as (column_name, n_distinct, n_nulls)",
+    )
+    return long.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_nulls",
+        ((F.col("n_distinct") == F.col("n_rows")) & (F.col("n_nulls") == 0)).alias(
+            "is_key"
+        ),
+    )
+
+
+def oracle_key_candidates(table: str, columns: list[str]) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls"
+        f" FROM {table}"
+        for c in columns
+    )
+    return f"""
+    SELECT column_name, n_rows, n_distinct, n_nulls,
+           (n_distinct = n_rows AND n_nulls = 0) AS is_key
+    FROM ({rows})
+    """

@@ -6493,3 +6493,39 @@ def evt_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return time_weighted_avg(ev)
+
+
+from ..operators.profile import oracle_key_candidates
+
+_ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@register(
+    "prof_key_candidates",
+    oracle_key_candidates("orders", _ORDER_COLS),
+    doc="primary-key discovery: distinct/null counts per audited column "
+        "in ONE shared scan (multi-distinct rides a single Expand "
+        "aggregate), is_key iff unique and non-null — the first "
+        "schema-on-read question; the FD audit's sibling "
+        "(operators/profile.py:key_candidates)",
+)
+def prof_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import key_candidates
+
+    orders = load_table(spark, sf_dir, "orders")
+    return key_candidates(orders, _ORDER_COLS)
+
+
+@register(
+    "cur_contrastive_pairs",
+    dedup.oracle_contrastive_pairs("documents"),
+    doc="contrastive-pair mining for embedding training: LSH candidate "
+        "pairs labeled POSITIVE when MinHash signatures agree on >= 8/16 "
+        "permutations (estimated Jaccard >= 0.5), else HARD negative — "
+        "pairs the index considered similar but aren't, the negatives a "
+        "contrastive loss needs; ONE signature pass shared by candidate "
+        "generation and labeling (operators/dedup.py:contrastive_pairs)",
+)
+def cur_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.contrastive_pairs(docs)

@@ -139,6 +139,8 @@ AUDITED = [
     "tmp_seasonal_anomaly",
     "evt_match_pattern",
     "evt_twap",
+    "prof_key_candidates",
+    "cur_contrastive_pairs",
 ]
 
 

@@ -3537,16 +3537,17 @@ def test_tfidf_cosine_pairs_hand(spark):
 
     import pandas as pd
 
-    # docs 1,2 identical over shared rare terms -> cos 1.0; doc 3 disjoint
+    # terms are word 3-shingles: docs 1,2 identical (every shingle df=2,
+    # kept) -> cos 1.0; doc 3 shares no shingle with them (its shingles
+    # are df=1, dropped) -> no pair
     docs = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": [1, 2, 3, 4],
+                "doc_id": [1, 2, 3],
                 "text": [
-                    "alpha beta gamma",
-                    "alpha beta gamma",
-                    "delta epsilon zeta",
-                    "delta epsilon eta",
+                    "alpha beta gamma delta",
+                    "alpha beta gamma delta",
+                    "zeta eta theta iota",
                 ],
             }
         )
@@ -3555,11 +3556,7 @@ def test_tfidf_cosine_pairs_hand(spark):
         (r.id_a, r.id_b): r.cos
         for r in tfidf_cosine_pairs(docs, df_min=2, df_max=3, threshold=0.5).collect()
     }
-    assert got[(1, 2)] == 1.0
-    # zeta/eta have df=1 -> dropped by df_min; docs 3,4 agree on every
-    # KEPT term (norms run over kept terms, the prefix-filter semantics)
-    assert got[(3, 4)] == 1.0
-    assert (1, 3) not in got and (2, 3) not in got
+    assert got == {(1, 2): 1.0}
 
 
 def test_betweenness_path_graph(spark):
@@ -3671,3 +3668,34 @@ def test_time_weighted_avg_hand(spark):
     r = time_weighted_avg(ev).collect()[0]
     assert r.n_obs == 2 and r.span_s == 40
     assert r.twap_cents == 250.0
+
+
+def test_key_candidates_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import key_candidates
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"pk": [1, 2, 3], "dup": [1, 1, 2], "nul": pd.array([1, None, 3], dtype="Int64")}
+        )
+    )
+    out = {r.column_name: (r.n_distinct, r.n_nulls, r.is_key)
+           for r in key_candidates(df, ["pk", "dup", "nul"]).collect()}
+    assert out["pk"] == (3, 0, True)
+    assert out["dup"] == (2, 0, False)
+    assert out["nul"] == (2, 1, False)
+
+
+def test_contrastive_pairs_labels(spark):
+    from hadoop_2_7_1_spark.queries import REGISTRY
+
+    out = REGISTRY["cur_contrastive_pairs"].fn(spark, SF_DIR).collect()
+    assert len(out) > 0
+    # label is agree >= 8 of 16 permutations, consistent per row
+    for r in out:
+        assert 0 <= r.agree <= 16
+        assert r.label == (1 if r.agree >= 8 else 0)
+    # at the unit-test SF every LSH candidate is a true near-dup; both
+    # classes appear at sf0.01 (covered by the oracle-checked registry row)
+    assert {r.label for r in out} <= {0, 1}
