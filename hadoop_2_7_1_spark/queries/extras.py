@@ -6529,3 +6529,70 @@ def prof_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cur_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.contrastive_pairs(docs)
+
+
+@register(
+    "mm_patch_grid",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 251 AS s
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, CAST(u.y AS INT) AS y, CAST(v.x AS INT) AS x,
+             (v.x * 7 + d.s) % 256 AS r,
+             (u.y * 11 + d.s * 3) % 256 AS g,
+             (v.x + u.y + d.s * 5) % 256 AS b
+      FROM d, UNNEST(range(0, 16)) AS u(y), UNNEST(range(0, 16)) AS v(x)
+    )
+    SELECT doc_id, CAST(y // 8 AS BIGINT) AS patch_row,
+           CAST(x // 8 AS BIGINT) AS patch_col,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum
+    FROM px GROUP BY doc_id, y // 8, x // 8
+    """,
+    doc="ViT-style patch tiling: deterministic 16x16 gradient PNGs "
+        "decoded for real (stdlib zlib PNG path), tiled into 8x8 patches, "
+        "per-patch per-channel exact integer sums — the patch-embedding "
+        "front half of any vision transformer ingest; Spark earns the "
+        "numbers by decoding bytes, the oracle replays the gradient "
+        "arithmetic (the mm_resize_pixels discipline)",
+)
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).select("doc_id")
+
+    def build_decode_tile(batches):
+        P = 8
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                blob = multimodal.make_png_with_pixels(16, 16, int(doc_id) % 251)
+                w, h, ch, px = multimodal.png_decode(blob)
+                for pr in range(h // P):
+                    for pc in range(w // P):
+                        rs = gs = bs = 0
+                        for y in range(pr * P, (pr + 1) * P):
+                            for x in range(pc * P, (pc + 1) * P):
+                                o = (y * w + x) * ch
+                                rs += px[o]
+                                gs += px[o + 1]
+                                bs += px[o + 2]
+                        rows.append(
+                            (int(doc_id), pr, pc, rs, gs, bs)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "patch_row", "patch_col",
+                         "r_sum", "g_sum", "b_sum"],
+            )
+
+    return docs.mapInPandas(
+        build_decode_tile,
+        "doc_id long, patch_row long, patch_col long,"
+        " r_sum long, g_sum long, b_sum long",
+    )

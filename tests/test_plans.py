@@ -138,6 +138,7 @@ def test_registry_wide_plan_audit(spark):
         "mm_video_meta", "mm_dhash_neardup", "mm_scene_cuts",
         "src_binary_files",
         "src_webdataset",  # Arrow-batched stdlib tar parse IS the point
+        "mm_patch_grid",  # PNG decode + patch tiling IS the Python node
         "src_avro_roundtrip",  # pure-Python OCF decode IS the point
         "txt_udtf_ngrams",  # the UDTF surface demo IS the Python node
         "q22_pi_qmc",
