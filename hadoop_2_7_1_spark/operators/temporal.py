@@ -1819,13 +1819,18 @@ def decompose_hourly(
             (F.sum("dd").cast("double") / F.count("*").cast("double")).alias("seasonal")
         )
     )
+    # arithmetic half-up rounding, NOT engine round(): Spark rounds the
+    # shortest decimal repr (HALF_UP on "x.xx35"), DuckDB rounds the binary
+    # value — on an exact 6dp half they disagree by 1e-6. floor(x*1e6+0.5)
+    # is the same IEEE op chain in both engines.
+    r6 = lambda c: (F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0))
     return detr.join(seas, ["k", "hod"]).select(
         F.col("k").alias(key_col),
         "bucket",
         F.col("y").alias("y_cents"),
-        F.round("trend", 6).alias("trend"),
-        F.round("seasonal", 6).alias("seasonal"),
-        F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
+        r6(F.col("trend")).alias("trend"),
+        r6(F.col("seasonal")).alias("seasonal"),
+        r6(F.col("detr") - F.col("seasonal")).alias("residual"),
     )
 
 
@@ -1854,15 +1859,19 @@ def oracle_decompose_hourly(
                    RANGE BETWEEN {half_window} PRECEDING AND {half_window} FOLLOWING)
     ),
     seas AS (
+      -- decimal -> VARCHAR -> DOUBLE: DuckDB's direct decimal->double cast
+      -- scales int128 with TWO roundings and can land 1 ulp off Spark's
+      -- correctly-rounded BigDecimal.doubleValue; the string route is
+      -- correctly rounded in both engines
       SELECT k, hod,
-             CAST(sum(CAST(dv AS DECIMAL(38,6))) AS DOUBLE)
+             CAST(CAST(sum(CAST(dv AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS seasonal
       FROM detr GROUP BY k, hod
     )
     SELECT d.k AS {key_col}, d.bucket, d.y AS y_cents,
-           round(d.trend, 6) AS trend,
-           round(s.seasonal, 6) AS seasonal,
-           round(d.dv - s.seasonal, 6) AS residual
+           floor(d.trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+           floor(s.seasonal * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+           floor((d.dv - s.seasonal) * 1000000.0 + 0.5) / 1000000.0 AS residual
     FROM detr d JOIN seas s ON d.k = s.k AND d.hod = s.hod
     """
 
@@ -2042,7 +2051,8 @@ def seasonal_anomaly(
         "y_cents",
         "residual",
         "med",
-        F.round(F.abs(F.col("residual") - F.col("med")), 6).alias("ad"),
+        (F.floor(F.abs(F.col("residual") - F.col("med")) * F.lit(1000000.0)
+                 + F.lit(0.5)) / F.lit(1000000.0)).alias("ad"),
     )
     wd = Window.partitionBy(key_col).orderBy("ad")
     mad = (
@@ -2087,7 +2097,7 @@ def oracle_seasonal_anomaly(
     ),
     dev AS (
       SELECT d.{key_col}, d.bucket, d.y_cents, d.residual, m.med,
-             round(abs(d.residual - m.med), 6) AS ad
+             floor(abs(d.residual - m.med) * 1000000.0 + 0.5) / 1000000.0 AS ad
       FROM dec d JOIN med m USING ({key_col})
     ),
     mad AS (
