@@ -572,3 +572,75 @@ def test_oracle_moments_match_python_stats(vals):
         m4 = sum((v - mu) ** 4 for v in vals) / n
         assert abs(r["skewness"] - m3 / (m2 * m2 ** 0.5)) < 1e-4
         assert abs(r["kurtosis_excess"] - (m4 / (m2 * m2) - 3.0)) < 1e-4
+
+
+def _holt_replay(ys, scale=10_000):
+    """Pure-Python twin of the holt_linear fold (truncating div)."""
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    l = b = sae = None
+    for i, y in enumerate(ys):
+        if i == 0:
+            l, b, sae = y * scale, 0, 0
+        else:
+            nl = tdiv(3 * y * scale + 7 * (l + b), 10)
+            nb = tdiv((nl - l) + 9 * b, 10)
+            sae += abs(y * scale - (l + b))
+            l, b = nl, nb
+    return l, b, sae
+
+
+@given(st.integers(-10_000, 10_000), st.integers(1, 40))
+def test_holt_constant_series_is_fixed_point(y, n):
+    # constant input: level stays exactly y*scale, trend stays 0, errors 0
+    l, b, sae = _holt_replay([y] * n)
+    assert l == y * 10_000 and b == 0 and sae == 0
+
+
+@given(st.lists(st.integers(-10_000, 10_000), min_size=2, max_size=60))
+def test_holt_state_bounded_by_input_range(ys):
+    # convexity of the integer recurrence: the level can never escape the
+    # running input envelope by more than the trend carry (bounded by the
+    # max step); a crude but real stability invariant
+    l, b, sae = _holt_replay(ys)
+    lo, hi = min(ys) * 10_000, max(ys) * 10_000
+    span = hi - lo + 10_000
+    assert lo - 2 * span <= l <= hi + 2 * span
+    assert sae >= 0
+
+
+@given(
+    st.integers(1, 1000), st.integers(1, 1000),
+    st.integers(2, 12), st.integers(2, 12),
+)
+def test_changepoint_level_shift_recovers_split(mu_a, mu_b, n_a, n_b):
+    # exact-argmax invariant: with a clean level shift and distinct means,
+    # V(i) is maximized exactly at the boundary
+    if mu_a == mu_b:
+        return
+    ys = [mu_a] * n_a + [mu_b] * n_b
+    n = len(ys)
+    pref = [0]
+    for y in ys:
+        pref.append(pref[-1] + y)
+    s = pref[-1]
+    best_t, best_v = None, None
+    for t in range(1, n):
+        v = pref[t] ** 2 / t + (s - pref[t]) ** 2 / (n - t)
+        if best_v is None or v > best_v:
+            best_t, best_v = t, v
+    assert best_t == n_a
+
+
+@given(st.lists(st.tuples(st.integers(0, 2**32 - 1), st.integers(1, 10**6)),
+                min_size=1, max_size=50), st.integers(0, 10))
+def test_sequential_poisson_scale_invariant(rows, shift):
+    # scaling every weight by the same power of two rescales every priority
+    # exactly (IEEE: division by a power of 2 is exact), so the selected
+    # set is invariant — the pps analogue of rank stability
+    c = 2 ** shift
+    pri1 = sorted(((h + 1) / 2**32) / w for h, w in rows)
+    pri2 = sorted((((h + 1) / 2**32) / (w * c)) * c for h, w in rows)
+    assert pri1 == pri2
