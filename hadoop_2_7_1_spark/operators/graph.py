@@ -1417,3 +1417,155 @@ def oracle_betweenness_sampled(
         f" HAVING round(CAST(sum(CAST(delta AS DECIMAL(38,6))) AS DOUBLE), 6) > 0"
     )
     return "\n".join(parts)
+
+
+def edge_betweenness_sampled(
+    edges: DataFrame,
+    sources: list[str],
+    depth: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Edge betweenness (the Girvan-Newman 2002 quantity — communities
+    fall out by iteratively cutting the highest-betweenness edges), same
+    sampled/depth-bounded Brandes machinery as
+    :func:`betweenness_sampled` but accumulating the per-EDGE dependency
+    (sigma_v/sigma_w)·(1+delta_w) instead of folding it into the node:
+    each shortest-path-DAG edge (v -> w, dist_w = dist_v + 1) carries
+    exactly that flow. Same exactness discipline: integer sigma,
+    DECIMAL(38,6)-rounded contributions, order-free sums.
+
+    Output: (src, dst, ebc) per directed DAG edge with ebc > 0 (an
+    undirected edge appears once per direction that lies on a shortest
+    path), rounded 6dp.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=False)
+    d = spark.createDataFrame(
+        [(s, s, 0, 1) for s in sources], "s string, node string, dist int, sigma long"
+    )
+    levels = [d]
+    for k in range(depth):
+        frontier = levels[-1].filter(F.col("dist") == k).select(
+            "s", F.col("node").alias("src"), "sigma"
+        )
+        arrivals = (
+            frontier.join(e, "src")
+            .groupBy("s", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .withColumn("dist", F.lit(k + 1))
+        )
+        new_nodes = arrivals.join(
+            levels[-1].select("s", "node"), ["s", "node"], "left_anti"
+        ).select("s", "node", "dist", "sigma")
+        levels.append(levels[-1].unionByName(new_nodes))
+    d = levels[-1].localCheckpoint(eager=False)
+    lvl = {l: d.filter(F.col("dist") == l) for l in range(depth + 1)}
+    delta = {depth: lvl[depth].select("s", "node", F.lit(0.0).alias("delta"))}
+    edge_parts = []
+    for l in range(depth - 1, -1, -1):
+        succ = (
+            lvl[l + 1]
+            .join(delta[l + 1], ["s", "node"])
+            .select(
+                "s",
+                F.col("node").alias("dst"),
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+        )
+        pairs = (
+            lvl[l]
+            .select("s", F.col("node").alias("src"), F.col("sigma").alias("sigma_v"))
+            .join(e, "src")
+            .join(succ, ["s", "dst"])
+            .select(
+                "s",
+                "src",
+                "dst",
+                F.expr(
+                    "cast((cast(sigma_v as double) / cast(sigma_w as double))"
+                    " * (1.0D + delta_w) as decimal(38,6))"
+                ).alias("c"),
+            )
+        )
+        edge_parts.append(pairs.select("src", "dst", "c"))
+        contrib = pairs.groupBy("s", F.col("src").alias("node")).agg(
+            F.sum("c").cast("double").alias("dsum")
+        )
+        delta[l] = (
+            lvl[l]
+            .select("s", "node")
+            .join(contrib, ["s", "node"], "left")
+            .select("s", "node", F.coalesce(F.col("dsum"), F.lit(0.0)).alias("delta"))
+        )
+    acc = edge_parts[0]
+    for part in edge_parts[1:]:
+        acc = acc.unionByName(part)
+    return (
+        acc.groupBy("src", "dst")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("ebc"))
+        .filter(F.col("ebc") > 0)
+    )
+
+
+def oracle_edge_betweenness_sampled(
+    edges_sql: str, sources: list[str], depth: int = 4
+) -> str:
+    """Unrolled CTE twin of :func:`edge_betweenness_sampled` — identical
+    forward/backward chains to oracle_betweenness_sampled, but the final
+    fold groups the per-level edge contributions by (src, dst)."""
+    src_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS s, '{s}' AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma"
+        for s in sources
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        f"d0 AS MATERIALIZED ({src_rows})",
+    ]
+    for k in range(depth):
+        parts.append(
+            f", a{k + 1} AS (SELECT d.s, e.dst AS node, {k + 1} AS dist,"
+            f" CAST(sum(d.sigma) AS BIGINT) AS sigma"
+            f" FROM d{k} d JOIN e ON e.src = d.node WHERE d.dist = {k}"
+            f" GROUP BY d.s, e.dst)"
+        )
+        parts.append(
+            f", d{k + 1} AS MATERIALIZED (SELECT * FROM d{k} UNION ALL"
+            f" SELECT a.* FROM a{k + 1} a ANTI JOIN d{k} p"
+            f" ON a.s = p.s AND a.node = p.node)"
+        )
+    d = f"d{depth}"
+    parts.append(
+        f", x{depth} AS MATERIALIZED (SELECT s, node, CAST(0 AS DOUBLE) AS delta"
+        f" FROM {d} WHERE dist = {depth})"
+    )
+    for l in range(depth - 1, -1, -1):
+        parts.append(
+            f", p{l} AS MATERIALIZED (SELECT v.s, v.node AS src, w.node AS dst,"
+            f" CAST((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))"
+            f" * (1.0 + x.delta) AS DECIMAL(38,6)) AS c"
+            f" FROM {d} v JOIN e ON e.src = v.node"
+            f" JOIN {d} w ON w.s = v.s AND w.node = e.dst AND w.dist = {l + 1}"
+            f" JOIN x{l + 1} x ON x.s = w.s AND x.node = w.node"
+            f" WHERE v.dist = {l})"
+        )
+        parts.append(
+            f", x{l} AS MATERIALIZED (SELECT v.s, v.node,"
+            f" coalesce(c.dsum, CAST(0 AS DOUBLE)) AS delta"
+            f" FROM {d} v LEFT JOIN (SELECT s, src, CAST(sum(c) AS DOUBLE) AS dsum"
+            f" FROM p{l} GROUP BY s, src) c"
+            f" ON c.s = v.s AND c.src = v.node"
+            f" WHERE v.dist = {l})"
+        )
+    union_parts = " UNION ALL ".join(
+        f"SELECT src, dst, c FROM p{l}" for l in range(depth - 1, -1, -1)
+    )
+    parts.append(
+        f"SELECT src, dst, round(CAST(sum(c) AS DOUBLE), 6) AS ebc"
+        f" FROM ({union_parts}) GROUP BY src, dst"
+        f" HAVING round(CAST(sum(c) AS DOUBLE), 6) > 0"
+    )
+    return "\n".join(parts)

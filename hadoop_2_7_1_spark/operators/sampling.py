@@ -1038,3 +1038,68 @@ def oracle_sequential_poisson(
     ORDER BY priority ASC, id ASC
     LIMIT {k}
     """
+
+
+def time_split_purged(
+    df: DataFrame,
+    ts_col: str,
+    test_start: str,
+    test_end: str,
+    embargo_days: int = 1,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL split with an embargo gap (the purged
+    time-series split of Lopez de Prado 2018): train = strictly before
+    test_start - embargo, embargo = the gap rows (excluded entirely),
+    test = [test_start, test_end). [[smp_group_split]] kills ENTITY
+    leakage; this kills TEMPORAL leakage — rolling features computed
+    near the boundary would otherwise smuggle test-window information
+    into train ([[tmp_rolling_features]]'s 7-day lookback is exactly
+    such a leak without the embargo).
+
+    Pure timestamp comparisons — a pushed scan filter per split at any
+    scale, no shuffle. Output: one row per split with exact row counts
+    and the min/max epoch actually observed (the boundary audit).
+    """
+    t0 = F.to_timestamp(F.lit(test_start))
+    t1 = F.to_timestamp(F.lit(test_end))
+    emb = t0 - F.expr(f"INTERVAL {embargo_days} DAYS")
+    tagged = df.select(
+        F.when(F.col(ts_col) < emb, "train")
+        .when((F.col(ts_col) >= t0) & (F.col(ts_col) < t1), "test")
+        .when((F.col(ts_col) >= emb) & (F.col(ts_col) < t0), "embargo")
+        .otherwise("future")
+        .alias("split"),
+        F.expr(f"cast({ts_col} as bigint)").alias("t"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("t").cast("bigint").alias("min_epoch"),
+        F.max("t").cast("bigint").alias("max_epoch"),
+    )
+
+
+def oracle_time_split_purged(
+    table: str,
+    ts_col: str,
+    test_start: str,
+    test_end: str,
+    embargo_days: int = 1,
+) -> str:
+    return f"""
+    WITH tagged AS (
+      SELECT CASE
+        WHEN {ts_col} < TIMESTAMP '{test_start}' - INTERVAL {embargo_days} DAY
+          THEN 'train'
+        WHEN {ts_col} >= TIMESTAMP '{test_start}'
+             AND {ts_col} < TIMESTAMP '{test_end}' THEN 'test'
+        WHEN {ts_col} >= TIMESTAMP '{test_start}' - INTERVAL {embargo_days} DAY
+             AND {ts_col} < TIMESTAMP '{test_start}' THEN 'embargo'
+        ELSE 'future' END AS split,
+        CAST(floor(epoch({ts_col})) AS BIGINT) AS t
+      FROM {table}
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(t) AS BIGINT) AS min_epoch,
+           CAST(max(t) AS BIGINT) AS max_epoch
+    FROM tagged GROUP BY split
+    """

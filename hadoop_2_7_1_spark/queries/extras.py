@@ -6596,3 +6596,49 @@ def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, patch_row long, patch_col long,"
         " r_sum long, g_sum long, b_sum long",
     )
+
+
+from ..operators.graph import oracle_edge_betweenness_sampled
+from ..operators.sampling import oracle_time_split_purged
+
+
+@register(
+    "grf_edge_betweenness",
+    oracle_edge_betweenness_sampled(_PR_EDGES_SQL, ["s1", "s2", "s3", "s4"],
+                                    depth=4),
+    doc="edge betweenness (Girvan-Newman): the same sampled depth-bounded "
+        "Brandes pass as grf_betweenness accumulating per-DAG-EDGE flow "
+        "(sigma_v/sigma_w)*(1+delta_w) — the quantity whose iterative "
+        "max-cut yields communities; exact sigma, decimal-rounded "
+        "contributions (operators/graph.py:edge_betweenness_sampled)",
+)
+def grf_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import edge_betweenness_sampled
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return edge_betweenness_sampled(edges, ["s1", "s2", "s3", "s4"], depth=4)
+
+
+@register(
+    "smp_time_split",
+    oracle_time_split_purged("events", "ts", "2024-01-25 00:00:00",
+                             "2024-01-29 00:00:00", embargo_days=1),
+    doc="purged temporal split (Lopez de Prado): train strictly before "
+        "test_start - 1-day embargo, embargo rows EXCLUDED, test in the "
+        "window — kills the temporal leakage that rolling/lag features "
+        "smuggle across a naive boundary (smp_group_split kills entity "
+        "leakage; this is its time axis); pure pushed scan filters "
+        "(operators/sampling.py:time_split_purged)",
+)
+def smp_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import time_split_purged
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_split_purged(
+        ev, "ts", "2024-01-25 00:00:00", "2024-01-29 00:00:00", embargo_days=1
+    )

@@ -141,6 +141,8 @@ AUDITED = [
     "evt_twap",
     "prof_key_candidates",
     "cur_contrastive_pairs",
+    "grf_edge_betweenness",
+    "smp_time_split",
 ]
 
 

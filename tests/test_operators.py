@@ -3699,3 +3699,36 @@ def test_contrastive_pairs_labels(spark):
     # at the unit-test SF every LSH candidate is a true near-dup; both
     # classes appear at sf0.01 (covered by the oracle-checked registry row)
     assert {r.label for r in out} <= {0, 1}
+
+
+def test_edge_betweenness_path_graph(spark):
+    from hadoop_2_7_1_spark.operators.graph import edge_betweenness_sampled
+
+    # path a-b-c-d from pivot a: edge flows a->b = 1+delta(b) = 3,
+    # b->c = 2, c->d = 1 (each DAG edge carries sigma ratio 1)
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], "src string, dst string"
+    )
+    got = {(r.src, r.dst): r.ebc
+           for r in edge_betweenness_sampled(edges, ["a"], depth=3).collect()}
+    assert got == {("a", "b"): 3.0, ("b", "c"): 2.0, ("c", "d"): 1.0}
+
+
+def test_time_split_purged_boundaries(spark):
+    from hadoop_2_7_1_spark.operators.sampling import time_split_purged
+
+    rows = [
+        ("2024-01-20 12:00:00",),  # train
+        ("2024-01-24 00:00:00",),  # embargo (within 1 day before test)
+        ("2024-01-23 23:59:59",),  # train (just before embargo)
+        ("2024-01-25 00:00:00",),  # test (inclusive start)
+        ("2024-01-28 23:59:59",),  # test
+        ("2024-01-29 00:00:00",),  # future (exclusive end)
+    ]
+    ev = spark.createDataFrame(rows, "ts_s string").selectExpr(
+        "cast(ts_s as timestamp) as ts"
+    )
+    out = {r.split: r.n_rows for r in time_split_purged(
+        ev, "ts", "2024-01-25 00:00:00", "2024-01-29 00:00:00").collect()}
+    assert out == {"train": 2, "embargo": 1, "test": 2, "future": 1}
