@@ -1470,3 +1470,92 @@ def oracle_key_candidates(table: str, columns: list[str]) -> str:
            (n_distinct = n_rows AND n_nulls = 0) AS is_key
     FROM ({rows})
     """
+
+
+def corr_matrix(df: DataFrame, cols: dict) -> DataFrame:
+    """Pairwise Pearson correlation matrix over integer-quantized numeric
+    columns — the EDA staple feeding feature selection and leakage hunts
+    (a 0.99 off-diagonal usually IS the leak [[smp_time_split]] guards
+    against). ``cols`` maps output name -> integer SQL expression (cents
+    / basis points / units; the caller picks the quantization, which
+    also sets the 100 TB overflow headroom like [[agg_moments]]).
+
+    ONE shared scan: every Σx, Σx², Σxy accumulates as an EXACT
+    DECIMAL(38,0) sum of per-row BIGINT products; the correlation
+    combines them exactly in decimal (num = n·Σxy − Σx·Σy, the
+    catastrophic-cancellation-free form) and converts to double only for
+    the final divide/sqrt — so any parallelism and any engine agree to
+    the conversion ulp. Output: (col_x, col_y, n, r) for the upper
+    triangle, r rounded 6dp.
+    """
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for a in names:
+        aggs.append(
+            F.expr(f"sum(cast(({cols[a]}) as decimal(38,0)))").alias(f"s_{a}")
+        )
+        aggs.append(
+            F.expr(f"sum(cast(({cols[a]}) * ({cols[a]}) as decimal(38,0)))").alias(
+                f"q_{a}"
+            )
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.expr(f"sum(cast(({cols[a]}) * ({cols[b]}) as decimal(38,0)))").alias(
+                    f"p_{a}_{b}"
+                )
+            )
+    wide = df.agg(*aggs)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = (
+                f"cast(n as decimal(38,0)) * p_{a}_{b}"
+                f" - s_{a} * s_{b}"
+            )
+            dx = f"cast(n as decimal(38,0)) * q_{a} - s_{a} * s_{a}"
+            dy = f"cast(n as decimal(38,0)) * q_{b} - s_{b} * s_{b}"
+            rows.append(
+                f"struct('{a}' as col_x, '{b}' as col_y, n,"
+                f" round(cast(({num}) as double) /"
+                f" sqrt(cast(({dx}) as double) * cast(({dy}) as double)), 6) as r)"
+            )
+    return wide.selectExpr(
+        f"inline(array({', '.join(rows)}))"
+    )
+
+
+def oracle_corr_matrix(table: str, cols: dict) -> str:
+    """DuckDB twin: identical decimal accumulation; decimal -> double goes
+    through VARCHAR (DuckDB's direct cast double-rounds past 2^53)."""
+    names = list(cols)
+    sels = ["CAST(count(*) AS BIGINT) AS n"]
+    for a in names:
+        sels.append(f"sum(CAST(({cols[a]}) AS DECIMAL(38,0))) AS s_{a}")
+        sels.append(f"sum(CAST(({cols[a]}) * ({cols[a]}) AS DECIMAL(38,0))) AS q_{a}")
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sels.append(
+                f"sum(CAST(({cols[a]}) * ({cols[b]}) AS DECIMAL(38,0))) AS p_{a}_{b}"
+            )
+    def d(expr: str) -> str:
+        return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = f"CAST(n AS DECIMAL(38,0)) * p_{a}_{b} - s_{a} * s_{b}"
+            dx = f"CAST(n AS DECIMAL(38,0)) * q_{a} - s_{a} * s_{a}"
+            dy = f"CAST(n AS DECIMAL(38,0)) * q_{b} - s_{b} * s_{b}"
+            rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
+                f" round({d(num)} / sqrt({d(dx)} * {d(dy)}), 6) AS r FROM wide"
+            )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH wide AS MATERIALIZED (
+      SELECT {', '.join(sels)} FROM {table}
+    )
+    {union}
+    """

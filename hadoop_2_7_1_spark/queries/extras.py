@@ -6642,3 +6642,30 @@ def smp_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_split_purged(
         ev, "ts", "2024-01-25 00:00:00", "2024-01-29 00:00:00", embargo_days=1
     )
+
+
+from ..operators.profile import oracle_corr_matrix
+
+_CORR_COLS = {
+    "qty": "cast(l_quantity as bigint)",
+    "price_c": "cast(round(l_extendedprice * 100) as bigint)",
+    "disc_bp": "cast(round(l_discount * 10000) as bigint)",
+    "tax_bp": "cast(round(l_tax * 10000) as bigint)",
+}
+
+
+@register(
+    "prof_corr_matrix",
+    oracle_corr_matrix("lineitem", _CORR_COLS),
+    doc="pairwise Pearson correlation matrix over integer-quantized "
+        "lineitem measures in ONE shared scan: every power/cross sum is "
+        "an exact DECIMAL(38,0) accumulation, num/den combine exactly in "
+        "decimal (cancellation-free n*Sxy - Sx*Sy form), double only for "
+        "the final divide/sqrt — the EDA staple and leakage hunt "
+        "(operators/profile.py:corr_matrix)",
+)
+def prof_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _CORR_COLS)

@@ -143,6 +143,7 @@ AUDITED = [
     "cur_contrastive_pairs",
     "grf_edge_betweenness",
     "smp_time_split",
+    "prof_corr_matrix",
 ]
 
 

@@ -3732,3 +3732,19 @@ def test_time_split_purged_boundaries(spark):
     out = {r.split: r.n_rows for r in time_split_purged(
         ev, "ts", "2024-01-25 00:00:00", "2024-01-29 00:00:00").collect()}
     assert out == {"train": 2, "embargo": 1, "test": 2, "future": 1}
+
+
+def test_corr_matrix_hand(spark):
+    from hadoop_2_7_1_spark.operators.profile import corr_matrix
+
+    import pandas as pd
+
+    # y = 2x exactly -> r = 1; z anti-correlated with x -> r = -1
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [1, 2, 3, 4], "y": [2, 4, 6, 8], "z": [4, 3, 2, 1]})
+    )
+    out = {(r.col_x, r.col_y): r.r
+           for r in corr_matrix(df, {"x": "x", "y": "y", "z": "z"}).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
