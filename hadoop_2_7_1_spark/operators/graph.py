@@ -1189,7 +1189,9 @@ def identity_stitch(
 
     Edges are (user, device) pairs seen >= min_support times (rare
     co-occurrence thinning — below it, shared NATs/devices glue
-    everything into one giant component). Device nodes are encoded as
+    everything into one giant component). Events with no device signal
+    (NULL ``device_expr``) are dropped EXPLICITLY before edge building
+    — the no-device case must not rely on engine NULL-join behavior. Device nodes are encoded as
     -(device+1), collision-free against nonnegative user ids, so the
     min-label component id needs no node-type column through the
     propagation. Reuses :func:`..dedup.connected_components`
@@ -1208,6 +1210,7 @@ def identity_stitch(
             F.col(user_col).cast("bigint").alias("u"),
             F.expr(device_expr).cast("bigint").alias("dev"),
         )
+        .filter(F.col("dev").isNotNull())
         .groupBy("u", "dev")
         .count()
         .filter(F.col("count") >= min_support)
@@ -1237,6 +1240,7 @@ def oracle_identity_stitch(
       SELECT CAST({user_col} AS BIGINT) AS id_a,
              -(CAST({device_expr} AS BIGINT) + 1) AS id_b
       FROM {table}
+      WHERE ({device_expr}) IS NOT NULL
       GROUP BY 1, 2
       HAVING count(*) >= {min_support}
     """

@@ -1495,16 +1495,18 @@ def corr_matrix(df: DataFrame, cols: dict) -> DataFrame:
             F.expr(f"sum(cast(({cols[a]}) as decimal(38,0)))").alias(f"s_{a}")
         )
         aggs.append(
-            F.expr(f"sum(cast(({cols[a]}) * ({cols[a]}) as decimal(38,0)))").alias(
-                f"q_{a}"
-            )
+            F.expr(
+                f"sum(cast(({cols[a]}) as decimal(19,0))"
+                f" * cast(({cols[a]}) as decimal(19,0)))"
+            ).alias(f"q_{a}")
         )
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
             aggs.append(
-                F.expr(f"sum(cast(({cols[a]}) * ({cols[b]}) as decimal(38,0)))").alias(
-                    f"p_{a}_{b}"
-                )
+                F.expr(
+                    f"sum(cast(({cols[a]}) as decimal(19,0))"
+                    f" * cast(({cols[b]}) as decimal(19,0)))"
+                ).alias(f"p_{a}_{b}")
             )
     wide = df.agg(*aggs)
     rows = []
@@ -1533,11 +1535,15 @@ def oracle_corr_matrix(table: str, cols: dict) -> str:
     sels = ["CAST(count(*) AS BIGINT) AS n"]
     for a in names:
         sels.append(f"sum(CAST(({cols[a]}) AS DECIMAL(38,0))) AS s_{a}")
-        sels.append(f"sum(CAST(({cols[a]}) * ({cols[a]}) AS DECIMAL(38,0))) AS q_{a}")
+        sels.append(
+            f"sum(CAST(({cols[a]}) AS DECIMAL(19,0))"
+            f" * CAST(({cols[a]}) AS DECIMAL(19,0))) AS q_{a}"
+        )
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
             sels.append(
-                f"sum(CAST(({cols[a]}) * ({cols[b]}) AS DECIMAL(38,0))) AS p_{a}_{b}"
+                f"sum(CAST(({cols[a]}) AS DECIMAL(19,0))"
+                f" * CAST(({cols[b]}) AS DECIMAL(19,0))) AS p_{a}_{b}"
             )
     def d(expr: str) -> str:
         return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"

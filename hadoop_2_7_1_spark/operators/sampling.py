@@ -1009,6 +1009,11 @@ def sequential_poisson_sample(
     content-stable-hash trick as [[smp_deterministic_sample]]: reruns
     and other engines agree row-for-row.
 
+    Non-positive weights are EXCLUDED up front: weight 0 would yield
+    +Inf priority (silently never sampled) and a negative weight a
+    negative priority that always wins the top-k, inverting the PPS
+    semantics — both are data errors, not sampling outcomes.
+
     Shape: a narrow map + global top-k (TakeOrderedAndProject — never a
     full sort). Output: (id, weight, priority), ties broken by id.
     """
@@ -1016,7 +1021,8 @@ def sequential_poisson_sample(
         (hex_hash32(id_col) + F.lit(1)).cast("double") / F.lit(float(HASH_SPACE))
     ) / F.col(weight_col).cast("double")
     return (
-        df.select(
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .select(
             F.col(id_col).cast("bigint").alias("id"),
             F.col(weight_col).cast("bigint").alias("weight"),
             pri.alias("priority"),
@@ -1035,6 +1041,7 @@ def oracle_sequential_poisson(
            (CAST({h} + 1 AS DOUBLE) / CAST({float(HASH_SPACE)!r} AS DOUBLE))
              / CAST({weight_col} AS DOUBLE) AS priority
     FROM {table}
+    WHERE CAST({weight_col} AS DOUBLE) > 0
     ORDER BY priority ASC, id ASC
     LIMIT {k}
     """

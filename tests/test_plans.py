@@ -130,7 +130,6 @@ def test_registry_wide_plan_audit(spark):
         # fixture write / snapshot commits / cc label propagation at build
         "src_parquet_stats", "src_snapshot_compact", "evt_identity_stitch",
         "src_copybook",  # collects the fixture rows for the Python encoder
-        "src_copybook",  # collects the fixture rows for the Python encoder
     }
     python_ok = {
         "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",
