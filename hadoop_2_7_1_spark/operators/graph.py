@@ -1273,96 +1273,231 @@ def betweenness_sampled(
     truncations are part of the operator's declared semantics (the
     oracle replays them exactly).
 
-    Exactness: path counts sigma are BIGINTs (discovery-level BFS — a
-    node's sigma is fixed the round it is first reached, the anti-join
-    keeps later rounds from touching it); each backward contribution
+    Exactness: path counts sigma are BIGINTs — the forward pass counts
+    WALKS per length lane (w_k), and a walk of length exactly dist(v)
+    is necessarily a shortest path (each step changes the BFS distance
+    by at most 1, so a length-dist(v) walk takes only +1 steps), so
+    sigma(v) = w_dist(v)(v) exactly and the read lane only ever receives
+    contributions from other read lanes. Longer lanes count non-simple
+    walks and may even wrap BIGINT on extreme-degree graphs — harmless
+    by construction, a wrapped lane k > dist(v) is never read and never
+    feeds a read lane. Each backward contribution
     (sigma_v/sigma_w)·(1+delta_w) is one fixed double chain rounded to
     DECIMAL(38,6) before the per-node EXACT sum, and the cross-source
     fold re-rounds the same way — order-free at any parallelism.
 
-    Shape: every step is an equi-keyed join/aggregate on (source, node)
-    — 2·depth·|pivots| keyed shuffles total, never a cartesian; frames
-    carry |pivots| × (reached nodes) rows. Output: (node, bc) for
+    Shape (the r7 stage-count rework — this operator is overhead-bound
+    at test scale and exchange-bound at 100 TB, so fewer exchanges win
+    at both): forward = 2 keyed exchanges per round (edge join +
+    path-count aggregate; the walk formulation needs NO per-round
+    anti-join against the reached set) + ONE (s, node) min-lane fold;
+    the shortest-path DAG (v→w with dist_w = dist_v + 1) is
+    materialized ONCE and every backward round is then just (left-join
+    delta, re-aggregate) — 2 exchanges instead of the 5 of a
+    per-round re-derivation. Per-round frames are lazily
+    localCheckpoint-ed (each is referenced by the next round AND a
+    final union). Deltas stay SPARSE (only nodes with a nonzero
+    dependency); use sites coalesce to 0. Output: (node, bc) for
     bc > 0, rounded 6dp.
     """
-    spark = edges.sparkSession
-    # every forward and backward round joins e: lazy-checkpoint it so the
-    # scan+distinct runs once per action, not once per reference
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().localCheckpoint(eager=False)
-    d = spark.createDataFrame(
-        [(s, s, 0, 1) for s in sources], "s string, node string, dist int, sigma long"
-    )
-    levels = [d]
-    for k in range(depth):
-        frontier = levels[-1].filter(F.col("dist") == k).select(
-            "s", F.col("node").alias("src"), "sigma"
-        )
-        arrivals = (
-            frontier.join(e, "src")
-            .groupBy("s", F.col("dst").alias("node"))
-            .agg(F.sum("sigma").cast("long").alias("sigma"))
-            .withColumn("dist", F.lit(k + 1))
-        )
-        new_nodes = arrivals.join(
-            levels[-1].select("s", "node"), ["s", "node"], "left_anti"
-        ).select("s", "node", "dist", "sigma")
-        levels.append(levels[-1].unionByName(new_nodes))
-    # the backward pass references the distance frame ~3x per level: a
-    # LAZY localCheckpoint materializes the forward result once inside
-    # the first action and truncates the 4-round lineage (persist() would
-    # pin pre-AQE 200-partition shuffles under a default session and blow
-    # the stage count; plain lineage re-executes the forward chain per
-    # reference beyond what ReusedExchange dedups)
-    d = levels[-1].localCheckpoint(eager=False)
-    lvl = {l: d.filter(F.col("dist") == l) for l in range(depth + 1)}
-    delta = {
-        depth: lvl[depth].select("s", "node", F.lit(0.0).alias("delta"))
-    }
+    n = len(sources)
+    sig, e = _brandes_forward(edges, sources, depth, src_col, dst_col)
+    dag = _brandes_dag(sig, e, n)
+    delta = {depth: None}  # sparse: None == all-zero
     for l in range(depth - 1, -1, -1):
-        succ = (
-            lvl[l + 1]
-            .join(delta[l + 1], ["s", "node"])
-            .select(
-                "s",
-                F.col("node").alias("dst"),
-                F.col("sigma").alias("sigma_w"),
-                F.col("delta").alias("delta_w"),
-            )
-        )
         contrib = (
-            lvl[l]
-            .select("s", F.col("node").alias("src"), F.col("sigma").alias("sigma_v"))
-            .join(e, "src")
-            .join(succ, ["s", "dst"])
-            .select(
-                "s",
-                F.col("src").alias("node"),
-                F.expr(
-                    "cast((cast(sigma_v as double) / cast(sigma_w as double))"
-                    " * (1.0D + delta_w) as decimal(38,6))"
-                ).alias("c"),
+            _brandes_contribs(dag, l, delta[l + 1], n)
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                *[
+                    F.sum(f"c_{i}").cast("double").alias(f"delta_{i}")
+                    for i in range(n)
+                ]
             )
-            .groupBy("s", "node")
-            .agg(F.sum("c").cast("double").alias("dsum"))
         )
-        delta[l] = (
-            lvl[l]
-            .select("s", "node")
-            .join(contrib, ["s", "node"], "left")
-            .select("s", "node", F.coalesce(F.col("dsum"), F.lit(0.0)).alias("delta"))
-        )
+        delta[l] = contrib.localCheckpoint(eager=False)
     acc = None
     for l in range(1, depth + 1):
         part = delta[l]
+        if part is None:
+            continue
         acc = part if acc is None else acc.unionByName(part)
+    total = None
+    for i in range(n):
+        t = F.coalesce(
+            F.sum(F.expr(f"cast(delta_{i} as decimal(38,6))")),
+            F.lit(0).cast("decimal(38,6)"),
+        )
+        total = t if total is None else (total + t)
     return (
-        acc.select("node", F.expr("cast(delta as decimal(38,6))").alias("dd"))
-        .groupBy("node")
-        .agg(F.round(F.sum("dd").cast("double"), 6).alias("bc"))
+        acc.groupBy("node")
+        .agg(F.round(total.cast("double"), 6).alias("bc"))
         .filter(F.col("bc") > 0)
     )
+
+
+def _brandes_forward(
+    edges: DataFrame,
+    sources: list[str],
+    depth: int,
+    src_col: str,
+    dst_col: str,
+):
+    """Shared forward pass of the sampled Brandes variants: per-length
+    WALK counts from all pivots AT ONCE, with the pivot dimension held
+    as COLUMNS (sig_0..sig_{n-1}) rather than rows — every join and
+    aggregate then moves |reached| rows instead of |pivots|·|reached|,
+    and shuffles key on the bare node. The per-node result folds each
+    pivot's minimum populated lane: a walk of length exactly dist(v) is
+    a shortest path (each step changes BFS distance by at most 1, so a
+    length-dist(v) walk takes only +1 steps), so sigma_i(v) = the min
+    lane's count exactly, with NO per-round anti-join. Lanes above
+    dist_i(v) count non-simple walks and may even wrap BIGINT on
+    extreme-degree graphs — harmless by construction: a wrapped lane
+    k > dist_i(v) is never read and never feeds a read lane (an
+    in-neighbor u of v has dist_i(u) >= dist_i(v) - 1, so lane
+    dist_i(v)-1 of u is either u's exact lane or empty).
+
+    Returns (sig, e): sig = one lazily checkpointed frame
+    (node, dist_0.., sigma_0..) with NULL dist/sigma where pivot i does
+    not reach the node within depth; e = the distinct checkpointed edge
+    frame."""
+    spark = edges.sparkSession
+    n = len(sources)
+    sigs = [f"sig_{i}" for i in range(n)]
+    # every forward round and the DAG build join e on src: partition AND
+    # sort it by src ONCE before the lazy checkpoint — LogicalRDD keeps
+    # the partitioning/ordering, so each round's merge join skips the
+    # big side's exchange and sort entirely (the r6 profile's forward
+    # cost was 4x re-exchange+re-sort of this frame)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=False)
+    )
+    rows = [
+        (s, 0) + tuple(1 if j == i else 0 for j in range(n))
+        for i, s in enumerate(sources)
+    ]
+    schema = "node string, dist int, " + ", ".join(f"{c} long" for c in sigs)
+    lanes = [spark.createDataFrame(rows, schema)]
+    for k in range(depth):
+        nxt = (
+            lanes[k]
+            .select(F.col("node").alias("src"), *sigs)
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(*[F.sum(c).cast("long").alias(c) for c in sigs])
+            .select("node", F.lit(k + 1).alias("dist"), *sigs)
+        )
+        # referenced by round k+1 AND the final min-lane fold
+        lanes.append(nxt.localCheckpoint(eager=False))
+    allw = lanes[0]
+    for f in lanes[1:]:
+        allw = allw.unionByName(f)
+    sig = (
+        allw.groupBy("node")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col(f"sig_{i}") > 0,
+                        F.struct(
+                            F.col("dist").alias("d"), F.col(f"sig_{i}").alias("g")
+                        ),
+                    )
+                ).alias(f"m_{i}")
+                for i in range(n)
+            ]
+        )
+        .select(
+            "node",
+            *[F.col(f"m_{i}.d").alias(f"dist_{i}") for i in range(n)],
+            *[F.col(f"m_{i}.g").alias(f"sigma_{i}") for i in range(n)],
+        )
+        .localCheckpoint(eager=False)
+    )
+    return sig, e
+
+
+def _brandes_dag(sig: DataFrame, e: DataFrame, n: int) -> DataFrame:
+    """Shortest-path DAG, materialized ONCE for all backward rounds:
+    edges (v -> w) that advance at least one pivot's BFS level
+    (dw_i = dv_i + 1), carrying both endpoints' per-pivot dist and
+    sigma columns. Every backward round is then a filter + one delta
+    join + one aggregate over this checkpointed frame instead of
+    re-deriving the level joins from scratch."""
+    v = sig.select(
+        F.col("node").alias("src"),
+        *[F.col(f"dist_{i}").alias(f"dv_{i}") for i in range(n)],
+        *[F.col(f"sigma_{i}").alias(f"sv_{i}") for i in range(n)],
+    )
+    w = sig.select(
+        F.col("node").alias("dst"),
+        *[F.col(f"dist_{i}").alias(f"dw_{i}") for i in range(n)],
+        *[F.col(f"sigma_{i}").alias(f"sw_{i}") for i in range(n)],
+    )
+    active = None
+    for i in range(n):
+        a = F.coalesce(F.col(f"dw_{i}") == F.col(f"dv_{i}") + 1, F.lit(False))
+        active = a if active is None else (active | a)
+    # partition+sort by dst once: every backward round left-joins the
+    # (node-scale) delta frame on dst — the DAG side then needs no
+    # exchange and no sort in any round
+    return (
+        v.join(e, "src")
+        .join(w, "dst")
+        .filter(active)
+        .repartition("dst")
+        .sortWithinPartitions("dst")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _brandes_contribs(
+    dag: DataFrame, l: int, delta_next: DataFrame | None, n: int
+) -> DataFrame:
+    """One backward round's per-edge contributions: DAG edges active at
+    level l for pivot i (dv_i = l, dw_i = l + 1) get
+    c_i = (sigma_v_i / sigma_w_i) · (1 + delta_w_i) rounded to
+    DECIMAL(38,6); inactive pivots get NULL. delta_next is SPARSE
+    (absent rows/NULL columns ARE zero)."""
+    part = dag.filter(
+        _any(
+            (F.col(f"dv_{i}") == l) & (F.col(f"dw_{i}") == l + 1)
+            for i in range(n)
+        )
+    )
+    if delta_next is None:
+        joined = part
+        dcol = {i: "0.0D" for i in range(n)}
+    else:
+        succ = delta_next.select(
+            F.col("node").alias("dst"),
+            *[F.col(f"delta_{i}").alias(f"dl_{i}") for i in range(n)],
+        )
+        joined = part.join(succ, "dst", "left")
+        dcol = {i: f"coalesce(dl_{i}, 0.0D)" for i in range(n)}
+    cs = [
+        F.when(
+            (F.col(f"dv_{i}") == l) & (F.col(f"dw_{i}") == l + 1),
+            F.expr(
+                f"cast((cast(sv_{i} as double) / cast(sw_{i} as double))"
+                f" * (1.0D + {dcol[i]}) as decimal(38,6))"
+            ),
+        ).alias(f"c_{i}")
+        for i in range(n)
+    ]
+    return joined.select("src", "dst", *cs)
+
+
+def _any(conds) -> F.Column:
+    acc = None
+    for c in conds:
+        acc = c if acc is None else (acc | c)
+    return acc
 
 
 def oracle_betweenness_sampled(
@@ -1441,76 +1576,35 @@ def edge_betweenness_sampled(
 
     Output: (src, dst, ebc) per directed DAG edge with ebc > 0 (an
     undirected edge appears once per direction that lies on a shortest
-    path), rounded 6dp.
+    path), rounded 6dp. Shares :func:`_brandes_forward` /
+    :func:`_brandes_dag` / :func:`_brandes_join_delta` with the node
+    variant — same one-shot DAG materialization, lazy per-round
+    checkpoints (each ``pairs`` frame feeds BOTH the next round's delta
+    and the final edge fold), same sparse deltas.
     """
-    spark = edges.sparkSession
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().localCheckpoint(eager=False)
-    d = spark.createDataFrame(
-        [(s, s, 0, 1) for s in sources], "s string, node string, dist int, sigma long"
-    )
-    levels = [d]
-    for k in range(depth):
-        frontier = levels[-1].filter(F.col("dist") == k).select(
-            "s", F.col("node").alias("src"), "sigma"
-        )
-        arrivals = (
-            frontier.join(e, "src")
-            .groupBy("s", F.col("dst").alias("node"))
-            .agg(F.sum("sigma").cast("long").alias("sigma"))
-            .withColumn("dist", F.lit(k + 1))
-        )
-        new_nodes = arrivals.join(
-            levels[-1].select("s", "node"), ["s", "node"], "left_anti"
-        ).select("s", "node", "dist", "sigma")
-        levels.append(levels[-1].unionByName(new_nodes))
-    d = levels[-1].localCheckpoint(eager=False)
-    lvl = {l: d.filter(F.col("dist") == l) for l in range(depth + 1)}
-    delta = {depth: lvl[depth].select("s", "node", F.lit(0.0).alias("delta"))}
+    n = len(sources)
+    sig, e = _brandes_forward(edges, sources, depth, src_col, dst_col)
+    dag = _brandes_dag(sig, e, n)
+    delta = {depth: None}
     edge_parts = []
     for l in range(depth - 1, -1, -1):
-        succ = (
-            lvl[l + 1]
-            .join(delta[l + 1], ["s", "node"])
-            .select(
-                "s",
-                F.col("node").alias("dst"),
-                F.col("sigma").alias("sigma_w"),
-                F.col("delta").alias("delta_w"),
-            )
+        pairs = _brandes_contribs(dag, l, delta[l + 1], n).localCheckpoint(
+            eager=False
         )
-        pairs = (
-            lvl[l]
-            .select("s", F.col("node").alias("src"), F.col("sigma").alias("sigma_v"))
-            .join(e, "src")
-            .join(succ, ["s", "dst"])
-            .select(
-                "s",
-                "src",
-                "dst",
-                F.expr(
-                    "cast((cast(sigma_v as double) / cast(sigma_w as double))"
-                    " * (1.0D + delta_w) as decimal(38,6))"
-                ).alias("c"),
-            )
-        )
-        edge_parts.append(pairs.select("src", "dst", "c"))
-        contrib = pairs.groupBy("s", F.col("src").alias("node")).agg(
-            F.sum("c").cast("double").alias("dsum")
-        )
-        delta[l] = (
-            lvl[l]
-            .select("s", "node")
-            .join(contrib, ["s", "node"], "left")
-            .select("s", "node", F.coalesce(F.col("dsum"), F.lit(0.0)).alias("delta"))
+        edge_parts.append(pairs)
+        delta[l] = pairs.groupBy(F.col("src").alias("node")).agg(
+            *[F.sum(f"c_{i}").cast("double").alias(f"delta_{i}") for i in range(n)]
         )
     acc = edge_parts[0]
     for part in edge_parts[1:]:
         acc = acc.unionByName(part)
+    total = None
+    for i in range(n):
+        t = F.coalesce(F.sum(f"c_{i}"), F.lit(0).cast("decimal(38,6)"))
+        total = t if total is None else (total + t)
     return (
         acc.groupBy("src", "dst")
-        .agg(F.round(F.sum("c").cast("double"), 6).alias("ebc"))
+        .agg(F.round(total.cast("double"), 6).alias("ebc"))
         .filter(F.col("ebc") > 0)
     )
 
