@@ -291,6 +291,18 @@ def test_forget_users_cascade_is_semi_joins_no_rewrite(spark):
     assert plan.count("orders.parquet") <= 2, plan
 
 
+def test_corr_matrix_one_scan_no_joins(spark):
+    """The pairwise correlation matrix must compute every Σx, Σx², Σxy in
+    ONE shared scan-and-aggregate — never one pass per pair and never a
+    join: the executed plan reads lineitem exactly once, contains no join
+    node, and the only exchange is the single-partition fold of the
+    one-row moment aggregate."""
+    plan = plan_of(spark, "prof_corr_matrix")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
 def test_k_anonymity_single_shuffle(spark):
     """The k-anonymity audit is ONE quasi-identifier groupBy; every k
     threshold folds over the resulting (tiny) group-size table. Exactly one
