@@ -127,6 +127,7 @@ def triangle_count(
             .alias("e")
         )
         .select("e.lo", "e.hi")
+        .localCheckpoint(eager=False)
     )
     w1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
     w2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
@@ -996,17 +997,23 @@ def assortativity(
     evt_trend_ols recipe. Two degree joins + one single-row aggregate.
     Output: (n_edges, n_nodes, r_assort).
     """
+    # und feeds the degree build AND the orientation join; deg feeds the
+    # orientation (twice) AND later folds; oriented feeds both wedge sides
+    # AND the closing-edge probe. Lazy checkpoints stop each from
+    # re-deriving its upstream once per reference.
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("v"))
         .union(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").cast("bigint").alias("deg"))
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dx"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("dy"))
@@ -1090,17 +1097,23 @@ def clustering_coefficients(
     count, and zero-triangle nodes survive via a left join against the
     degree frame. Output: (cc_bucket, n_nodes) — cc_bucket 0..10.
     """
+    # und feeds the degree build AND the orientation join; deg feeds the
+    # orientation (twice) AND later folds; oriented feeds both wedge sides
+    # AND the closing-edge probe. Lazy checkpoints stop each from
+    # re-deriving its upstream once per reference.
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("v"))
         .union(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").cast("bigint").alias("deg"))
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
@@ -1117,6 +1130,7 @@ def clustering_coefficients(
             .alias("e")
         )
         .select("e.lo", "e.hi")
+        .localCheckpoint(eager=False)
     )
     w1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
     w2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))

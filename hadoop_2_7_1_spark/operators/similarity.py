@@ -160,10 +160,14 @@ def knn_join(
     sides, skew-split by AQE — followed by a per-query top-k window. Cost is
     (dims+1) * Σ bucket_a × bucket_b, never |A| × |B|. A (q, c) pair can
     match at most one probe (c has exactly one bucket), so no dedup stage.
+    Norms are precomputed ONCE per row on each side (the cosine then costs
+    only the dot per candidate pair — same IEEE value, double multiply is
+    commutative and the operand order is preserved).
     """
     c = emb_b.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
+        F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
         sign_bucket(vec_col, bucket_dims).alias("bucket"),
     )
     base = F.concat(
@@ -185,12 +189,14 @@ def knn_join(
     q = emb_a.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
         F.explode(F.array(*flips)).alias("bucket"),
     )
+    dot = DOT.format(a="vec", b="q_vec")
     scored = (
         q.join(c, "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .withColumn("cos", F.expr(f"cast({dot} / (c_nrm * q_nrm) as double)"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

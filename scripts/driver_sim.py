@@ -5,11 +5,14 @@ oracle_sql() in DuckDB with the driver's canonicalization.
 
 Usage: python scripts/driver_sim.py [sf_dir] [name_substr ...]
 (optional name substrings restrict which queries run — skips entry();
---window restricts to the first-50 driver sample window)
+--window restricts to the first-50 driver sample window;
+--out FILE writes a machine-readable SIMCHECK_r{N}.json-style artifact,
+same shape as the driver's CORRECTNESS files, one entry per query run)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -26,6 +29,11 @@ ONLY = sys.argv[2:]
 # external driver samples for CORRECTNESS_r{N}.json.
 WINDOW = "--window" in ONLY
 ONLY = [a for a in ONLY if a != "--window"]
+OUT = None
+if "--out" in ONLY:
+    i = ONLY.index("--out")
+    OUT = ONLY[i + 1]
+    del ONLY[i : i + 2]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -96,31 +104,68 @@ def main() -> None:
     if ONLY:
         qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
     n_ok = n_bad = 0
+    record = {}
     for name, fn in sorted(qs.items()):
         t0 = time.time()
         try:
             spdf = fn(spark, SF_DIR).toPandas()
         except Exception as ex:
             print(f"  {name}: SPARK ERROR {str(ex)[:200]}")
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {str(ex)[:300]}",
+            }
             n_bad += 1
             continue
+        dpdf = None
         if name in oracles:
             try:
                 dpdf = con.sql(oracles[name]).df()
             except Exception as ex:
                 print(f"  {name}: ORACLE ERROR {str(ex)[:200]}")
+                record[name] = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": len(spdf),
+                    "oracle_rows": None, "err": f"oracle: {str(ex)[:300]}",
+                }
                 n_bad += 1
                 continue
             verdict = match(spdf, dpdf)
         else:
             verdict = f"ROWS-ONLY ({len(spdf)} rows)"
         status = "OK" if verdict.startswith(("OK", "ROWS-ONLY")) else "MISMATCH"
-        if status == "OK":
+        ok = status == "OK"
+        oracle_checked = dpdf is not None
+        record[name] = {
+            "rows_match": ok if oracle_checked else (len(spdf) >= 0),
+            "schema_match": ok if oracle_checked else None,
+            "hash_match": ok if oracle_checked else None,
+            "spark_rows": len(spdf),
+            "oracle_rows": len(dpdf) if oracle_checked else None,
+            "err": None if ok else verdict[:300],
+            "elapsed_sec": round(time.time() - t0, 2),
+        }
+        if ok:
             n_ok += 1
         else:
             n_bad += 1
         print(f"  {name}: {verdict}  [{time.time()-t0:.1f}s]")
     print(f"\n{n_ok} ok, {n_bad} bad of {len(qs)}")
+    if OUT:
+        with open(OUT, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "cpus": os.environ.get("SPARK_GRAFT_SIM_CPUS", "8"),
+                    "n_ok": n_ok,
+                    "n_bad": n_bad,
+                    "queries": record,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {OUT} ({len(record)} queries)")
     sys.exit(1 if n_bad else 0)
 
 
