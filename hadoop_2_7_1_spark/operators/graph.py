@@ -1304,7 +1304,9 @@ def betweenness_sampled(
     at test scale and exchange-bound at 100 TB, so fewer exchanges win
     at both): forward = 2 keyed exchanges per round (edge join +
     path-count aggregate; the walk formulation needs NO per-round
-    anti-join against the reached set) + ONE (s, node) min-lane fold;
+    anti-join against the reached set) + ONE per-node min-lane fold
+    (the pivot dimension rides as columns, so every shuffle keys on the
+    bare node and moves |reached| rows, not |pivots|·|reached|);
     the shortest-path DAG (v→w with dist_w = dist_v + 1) is
     materialized ONCE and every backward round is then just (left-join
     delta, re-aggregate) — 2 exchanges instead of the 5 of a

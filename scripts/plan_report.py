@@ -161,6 +161,10 @@ def audit(plan: str) -> dict:
         "pushed": re.findall(r"PushedFilters: \[([^\]]*)\]", final),
         "read_schemas": re.findall(r"ReadSchema: struct<([^>]*)", final),
         "cartesian": "CartesianProduct" in final,
+        # a localCheckpoint-ed upstream frame appears as an ExistingRDD scan:
+        # the exchanges that BUILT it are not in this plan — count the
+        # truncation points so the report never silently under-states shuffles
+        "checkpoint_scans": len(re.findall(r"Scan ExistingRDD", final)),
         "python_nodes": [
             n
             for n in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython")
@@ -212,6 +216,13 @@ def main() -> None:
             f"- pushed filters: {pushed if pushed else 'none needed'}",
             f"- scan columns: {['<' + s + '>' for s in a['read_schemas']]}",
         ]
+        if a["checkpoint_scans"]:
+            lines.append(
+                f"- checkpoint-truncated inputs: {a['checkpoint_scans']} "
+                "(iterative operator; per-round exchanges live in the "
+                "checkpointed upstream jobs — see the operator docstring "
+                "for the full shuffle accounting)"
+            )
         if flags:
             lines.append(f"- FLAGS: {'; '.join(flags)}")
         lines.append("")

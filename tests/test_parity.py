@@ -23,13 +23,17 @@ def test_oracle_parity(spark, oracle, name):
     assert_frames_match(spark_pdf, duck_pdf, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_queries_run(spark, name):
-    spec = REGISTRY[name]
-    out = spec.fn(spark, SF_DIR)
-    rows = out.collect()
-    assert len(rows) >= 0
-    assert out.schema is not None
+def test_no_rows_only_queries():
+    """Every registered query carries a DuckDB oracle — the registry has
+    had ZERO rows-only (weaker, count-only-checked) entries since round 6.
+    This replaces a parametrize-over-the-rows-only-set runner that pytest
+    reported as '1 skipped' on the empty set; if a rows-only query is ever
+    added, this test fails loudly so a runner (and a COVERAGE.md note) is
+    added deliberately rather than silently."""
+    assert ROWS_ONLY_QUERIES == [], (
+        "rows-only queries appeared; add an execution test and document "
+        f"the weaker check: {ROWS_ONLY_QUERIES}"
+    )
 
 
 def test_float_aggregates_partition_invariant(spark):
