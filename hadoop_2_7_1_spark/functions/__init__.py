@@ -85,6 +85,29 @@ def word_shingles(col_name: str, n: int) -> Column:
     )
 
 
+def exploded_word_shingles(
+    df, text_col: str, n: int, alias: str, drop_text: bool = True
+):
+    """Rows of word n-gram shingles: every non-`text_col` column of ``df``
+    preserved, plus one `alias` row per shingle. Row-identical to
+    ``F.explode(word_shingles(...))`` but explodes the POSITION SEQUENCE
+    and builds each shingle string per OUTPUT ROW — constructing the
+    array<string> first costs ~6-9x in UnsafeArray element copies
+    (measured 3.3s -> 0.36s on the sf0.1 documents 3-shingles), while the
+    per-row array_join(slice(...)) stays inside whole-stage codegen."""
+    toks = f"split(trim({text_col}), '{WS_SQL}')"
+    out = (
+        df.withColumn("__ws_tk", F.expr(toks))
+        .filter(F.expr(f"size(__ws_tk) >= {n}"))
+        .withColumn(
+            "__ws_i", F.explode(F.expr(f"sequence(1, size(__ws_tk) - {n - 1})"))
+        )
+        .withColumn(alias, F.expr(f"array_join(slice(__ws_tk, __ws_i, {n}), ' ')"))
+        .drop("__ws_tk", "__ws_i")
+    )
+    return out.drop(text_col) if drop_text else out
+
+
 def oracle_word_shingles(col_expr: str, n: int) -> str:
     """DuckDB fragment producing the same word n-gram shingle list."""
     toks = f"regexp_split_to_array(trim({col_expr}), '{WS}')"

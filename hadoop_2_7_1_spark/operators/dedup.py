@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import WS, WS_SQL, hex_hash32, oracle_hash32, word_shingles
+from ..functions import (
+    WS,
+    WS_SQL,
+    hex_hash32,
+    oracle_hash32,
+    word_shingles,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1091,19 +1097,27 @@ def dup_span_stats(
     from . import fan_out
 
     toks = f"filter(split(trim({text_col}), '{WS_SQL}'), t -> t <> '')"
-    grams_expr = (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(1, size({toks}) - {n} + 1),"
-        f" i -> md5(concat_ws(' ', slice({toks}, i, {n}))))"
-        f" ELSE cast(array() as array<string>) END"
-    )
-    # the gram hashing is the CPU cost (~1 md5 per token); fan_out keeps it
-    # off a single input split when the source arrives as one small file
+    # EXPLODE THE POSITION SEQUENCE, not a prebuilt gram-string array:
+    # generating array<string> per doc and exploding it costs ~6x this
+    # stage in UnsafeArray construction/copies, while exploding the int
+    # sequence keeps the md5(concat_ws(slice)) per OUTPUT ROW inside
+    # whole-stage codegen (measured 6.1s -> 0.8s at sf0.1). Same
+    # (pos, gh) rows: pos = i = 1..n_grams. fan_out keeps the hashing off
+    # a single input split when the source arrives as one small file.
     grams = (
         fan_out(df)
-        .select(F.col(id_col).cast("bigint").alias("doc"), F.expr(grams_expr).alias("g"))
-        .select("doc", F.posexplode("g").alias("pos", "gh"))
-        .withColumn("pos", F.col("pos") + 1)
+        .select(F.col(id_col).cast("bigint").alias("doc"), F.expr(toks).alias("__tk"))
+        .filter(F.expr(f"size(__tk) >= {n}"))
+        .select(
+            "doc",
+            "__tk",
+            F.explode(F.expr(f"sequence(1, size(__tk) - {n} + 1)")).alias("pos"),
+        )
+        .select(
+            "doc",
+            "pos",
+            F.expr(f"md5(concat_ws(' ', slice(__tk, pos, {n})))").alias("gh"),
+        )
     )
     # cross-doc duplication test as min<>max — map-side combinable partial
     # aggregates, no count-distinct key expansion on the gram shuffle
@@ -1339,15 +1353,22 @@ def remove_dup_spans(
     toks = base.select(
         "doc", F.posexplode("tk").alias("pos", "tok")
     ).withColumn("pos", F.col("pos") + 1)
-    grams_expr = (
-        f"CASE WHEN size(tk) >= {n} THEN "
-        f"transform(sequence(1, size(tk) - {n} + 1),"
-        f" i -> md5(concat_ws(' ', slice(tk, i, {n}))))"
-        f" ELSE cast(array() as array<string>) END"
+    # explode the POSITION sequence and hash per output row (never a
+    # prebuilt gram-string array — UnsafeArray construction costs ~6x,
+    # see dup_span_stats)
+    grams = (
+        base.filter(F.expr(f"size(tk) >= {n}"))
+        .select(
+            "doc",
+            "tk",
+            F.explode(F.expr(f"sequence(1, size(tk) - {n} + 1)")).alias("gpos"),
+        )
+        .select(
+            "doc",
+            "gpos",
+            F.expr(f"md5(concat_ws(' ', slice(tk, gpos, {n})))").alias("gh"),
+        )
     )
-    grams = base.select(
-        "doc", F.posexplode(F.expr(grams_expr)).alias("gpos", "gh")
-    ).withColumn("gpos", F.col("gpos") + 1)
     owners = (
         grams.groupBy("gh")
         .agg(F.min("doc").alias("owner"), F.max("doc").alias("_hi"))
@@ -1819,11 +1840,11 @@ def tfidf_cosine_pairs(
 
     Output: (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
     """
-    from ..functions import word_shingles
+    from ..functions import exploded_word_shingles as _ews
 
-    terms = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("term"),
+    terms = _ews(
+        docs.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col, shingle_n, "term",
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = (

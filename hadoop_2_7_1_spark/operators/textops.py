@@ -245,7 +245,7 @@ def repetition_stats(
     (partial map-side combine on (id, gram)); the per-doc join keys are the
     doc id, so skew equals the longest single document, not the corpus.
     """
-    from ..functions import word_shingles
+    from ..functions import exploded_word_shingles
 
     toks = _tok_array(text_col)
     base = df.select(
@@ -256,8 +256,8 @@ def repetition_stats(
     )
 
     def gram_stats(n: int, out: str, dup: bool) -> DataFrame:
-        grams = base.select(
-            "id", F.explode(word_shingles("__text", n)).alias("gram")
+        grams = exploded_word_shingles(
+            base.select("id", "__text"), "__text", n, "gram"
         )
         counts = grams.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
         if dup:
@@ -346,14 +346,14 @@ def contamination(
     set ``broadcast_benchmark=False`` to fall back to a shuffle join when
     the held-out side is itself corpus-sized.
     """
-    from ..functions import word_shingles
+    from ..functions import exploded_word_shingles
 
-    d = docs.select(
-        F.col(id_col).cast("bigint").alias("id"),
-        F.explode(word_shingles(text_col, ngram)).alias("gram"),
+    d = exploded_word_shingles(
+        docs.select(F.col(id_col).cast("bigint").alias("id"), text_col),
+        text_col, ngram, "gram",
     ).distinct()
-    b = benchmark.select(
-        F.explode(word_shingles(text_col, ngram)).alias("gram")
+    b = exploded_word_shingles(
+        benchmark.select(text_col), text_col, ngram, "gram"
     ).distinct()
     if broadcast_benchmark:
         b = F.broadcast(b)
