@@ -3748,3 +3748,30 @@ def test_corr_matrix_hand(spark):
     assert out[("x", "y")] == 1.0
     assert out[("x", "z")] == -1.0
     assert out[("y", "z")] == -1.0
+
+
+def test_exploded_word_shingles_row_parity(spark):
+    """The position-sequence shingle generator must be ROW-IDENTICAL to
+    exploding the prebuilt shingle array (functions.word_shingles) for
+    every edge shape: short docs (< n tokens -> no rows), exact-n docs,
+    leading/trailing/multiple whitespace, and empty strings."""
+    from hadoop_2_7_1_spark.functions import exploded_word_shingles, word_shingles
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "one two"),          # shorter than n=3 -> no shingles
+        (3, "x y z"),            # exactly n
+        (4, "  padded   text  with   gaps "),
+        (5, ""),                 # empty -> no shingles
+        (6, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    old = df.select(
+        "id", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    new = exploded_word_shingles(df.select("id", "text"), "text", 3, "shingle")
+    got_old = sorted((r.id, r.shingle) for r in old.collect())
+    got_new = sorted((r.id, r.shingle) for r in new.collect())
+    assert got_old == got_new
+    assert (1, "a b c") in got_new and (3, "x y z") in got_new
+    assert not any(i in (2, 5, 6) for i, _ in got_new)
