@@ -95,6 +95,13 @@ def exploded_word_shingles(
     array<string> first costs ~6-9x in UnsafeArray element copies
     (measured 3.3s -> 0.36s on the sf0.1 documents 3-shingles), while the
     per-row array_join(slice(...)) stays inside whole-stage codegen."""
+    if "__ws_tk" in df.columns or "__ws_i" in df.columns:
+        # withColumn silently REPLACES an existing column of the same name
+        # and the original would be dropped below — refuse loudly instead
+        raise ValueError(
+            "exploded_word_shingles: input already has a __ws_tk/__ws_i "
+            "column; rename it before calling"
+        )
     toks = f"split(trim({text_col}), '{WS_SQL}')"
     out = (
         df.withColumn("__ws_tk", F.expr(toks))

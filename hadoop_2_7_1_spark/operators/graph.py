@@ -1293,9 +1293,10 @@ def betweenness_sampled(
     by at most 1, so a length-dist(v) walk takes only +1 steps), so
     sigma(v) = w_dist(v)(v) exactly and the read lane only ever receives
     contributions from other read lanes. Longer lanes count non-simple
-    walks and may even wrap BIGINT on extreme-degree graphs — harmless
-    by construction, a wrapped lane k > dist(v) is never read and never
-    feeds a read lane. Each backward contribution
+    walks and may overflow BIGINT on extreme-degree graphs — the lane
+    sums use try_sum so an overflow NULLs the lane (no
+    ArithmeticException under spark.sql.ansi.enabled=true), and a
+    lane k > dist(v) is never read and never feeds a read lane. Each backward contribution
     (sigma_v/sigma_w)·(1+delta_w) is one fixed double chain rounded to
     DECIMAL(38,6) before the per-node EXACT sum, and the cross-source
     fold re-rounds the same way — order-free at any parallelism.
@@ -1338,6 +1339,11 @@ def betweenness_sampled(
         if part is None:
             continue
         acc = part if acc is None else acc.unionByName(part)
+    if acc is None:
+        # depth=1: delta[depth] is the sparse all-zero None and the
+        # backward loop only fills levels < depth, so no dependency mass
+        # exists — every bc is 0 and the declared output is empty
+        return edges.sparkSession.createDataFrame([], "node string, bc double")
     total = None
     for i in range(n):
         t = F.coalesce(
@@ -1368,11 +1374,14 @@ def _brandes_forward(
     a shortest path (each step changes BFS distance by at most 1, so a
     length-dist(v) walk takes only +1 steps), so sigma_i(v) = the min
     lane's count exactly, with NO per-round anti-join. Lanes above
-    dist_i(v) count non-simple walks and may even wrap BIGINT on
-    extreme-degree graphs — harmless by construction: a wrapped lane
-    k > dist_i(v) is never read and never feeds a read lane (an
-    in-neighbor u of v has dist_i(u) >= dist_i(v) - 1, so lane
-    dist_i(v)-1 of u is either u's exact lane or empty).
+    dist_i(v) count non-simple walks and may overflow BIGINT on
+    extreme-degree graphs — the lane sums use try_sum, so an
+    overflowing lane NULLs out instead of throwing under
+    spark.sql.ansi.enabled=true, and the NULL is harmless by
+    construction: a lane k > dist_i(v) is never read and never feeds a
+    read lane (an in-neighbor u of v has dist_i(u) >= dist_i(v) - 1,
+    so lane dist_i(v)-1 of u is either u's exact lane or empty; a
+    NULLed contribution is likewise dropped only from unread lanes).
 
     Returns (sig, e): sig = one lazily checkpointed frame
     (node, dist_0.., sigma_0..) with NULL dist/sigma where pivot i does
@@ -1405,7 +1414,7 @@ def _brandes_forward(
             .select(F.col("node").alias("src"), *sigs)
             .join(e, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(*[F.sum(c).cast("long").alias(c) for c in sigs])
+            .agg(*[F.try_sum(c).cast("long").alias(c) for c in sigs])
             .select("node", F.lit(k + 1).alias("dist"), *sigs)
         )
         # referenced by round k+1 AND the final min-lane fold

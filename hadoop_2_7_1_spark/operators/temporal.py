@@ -1590,9 +1590,16 @@ def changepoint_sse(
     expression from exact integers (identical IEEE ops in both engines;
     the tmp_theil_sen discipline), tie-broken by smallest i; the
     REPORTED gain is the exact rational V(i) - S^2/n over the common
-    denominator i(n-i)n, emitted as (gain_num DECIMAL(38,0), gain_den
-    BIGINT) — rounding a ~1e10 double to 6dp is NOT cross-engine
-    portable (DuckDB's round multiplies past 2^53), exact integers are.
+    denominator i(n-i)n, computed in DECIMAL(38,0) but EMITTED as
+    (gain_num STRING of exact digits, gain_den BIGINT) — rounding a
+    ~1e10 double to 6dp is NOT cross-engine portable (DuckDB's round
+    multiplies past 2^53), and a DECIMAL(38,0) on the hash surface is
+    not portable either: pandas round-trips 38-digit decimals as
+    object-dtype ``Decimal`` objects whose stringification
+    (``1E+15`` vs ``1000000000000000``) varies across
+    duckdb/pandas/pyarrow versions — the r7 driver red. Both engines
+    cast the decimal to a plain digit string themselves, which is
+    canonical on both.
 
     Shape: daily sums are one keyed shuffle; prefix sums and the argmax
     run on the calendar-scale bucket frame. Output: (key, n_days,
@@ -1638,10 +1645,10 @@ def changepoint_sse(
             F.expr("s_i div t").cast("bigint").alias("mean_left_cents"),
             F.expr("(s - s_i) div (n - t)").cast("bigint").alias("mean_right_cents"),
             F.expr(
-                "cast(cast(s_i as decimal(38,0)) * s_i * (n - t) * n"
+                "cast(cast(cast(s_i as decimal(38,0)) * s_i * (n - t) * n"
                 " + cast(s - s_i as decimal(38,0)) * (s - s_i) * t * n"
                 " - cast(s as decimal(38,0)) * s * t * (n - t)"
-                " as decimal(38,0))"
+                " as decimal(38,0)) as string)"
             ).alias("gain_num"),
             F.expr("t * (n - t) * n").cast("bigint").alias("gain_den"),
         )
@@ -1681,10 +1688,10 @@ def oracle_changepoint_sse(
     SELECT k AS {key_col}, n AS n_days, t AS split_t, CAST(d AS BIGINT) AS split_day,
            CAST(s_i // t AS BIGINT) AS mean_left_cents,
            CAST((s - s_i) // (n - t) AS BIGINT) AS mean_right_cents,
-           CAST(CAST(s_i AS DECIMAL(38,0)) * s_i * (n - t) * n
+           CAST(CAST(CAST(s_i AS DECIMAL(38,0)) * s_i * (n - t) * n
                 + CAST(s - s_i AS DECIMAL(38,0)) * (s - s_i) * t * n
                 - CAST(s AS DECIMAL(38,0)) * s * t * (n - t)
-                AS DECIMAL(38,0)) AS gain_num,
+                AS DECIMAL(38,0)) AS VARCHAR) AS gain_num,
            CAST(t * (n - t) * n AS BIGINT) AS gain_den
     FROM scored WHERE rn = 1
     """

@@ -6068,7 +6068,9 @@ def tmp_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split minimizing within-segment SSE (one binary-segmentation "
         "step — the retrospective complement to evt_cusum); prefix sums "
         "of exact cents, V(i) as one fixed double expression, argmax "
-        "tie-broken by smallest t (operators/temporal.py:changepoint_sse)",
+        "tie-broken by smallest t; gain emitted as an exact digit STRING "
+        "(decimal-38 is not hash-surface portable — r7 driver red) "
+        "(operators/temporal.py:changepoint_sse)",
 )
 def tmp_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import changepoint_sse
@@ -6361,30 +6363,34 @@ def dd_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "IBM037 text + COMP-3 packed-decimal fields decoded entirely in "
         "JVM expressions (binary substring records, hex() nibble parse, "
         "decode(bin,'IBM037')) — zero Python per record; fixture written "
-        "from lineitem by the Python encoder (scaffolding), read back and "
-        "aggregated; oracle computes straight from the table",
+        "from lineitem by the DISTRIBUTED JVM-expression encoder "
+        "(copybook_record_expr + foreachPartition part files — record "
+        "data never reaches the driver), read back and aggregated; "
+        "oracle computes straight from the table",
 )
 def src_copybook(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from ..sources.copybook import read_copybook_records, write_copybook_fixture
+    from ..sources.copybook import (
+        read_copybook_records,
+        write_copybook_distributed,
+    )
 
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 10 == 0)
         .select(
-            "l_returnflag",
+            F.col("l_returnflag").alias("flag"),
             F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
         )
     )
     layout = [("flag", "X", 1), ("cents", "P", 6)]
     root = f"/tmp/h271_copybook_{os.path.basename(os.path.normpath(sf_dir))}"
-    os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, "extract.bin")
-    # fixture writer = test scaffolding (deterministic single extract file,
-    # like pqstats.write_fixture); the operator under audit is the JVM reader
-    rows = [(r.l_returnflag, r.cents) for r in li.collect()]
-    write_copybook_fixture(rows, path, layout)
+    path = os.path.join(root, "extract")
+    # fixture writer = test scaffolding (like pqstats.write_fixture), but
+    # distributed: rows encode JVM-side and each partition writes its own
+    # part file; the operator under audit is the JVM reader
+    write_copybook_distributed(li, path, layout)
     recs = read_copybook_records(spark, path, layout)
     return recs.groupBy(F.col("flag")).agg(
         F.count("*").cast("bigint").alias("n"),

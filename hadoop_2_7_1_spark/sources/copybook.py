@@ -83,6 +83,65 @@ def read_copybook_records(
     return recs.select(*cols)
 
 
+def copybook_record_expr(layout: Layout) -> str:
+    """SQL expression encoding the layout's columns into ONE fixed-length
+    binary record — the JVM mirror of ``write_copybook_fixture``'s Python
+    encoder (byte-identical, pinned by test): 'X' fields rpad to width and
+    EBCDIC-encode via the JDK IBM037 charset, 'P' fields render the digit
+    string, append the sign nibble (C positive, D negative) and unhex to
+    COMP-3. A value too wide for its packed field raises (raise_error),
+    mirroring pack_comp3's ValueError."""
+    parts = []
+    for name, kind, n in layout:
+        if kind == "X":
+            parts.append(
+                f"encode(rpad(cast({name} as string), {n}, ' '), 'IBM037')"
+            )
+        elif kind == "P":
+            ndig = 2 * n - 1
+            digits = (
+                f"if(length(cast(abs({name}) as string)) > {ndig}, "
+                f"cast(raise_error('{name} does not fit in {n} packed bytes')"
+                f" as string), "
+                f"lpad(cast(abs({name}) as string), {ndig}, '0'))"
+            )
+            parts.append(f"unhex(concat({digits}, if({name} < 0, 'D', 'C')))")
+        else:
+            raise ValueError(f"unknown field kind {kind!r} for {name}")
+    return parts[0] if len(parts) == 1 else "concat(" + ", ".join(parts) + ")"
+
+
+def write_copybook_distributed(df: DataFrame, path: str, layout: Layout) -> None:
+    """Distributed fixture write: rows encode to fixed-length binary records
+    entirely in JVM expressions (:func:`copybook_record_expr`), then each
+    partition appends its records to one part file under ``path`` (a
+    directory) — record data never reaches the driver, unlike the r1-r7
+    collect-based scaffolding. Executor-side Python only joins whole record
+    byte strings (no per-field work). Local-mode scaffolding: part files
+    land on the executor-local filesystem, which local[*] shares with the
+    reader; a cluster deployment would target a shared filesystem and a
+    committer, which is what the parquet/sequencefile sinks are for."""
+    import os
+    import shutil
+
+    df.sparkSession.conf.set("spark.sql.legacy.javaCharsets", "true")
+    recs = df.select(F.expr(copybook_record_expr(layout)).alias("rec"))
+    # stale part files from a prior run would duplicate records on read-back
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def _write(it) -> None:
+        from pyspark import TaskContext
+
+        data = b"".join(r.rec for r in it)
+        if data:
+            pid = TaskContext.get().partitionId()
+            with open(os.path.join(path, f"part-{pid:05d}.bin"), "wb") as fh:
+                fh.write(data)
+
+    recs.foreachPartition(_write)
+
+
 def pack_comp3(value: int, byte_len: int) -> bytes:
     """Encode an int as COMP-3 packed decimal in ``byte_len`` bytes
     (2*byte_len - 1 digits + sign nibble). Fixture writer / sink half of

@@ -3352,7 +3352,10 @@ def test_changepoint_sse_hand(spark):
     # clean level shift = n/4 * (500-100)^2 * ... verify num/den directly
     s_i, s, t, n = 300, 1800, 3, 6
     num = s_i * s_i * (n - t) * n + (s - s_i) ** 2 * t * n - s * s * t * (n - t)
-    assert int(r.gain_num) == num and r.gain_den == t * (n - t) * n
+    # gain_num is an exact digit STRING (decimal-38 is not portable on the
+    # driver hash surface — the r7 red); plain digits, no exponent form
+    assert isinstance(r.gain_num, str) and r.gain_num == str(num)
+    assert r.gain_den == t * (n - t) * n
 
 
 def test_identity_stitch_hand(spark):
@@ -3585,6 +3588,21 @@ def test_betweenness_diamond_split_paths(spark):
     assert got == {"b": 0.5, "c": 0.5}
 
 
+def test_betweenness_depth_one_empty(spark):
+    from hadoop_2_7_1_spark.operators.graph import betweenness_sampled
+
+    # depth=1: no path of length <= 1 has an interior node, so every bc
+    # is 0 and the declared output is an EMPTY (node, bc) frame — the
+    # r7 columnar rework crashed here (acc stayed None)
+    pairs = [("a", "b"), ("b", "c")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], "src string, dst string"
+    )
+    out = betweenness_sampled(edges, ["a"], depth=1)
+    assert [f.name for f in out.schema.fields] == ["node", "bc"]
+    assert out.collect() == []
+
+
 def test_periodogram_detects_daily_cycle(spark):
     import math
 
@@ -3775,3 +3793,15 @@ def test_exploded_word_shingles_row_parity(spark):
     assert got_old == got_new
     assert (1, "a b c") in got_new and (3, "x y z") in got_new
     assert not any(i in (2, 5, 6) for i, _ in got_new)
+
+
+def test_exploded_word_shingles_rejects_temp_name_collision(spark):
+    """A caller frame already carrying __ws_tk/__ws_i would be silently
+    clobbered by withColumn — the generator must refuse loudly instead."""
+    import pytest
+
+    from hadoop_2_7_1_spark.functions import exploded_word_shingles
+
+    df = spark.createDataFrame([(1, "a b c", 9)], "id int, text string, __ws_tk int")
+    with pytest.raises(ValueError, match="__ws_tk"):
+        exploded_word_shingles(df, "text", 2, "shingle")

@@ -129,7 +129,7 @@ def test_registry_wide_plan_audit(spark):
         "txt_fertility",
         # fixture write / snapshot commits / cc label propagation at build
         "src_parquet_stats", "src_snapshot_compact", "evt_identity_stitch",
-        "src_copybook",  # collects the fixture rows for the Python encoder
+        "src_copybook",  # distributed fixture write action at build time
     }
     python_ok = {
         "q20_pipe_wordcount", "mm_decode_meta", "mm_resize_pixels",
@@ -144,15 +144,28 @@ def test_registry_wide_plan_audit(spark):
         "q23_bbp_pi_digits", "bench_teragen", "bench_teragen_gensort",
         "bench_terasort_validate", "q25_random_text",
     }
+    from pyspark.sql.types import DecimalType
+
     audited = 0
     for name, spec in REGISTRY.items():
         if name in build_time_actions:
             continue
-        plan = spec.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        df = spec.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
         if name not in python_ok:
             for node in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas"):
                 assert node not in plan, f"{name} has unexpected Python node {node}"
+        # decimals may appear INSIDE a computation but never in the OUTPUT
+        # schema: pandas round-trips high-precision decimals as object-dtype
+        # Decimals whose stringification varies across library versions —
+        # the r7 tmp_changepoint driver red. scripts/decimal_sweep.py runs
+        # the same check over the build_time_actions set.
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, DecimalType), (
+                f"{name}.{f.name} emits {f.dataType.simpleString()} — not "
+                f"hash-surface portable; emit BIGINT/DOUBLE/digit-string"
+            )
         audited += 1
     assert audited >= 100, f"only {audited} queries audited"
 

@@ -1320,6 +1320,70 @@ def test_copybook_ebcdic_comp3_roundtrip(spark, tmp_path):
     ]
 
 
+def test_copybook_jvm_encoder_matches_python(spark, tmp_path):
+    """copybook_record_expr (JVM) must be byte-identical to
+    write_copybook_fixture (Python) — same EBCDIC padding, same COMP-3
+    digits and sign nibbles, negatives included."""
+    from hadoop_2_7_1_spark.sources.copybook import (
+        copybook_record_expr,
+        write_copybook_fixture,
+    )
+
+    layout = [("flag", "X", 2), ("amount", "P", 5), ("qty", "P", 3)]
+    rows = [("A", 123456789, -450), ("Bx", -1, 99999), ("", 0, 0)]
+    path = str(tmp_path / "py.bin")
+    write_copybook_fixture(rows, path, layout)
+    with open(path, "rb") as fh:
+        py_bytes = fh.read()
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    df = spark.createDataFrame(rows, "flag string, amount long, qty long")
+    jvm = [
+        bytes(r.rec)
+        for r in df.select(
+            F.expr(copybook_record_expr(layout)).alias("rec")
+        ).collect()
+    ]
+    assert all(len(b) == 10 for b in jvm)
+    assert sorted(jvm) == sorted(
+        py_bytes[i : i + 10] for i in range(0, len(py_bytes), 10)
+    )
+
+
+def test_copybook_distributed_write_roundtrip(spark, tmp_path):
+    """The distributed writer (JVM encode + per-partition part files) must
+    round-trip through the reader, record data never touching the driver;
+    a re-run must replace stale part files, not append to them."""
+    from hadoop_2_7_1_spark.sources.copybook import (
+        read_copybook_records,
+        write_copybook_distributed,
+    )
+
+    layout = [("flag", "X", 1), ("v", "P", 4)]
+    rows = [(chr(65 + i % 3), (i - 4) * 1000) for i in range(20)]
+    df = spark.createDataFrame(rows, "flag string, v long").repartition(4)
+    root = str(tmp_path / "extract")
+    write_copybook_distributed(df, root, layout)
+    write_copybook_distributed(df, root, layout)  # idempotent re-run
+    got = sorted(
+        (r.flag, r.v)
+        for r in read_copybook_records(spark, root, layout).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_copybook_encoder_rejects_overflow(spark):
+    import pytest
+
+    from hadoop_2_7_1_spark.sources.copybook import copybook_record_expr
+
+    # 2 packed bytes hold 3 digits; 1234 must raise like pack_comp3 does
+    df = spark.createDataFrame([(1234,)], "v long")
+    with pytest.raises(Exception, match="does not fit"):
+        df.select(
+            F.expr(copybook_record_expr([("v", "P", 2)])).alias("rec")
+        ).collect()
+
+
 def test_copybook_reader_stays_in_jvm(spark, tmp_path):
     from hadoop_2_7_1_spark.sources.copybook import (
         read_copybook_records,
