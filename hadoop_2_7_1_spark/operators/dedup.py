@@ -444,22 +444,28 @@ def embedding_neardup_pairs(
     an all-pairs cartesian. Recall can be raised by lowering ``bucket_dims``
     or multi-probing; exactness inside a bucket is preserved.
     """
-    from .similarity import _cos_expr, sign_bucket
+    from .similarity import DOT, NORM, sign_bucket
 
+    # norms ONCE per row, not per candidate pair (the knn_join/hubness
+    # move); the double norm is the identical fold either way, so cos is
+    # IEEE-identical to the oracle's per-pair formulation
     c = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        F.expr(NORM.format(a=vec_col)).alias("nrm_a"),
         sign_bucket(vec_col, bucket_dims).alias("bucket"),
     )
     d = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        F.expr(NORM.format(a=vec_col)).alias("nrm_b"),
         sign_bucket(vec_col, bucket_dims).alias("bucket"),
     )
+    dot = DOT.format(a="vec_a", b="vec_b")
     return (
         c.join(d, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", _cos_expr("vec_a", "vec_b"))
+        .withColumn("cos", F.expr(f"cast({dot} / (nrm_a * nrm_b) as double)"))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("id_a").cast("bigint"),

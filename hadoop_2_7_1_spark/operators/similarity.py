@@ -26,13 +26,6 @@ DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as doub
 NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
 
 
-def _cos_expr(a: str, b: str) -> F.Column:
-    dot = DOT.format(a=a, b=b)
-    na = NORM.format(a=a)
-    nb = NORM.format(a=b)
-    return F.expr(f"cast({dot} / ({na} * {nb}) as double)")
-
-
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -44,14 +37,26 @@ def cosine_topk(
 
     Output: (q_id, vec_id, cos), k rows per query, ties broken by vec_id.
     ``queries`` must be small (it is broadcast to every task).
+
+    Norms are precomputed ONCE per row on each side (the knn_join move),
+    so each of the |corpus|·|q| pairs costs only the dot fold; the double
+    norm is the identical fold either way, so cos stays IEEE-identical to
+    the oracle's per-pair formulation.
     """
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
     )
-    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
+    )
+    dot = DOT.format(a="vec", b="q_vec")
     scored = (
         c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .withColumn("cos", F.expr(f"cast({dot} / (c_nrm * q_nrm) as double)"))
         .select("q_id", "vec_id", "cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -117,17 +122,20 @@ def ivf_topk(
     c = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
+        F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
         sign_bucket(vec_col, bucket_dims).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
         sign_bucket(vec_col, bucket_dims).alias("bucket"),
     )
+    dot = DOT.format(a="vec", b="q_vec")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .withColumn("cos", F.expr(f"cast({dot} / (c_nrm * q_nrm) as double)"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -418,24 +426,40 @@ def kmeans_ivf_topk(
     Scanned fraction ~= nprobe/k of the corpus per query.
     """
     corpus = assign_clusters(
-        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")), cents, "vec"
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
+        ),
+        cents,
+        "vec",
     )
     d = _dists_expr("q_vec", _centroids_sql(cents))
     q = (
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
+        )
         .withColumn("_d", F.expr(d))
-        .select("q_id", "q_vec", F.posexplode("_d").alias("cluster", "cdist"))
+        .select("q_id", "q_vec", "q_nrm", F.posexplode("_d").alias("cluster", "cdist"))
     )
     wp = Window.partitionBy("q_id").orderBy("cdist", "cluster")
     probes = (
         q.withColumn("prb", F.row_number().over(wp))
         .filter(F.col("prb") <= nprobe)
-        .select("q_id", "q_vec", F.col("cluster").cast("int").alias("cluster"))
+        .select(
+            "q_id", "q_vec", "q_nrm", F.col("cluster").cast("int").alias("cluster")
+        )
     )
+    # norms once per row (the knn_join move) — per-pair cost is the dot only
     scored = (
         corpus.join(F.broadcast(probes), "cluster")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .withColumn(
+            "cos",
+            F.expr(f"cast({DOT.format(a='vec', b='q_vec')} / (c_nrm * q_nrm) as double)"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -699,16 +723,27 @@ def semdedup(
     """
     cents = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     assigned = assign_clusters(emb, cents, vec_col)
+    # norms ONCE per row, not per candidate pair (the knn_join/hubness
+    # move): the per-pair cosine then costs only the dot fold. The double
+    # norm value is the identical fold either way, so cos is IEEE-identical
+    # to the oracle's per-pair formulation.
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("cluster"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col("cluster"),
+        F.col(vec_col).alias("va"),
+        F.expr(NORM.format(a=vec_col)).alias("na"),
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("cluster"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col("cluster"),
+        F.col(vec_col).alias("vb"),
+        F.expr(NORM.format(a=vec_col)).alias("nb"),
     )
+    dot = DOT.format(a="va", b="vb")
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", _cos_expr("va", "vb"))
+        .withColumn("cos", F.expr(f"cast({dot} / (na * nb) as double)"))
         .filter(F.col("cos") >= threshold)
         .select("cluster", "id_b")
         .distinct()
@@ -954,6 +989,7 @@ def ivf_multiprobe_topk(
     c = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
+        F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
         sign_bucket(vec_col, bucket_dims).alias("bucket"),
     )
     probes = F.array(
@@ -962,12 +998,17 @@ def ivf_multiprobe_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
         F.explode(probes).alias("bucket"),
     )
+    # norms once per row (the knn_join move) — per-pair cost is the dot only
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .withColumn(
+            "cos",
+            F.expr(f"cast({DOT.format(a='vec', b='q_vec')} / (c_nrm * q_nrm) as double)"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -1090,28 +1131,44 @@ def kmeans_recall_curve(
     """
     max_np = max(nprobes)
     corpus = assign_clusters(
-        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
+        ),
         cents,
         "vec",
     )
     d = _dists_expr("q_vec", _centroids_sql(cents))
     q = (
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
+        )
         .withColumn("_d", F.expr(d))
-        .select("q_id", "q_vec", F.posexplode("_d").alias("cluster", "cdist"))
+        .select("q_id", "q_vec", "q_nrm", F.posexplode("_d").alias("cluster", "cdist"))
     )
     wp = Window.partitionBy("q_id").orderBy("cdist", "cluster")
     probes = (
         q.withColumn("prb", F.row_number().over(wp))
         .filter(F.col("prb") <= max_np)
         .select(
-            "q_id", "q_vec", F.col("cluster").cast("int").alias("cluster"), "prb"
+            "q_id",
+            "q_vec",
+            "q_nrm",
+            F.col("cluster").cast("int").alias("cluster"),
+            "prb",
         )
     )
+    # norms once per row (the knn_join move) — per-pair cost is the dot only
     scored = (
         corpus.join(F.broadcast(probes), "cluster")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .withColumn(
+            "cos",
+            F.expr(f"cast({DOT.format(a='vec', b='q_vec')} / (c_nrm * q_nrm) as double)"),
+        )
         .select("q_id", "vec_id", "prb", "cos")
     )
     # Three curve levels re-rank the same candidate set and re-join the
@@ -1928,12 +1985,26 @@ def mmr_topk(
     Output: (rnk, vec_id, relevance, mmr_score) — k rows.
     """
     q = emb.filter(query_filter).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
     )
     cand = (
-        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
+        )
         .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn("rel", F.round(_cos_expr("vec", "q_vec"), 6))
+        .withColumn(
+            "rel",
+            F.round(
+                F.expr(
+                    f"cast({DOT.format(a='vec', b='q_vec')} / (c_nrm * q_nrm) as double)"
+                ),
+                6,
+            ),
+        )
         .select("vec_id", "vec", "rel")
     )
     shortlist = (
@@ -2065,12 +2136,20 @@ def rrf_fusion(
     ids. Output: (vec_id, rank_cos, rank_l2, rrf).
     """
     q = emb.filter(query_filter).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
     )
-    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
+    )
     scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "vec_id",
-        _cos_expr("vec", "q_vec").alias("cos"),
+        F.expr(
+            f"cast({DOT.format(a='vec', b='q_vec')} / (c_nrm * q_nrm) as double)"
+        ).alias("cos"),
         F.expr(L2.format(a="vec", b="q_vec")).alias("d2"),
     )
     w_cos = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -2355,6 +2434,7 @@ def threshold_join(
     c = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
+        F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
         sign_bucket(vec_col, bucket_dims).alias("bucket"),
     )
     base = sign_bucket(vec_col, bucket_dims)
@@ -2372,12 +2452,17 @@ def threshold_join(
     q = emb.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
         F.explode(F.array(*flips)).alias("bucket"),
     )
+    # norms once per row (the knn_join move) — per-pair cost is the dot only
     return (
         q.join(c, "bucket")
         .filter(F.col("q_id") < F.col("vec_id"))
-        .withColumn("cos", _cos_expr("vec", "q_vec"))
+        .withColumn(
+            "cos",
+            F.expr(f"cast({DOT.format(a='vec', b='q_vec')} / (c_nrm * q_nrm) as double)"),
+        )
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("q_id").cast("bigint").alias("id_a"),

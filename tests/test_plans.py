@@ -242,30 +242,20 @@ def test_kcore_peel_step_is_semi_joins(spark):
 
 def test_semdedup_pairwise_is_cluster_equi_join(spark):
     """SemDeDup's pairwise cosine must be an equi-join on the cluster key
-    (sum(cluster^2) candidates) — never a cartesian over the corpus."""
-    from pyspark.sql import functions as F
-
+    (sum(cluster^2) candidates) — never a cartesian over the corpus — and
+    must carry the per-ROW norm columns so the per-pair expression is only
+    the dot fold (the knn_join/hubness precompute)."""
     from hadoop_2_7_1_spark.io import load_table
-    from hadoop_2_7_1_spark.operators.similarity import (
-        _cos_expr, assign_clusters, kmeans_fit,
-    )
+    from hadoop_2_7_1_spark.operators.similarity import semdedup
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    cents = kmeans_fit(emb, k=4, n_iter=1)
-    assigned = assign_clusters(emb, cents)
-    a = assigned.select(F.col("vec_id").alias("id_a"), "cluster",
-                        F.col("embedding").alias("va"))
-    b = assigned.select(F.col("vec_id").alias("id_b"), "cluster",
-                        F.col("embedding").alias("vb"))
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", _cos_expr("va", "vb"))
-        .filter(F.col("cos") >= 0.35)
-    )
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    out = semdedup(emb, k=4, n_iter=1, threshold=0.35)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the precomputed norms must be join INPUTS (na/nb attribute refs below
+    # the join), not recomputed inside the per-pair cosine expression
+    assert "na#" in plan and "nb#" in plan
 
 
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
