@@ -144,6 +144,20 @@ AUDITED = [
     "grf_edge_betweenness",
     "smp_time_split",
     "prof_corr_matrix",
+    # round-8: close the bench-extras gap — every bench.py extra now has a
+    # PLANS.md entry (these run build-time actions — kmeans/BPE fits, k-core
+    # rounds, trace replay — so the audited plan is the FINAL consumer plan
+    # downstream of those fits; checkpoint_scans counts the truncations)
+    "mm_resize_pixels",
+    "txt_bpe_merges",
+    "dd_semdedup",
+    "grf_kcore",
+    "dd_keeplist",
+    "evt_rfm_segments",
+    "txt_train_lr",
+    "sim_ivf_pq",
+    # (bench_gridmix_replay is not a registry query — bench.py drives
+    # loadmodel.gridmix_replay directly; its plan is the replay executor's)
 ]
 
 
