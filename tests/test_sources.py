@@ -1349,6 +1349,41 @@ def test_copybook_jvm_encoder_matches_python(spark, tmp_path):
     )
 
 
+def test_copybook_jvm_encoder_boundary_values(spark, tmp_path):
+    """Encoder parity at the field boundaries: max/min packed magnitudes
+    per byte width, sign flips around zero, and X-field truncation/padding
+    — every record byte-identical between the JVM and Python encoders."""
+    from hadoop_2_7_1_spark.sources.copybook import (
+        copybook_record_expr,
+        record_length,
+        write_copybook_fixture,
+    )
+
+    layout = [("tag", "X", 3), ("p2", "P", 2), ("p6", "P", 6)]
+    rl = record_length(layout)
+    max2, max6 = 10**3 - 1, 10**11 - 1  # 2*n-1 digits per n packed bytes
+    rows = [
+        ("a", max2, max6),
+        ("ab", -max2, -max6),
+        ("abc", 0, -1),
+        ("abcdX", 1, 0),  # X truncates to width
+        ("", -1, 10**10),
+    ]
+    path = str(tmp_path / "edge.bin")
+    write_copybook_fixture(rows, path, layout)
+    with open(path, "rb") as fh:
+        py = fh.read()
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    df = spark.createDataFrame(rows, "tag string, p2 long, p6 long")
+    jvm = sorted(
+        bytes(r.rec)
+        for r in df.select(
+            F.expr(copybook_record_expr(layout)).alias("rec")
+        ).collect()
+    )
+    assert jvm == sorted(py[i : i + rl] for i in range(0, len(py), rl))
+
+
 def test_copybook_distributed_write_roundtrip(spark, tmp_path):
     """The distributed writer (JVM encode + per-partition part files) must
     round-trip through the reader, record data never touching the driver;
