@@ -6,6 +6,11 @@ oracle_sql() in DuckDB with the driver's canonicalization.
 Usage: python scripts/driver_sim.py [sf_dir] [name_substr ...]
 (optional name substrings restrict which queries run — skips entry();
 --window restricts to the first-50 driver sample window;
+--skip substr drops matching queries (repeatable) — for oracles known to
+be intractable at the chosen SF;
+--oracle-timeout SECS interrupts any single DuckDB oracle after SECS via
+con.interrupt(); the query is recorded as a TIMEOUT (counted separately
+from ok/bad — the Spark side still ran, only the oracle was cut short);
 --out FILE writes a machine-readable SIMCHECK_r{N}.json-style artifact,
 same shape as the driver's CORRECTNESS files, one entry per query run)
 """
@@ -15,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import duckdb
@@ -34,6 +40,19 @@ if "--out" in ONLY:
     i = ONLY.index("--out")
     OUT = ONLY[i + 1]
     del ONLY[i : i + 2]
+SKIP: list[str] = []
+while "--skip" in ONLY:
+    i = ONLY.index("--skip")
+    SKIP.append(ONLY[i + 1])
+    del ONLY[i : i + 2]
+ORACLE_TIMEOUT = None
+if "--oracle-timeout" in ONLY:
+    i = ONLY.index("--oracle-timeout")
+    ORACLE_TIMEOUT = float(ONLY[i + 1])
+    del ONLY[i : i + 2]
+unknown = [a for a in ONLY if a.startswith("--")]
+if unknown:
+    sys.exit(f"unknown flags: {unknown}")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -103,7 +122,23 @@ def main() -> None:
         qs = {n: f for i, (n, f) in enumerate(qs.items()) if i < 50}
     if ONLY:
         qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
-    n_ok = n_bad = 0
+    if SKIP:
+        qs = {n: f for n, f in qs.items() if not any(s in n for s in SKIP)}
+
+    def run_oracle(sql: str) -> pd.DataFrame:
+        """Run an oracle with the optional watchdog: a timer thread calls
+        con.interrupt() after ORACLE_TIMEOUT seconds, which surfaces in the
+        blocked .sql() call as duckdb.InterruptException."""
+        if not ORACLE_TIMEOUT:
+            return con.sql(sql).df()
+        timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+        timer.start()
+        try:
+            return con.sql(sql).df()
+        finally:
+            timer.cancel()
+
+    n_ok = n_bad = n_timeout = 0
     record = {}
     for name, fn in sorted(qs.items()):
         t0 = time.time()
@@ -122,7 +157,18 @@ def main() -> None:
         dpdf = None
         if name in oracles:
             try:
-                dpdf = con.sql(oracles[name]).df()
+                dpdf = run_oracle(oracles[name])
+            except duckdb.InterruptException:
+                print(f"  {name}: ORACLE TIMEOUT after {ORACLE_TIMEOUT}s  [spark side ran: {len(spdf)} rows]")
+                record[name] = {
+                    "oracle": False, "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(spdf),
+                    "oracle_rows": None,
+                    "err": f"oracle: timeout after {ORACLE_TIMEOUT}s",
+                    "elapsed_sec": round(time.time() - t0, 2),
+                }
+                n_timeout += 1
+                continue
             except Exception as ex:
                 print(f"  {name}: ORACLE ERROR {str(ex)[:200]}")
                 record[name] = {
@@ -157,7 +203,10 @@ def main() -> None:
         else:
             n_bad += 1
         print(f"  {name}: {verdict}  [{time.time()-t0:.1f}s]")
-    print(f"\n{n_ok} ok, {n_bad} bad of {len(qs)}")
+    print(
+        f"\n{n_ok} ok, {n_bad} bad of {len(qs)}"
+        + (f" ({n_timeout} oracle timeouts)" if n_timeout else "")
+    )
     if OUT:
         with open(OUT, "w") as fh:
             json.dump(
@@ -166,6 +215,9 @@ def main() -> None:
                     "cpus": os.environ.get("SPARK_GRAFT_SIM_CPUS", "8"),
                     "n_ok": n_ok,
                     "n_bad": n_bad,
+                    "n_oracle_timeout": n_timeout,
+                    "oracle_timeout_sec": ORACLE_TIMEOUT,
+                    "skipped_substrings": SKIP,
                     "queries": record,
                 },
                 fh,
