@@ -97,14 +97,17 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     # Plain session, like the driver would build (no engine factory).
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_SIM_CPUS', '8')}]"
-        )
-        .appName("driver_sim")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # SPARK_GRAFT_SIM_MEM (e.g. "16g") sizes the local-mode JVM for
+    # above-contract SFs: the driver's own 1g default is part of the
+    # contract at sf0.01, but a full-registry pass at sf0.1 OOMs it
+    # (graph fixed-points under 32 threads). Leave unset for parity runs.
+    builder = SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_SIM_CPUS', '8')}]"
+    ).appName("driver_sim").config("spark.ui.enabled", "false")
+    mem = os.environ.get("SPARK_GRAFT_SIM_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     import __spark_entry__ as e
 
     if not ONLY:
@@ -203,6 +206,10 @@ def main() -> None:
         else:
             n_bad += 1
         print(f"  {name}: {verdict}  [{time.time()-t0:.1f}s]")
+        # Drop any persisted frames a query left behind: cache state never
+        # affects a result, but 300+ queries of accumulated blocks can OOM
+        # the local-mode JVM at above-contract SFs.
+        spark.catalog.clearCache()
     print(
         f"\n{n_ok} ok, {n_bad} bad of {len(qs)}"
         + (f" ({n_timeout} oracle timeouts)" if n_timeout else "")
