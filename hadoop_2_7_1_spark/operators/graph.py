@@ -1297,9 +1297,11 @@ def betweenness_sampled(
     sums use try_sum so an overflow NULLs the lane (no
     ArithmeticException under spark.sql.ansi.enabled=true), and a
     lane k > dist(v) is never read and never feeds a read lane. Each backward contribution
-    (sigma_v/sigma_w)·(1+delta_w) is one fixed double chain rounded to
-    DECIMAL(38,6) before the per-node EXACT sum, and the cross-source
-    fold re-rounds the same way — order-free at any parallelism.
+    (sigma_v/sigma_w)·(1+delta_w) is one fixed double chain quantized to
+    a SCALED BIGINT (round(x·1e6) — see _brandes_contribs for why this
+    beats a DECIMAL(38,6) cast cross-engine) before the per-node EXACT
+    integer sum; the cross-source fold stays in scaled integers —
+    order-free at any parallelism.
 
     Shape (the r7 stage-count rework — this operator is overhead-bound
     at test scale and exchange-bound at 100 TB, so fewer exchanges win
@@ -1315,7 +1317,7 @@ def betweenness_sampled(
     localCheckpoint-ed (each is referenced by the next round AND a
     final union). Deltas stay SPARSE (only nodes with a nonzero
     dependency); use sites coalesce to 0. Output: (node, bc) for
-    bc > 0, rounded 6dp.
+    bc > 0, quantized to 1e-6 (scaled-bigint total / 1e6).
     """
     n = len(sources)
     sig, e = _brandes_forward(edges, sources, depth, src_col, dst_col)
@@ -1327,7 +1329,7 @@ def betweenness_sampled(
             .groupBy(F.col("src").alias("node"))
             .agg(
                 *[
-                    F.sum(f"c_{i}").cast("double").alias(f"delta_{i}")
+                    F.try_sum(f"c_{i}").cast("long").alias(f"delta_{i}")
                     for i in range(n)
                 ]
             )
@@ -1346,14 +1348,11 @@ def betweenness_sampled(
         return edges.sparkSession.createDataFrame([], "node string, bc double")
     total = None
     for i in range(n):
-        t = F.coalesce(
-            F.sum(F.expr(f"cast(delta_{i} as decimal(38,6))")),
-            F.lit(0).cast("decimal(38,6)"),
-        )
+        t = F.coalesce(F.try_sum(f"delta_{i}"), F.lit(0).cast("long"))
         total = t if total is None else (total + t)
     return (
         acc.groupBy("node")
-        .agg(F.round(total.cast("double"), 6).alias("bc"))
+        .agg((total.cast("double") / F.lit(1000000.0)).alias("bc"))
         .filter(F.col("bc") > 0)
     )
 
@@ -1486,9 +1485,20 @@ def _brandes_contribs(
 ) -> DataFrame:
     """One backward round's per-edge contributions: DAG edges active at
     level l for pivot i (dv_i = l, dw_i = l + 1) get
-    c_i = (sigma_v_i / sigma_w_i) · (1 + delta_w_i) rounded to
-    DECIMAL(38,6); inactive pivots get NULL. delta_next is SPARSE
-    (absent rows/NULL columns ARE zero)."""
+    c_i = round((sigma_v_i / sigma_w_i) · (1 + delta_w_i) · 1e6) as a
+    SCALED BIGINT (x1e6); inactive pivots get NULL. delta_next carries
+    the SCALED per-node sums and is SPARSE (absent rows/NULL columns
+    ARE zero).
+
+    Why scaled bigint and not CAST(.. AS DECIMAL(38,6)): the double
+    product is IEEE-identical on both engines, but the decimal cast is
+    not — DuckDB quantizes through double arithmetic (x*1e6 then rint),
+    which lands one decimal ulp off Spark's exact-expansion HALF_UP
+    whenever the product sits near a .0000005 boundary (observed at
+    sf0.1: 19.5206395 -> 19.520639 duck vs 19.520640 spark). round(x *
+    1e6) makes BOTH engines do the same IEEE multiply then a tie-free
+    integer round of the same double — the pagerank discipline
+    (module top, scaled-bigint contributions)."""
     part = dag.filter(
         _any(
             (F.col(f"dv_{i}") == l) & (F.col(f"dw_{i}") == l + 1)
@@ -1504,13 +1514,16 @@ def _brandes_contribs(
             *[F.col(f"delta_{i}").alias(f"dl_{i}") for i in range(n)],
         )
         joined = part.join(succ, "dst", "left")
-        dcol = {i: f"coalesce(dl_{i}, 0.0D)" for i in range(n)}
+        dcol = {
+            i: f"coalesce(cast(dl_{i} as double) / 1000000.0D, 0.0D)"
+            for i in range(n)
+        }
     cs = [
         F.when(
             (F.col(f"dv_{i}") == l) & (F.col(f"dw_{i}") == l + 1),
             F.expr(
-                f"cast((cast(sv_{i} as double) / cast(sw_{i} as double))"
-                f" * (1.0D + {dcol[i]}) as decimal(38,6))"
+                f"cast(round((cast(sv_{i} as double) / cast(sw_{i} as double))"
+                f" * (1.0D + {dcol[i]}) * 1000000.0D) as bigint)"
             ),
         ).alias(f"c_{i}")
         for i in range(n)
@@ -1552,15 +1565,21 @@ def oracle_betweenness_sampled(
             f" ON a.s = p.s AND a.node = p.node)"
         )
     d = f"d{depth}"
+    # delta rides as a SCALED BIGINT (x1e6) end to end — the contribution
+    # quantization is round(<identical IEEE double chain> * 1e6), never a
+    # double->DECIMAL cast, matching _brandes_contribs exactly (DuckDB's
+    # decimal cast quantizes through double arithmetic and can land one
+    # decimal ulp off Spark's exact HALF_UP near a .0000005 boundary)
     parts.append(
-        f", x{depth} AS MATERIALIZED (SELECT s, node, CAST(0 AS DOUBLE) AS delta"
+        f", x{depth} AS MATERIALIZED (SELECT s, node, CAST(0 AS BIGINT) AS delta"
         f" FROM {d} WHERE dist = {depth})"
     )
     for l in range(depth - 1, -1, -1):
         parts.append(
             f", c{l} AS (SELECT v.s, v.node,"
-            f" CAST(sum(CAST((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))"
-            f" * (1.0 + x.delta) AS DECIMAL(38,6))) AS DOUBLE) AS dsum"
+            f" CAST(sum(CAST(round((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))"
+            f" * (1.0 + CAST(x.delta AS DOUBLE) / 1000000.0) * 1000000.0)"
+            f" AS BIGINT)) AS BIGINT) AS dsum"
             f" FROM {d} v JOIN e ON e.src = v.node"
             f" JOIN {d} w ON w.s = v.s AND w.node = e.dst AND w.dist = {l + 1}"
             f" JOIN x{l + 1} x ON x.s = w.s AND x.node = w.node"
@@ -1568,7 +1587,7 @@ def oracle_betweenness_sampled(
         )
         parts.append(
             f", x{l} AS MATERIALIZED (SELECT v.s, v.node,"
-            f" coalesce(c.dsum, CAST(0 AS DOUBLE)) AS delta"
+            f" coalesce(c.dsum, CAST(0 AS BIGINT)) AS delta"
             f" FROM {d} v LEFT JOIN c{l} c ON c.s = v.s AND c.node = v.node"
             f" WHERE v.dist = {l})"
         )
@@ -1576,9 +1595,9 @@ def oracle_betweenness_sampled(
         f"SELECT s, node, delta FROM x{l}" for l in range(1, depth + 1)
     )
     parts.append(
-        f"SELECT node, round(CAST(sum(CAST(delta AS DECIMAL(38,6))) AS DOUBLE), 6)"
+        f"SELECT node, CAST(sum(delta) AS DOUBLE) / 1000000.0"
         f" AS bc FROM ({union_deltas}) GROUP BY node"
-        f" HAVING round(CAST(sum(CAST(delta AS DECIMAL(38,6))) AS DOUBLE), 6) > 0"
+        f" HAVING sum(delta) > 0"
     )
     return "\n".join(parts)
 
@@ -1597,12 +1616,14 @@ def edge_betweenness_sampled(
     (sigma_v/sigma_w)·(1+delta_w) instead of folding it into the node:
     each shortest-path-DAG edge (v -> w, dist_w = dist_v + 1) carries
     exactly that flow. Same exactness discipline: integer sigma,
-    DECIMAL(38,6)-rounded contributions, order-free sums.
+    scaled-bigint (round(x·1e6)) contributions — see _brandes_contribs
+    for why that beats a DECIMAL(38,6) cast cross-engine — order-free
+    integer sums.
 
     Output: (src, dst, ebc) per directed DAG edge with ebc > 0 (an
     undirected edge appears once per direction that lies on a shortest
-    path), rounded 6dp. Shares :func:`_brandes_forward` /
-    :func:`_brandes_dag` / :func:`_brandes_join_delta` with the node
+    path), quantized to 1e-6. Shares :func:`_brandes_forward` /
+    :func:`_brandes_dag` / :func:`_brandes_contribs` with the node
     variant — same one-shot DAG materialization, lazy per-round
     checkpoints (each ``pairs`` frame feeds BOTH the next round's delta
     and the final edge fold), same sparse deltas.
@@ -1618,18 +1639,18 @@ def edge_betweenness_sampled(
         )
         edge_parts.append(pairs)
         delta[l] = pairs.groupBy(F.col("src").alias("node")).agg(
-            *[F.sum(f"c_{i}").cast("double").alias(f"delta_{i}") for i in range(n)]
+            *[F.try_sum(f"c_{i}").cast("long").alias(f"delta_{i}") for i in range(n)]
         )
     acc = edge_parts[0]
     for part in edge_parts[1:]:
         acc = acc.unionByName(part)
     total = None
     for i in range(n):
-        t = F.coalesce(F.sum(f"c_{i}"), F.lit(0).cast("decimal(38,6)"))
+        t = F.coalesce(F.try_sum(f"c_{i}"), F.lit(0).cast("long"))
         total = t if total is None else (total + t)
     return (
         acc.groupBy("src", "dst")
-        .agg(F.round(total.cast("double"), 6).alias("ebc"))
+        .agg((total.cast("double") / F.lit(1000000.0)).alias("ebc"))
         .filter(F.col("ebc") > 0)
     )
 
@@ -1661,15 +1682,18 @@ def oracle_edge_betweenness_sampled(
             f" ON a.s = p.s AND a.node = p.node)"
         )
     d = f"d{depth}"
+    # scaled-bigint delta/contribution discipline — see
+    # oracle_betweenness_sampled for the cross-engine rationale
     parts.append(
-        f", x{depth} AS MATERIALIZED (SELECT s, node, CAST(0 AS DOUBLE) AS delta"
+        f", x{depth} AS MATERIALIZED (SELECT s, node, CAST(0 AS BIGINT) AS delta"
         f" FROM {d} WHERE dist = {depth})"
     )
     for l in range(depth - 1, -1, -1):
         parts.append(
             f", p{l} AS MATERIALIZED (SELECT v.s, v.node AS src, w.node AS dst,"
-            f" CAST((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))"
-            f" * (1.0 + x.delta) AS DECIMAL(38,6)) AS c"
+            f" CAST(round((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))"
+            f" * (1.0 + CAST(x.delta AS DOUBLE) / 1000000.0) * 1000000.0)"
+            f" AS BIGINT) AS c"
             f" FROM {d} v JOIN e ON e.src = v.node"
             f" JOIN {d} w ON w.s = v.s AND w.node = e.dst AND w.dist = {l + 1}"
             f" JOIN x{l + 1} x ON x.s = w.s AND x.node = w.node"
@@ -1677,8 +1701,8 @@ def oracle_edge_betweenness_sampled(
         )
         parts.append(
             f", x{l} AS MATERIALIZED (SELECT v.s, v.node,"
-            f" coalesce(c.dsum, CAST(0 AS DOUBLE)) AS delta"
-            f" FROM {d} v LEFT JOIN (SELECT s, src, CAST(sum(c) AS DOUBLE) AS dsum"
+            f" coalesce(c.dsum, CAST(0 AS BIGINT)) AS delta"
+            f" FROM {d} v LEFT JOIN (SELECT s, src, CAST(sum(c) AS BIGINT) AS dsum"
             f" FROM p{l} GROUP BY s, src) c"
             f" ON c.s = v.s AND c.src = v.node"
             f" WHERE v.dist = {l})"
@@ -1687,8 +1711,8 @@ def oracle_edge_betweenness_sampled(
         f"SELECT src, dst, c FROM p{l}" for l in range(depth - 1, -1, -1)
     )
     parts.append(
-        f"SELECT src, dst, round(CAST(sum(c) AS DOUBLE), 6) AS ebc"
+        f"SELECT src, dst, CAST(sum(c) AS DOUBLE) / 1000000.0 AS ebc"
         f" FROM ({union_parts}) GROUP BY src, dst"
-        f" HAVING round(CAST(sum(c) AS DOUBLE), 6) > 0"
+        f" HAVING sum(c) > 0"
     )
     return "\n".join(parts)
