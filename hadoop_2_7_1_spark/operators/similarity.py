@@ -486,20 +486,20 @@ def _oracle_kmeans_ctes(table: str, k: int, n_iter: int, dim: int) -> str:
         " % 16 = 0"
     )
     sql = f"""
-    WITH seed_src AS (
+    WITH seed_src AS MATERIALIZED (
       SELECT vec_id, embedding FROM {table} WHERE {gate}
         AND (SELECT count(*) FROM {table} WHERE {gate}) >= {k}
       UNION ALL
       SELECT vec_id, embedding FROM {table}
         WHERE (SELECT count(*) FROM {table} WHERE {gate}) < {k}
-    ), cent0 AS (
+    ), cent0 AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
              CAST(embedding AS DOUBLE[]) AS c
       FROM (SELECT vec_id, embedding FROM seed_src ORDER BY vec_id LIMIT {k})
     )"""
     for i in range(n_iter):
         sql += f""",
-    assign{i} AS (
+    assign{i} AS MATERIALIZED (
       SELECT vec_id, embedding, cluster FROM (
         SELECT e.vec_id, e.embedding, ct.cluster,
                row_number() OVER (PARTITION BY e.vec_id
@@ -507,14 +507,14 @@ def _oracle_kmeans_ctes(table: str, k: int, n_iter: int, dim: int) -> str:
         FROM {table} e CROSS JOIN cent{i} ct
       ) WHERE rn = 1
     ),
-    means{i} AS (
+    means{i} AS MATERIALIZED (
       SELECT cluster, i AS pos,
              CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
                   AS DOUBLE) / count(*) / 1e9 AS m
       FROM assign{i}, range(1, {dim + 1}) t(i)
       GROUP BY cluster, i
     ),
-    cent{i + 1} AS (
+    cent{i + 1} AS MATERIALIZED (
       SELECT ct.cluster, coalesce(mm.c, ct.c) AS c
       FROM cent{i} ct LEFT JOIN (
         SELECT cluster, list(m ORDER BY pos) AS c FROM means{i} GROUP BY cluster
@@ -522,7 +522,7 @@ def _oracle_kmeans_ctes(table: str, k: int, n_iter: int, dim: int) -> str:
     )"""
     final = f"cent{n_iter}"
     sql += f""",
-    assign_final AS (
+    assign_final AS MATERIALIZED (
       SELECT vec_id, embedding, cluster FROM (
         SELECT e.vec_id, e.embedding, ct.cluster,
                row_number() OVER (PARTITION BY e.vec_id
@@ -800,13 +800,13 @@ def _oracle_pq_ctes(table: str, m: int, k: int, n_iter: int, dim: int) -> str:
             "p -> (p[1] - p[2]) * (p[1] - p[2])))"
         )
         chain = f"""
-    s{s}_cent0 AS (
+    s{s}_cent0 AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, {sl} AS c
       FROM (SELECT vec_id, embedding FROM pq_seed_src ORDER BY vec_id LIMIT {k})
     )"""
         for i in range(n_iter):
             chain += f""",
-    s{s}_assign{i} AS (
+    s{s}_assign{i} AS MATERIALIZED (
       SELECT vec_id, embedding, cluster FROM (
         SELECT e.vec_id, e.embedding, ct.cluster,
                row_number() OVER (PARTITION BY e.vec_id
@@ -814,21 +814,21 @@ def _oracle_pq_ctes(table: str, m: int, k: int, n_iter: int, dim: int) -> str:
         FROM {table} e CROSS JOIN s{s}_cent{i} ct
       ) WHERE rn = 1
     ),
-    s{s}_means{i} AS (
+    s{s}_means{i} AS MATERIALIZED (
       SELECT cluster, i AS pos,
              CAST(sum(CAST(round(CAST(embedding[{lo} + i - 1] AS DOUBLE) * 1e9)
                            AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS m
       FROM s{s}_assign{i}, range(1, {sub + 1}) t(i)
       GROUP BY cluster, i
     ),
-    s{s}_cent{i + 1} AS (
+    s{s}_cent{i + 1} AS MATERIALIZED (
       SELECT ct.cluster, coalesce(mm.c, ct.c) AS c
       FROM s{s}_cent{i} ct LEFT JOIN (
         SELECT cluster, list(m ORDER BY pos) AS c FROM s{s}_means{i} GROUP BY cluster
       ) mm USING (cluster)
     )"""
         chain += f""",
-    s{s}_assign_final AS (
+    s{s}_assign_final AS MATERIALIZED (
       SELECT vec_id, cluster FROM (
         SELECT e.vec_id, ct.cluster,
                row_number() OVER (PARTITION BY e.vec_id
@@ -843,7 +843,7 @@ def _oracle_pq_ctes(table: str, m: int, k: int, n_iter: int, dim: int) -> str:
         " % 16 = 0"
     )
     seed_src = f"""
-    pq_seed_src AS (
+    pq_seed_src AS MATERIALIZED (
       SELECT vec_id, embedding FROM {table} WHERE {gate}
         AND (SELECT count(*) FROM {table} WHERE {gate}) >= {k}
       UNION ALL
