@@ -150,12 +150,12 @@ def oracle_triangle_count(edges_sql: str) -> str:
     (orientation is a physical optimization — the triangle set is
     identical, so the oracle counts each triangle once via a<b<c)."""
     return f"""
-    WITH und AS (
+    WITH und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM ({edges_sql}) WHERE src <> dst
     ),
-    nodes AS (SELECT DISTINCT v FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)),
-    tri AS (
+    nodes AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)),
+    tri AS MATERIALIZED (
       SELECT count(*) AS n_triangles
       FROM und e1 JOIN und e2 ON e2.a = e1.b
                   JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
@@ -177,20 +177,20 @@ def oracle_pagerank(
     # sums accumulate as scaled bigints (x1e15), matching pagerank()'s plan.
     base_num = repr(1.0 - damping)
     sql = f"""
-    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
-    nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
-    n_cte AS (SELECT count(*) AS n FROM nodes),
-    outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank_pr FROM nodes CROSS JOIN n_cte)"""
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    n_cte AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank_pr FROM nodes CROSS JOIN n_cte)"""
     for i in range(iterations):
         sql += f""",
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT e.dst,
              sum(CAST(round(r.rank_pr / o.outdeg * 1e15) AS BIGINT)) AS in_sum
       FROM e JOIN r{i} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
       GROUP BY e.dst
     ),
-    r{i + 1} AS (
+    r{i + 1} AS MATERIALIZED (
       SELECT nodes.node,
              CAST({base_num} AS DOUBLE) / n
              + CAST({damping!r} AS DOUBLE)
@@ -252,13 +252,13 @@ def kcore(
 def oracle_kcore(edges_sql: str, k: int = 2, rounds: int = 5) -> str:
     """Unrolled-CTE replay of the identical fixed-round peeling."""
     sql = f"""
-    WITH a0 AS (
+    WITH a0 AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
     )"""
     for i in range(rounds):
         sql += f""",
-    k{i} AS (SELECT src FROM a{i} GROUP BY src HAVING count(*) >= {k}),
-    a{i + 1} AS (
+    k{i} AS MATERIALIZED (SELECT src FROM a{i} GROUP BY src HAVING count(*) >= {k}),
+    a{i + 1} AS MATERIALIZED (
       SELECT a.src, a.dst FROM a{i} a
       JOIN k{i} s ON a.src = s.src
       JOIN k{i} d ON a.dst = d.src
@@ -304,16 +304,16 @@ def oracle_bfs_hops(edges_sql: str, source: str, max_hops: int = 4) -> str:
     """Unrolled min-hop CTE chain (same shape as the pagerank oracle —
     a recursive CTE would enumerate paths on cyclic graphs)."""
     parts = [
-        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
-        f"d0 AS (SELECT '{source}' AS node, 0 AS hop)",
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        f"d0 AS MATERIALIZED (SELECT '{source}' AS node, 0 AS hop)",
     ]
     for k in range(max_hops):
         parts.append(
-            f", f{k} AS (SELECT e.dst AS node, {k + 1} AS hop"
+            f", f{k} AS MATERIALIZED (SELECT e.dst AS node, {k + 1} AS hop"
             f" FROM e JOIN d{k} ON e.src = d{k}.node WHERE d{k}.hop = {k})"
         )
         parts.append(
-            f", d{k + 1} AS (SELECT node, min(hop) AS hop FROM"
+            f", d{k + 1} AS MATERIALIZED (SELECT node, min(hop) AS hop FROM"
             f" (SELECT * FROM d{k} UNION ALL SELECT * FROM f{k}) GROUP BY node)"
         )
     parts.append(
@@ -522,31 +522,35 @@ def label_propagation(
 
 
 def oracle_label_propagation(edges_sql: str, rounds: int = 3) -> str:
-    """Unrolled synchronous-LPA CTE chain; final result is (node, label)."""
+    """Unrolled synchronous-LPA CTE chain; final result is (node, label).
+
+    CTE names carry an lp_ prefix: this chain is embedded whole inside
+    oracle_modularity's labels subquery, and MATERIALIZED CTE aliases
+    must be unique across the enclosing query (DuckDB binder)."""
     parts = [
-        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
-        "l0 AS (SELECT node, node AS label FROM"
-        " (SELECT DISTINCT src AS node FROM e))",
+        f"WITH lp_e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "lp_l0 AS MATERIALIZED (SELECT node, node AS label FROM"
+        " (SELECT DISTINCT src AS node FROM lp_e))",
     ]
     for r in range(rounds):
         parts.append(f""",
-    v{r} AS (
+    lp_v{r} AS MATERIALIZED (
       SELECT e.src AS node, l.label, count(*) AS cnt
-      FROM e JOIN l{r} l ON l.node = e.dst GROUP BY e.src, l.label
+      FROM lp_e e JOIN lp_l{r} l ON l.node = e.dst GROUP BY e.src, l.label
     ),
-    w{r} AS (
+    lp_w{r} AS MATERIALIZED (
       SELECT node, label FROM (
         SELECT node, label,
                row_number() OVER (PARTITION BY node
                                   ORDER BY cnt DESC, label) AS rn
-        FROM v{r}
+        FROM lp_v{r}
       ) WHERE rn = 1
     ),
-    l{r + 1} AS (
-      SELECT p.node, coalesce(w{r}.label, p.label) AS label
-      FROM l{r} p LEFT JOIN w{r} USING (node)
+    lp_l{r + 1} AS MATERIALIZED (
+      SELECT p.node, coalesce(w.label, p.label) AS label
+      FROM lp_l{r} p LEFT JOIN lp_w{r} w USING (node)
     )""")
-    parts.append(f"SELECT node, label FROM l{rounds}")
+    parts.append(f"SELECT node, label FROM lp_l{rounds}")
     return "\n".join(parts)
 
 
@@ -554,17 +558,17 @@ def oracle_sssp(edges_sql: str, source: str, rounds: int = 4) -> str:
     """Unrolled Bellman-Ford CTE chain; ``edges_sql`` must yield
     (src, dst, w)."""
     parts = [
-        "WITH e AS (SELECT src, dst, min(CAST(w AS BIGINT)) AS w"
+        "WITH e AS MATERIALIZED (SELECT src, dst, min(CAST(w AS BIGINT)) AS w"
         f" FROM ({edges_sql}) GROUP BY src, dst),",
-        f"d0 AS (SELECT '{source}' AS node, CAST(0 AS BIGINT) AS dist)",
+        f"d0 AS MATERIALIZED (SELECT '{source}' AS node, CAST(0 AS BIGINT) AS dist)",
     ]
     for k in range(rounds):
         parts.append(
-            f", r{k} AS (SELECT e.dst AS node, d{k}.dist + e.w AS dist"
+            f", r{k} AS MATERIALIZED (SELECT e.dst AS node, d{k}.dist + e.w AS dist"
             f" FROM e JOIN d{k} ON e.src = d{k}.node)"
         )
         parts.append(
-            f", d{k + 1} AS (SELECT node, min(dist) AS dist FROM"
+            f", d{k + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM"
             f" (SELECT * FROM d{k} UNION ALL SELECT * FROM r{k}) GROUP BY node)"
         )
     parts.append(f"SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}")
@@ -633,10 +637,10 @@ def oracle_modularity(edges_sql: str, labels_sql: str) -> str:
     """DuckDB mirror of :func:`modularity`; ``labels_sql`` yields
     (node, label) — e.g. the unrolled LPA chain."""
     return f"""
-    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
-    lab AS (SELECT node, label FROM ({labels_sql})),
-    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
-    within AS (
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    lab AS MATERIALIZED (SELECT node, label FROM ({labels_sql})),
+    m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    within AS MATERIALIZED (
       SELECT ls.label AS community, CAST(count(*) AS BIGINT) AS in_edges
       FROM e
       JOIN lab ls ON e.src = ls.node
@@ -644,7 +648,7 @@ def oracle_modularity(edges_sql: str, labels_sql: str) -> str:
       WHERE ls.label = ld.label
       GROUP BY ls.label
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT l.label AS community,
              CAST(sum(d.d) AS BIGINT) AS deg_sum,
              CAST(count(*) AS BIGINT) AS n_members
@@ -752,28 +756,28 @@ def oracle_hits(edges_sql: str, iterations: int = 2) -> str:
     """Unrolled-CTE replay of :func:`hits` — scaled-bigint contribution
     sums, exact-integer L1 totals, one double division per score."""
     sql = f"""
-    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
-    n0 AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
-    h0 AS (SELECT DISTINCT src AS node,
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    n0 AS MATERIALIZED (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
+    h0 AS MATERIALIZED (SELECT DISTINCT src AS node,
                   CAST(1.0 AS DOUBLE) / CAST(n0.n AS DOUBLE) AS h
            FROM e, n0)"""
     for i in range(iterations):
         sql += f""",
-    ar{i} AS (
+    ar{i} AS MATERIALIZED (
       SELECT e.dst, CAST(sum(CAST(round(h.h * 1e15) AS BIGINT)) AS BIGINT) AS s
       FROM e JOIN h{i} h ON e.src = h.node GROUP BY e.dst
     ),
-    a{i} AS (
+    a{i} AS MATERIALIZED (
       SELECT dst AS node,
              CAST(s AS DOUBLE)
              / CAST((SELECT CAST(sum(s) AS BIGINT) FROM ar{i}) AS DOUBLE) AS a
       FROM ar{i}
     ),
-    hr{i} AS (
+    hr{i} AS MATERIALIZED (
       SELECT e.src, CAST(sum(CAST(round(a.a * 1e15) AS BIGINT)) AS BIGINT) AS s
       FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
     ),
-    h{i + 1} AS (
+    h{i + 1} AS MATERIALIZED (
       SELECT src AS node,
              CAST(s AS DOUBLE)
              / CAST((SELECT CAST(sum(s) AS BIGINT) FROM hr{i}) AS DOUBLE) AS h
@@ -869,15 +873,15 @@ def oracle_personalized_pagerank(
     text."""
     base_num = repr(1.0 - damping)
     sql = f"""
-    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
-    nodes AS (
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS MATERIALIZED (
       SELECT node, {seed_pred} AS is_seed
       FROM (SELECT DISTINCT node FROM
             (SELECT src AS node FROM e UNION SELECT dst FROM e))
     ),
-    s_cte AS (SELECT count(*) AS s FROM nodes WHERE is_seed),
-    outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-    r0 AS (
+    s_cte AS MATERIALIZED (SELECT count(*) AS s FROM nodes WHERE is_seed),
+    outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS MATERIALIZED (
       SELECT node, is_seed,
              CASE WHEN is_seed THEN CAST(1.0 AS DOUBLE) / s
                   ELSE CAST(0.0 AS DOUBLE) END AS rank_ppr
@@ -885,13 +889,13 @@ def oracle_personalized_pagerank(
     )"""
     for i in range(iterations):
         sql += f""",
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT e.dst,
              sum(CAST(round(r.rank_ppr / o.outdeg * 1e15) AS BIGINT)) AS in_sum
       FROM e JOIN r{i} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
       GROUP BY e.dst
     ),
-    r{i + 1} AS (
+    r{i + 1} AS MATERIALIZED (
       SELECT nodes.node, nodes.is_seed,
              CASE WHEN nodes.is_seed THEN CAST({base_num} AS DOUBLE) / s
                   ELSE CAST(0.0 AS DOUBLE) END
@@ -954,14 +958,14 @@ def random_walks(
 
 def oracle_random_walks(edges_sql: str, walk_len: int = 6) -> str:
     sql = f"""
-    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
-    adj AS (
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    adj AS MATERIALIZED (
       SELECT src, dst,
              row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
              count(*) OVER (PARTITION BY src) AS deg
       FROM e
     ),
-    f0 AS (
+    f0 AS MATERIALIZED (
       SELECT src AS walk_id, src AS node, CAST(src AS VARCHAR) AS seq
       FROM (SELECT DISTINCT src FROM e)
     )"""
@@ -971,7 +975,7 @@ def oracle_random_walks(edges_sql: str, walk_len: int = 6) -> str:
             f" AS BIGINT)"
         )
         sql += f""",
-    f{t} AS (
+    f{t} AS MATERIALIZED (
       SELECT f.walk_id, a.dst AS node, f.seq || ' ' || a.dst AS seq
       FROM f{t - 1} f JOIN adj a ON f.node = a.src
       WHERE a.rnk = {pick} % a.deg
@@ -1047,16 +1051,16 @@ def assortativity(
 
 def oracle_assortativity(edges_sql: str) -> str:
     return f"""
-    WITH und AS (
+    WITH und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM ({edges_sql}) WHERE src <> dst
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
         SELECT a AS v FROM und UNION ALL SELECT b FROM und
       ) GROUP BY v
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT da.deg AS dx, db.deg AS dy
       FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v
     ),
@@ -1164,11 +1168,11 @@ def oracle_clustering_coefficients(edges_sql: str) -> str:
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM ({edges_sql}) WHERE src <> dst
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, CAST(count(*) AS BIGINT) AS deg
       FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
       FROM und e1 JOIN und e2 ON e2.a = e1.b
                   JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
