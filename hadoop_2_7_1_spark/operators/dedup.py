@@ -181,14 +181,14 @@ def oracle_lsh_candidate_pairs(
         band_selects.append(f"SELECT id, {b} AS band, {hs} AS key FROM sig")
     banded = " UNION ALL ".join(band_selects)
     return f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
-    ), sig AS (
+    ), sig AS MATERIALIZED (
       SELECT id, {mins} FROM sh GROUP BY id
-    ), banded AS ({banded}), ok AS (
+    ), banded AS MATERIALIZED ({banded}), ok AS MATERIALIZED (
       SELECT band, key FROM banded GROUP BY band, key
       HAVING count(*) >= 2 AND count(*) <= {max_bucket}
-    ), pruned AS (
+    ), pruned AS MATERIALIZED (
       SELECT banded.* FROM banded JOIN ok USING (band, key)
     )
     SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
@@ -282,11 +282,11 @@ def oracle_minhash_accuracy(
         table, id_col, text_col, shingle_n, threshold=0.0
     )
     return f"""
-    WITH cand AS ({cand_sql}),
-    acc_sh AS (
+    WITH cand AS MATERIALIZED ({cand_sql}),
+    acc_sh AS MATERIALIZED (
       SELECT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
     ),
-    acc_sig AS (SELECT id, {mins} FROM acc_sh GROUP BY id),
+    acc_sig AS MATERIALIZED (SELECT id, {mins} FROM acc_sh GROUP BY id),
     est AS (
       SELECT c.id_a, c.id_b, CAST({matches} AS DOUBLE) / {num_hashes} AS est
       FROM cand c JOIN acc_sig a ON c.id_a = a.id JOIN acc_sig b ON c.id_b = b.id
@@ -355,11 +355,11 @@ def oracle_ngram_jaccard_pairs(
 
     shingles = oracle_word_shingles(text_col, shingle_n)
     return f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT DISTINCT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
-    ), sizes AS (
+    ), sizes AS MATERIALIZED (
       SELECT id, count(*) AS sz FROM sh GROUP BY id
-    ), inter AS (
+    ), inter AS MATERIALIZED (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id
@@ -556,7 +556,7 @@ def oracle_simhash_neardup(table: str, id_col: str, text_col: str, max_hamming: 
     that cannot change the result set)."""
     sig_sql = oracle_simhash(table, id_col, text_col, bits)
     return f"""
-    WITH sig AS ({sig_sql})
+    WITH sig AS MATERIALIZED ({sig_sql})
     SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sig a JOIN sig b ON a.id < b.id
@@ -632,12 +632,12 @@ def oracle_connected_components(pairs_sql: str) -> str:
     """DuckDB recursive-CTE twin: min reachable id per node via transitive
     closure (exact; dup clusters are small, so the closure is bounded)."""
     return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs
     ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
     reach(src, dst) AS (
       SELECT node, node FROM nodes
       UNION
@@ -891,11 +891,11 @@ def oracle_ngram_containment_pairs(
 
     shingles = oracle_word_shingles(text_col, shingle_n)
     return f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT DISTINCT {id_col} AS id, unnest({shingles}) AS shingle FROM {table}
-    ), sizes AS (
+    ), sizes AS MATERIALIZED (
       SELECT id, count(*) AS sz FROM sh GROUP BY id
-    ), inter AS (
+    ), inter AS MATERIALIZED (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
       GROUP BY a.id, b.id
@@ -1606,12 +1606,12 @@ def oracle_contamination_report(
 
     shingles = oracle_word_shingles(text_col, shingle_n)
     return f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT DISTINCT {id_col} AS id, ({eval_filter}) AS is_eval,
              unnest({shingles}) AS shingle
       FROM {table}
     ),
-    train AS (SELECT DISTINCT shingle FROM sh WHERE NOT is_eval),
+    train AS MATERIALIZED (SELECT DISTINCT shingle FROM sh WHERE NOT is_eval),
     ev AS (
       SELECT s.id, CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
       FROM sh s LEFT JOIN train t ON s.shingle = t.shingle

@@ -2078,15 +2078,15 @@ def oracle_mmr_topk(
       FROM {table} c, q WHERE c.vec_id <> q.vec_id
       ORDER BY rel DESC, c.vec_id LIMIT {pool}
     )""",
-        f"""s1 AS (
+        f"""s1 AS MATERIALIZED (
       SELECT vec_id, embedding, rel, round({lam!r} * rel - {1.0 - lam!r} * 0.0, 6) AS score, 1 AS rnk
       FROM pool ORDER BY round({lam!r} * rel - {1.0 - lam!r} * 0.0, 6) DESC, vec_id LIMIT 1
     )""",
-        "selu1 AS (SELECT vec_id, embedding FROM s1)",
+        "selu1 AS MATERIALIZED (SELECT vec_id, embedding FROM s1)",
     ]
     for r in range(2, k + 1):
         ctes.append(
-            f"""sc{r} AS (
+            f"""sc{r} AS MATERIALIZED (
       SELECT p.vec_id, p.rel,
              max(round(CAST({dot_s} / ({np_} * {ns}) AS DOUBLE), 6)) AS ms
       FROM pool p, selu{r - 1} s
@@ -2095,14 +2095,14 @@ def oracle_mmr_topk(
     )"""
         )
         ctes.append(
-            f"""s{r} AS (
+            f"""s{r} AS MATERIALIZED (
       SELECT c.vec_id, p2.embedding, c.rel, round({lam!r} * c.rel - {1.0 - lam!r} * c.ms, 6) AS score, {r} AS rnk
       FROM sc{r} c JOIN pool p2 ON p2.vec_id = c.vec_id
       ORDER BY round({lam!r} * c.rel - {1.0 - lam!r} * c.ms, 6) DESC, c.vec_id LIMIT 1
     )"""
         )
         ctes.append(
-            f"selu{r} AS (SELECT vec_id, embedding FROM selu{r - 1} "
+            f"selu{r} AS MATERIALIZED (SELECT vec_id, embedding FROM selu{r - 1} "
             f"UNION ALL SELECT vec_id, embedding FROM s{r})"
         )
     union = "\n      UNION ALL ".join(
@@ -2367,15 +2367,15 @@ def oracle_kcenter_select(table: str, k: int = 5, pool: int = 50) -> str:
         f"""pool AS MATERIALIZED (
       SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {pool}
     )""",
-        """s1 AS (
+        """s1 AS MATERIALIZED (
       SELECT vec_id, embedding, CAST(NULL AS DOUBLE) AS md, 1 AS rnk
       FROM pool ORDER BY vec_id LIMIT 1
     )""",
-        "selu1 AS (SELECT vec_id, embedding FROM s1)",
+        "selu1 AS MATERIALIZED (SELECT vec_id, embedding FROM s1)",
     ]
     for r in range(2, k + 1):
         ctes.append(
-            f"""sc{r} AS (
+            f"""sc{r} AS MATERIALIZED (
       SELECT p.vec_id, min(round(CAST({d2} AS DOUBLE), 6)) AS md
       FROM pool p, selu{r - 1} s
       WHERE p.vec_id NOT IN (SELECT vec_id FROM selu{r - 1})
@@ -2383,14 +2383,14 @@ def oracle_kcenter_select(table: str, k: int = 5, pool: int = 50) -> str:
     )"""
         )
         ctes.append(
-            f"""s{r} AS (
+            f"""s{r} AS MATERIALIZED (
       SELECT c.vec_id, p2.embedding, c.md, {r} AS rnk
       FROM sc{r} c JOIN pool p2 ON p2.vec_id = c.vec_id
       ORDER BY c.md DESC, c.vec_id LIMIT 1
     )"""
         )
         ctes.append(
-            f"selu{r} AS (SELECT vec_id, embedding FROM selu{r - 1} "
+            f"selu{r} AS MATERIALIZED (SELECT vec_id, embedding FROM selu{r - 1} "
             f"UNION ALL SELECT vec_id, embedding FROM s{r})"
         )
     union = "\n      UNION ALL ".join(

@@ -1026,16 +1026,16 @@ def oracle_bpe_merges(table: str, text_col: str, n_merges: int = 6) -> str:
     test corpora."""
     sep = "chr(31)"
     sql = f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT unnest(list_filter(regexp_split_to_array(trim({text_col}), '{WS}'),
                                 t -> t <> '')) AS w
       FROM {table}
     ),
-    wf AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
-    w0 AS (SELECT regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS s, wc FROM wf)"""
+    wf AS MATERIALIZED (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+    w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS s, wc FROM wf)"""
     for i in range(n_merges):
         sql += f""",
-    t{i} AS (
+    t{i} AS MATERIALIZED (
       SELECT l, r, sum(wc) AS cnt FROM (
         SELECT syms[g] AS l, syms[g + 1] AS r, wc FROM (
           SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS g
@@ -1044,7 +1044,7 @@ def oracle_bpe_merges(table: str, text_col: str, n_merges: int = 6) -> str:
         )
       ) GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1
     ),
-    w{i + 1} AS (
+    w{i + 1} AS MATERIALIZED (
       SELECT replace(s, {sep} || t{i}.l || {sep} || t{i}.r,
                      {sep} || t{i}.l || t{i}.r) AS s, wc
       FROM w{i}, t{i}
@@ -1651,7 +1651,7 @@ def _oracle_lr_ctes(
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     lr = f"CAST('{_LR_LR!r}' AS DOUBLE)"
     sql = f"""
-    WITH feats AS (
+    WITH feats AS MATERIALIZED (
       SELECT CAST({id_col} AS BIGINT) AS id,
              CASE WHEN len({toks}) >= {min_words} AND
                        len(list_filter([{stops}],
@@ -1664,8 +1664,8 @@ def _oracle_lr_ctes(
                / greatest(len({toks}), 1) / 5 AS x3
       FROM {table}
     ),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
-    it0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS a1,
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+    it0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS a1,
                    CAST(0 AS DOUBLE) AS a2, CAST(0 AS DOUBLE) AS a3)"""
     for i in range(n_iter):
         z = "(w.b + w.a1 * f.x1 + w.a2 * f.x2 + w.a3 * f.x3)"
@@ -1676,8 +1676,8 @@ def _oracle_lr_ctes(
             for j, x in enumerate(("CAST(1.0 AS DOUBLE)", "f.x1", "f.x2", "f.x3"))
         )
         sql += f""",
-    g{i} AS (SELECT {sums} FROM feats f CROSS JOIN it{i} w),
-    it{i + 1} AS (
+    g{i} AS MATERIALIZED (SELECT {sums} FROM feats f CROSS JOIN it{i} w),
+    it{i + 1} AS MATERIALIZED (
       SELECT w.b  + CAST(g.s0 AS DOUBLE) / nn.n / 1e9 * {lr} AS b,
              w.a1 + CAST(g.s1 AS DOUBLE) / nn.n / 1e9 * {lr} AS a1,
              w.a2 + CAST(g.s2 AS DOUBLE) / nn.n / 1e9 * {lr} AS a2,

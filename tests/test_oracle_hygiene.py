@@ -51,3 +51,42 @@ def test_ivf_pq_oracle_builds_on_materialized_chains():
     sql = similarity.oracle_ivf_pq("embeddings", "vec_id < 3")
     # both the coarse chain and all four subspace chains must appear
     assert sql.count("MATERIALIZED") >= 16
+
+
+def _multi_ref_plain_ctes(sql: str) -> list[str]:
+    """CTE names defined without MATERIALIZED but referenced 2+ times —
+    the pattern DuckDB re-executes per reference (grf_kcore's oracle
+    filled the disk with temp spill at sf0.5 this way)."""
+    out = []
+    for cte, mat in re.findall(r"([A-Za-z_0-9]+) AS (MATERIALIZED )?\(", sql):
+        if mat:
+            continue
+        refs = len(re.findall(rf"(?:FROM|JOIN)\s+{cte}\b", sql))
+        if refs > 1:
+            out.append(f"{cte}x{refs}")
+    return out
+
+
+def test_graph_oracles_have_no_multi_ref_plain_ctes():
+    E = "SELECT 'a' AS src, 'b' AS dst"
+    EW = "SELECT 'a' AS src, 'b' AS dst, 1.0 AS w"
+    L = "SELECT 'a' AS node, 1 AS label"
+    oracles = {
+        "triangle_count": graph.oracle_triangle_count(E),
+        "pagerank": graph.oracle_pagerank(E),
+        "kcore": graph.oracle_kcore(E),
+        "bfs_hops": graph.oracle_bfs_hops(E, "a"),
+        "label_prop": graph.oracle_label_propagation(E),
+        "sssp": graph.oracle_sssp(EW, "a"),
+        "modularity": graph.oracle_modularity(E, L),
+        "hits": graph.oracle_hits(E),
+        "ppr": graph.oracle_personalized_pagerank(E, "node = 'a'"),
+        "walks": graph.oracle_random_walks(E),
+        "assortativity": graph.oracle_assortativity(E),
+        "clustering": graph.oracle_clustering_coefficients(E),
+        "betweenness": graph.oracle_betweenness_sampled(E, ["a"]),
+        "edge_betweenness": graph.oracle_edge_betweenness_sampled(E, ["a"]),
+    }
+    bad = {n: r for n, r in
+           ((n, _multi_ref_plain_ctes(sql)) for n, sql in oracles.items()) if r}
+    assert not bad, f"re-execution-prone plain CTEs: {bad}"
