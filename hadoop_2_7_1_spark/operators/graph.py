@@ -1350,6 +1350,18 @@ def betweenness_sampled(
         # backward loop only fills levels < depth, so no dependency mass
         # exists — every bc is 0 and the declared output is empty
         return edges.sparkSession.createDataFrame([], "node string, bc double")
+    # Value-domain bound for the scaled-bigint fold (ADVICE r8): each
+    # delta lane carries round(x*1e6) longs, so the try_sum headroom is
+    # ~9.2e12 in bc value per (node, pivot-lane). Dependency mass per lane
+    # is bounded by the number of depth-limited paths through the node
+    # from ONE pivot — at the sampled pivot count (n<=8) and depth<=4 this
+    # is << 1e9 even on the sf0.5 graph (max observed bc ~1e5), 7+ orders
+    # inside the bound. A graph that could overflow a lane (≥1e12 paths
+    # through one node from one pivot at depth 4) would need ~1e3 avg
+    # out-degree at every hop; at that density the pivot count, not the
+    # fold, is what must change. try_sum->coalesce(0) is therefore a
+    # never-taken guard at the operating envelope, kept because ANSI mode
+    # turns plain sum overflow into a job abort.
     total = None
     for i in range(n):
         t = F.coalesce(F.try_sum(f"delta_{i}"), F.lit(0).cast("long"))

@@ -25,6 +25,68 @@ from pyspark.sql import functions as F
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
 NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
 
+# ---------------------------------------------------------------------------
+# Size-derived knob defaults (round 9).
+#
+# The Σ cluster²/bucket² pair bill of semdedup / knn_join / threshold_join is
+# linear in N only while the PER-CELL row count stays constant as the corpus
+# grows — a pinned cluster/bucket count makes the pair stage quadratic. So
+# the cell-count knob must derive from the data, the same discipline the
+# reference applies to partition counts (InputSampler samples the input to
+# drive TotalOrderPartitioner: MRC/mapreduce/lib/partition/InputSampler.java:97).
+#
+# The rule was validated empirically at sf0.5 (SCALE.md knob-rule table):
+# k = ceil(N/250) and dims = ceil(log2(ceil(N/40))) reproduce the
+# measured-linear operating points (k: 8@N=2000 -> 40@N=10000; dims: 6 -> 8)
+# that turned the three superlinear rows back to ~linear. Integer arithmetic
+# only — DuckDB replays the identical derivation (_knob_k_sql/_knob_dims_sql),
+# so auto-knob queries stay exact-hash comparable at every SF.
+# ---------------------------------------------------------------------------
+SEMDEDUP_TARGET_CELL = 250  # rows per k-means cell at the derived k
+BUCKET_TARGET_ROWS = 40  # rows per sign-bucket at the derived dims
+MAX_BUCKET_DIMS = 16  # leading-dims cap (embeddings carry >= 16 dims)
+
+
+def derive_k(n_rows: int, target_cell: int = SEMDEDUP_TARGET_CELL) -> int:
+    """Cluster-count default: ``k = ceil(N / target_cell)``, at least 1.
+
+    Pure integer arithmetic so the DuckDB oracle derives the identical k
+    from ``count(*)`` (see :func:`_knob_k_sql`).
+    """
+    return max(1, (int(n_rows) + target_cell - 1) // target_cell)
+
+
+def derive_bucket_dims(
+    n_rows: int,
+    target_rows: int = BUCKET_TARGET_ROWS,
+    max_dims: int = MAX_BUCKET_DIMS,
+) -> int:
+    """Sign-bucket width default: smallest ``dims`` with
+    ``2^dims >= ceil(N / target_rows)``, clamped to [1, max_dims].
+
+    ``(cells - 1).bit_length()`` == ``length(bin(cells - 1))`` in DuckDB for
+    cells >= 2; the cells=1 edge (bit_length 0 vs '0' length 1) lands on the
+    same value after the >=1 clamp (see :func:`_knob_dims_sql`).
+    """
+    cells = max(1, (int(n_rows) + target_rows - 1) // target_rows)
+    return max(1, min(max_dims, (cells - 1).bit_length()))
+
+
+def _knob_k_sql(target_cell: int = SEMDEDUP_TARGET_CELL) -> str:
+    """DuckDB aggregate-context scalar mirroring :func:`derive_k`."""
+    return f"GREATEST(1, (count(*) + {target_cell - 1}) // {target_cell})"
+
+
+def _knob_dims_sql(
+    target_rows: int = BUCKET_TARGET_ROWS, max_dims: int = MAX_BUCKET_DIMS
+) -> str:
+    """DuckDB aggregate-context scalar mirroring :func:`derive_bucket_dims`."""
+    cells = f"GREATEST(1, (count(*) + {target_rows - 1}) // {target_rows})"
+    return (
+        f"GREATEST(1, LEAST({max_dims}, "
+        f"length(bin(CAST({cells} - 1 AS BIGINT)))))"
+    )
+
 
 def cosine_topk(
     emb: DataFrame,
@@ -154,7 +216,7 @@ def knn_join(
     emb_a: DataFrame,
     emb_b: DataFrame,
     k: int = 2,
-    bucket_dims: int = 6,
+    bucket_dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -166,12 +228,19 @@ def knn_join(
     survives vectors that sit near a quantization boundary. The probe is a
     plain equi-join on the bucket key — shuffle co-partitioned on both
     sides, skew-split by AQE — followed by a per-query top-k window. Cost is
-    (dims+1) * Σ bucket_a × bucket_b, never |A| × |B|. A (q, c) pair can
-    match at most one probe (c has exactly one bucket), so no dedup stage.
-    Norms are precomputed ONCE per row on each side (the cosine then costs
-    only the dot per candidate pair — same IEEE value, double multiply is
-    commutative and the operand order is preserved).
+    (dims+1) * Σ bucket_a × bucket_b, never |A| × |B| — PROVIDED the bucket
+    count grows with the corpus: by default ``bucket_dims`` derives from the
+    corpus side (``dims = ceil(log2(ceil(N/40)))``, :func:`derive_bucket_dims`)
+    so per-bucket size stays constant; a pinned dims makes the pair bill
+    quadratic (measured ×24.8 at ×5 data, SCALE.md). Pass an explicit dims
+    to pin. A (q, c) pair can match at most one probe (c has exactly one
+    bucket), so no dedup stage. Norms are precomputed ONCE per row on each
+    side (the cosine then costs only the dot per candidate pair — same IEEE
+    value, double multiply is commutative and the operand order is
+    preserved).
     """
+    if bucket_dims is None:
+        bucket_dims = derive_bucket_dims(emb_b.count())
     c = emb_b.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -219,18 +288,54 @@ def knn_join(
     )
 
 
-def oracle_knn_join(table: str, query_filter: str, k: int = 2, bucket_dims: int = 6) -> str:
-    def bucket(col: str) -> str:
-        parts = " || ".join(
-            f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '+' ELSE '-' END)" for i in range(bucket_dims)
+def _oracle_bucket_parts(
+    table: str, bucket_dims: int | None
+) -> tuple[str, "callable", str]:
+    """Shared fixed/auto plumbing for sign-bucket oracles: returns
+    (knob_cte_prefix, bucket_expr_fn, hamming1_probe_src). Auto mode
+    (``bucket_dims is None``) derives dims from count(*) exactly like
+    :func:`derive_bucket_dims`; the probe source then unnests
+    range(0, dims+1) instead of a constant generate_series."""
+    if bucket_dims is None:
+        pre = (
+            f"knob AS MATERIALIZED (SELECT {_knob_dims_sql()} AS d FROM {table}),\n      "
         )
-        return f"({parts})"
+        d = "(SELECT d FROM knob)"
 
+        def bucket(col: str) -> str:
+            return (
+                f"list_aggregate(list_transform(range(1, {d} + 1), "
+                f"i_ -> CASE WHEN {col}[i_] >= 0 THEN '+' ELSE '-' END), "
+                "'string_agg', '')"
+            )
+
+        probe_src = (
+            "(SELECT vec_id, embedding, bucket, "
+            f"unnest(range(0, {d} + 1)) AS i FROM q)"
+        )
+    else:
+        pre = ""
+
+        def bucket(col: str) -> str:
+            parts = " || ".join(
+                f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '+' ELSE '-' END)"
+                for i in range(bucket_dims)
+            )
+            return f"({parts})"
+
+        probe_src = f"q, generate_series(0, {bucket_dims}) AS t(i)"
+    return pre, bucket, probe_src
+
+
+def oracle_knn_join(
+    table: str, query_filter: str, k: int = 2, bucket_dims: int | None = None
+) -> str:
+    pre, bucket, probe_src = _oracle_bucket_parts(table, bucket_dims)
     dot = ORACLE_DOT.format(a="c.embedding", b="p.embedding")
     nc = ORACLE_NORM.format(a="c.embedding")
     nq = ORACLE_NORM.format(a="p.embedding")
     return f"""
-    WITH q AS (
+    WITH {pre}q AS MATERIALIZED (
       SELECT vec_id, embedding, {bucket("embedding")} AS bucket
       FROM {table} WHERE {query_filter}
     ), p AS (
@@ -240,7 +345,7 @@ def oracle_knn_join(table: str, query_filter: str, k: int = 2, bucket_dims: int 
                        || (CASE WHEN substr(bucket, i, 1) = '+' THEN '-' ELSE '+' END)
                        || substr(bucket, i + 1)
              END AS bucket
-      FROM q, generate_series(0, {bucket_dims}) AS t(i)
+      FROM {probe_src}
     ), c AS (
       SELECT vec_id, embedding, {bucket("embedding")} AS bucket FROM {table}
     ), scored AS (
@@ -474,9 +579,16 @@ def kmeans_ivf_topk(
     )
 
 
-def _oracle_kmeans_ctes(table: str, k: int, n_iter: int, dim: int) -> str:
+def _oracle_kmeans_ctes(
+    table: str, k: int | str, n_iter: int, dim: int, pre_cte: str = ""
+) -> str:
     """Shared CTE chain replaying Lloyd's algorithm in DuckDB: seeds ->
-    (assign -> per-dimension means -> next centroids) * n_iter."""
+    (assign -> per-dimension means -> next centroids) * n_iter.
+
+    ``k`` may be an int (pinned knob) or a SQL scalar expression such as
+    ``(SELECT k FROM knob)`` for the size-derived default; ``pre_cte``
+    injects the knob CTE (trailing comma included) ahead of the chain.
+    """
     dist = (
         "list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), ct.c), "
         "p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -486,7 +598,7 @@ def _oracle_kmeans_ctes(table: str, k: int, n_iter: int, dim: int) -> str:
         " % 16 = 0"
     )
     sql = f"""
-    WITH seed_src AS MATERIALIZED (
+    WITH {pre_cte}seed_src AS MATERIALIZED (
       SELECT vec_id, embedding FROM {table} WHERE {gate}
         AND (SELECT count(*) FROM {table} WHERE {gate}) >= {k}
       UNION ALL
@@ -702,7 +814,7 @@ def pq_search_adc(
 
 def semdedup(
     emb: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     n_iter: int = 2,
     threshold: float = 0.35,
     id_col: str = "vec_id",
@@ -716,11 +828,17 @@ def semdedup(
 
     Scale shape — the whole point of the cluster stage: the pairwise
     cosine join is an equi-join on ``cluster``, so candidate cost is
-    sum(cluster_size^2), never |corpus|^2; at 100 TB k grows with the
-    corpus so cluster sizes stay bounded (the paper's design point). The
-    fit is the deterministic scaled-bigint Lloyd loop (kmeans_fit);
-    assignment is map-only with centroids as plan literals.
+    sum(cluster_size^2), never |corpus|^2. By default ``k`` is DERIVED
+    from the corpus (``k = ceil(N / 250)``, :func:`derive_k`) so cluster
+    sizes stay bounded as the data grows — the paper's design point and
+    the reference's InputSampler discipline; a pinned k makes the pair
+    stage quadratic (measured ×11.9 at ×5 data, SCALE.md). The count is
+    one metadata-cheap job; pass an explicit ``k`` to pin it. The fit is
+    the deterministic scaled-bigint Lloyd loop (kmeans_fit); assignment
+    is map-only with centroids as plan literals.
     """
+    if k is None:
+        k = derive_k(emb.count())
     cents = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     assigned = assign_clusters(emb, cents, vec_col)
     # norms ONCE per row, not per candidate pair (the knn_join/hubness
@@ -759,13 +877,26 @@ def semdedup(
 
 
 def oracle_semdedup(
-    table: str, k: int = 8, n_iter: int = 2, threshold: float = 0.35, dim: int = 64
+    table: str,
+    k: int | None = None,
+    n_iter: int = 2,
+    threshold: float = 0.35,
+    dim: int = 64,
 ) -> str:
     dot = ORACLE_DOT.format(a="a.embedding", b="b.embedding")
     na = ORACLE_NORM.format(a="a.embedding")
     nb = ORACLE_NORM.format(a="b.embedding")
+    if k is None:
+        # auto-knob: DuckDB derives the same k = ceil(N/250) the Spark
+        # side computes in derive_k — integer arithmetic, exact both ways
+        pre = (
+            f"knob AS MATERIALIZED (SELECT {_knob_k_sql()} AS k FROM {table}),\n    "
+        )
+        k_sql: int | str = "(SELECT k FROM knob)"
+    else:
+        pre, k_sql = "", k
     return (
-        _oracle_kmeans_ctes(table, k, n_iter, dim)
+        _oracle_kmeans_ctes(table, k_sql, n_iter, dim, pre_cte=pre)
         + f""",
     sd_pairs AS (
       SELECT a.cluster, b.vec_id AS id_b
@@ -1918,7 +2049,7 @@ def oracle_matryoshka_recall(
 def knn_hubness(
     emb: DataFrame,
     k: int = 5,
-    bucket_dims: int = 6,
+    bucket_dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1929,7 +2060,9 @@ def knn_hubness(
     is the measurement that says whether the embedding space needs
     centering/whitening before it ships.
 
-    Scale shape: the bucketed big-to-big kNN (Σ bucket² cost), one keyed
+    Scale shape: the bucketed big-to-big kNN (Σ bucket² cost; bucket_dims
+    defaults to the size-derived :func:`derive_bucket_dims` knob so the
+    pair bill stays linear in N — see :func:`knn_join`), one keyed
     in-degree count, a left join back to the corpus so zero-degree vectors
     are counted, and a final histogram groupBy. All integer counts.
     Output: (k_occ, n_vectors).
@@ -1944,7 +2077,7 @@ def knn_hubness(
     return allv.groupBy("k_occ").agg(F.count("*").cast("bigint").alias("n_vectors"))
 
 
-def oracle_knn_hubness(table: str, k: int = 5, bucket_dims: int = 6) -> str:
+def oracle_knn_hubness(table: str, k: int = 5, bucket_dims: int | None = None) -> str:
     return f"""
     WITH knn AS ({oracle_knn_join(table, "true", k=k, bucket_dims=bucket_dims)}),
     indeg AS (
@@ -2408,7 +2541,7 @@ def oracle_kcenter_select(table: str, k: int = 5, pool: int = 50) -> str:
 def threshold_join(
     emb: DataFrame,
     threshold: float = 0.3,
-    bucket_dims: int = 6,
+    bucket_dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -2421,9 +2554,13 @@ def threshold_join(
     Same scale shape as knn_join: one side probes its bucket plus every
     1-bit flip, the other keeps its single bucket, so the join is a plain
     equi-join costing (dims+1) * Σ bucket² — never the |V|² all-pairs.
-    A pair meets at exactly ONE probe (the candidate side has one
-    bucket), and the q_id < vec_id filter keeps each unordered pair
-    once, so no dedup stage. The cosine filter runs on bit-identical
+    ``bucket_dims`` defaults to the size-derived knob
+    (:func:`derive_bucket_dims`: dims = ceil(log2(ceil(N/40)))) so the
+    per-bucket row count — and with it the pair bill per row — stays
+    constant as the corpus grows; the pinned-dims variant was measured
+    ×15.7 at ×5 data (SCALE.md). A pair meets at exactly ONE probe (the
+    candidate side has one bucket), and the q_id < vec_id filter keeps
+    each unordered pair once, so no dedup stage. The cosine filter runs on bit-identical
     doubles (fixed-order fold, both engines), so >= is portable — the
     [[dd_semdedup]] discipline. The Hamming-1 recall is the measured
     operating point, not an assertion: [[sim_kmeans_recall_curve]]
@@ -2431,6 +2568,8 @@ def threshold_join(
 
     Output: (id_a, id_b, cos) with id_a < id_b.
     """
+    if bucket_dims is None:
+        bucket_dims = derive_bucket_dims(emb.count())
     c = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -2473,20 +2612,14 @@ def threshold_join(
 
 
 def oracle_threshold_join(
-    table: str, threshold: float = 0.3, bucket_dims: int = 6
+    table: str, threshold: float = 0.3, bucket_dims: int | None = None
 ) -> str:
-    def bucket(col: str) -> str:
-        parts = " || ".join(
-            f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '+' ELSE '-' END)"
-            for i in range(bucket_dims)
-        )
-        return f"({parts})"
-
+    pre, bucket, probe_src = _oracle_bucket_parts(table, bucket_dims)
     dot = ORACLE_DOT.format(a="c.embedding", b="p.embedding")
     nc = ORACLE_NORM.format(a="c.embedding")
     nq = ORACLE_NORM.format(a="p.embedding")
     return f"""
-    WITH q AS MATERIALIZED (
+    WITH {pre}q AS MATERIALIZED (
       SELECT vec_id, embedding, {bucket("embedding")} AS bucket FROM {table}
     ), p AS (
       SELECT vec_id, embedding,
@@ -2495,10 +2628,190 @@ def oracle_threshold_join(
                        || (CASE WHEN substr(bucket, i, 1) = '+' THEN '-' ELSE '+' END)
                        || substr(bucket, i + 1)
              END AS bucket
-      FROM q, generate_series(0, {bucket_dims}) AS t(i)
+      FROM {probe_src}
     )
     SELECT CAST(p.vec_id AS BIGINT) AS id_a, CAST(c.vec_id AS BIGINT) AS id_b,
            CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos
     FROM q c JOIN p ON c.bucket = p.bucket AND p.vec_id < c.vec_id
     WHERE CAST({dot} / ({nc} * {nq}) AS DOUBLE) >= CAST({threshold!r} AS DOUBLE)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder-style rerank (retrieve -> score candidate pairs with a
+# LEARNED scorer -> select). Completes the retrieval family: rrf/mmr/pq
+# rerank with FIXED combination rules; this trains the combiner in-engine.
+# The production pattern is distillation — cheap retriever features fitted
+# to an expensive target ranking (here: exact L2 order), then the linear
+# scorer reranks the shortlist at serving time. Training reuses the
+# scaled-integer GD of textops.train_linear_weights (bit-identical weight
+# trajectory on both engines); no reference analogue (north-star addition,
+# like the rest of this module).
+# ---------------------------------------------------------------------------
+
+SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))), 0D, (acc, v) -> acc + v)"
+)
+ORACLE_SQDIST = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+_RERANK_LEAD_DIMS = 8  # truncated-dim dot: the matryoshka cheap feature
+
+
+def rerank_linear(
+    emb: DataFrame,
+    query_filter: str = "vec_id % 50 = 0",
+    pool: int = 20,
+    k: int = 5,
+    n_iter: int = 6,
+    label_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieve -> learned rerank -> select.
+
+    Stage 1 (retrieve): exact cosine top-``pool`` shortlist per query
+    (broadcast queries, the [[sim_topk_cosine]] shape — at 100 TB swap in
+    the bucketed/IVF retriever; the rerank stages are retriever-agnostic).
+
+    Stage 2 (features + label): per candidate pair, three cheap features a
+    first-stage retriever has anyway — x1 = full cosine, x2 = norm contrast
+    |n_c - n_q| / (n_c + n_q), x3 = truncated cosine over the leading 8
+    dims — and the distillation label y = 1 iff the candidate is in the
+    query's exact-L2 top-``label_top`` within the pool (L2 and cosine
+    order DIFFER where norms vary, so the scorer has something real to
+    learn: fold norm contrast into the cosine ranking).
+
+    Stage 3 (train): full-batch GD via textops.train_linear_weights — per
+    iteration one scan of the |Q|*pool pair frame + a 4-cell
+    scaled-integer aggregate; the weight trajectory is bit-identical to
+    the oracle replay (oracle_gd_chain_sql). At 100 TB the pair frame is
+    |queries|*pool rows — training data, not corpus, scale.
+
+    Stage 4 (select): score every shortlist pair with the learned logit,
+    round to 6dp (rank-portable, the [[sim_mmr]] discipline), keep the
+    top-``k`` per query.
+
+    Output: (q_id, vec_id, cos, score, rnk) — k rows per query.
+    """
+    q = emb.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
+    )
+    dot = DOT.format(a="vec", b="q_vec")
+    pairs = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.expr(f"cast({dot} / (c_nrm * q_nrm) as double)"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    cand = pairs.withColumn("crnk", F.row_number().over(wr)).filter(
+        F.col("crnk") <= pool
+    )
+    lead_dot = DOT.format(
+        a=f"slice(vec, 1, {_RERANK_LEAD_DIMS})",
+        b=f"slice(q_vec, 1, {_RERANK_LEAD_DIMS})",
+    )
+    lead_na = NORM.format(a=f"slice(vec, 1, {_RERANK_LEAD_DIMS})")
+    lead_nb = NORM.format(a=f"slice(q_vec, 1, {_RERANK_LEAD_DIMS})")
+    d2 = SQDIST.format(a="vec", b="q_vec")
+    wl = Window.partitionBy("q_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
+    feats = (
+        cand.withColumn("_d2", F.round(F.expr(f"cast({d2} as double)"), 6))
+        .withColumn(
+            "y",
+            F.when(F.row_number().over(wl) <= label_top, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("x1", F.col("cos"))
+        .withColumn(
+            "x2",
+            F.expr("cast(abs(c_nrm - q_nrm) / (c_nrm + q_nrm) as double)"),
+        )
+        .withColumn(
+            "x3",
+            F.expr(f"cast({lead_dot} / ({lead_na} * {lead_nb}) as double)"),
+        )
+        .select("q_id", "vec_id", "cos", "y", "x1", "x2", "x3")
+    )
+    from .textops import lr_z_expr, train_linear_weights
+
+    w, _ = train_linear_weights(feats, n_iter)
+    ws = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        feats.withColumn("score", F.round(F.expr(lr_z_expr(w)), 6))
+        .withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("vec_id").cast("bigint"),
+            "cos",
+            "score",
+            F.col("rnk").cast("bigint"),
+        )
+    )
+
+
+def oracle_rerank_linear(
+    table: str,
+    query_filter: str = "vec_id % 50 = 0",
+    pool: int = 20,
+    k: int = 5,
+    n_iter: int = 6,
+    label_top: int = 5,
+) -> str:
+    from .textops import oracle_gd_chain_sql
+
+    dot = ORACLE_DOT.format(a="c.embedding", b="q.embedding")
+    nc = ORACLE_NORM.format(a="c.embedding")
+    nq = ORACLE_NORM.format(a="q.embedding")
+    lead = _RERANK_LEAD_DIMS
+    lead_dot = ORACLE_DOT.format(
+        a=f"c.embedding[1:{lead}]", b=f"q.embedding[1:{lead}]"
+    )
+    lead_nc = ORACLE_NORM.format(a=f"c.embedding[1:{lead}]")
+    lead_nq = ORACLE_NORM.format(a=f"q.embedding[1:{lead}]")
+    d2 = ORACLE_SQDIST.format(a="c.embedding", b="q.embedding")
+    z = "(w.b + w.a1 * f.x1 + w.a2 * f.x2 + w.a3 * f.x3)"
+    return f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, embedding FROM {table} WHERE {query_filter}
+    ),
+    cand AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               CAST({dot} / ({nc} * {nq}) AS DOUBLE) AS cos,
+               round(CAST({d2} AS DOUBLE), 6) AS _d2,
+               CAST(abs({nc} - {nq}) / ({nc} + {nq}) AS DOUBLE) AS x2,
+               CAST({lead_dot} / ({lead_nc} * {lead_nq}) AS DOUBLE) AS x3
+        FROM {table} c CROSS JOIN qv q
+        WHERE c.vec_id <> q.vec_id
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                   ORDER BY cos DESC, c.vec_id) <= {pool}
+      )
+    ),
+    feats AS MATERIALIZED (
+      SELECT q_id, vec_id, cos,
+             CASE WHEN row_number() OVER (PARTITION BY q_id
+                                          ORDER BY _d2, vec_id) <= {label_top}
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+             cos AS x1, x2, x3
+      FROM cand
+    ){oracle_gd_chain_sql(n_iter)}
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+           cos, score,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+    FROM (
+      SELECT f.q_id, f.vec_id, f.cos, round({z}, 6) AS score
+      FROM feats f CROSS JOIN it{n_iter} w
+    ) QUALIFY rnk <= {k}
     """

@@ -1663,7 +1663,20 @@ def _oracle_lr_ctes(
              CAST(coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) AS DOUBLE)
                / greatest(len({toks}), 1) / 5 AS x3
       FROM {table}
-    ),
+    )"""
+    return sql + oracle_gd_chain_sql(n_iter)
+
+
+def oracle_gd_chain_sql(n_iter: int) -> str:
+    """Generic DuckDB replay of :func:`train_linear_weights` appended after
+    a ``feats (y, x1, x2, x3)`` CTE: nn -> it0 -> (g{i} -> it{i+1}) * n_iter
+    with the same scaled-integer gradient folds and the same left-to-right
+    update arithmetic, so every weight double is bit-identical. Callers
+    append their own final SELECT reading it{n_iter}. Reused by the rerank
+    capstone (similarity.rerank_linear) — any (y, x1..x3) frame trains the
+    same way on both engines."""
+    lr = f"CAST('{_LR_LR!r}' AS DOUBLE)"
+    sql = """,
     nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
     it0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS a1,
                    CAST(0 AS DOUBLE) AS a2, CAST(0 AS DOUBLE) AS a3)"""

@@ -4074,16 +4074,19 @@ def dd_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_semdedup",
-    similarity.oracle_semdedup("embeddings", k=8, n_iter=2, threshold=0.35),
+    similarity.oracle_semdedup("embeddings", k=None, n_iter=2, threshold=0.35),
     doc="SemDeDup semantic dedup (Abbas 2023): k-means cluster the "
         "embeddings, drop in-cluster vectors with a lower-id cosine "
         "neighbor >= 0.35 — the pairwise join is equi-keyed on cluster "
-        "(sum(cluster^2) candidates, never corpus^2); per-cluster "
-        "(n_total, n_dropped) summary",
+        "(sum(cluster^2) candidates, never corpus^2); k is SIZE-DERIVED "
+        "(k = ceil(N/250), similarity.derive_k — both engines compute it "
+        "from count(*), the InputSampler discipline) so cluster sizes "
+        "stay constant and the pair bill linear as the corpus grows; "
+        "per-cluster (n_total, n_dropped) summary",
 )
 def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.semdedup(emb, k=8, n_iter=2, threshold=0.35)
+    return similarity.semdedup(emb, k=None, n_iter=2, threshold=0.35)
 
 
 @register(
@@ -5458,18 +5461,20 @@ def prof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_hubness",
-    oracle_knn_hubness("embeddings", k=5, bucket_dims=6),
+    oracle_knn_hubness("embeddings", k=5, bucket_dims=None),
     doc="hubness audit of the ANN graph: k-occurrence (in-degree) "
         "distribution of the bucketed big-to-big kNN join, zero-degree "
         "vectors included — the high-dimensionality pathology check before "
-        "shipping an embedding space "
+        "shipping an embedding space; bucket dims are SIZE-DERIVED "
+        "(ceil(log2(ceil(N/40))), similarity.derive_bucket_dims, mirrored "
+        "in the oracle) so the Σ bucket² pair bill stays linear in N "
         "(operators/similarity.py:knn_hubness)",
 )
 def sim_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_hubness
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_hubness(emb, k=5, bucket_dims=6)
+    return knn_hubness(emb, k=5, bucket_dims=None)
 
 
 @register(
@@ -6214,10 +6219,13 @@ def smp_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_threshold_join",
-    oracle_threshold_join("embeddings", threshold=0.3, bucket_dims=6),
+    oracle_threshold_join("embeddings", threshold=0.3, bucket_dims=None),
     doc="similarity RANGE self-join (cos >= 0.3): sign-bucket + "
         "Hamming-1 multiprobe equi-join, (dims+1) * sum(bucket^2) cost "
-        "— never |V|^2; each pair meets at exactly one probe, id_a < "
+        "— never |V|^2; bucket dims are SIZE-DERIVED "
+        "(ceil(log2(ceil(N/40))), similarity.derive_bucket_dims, mirrored "
+        "in the oracle) so per-bucket size and the per-row pair bill stay "
+        "constant as N grows; each pair meets at exactly one probe, id_a < "
         "id_b keeps it once; the range sibling of sim_knn_join for "
         "near-dup mining / contrastive pairs "
         "(operators/similarity.py:threshold_join)",
@@ -6226,7 +6234,30 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import threshold_join
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return threshold_join(emb, threshold=0.3, bucket_dims=6)
+    return threshold_join(emb, threshold=0.3, bucket_dims=None)
+
+
+@register(
+    "sim_rerank_linear",
+    similarity.oracle_rerank_linear(
+        "embeddings", "vec_id % 50 = 0", pool=20, k=5, n_iter=6, label_top=5
+    ),
+    doc="cross-encoder-style rerank capstone: retrieve an exact-cosine "
+        "top-20 shortlist per query, train a linear scorer IN-ENGINE on "
+        "cheap retriever features (full cosine, norm contrast, leading-8 "
+        "truncated cosine) distilled against the exact-L2 top-5 label, "
+        "rerank the shortlist with the learned logit (6dp-rounded, "
+        "vec_id ties) and keep top-5 — completes retrieve->rerank->select "
+        "over the rrf/mmr/pq family; GD is the scaled-integer "
+        "textops.train_linear_weights fold (bit-identical weights both "
+        "engines, oracle_gd_chain_sql replay) "
+        "(operators/similarity.py:rerank_linear)",
+)
+def sim_rerank_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.rerank_linear(
+        emb, "vec_id % 50 = 0", pool=20, k=5, n_iter=6, label_top=5
+    )
 
 
 @register(

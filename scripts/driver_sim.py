@@ -107,6 +107,11 @@ def main() -> None:
     mem = os.environ.get("SPARK_GRAFT_SIM_MEM")
     if mem:
         builder = builder.config("spark.driver.memory", mem)
+    # ANSI audit mode: the driver itself never sets this, but the round
+    # freeze runs one full-registry pass with strict arithmetic to prove no
+    # query result depends on silent wraparound/null (COVERAGE.md posture)
+    if os.environ.get("SPARK_GRAFT_SIM_ANSI"):
+        builder = builder.config("spark.sql.ansi.enabled", "true")
     spark = builder.getOrCreate()
     import __spark_entry__ as e
 
@@ -131,19 +136,37 @@ def main() -> None:
     def run_oracle(sql: str) -> pd.DataFrame:
         """Run an oracle with the optional watchdog: a timer thread calls
         con.interrupt() after ORACLE_TIMEOUT seconds, which surfaces in the
-        blocked .sql() call as duckdb.InterruptException."""
+        blocked .sql() call as duckdb.InterruptException. The `done` event
+        closes the race where the timer fires between .df() completing and
+        timer.cancel() — a late interrupt would land on the shared
+        connection and abort the NEXT query's oracle, misreporting it as a
+        timeout."""
         if not ORACLE_TIMEOUT:
             return con.sql(sql).df()
-        timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+        done = threading.Event()
+
+        def interrupt_if_running() -> None:
+            if not done.is_set():
+                con.interrupt()
+
+        timer = threading.Timer(ORACLE_TIMEOUT, interrupt_if_running)
         timer.start()
         try:
             return con.sql(sql).df()
         finally:
+            done.set()
             timer.cancel()
 
     n_ok = n_bad = n_timeout = 0
     record = {}
     for name, fn in sorted(qs.items()):
+        # Drop any persisted frames the PREVIOUS query left behind — at the
+        # top of the iteration so the early-continue paths (spark error,
+        # oracle timeout, oracle error) can't skip it: the heavy queries
+        # most likely to time out are exactly the ones that leave cached
+        # frames, which defeats the OOM guard if only the success path
+        # clears. Cache state never affects a result.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             spdf = fn(spark, SF_DIR).toPandas()
@@ -206,10 +229,6 @@ def main() -> None:
         else:
             n_bad += 1
         print(f"  {name}: {verdict}  [{time.time()-t0:.1f}s]")
-        # Drop any persisted frames a query left behind: cache state never
-        # affects a result, but 300+ queries of accumulated blocks can OOM
-        # the local-mode JVM at above-contract SFs.
-        spark.catalog.clearCache()
     print(
         f"\n{n_ok} ok, {n_bad} bad of {len(qs)}"
         + (f" ({n_timeout} oracle timeouts)" if n_timeout else "")

@@ -50,6 +50,38 @@ FAMILIES = {
 FIXED_DIMS = {"region", "nation"}
 
 
+_PROPS_K = re.compile(r'"k":\s*(\d+)')
+
+
+def _offset_props(vals: list[str | None], off: int) -> pa.Array:
+    """Offset the device-like '$.k' identifier inside events.props for
+    copies c>0. Without this, cross-copy users share device ids and the
+    identity-stitch connected components grow with N instead of staying
+    copy-local — distorting the workload-character preservation the
+    replication promises for the graph/identity trend."""
+    out = [
+        None
+        if v is None
+        else _PROPS_K.sub(lambda m: f'"k": {int(m.group(1)) + off}', v)
+        for v in vals
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def _props_stride(src: str) -> int:
+    """Per-copy stride for the props '$.k' key: max base value + 1."""
+    path = os.path.join(src, "events.parquet")
+    if not os.path.exists(path):
+        return 0
+    col = pq.read_table(path, columns=["props"])["props"].to_pylist()
+    mx = -1
+    for v in col:
+        if v:
+            for m in _PROPS_K.finditer(v):
+                mx = max(mx, int(m.group(1)))
+    return mx + 1
+
+
 def _tag_text(text: str, c: int) -> str:
     words = text.split(" ")
     tag = f"x{c}q"
@@ -79,7 +111,8 @@ def main() -> None:
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     os.makedirs(dst, exist_ok=True)
     strides = _strides(src)
-    print(f"strides: {strides}")
+    props_stride = _props_stride(src)
+    print(f"strides: {strides} props_k: {props_stride}")
     for fname in sorted(os.listdir(src)):
         if not fname.endswith(".parquet"):
             continue
@@ -96,7 +129,12 @@ def main() -> None:
                 col = t[name]
                 if name in FAMILIES and c > 0:
                     off = c * strides[FAMILIES[name]]
-                    col = pc.add(col, pa.scalar(off, type=col.type))
+                    # add_checked: an int32 key family with a large stride
+                    # must ERROR, not silently wrap into colliding/negative
+                    # keys (upcast the base SF to int64 if it ever trips)
+                    col = pc.add_checked(col, pa.scalar(off, type=col.type))
+                elif table == "events" and name == "props" and c > 0:
+                    col = _offset_props(col.to_pylist(), c * props_stride)
                 elif table == "documents" and name == "text" and c > 0:
                     col = pa.array(
                         [_tag_text(v, c) for v in col.to_pylist()],

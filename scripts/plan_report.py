@@ -105,6 +105,7 @@ AUDITED = [
     "txt_zipf",
     "sim_mmr",
     "sim_rrf",
+    "sim_rerank_linear",
     "sim_kcenter",
     "cur_contamination",
     "evt_power",

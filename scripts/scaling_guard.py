@@ -1,0 +1,72 @@
+"""Standing scale-regression gate (round 9, VERDICT r8 item 3): FAIL if any
+measured query is superlinear across two bench points.
+
+scripts/scaling_report.py narrates the floor/marginal decomposition; this
+script is the pass/fail wrapper the round freeze runs so a future
+superlinear regression (a pinned knob, an accidental all-pairs join) cannot
+land silently. A query FAILS when
+
+    t_hi / t_lo  >  (sf_hi / sf_lo) * TOLERANCE
+
+with TOLERANCE = 1.2 by default: linear scaling plus ambient noise on a
+shared box. The generated-input queries (terasort/gridmix) are excluded —
+their size is a knob, not the SF dir.
+
+Usage: python scripts/scaling_guard.py LO.json HI.json [--tolerance X]
+Exit 0 = every common query <= linear*tolerance; exit 1 otherwise.
+Each input is one bench.py stdout JSON line (headline + extras merged).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+SELF_SCALED = {"bench_terasort_big", "bench_terasort_validate", "bench_gridmix_replay"}
+# Sub-second queries are floor-dominated: a 0.2s -> 0.9s move is scheduler
+# noise, not a scaling signal. Only times above this floor can fail the gate.
+MIN_LO_SEC = 0.5
+
+
+def load(path: str) -> tuple[float, dict[str, float]]:
+    with open(path) as fh:
+        d = json.load(fh)
+    qs = dict(d["queries"])
+    qs.update(d.get("extras", {}))
+    return float(d["sf"]), qs
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tol = 1.2
+    if "--tolerance" in sys.argv:
+        tol = float(sys.argv[sys.argv.index("--tolerance") + 1])
+        args = [a for a in args if a != str(tol)]
+    sf_lo, lo = load(args[0])
+    sf_hi, hi = load(args[1])
+    allowed = (sf_hi / sf_lo) * tol
+    bad: list[str] = []
+    n_checked = 0
+    for name, t_lo in sorted(lo.items()):
+        if name in SELF_SCALED or name not in hi:
+            continue
+        if t_lo < MIN_LO_SEC:
+            continue
+        n_checked += 1
+        r = hi[name] / t_lo
+        flag = "  <-- SUPERLINEAR" if r > allowed else ""
+        if r > allowed:
+            bad.append(name)
+        print(f"{name}: {t_lo:.2f}s -> {hi[name]:.2f}s  x{r:.2f}{flag}")
+    print(
+        f"\n{n_checked} checked at sf {sf_lo}->{sf_hi}"
+        f" (allowed ratio {allowed:.1f}); {len(bad)} superlinear"
+    )
+    if bad:
+        print(f"FAIL: {bad}")
+        sys.exit(1)
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

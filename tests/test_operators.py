@@ -3805,3 +3805,33 @@ def test_exploded_word_shingles_rejects_temp_name_collision(spark):
     df = spark.createDataFrame([(1, "a b c", 9)], "id int, text string, __ws_tk int")
     with pytest.raises(ValueError, match="__ws_tk"):
         exploded_word_shingles(df, "text", 2, "shingle")
+
+
+def test_rerank_linear_distills_l2_order(spark):
+    """The rerank capstone: k rows per query with contiguous ranks, the
+    learned scorer genuinely reorders the cosine shortlist (the norm
+    features carry L2 signal the raw cosine lacks), and the whole
+    retrieve->train->rerank pipeline is deterministic across runs."""
+    from hadoop_2_7_1_spark.io import load_table
+    from hadoop_2_7_1_spark.operators.similarity import rerank_linear
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = rerank_linear(emb, "vec_id % 100 = 0", pool=10, k=3, n_iter=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert by_q and all(len(v) == 3 for v in by_q.values())
+    moved = 0
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == [1, 2, 3]
+        # ranked by score desc (vec_id ties)
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        if [r.vec_id for r in rows] != [
+            r.vec_id for r in sorted(rows, key=lambda x: (-x.cos, x.vec_id))
+        ]:
+            moved += 1
+    assert moved >= 1, "learned scorer never disagreed with raw cosine"
+    again = rerank_linear(emb, "vec_id % 100 = 0", pool=10, k=3, n_iter=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

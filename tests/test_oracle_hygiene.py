@@ -90,3 +90,64 @@ def test_graph_oracles_have_no_multi_ref_plain_ctes():
     bad = {n: r for n, r in
            ((n, _multi_ref_plain_ctes(sql)) for n, sql in oracles.items()) if r}
     assert not bad, f"re-execution-prone plain CTEs: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Size-derived knob parity (round 9): the pair-bill operators derive their
+# cluster/bucket knob from the corpus count on BOTH engines. These tests pin
+# (a) the validated operating points from the SCALE.md knob-rule experiment,
+# (b) exact Python <-> DuckDB agreement of the derivation over a size sweep,
+# (c) that the auto-knob oracles keep the knob CTE MATERIALIZED (it is
+#     referenced once per bucket expression — a plain CTE would re-execute).
+# ---------------------------------------------------------------------------
+
+
+def test_derived_knobs_reproduce_validated_operating_points():
+    # SCALE.md knob-rule table: k 8->40 and dims 6->8 for N 2000->10000 are
+    # the measured-linear points; N=500 is the sf0.01 driver-gate corpus
+    assert similarity.derive_k(500) == 2
+    assert similarity.derive_k(2000) == 8
+    assert similarity.derive_k(10000) == 40
+    assert similarity.derive_bucket_dims(500) == 4
+    assert similarity.derive_bucket_dims(2000) == 6
+    assert similarity.derive_bucket_dims(10000) == 8
+    # clamps: degenerate corpora never derive k=0/dims=0; dims cap at 16
+    assert similarity.derive_k(0) == 1
+    assert similarity.derive_k(1) == 1
+    assert similarity.derive_bucket_dims(1) == 1
+    assert similarity.derive_bucket_dims(10**9) == similarity.MAX_BUCKET_DIMS
+
+
+def test_knob_sql_matches_python_derivation():
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (1, 39, 40, 41, 249, 250, 251, 500, 1999, 2000, 2048, 10000, 123457):
+        k_sql, d_sql = con.sql(
+            f"SELECT {similarity._knob_k_sql()}, {similarity._knob_dims_sql()}"
+            f" FROM range({n})"
+        ).fetchone()
+        assert k_sql == similarity.derive_k(n), f"k mismatch at N={n}"
+        assert d_sql == similarity.derive_bucket_dims(n), f"dims mismatch at N={n}"
+
+
+def test_auto_knob_oracles_materialize_the_knob_cte():
+    for sql in (
+        similarity.oracle_semdedup("embeddings", k=None),
+        similarity.oracle_threshold_join("embeddings", bucket_dims=None),
+        similarity.oracle_knn_hubness("embeddings", bucket_dims=None),
+    ):
+        assert re.search(r"knob AS MATERIALIZED \(", sql), "knob CTE not materialized"
+        assert not _multi_ref_plain_ctes(sql), _multi_ref_plain_ctes(sql)
+
+
+def test_pinned_knob_oracles_are_unchanged_in_shape():
+    # explicit ints must keep the constant-unrolled form (no knob CTE), so
+    # replay-stable callers (sim_knn_join, ivf family) see identical SQL
+    for sql in (
+        similarity.oracle_semdedup("embeddings", k=8),
+        similarity.oracle_threshold_join("embeddings", bucket_dims=6),
+        similarity.oracle_knn_join("embeddings", "true", bucket_dims=6),
+    ):
+        assert "knob" not in sql
+        assert "generate_series(0, 6)" in sql or "LIMIT 8" in sql

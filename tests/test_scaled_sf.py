@@ -130,3 +130,80 @@ def test_event_window_unchanged_density_doubles(scaled):
     u0 = con.sql(f"select count(distinct user_id) from '{SRC}/events.parquet'").fetchone()[0]
     u1 = con.sql(f"select count(distinct user_id) from '{scaled}/events.parquet'").fetchone()[0]
     assert u1 == 2 * u0
+
+
+def test_cross_copy_device_keys_disjoint(scaled):
+    """The props '$.k' device identifier must move with its copy (ADVICE
+    r8): a verbatim-copied key stitches cross-copy users into one identity
+    component, growing component sizes with N and poisoning the
+    identity-stitch / connected-components scaling trend."""
+    con = duckdb.connect()
+    n_base = con.sql(
+        f"select count(*) from '{SRC}/events.parquet'"
+    ).fetchone()[0]
+    shared = con.sql(
+        f"""
+        with k as (
+          select event_id, cast(json_extract(props, '$.k') as bigint) as dev
+          from '{scaled}/events.parquet' where props is not null
+        )
+        select count(*) from k a join k b
+        on a.dev = b.dev and a.event_id < {n_base} and b.event_id >= {n_base}
+        """
+    ).fetchone()[0]
+    assert shared == 0, f"{shared} cross-copy (base, copy) device-key pairs"
+    # within-copy device structure unchanged: same distinct-count per copy
+    d0 = con.sql(
+        f"select count(distinct json_extract(props, '$.k'))"
+        f" from '{SRC}/events.parquet'"
+    ).fetchone()[0]
+    d1 = con.sql(
+        f"select count(distinct json_extract(props, '$.k'))"
+        f" from '{scaled}/events.parquet' where event_id >= {n_base}"
+    ).fetchone()[0]
+    assert d1 == d0
+
+
+def _write_bench(path, sf, queries, extras=None):
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(
+            {"metric": "m", "value": sum(queries.values()), "unit": "sec",
+             "sf": sf, "queries": queries, "extras": extras or {}},
+            fh,
+        )
+
+
+def test_scaling_guard_flags_superlinear_and_passes_linear(tmp_path):
+    """The standing scale gate (scripts/scaling_guard.py): linear growth
+    passes, superlinear (beyond sf_ratio * tolerance) fails, sub-floor and
+    self-scaled queries are exempt."""
+    import subprocess
+    import sys as _sys
+
+    lo = tmp_path / "lo.json"
+    hi = tmp_path / "hi.json"
+    _write_bench(lo, 0.1, {"good": 1.0, "tiny": 0.1, "bench_terasort_big": 5.0},
+                 {"bad": 2.0})
+    # sf x5: good x4.8 (linear), tiny x9 but below the 0.5s floor (exempt),
+    # terasort x9 but self-scaled (exempt), bad x8 -> must fail
+    _write_bench(hi, 0.5, {"good": 4.8, "tiny": 0.9, "bench_terasort_big": 45.0},
+                 {"bad": 16.0})
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "scripts", "scaling_guard.py"),
+         str(lo), str(hi)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "bad" in proc.stdout and "SUPERLINEAR" in proc.stdout
+    assert "tiny" not in proc.stdout and "terasort" not in proc.stdout
+
+    _write_bench(hi, 0.5, {"good": 4.8, "tiny": 0.9, "bench_terasort_big": 45.0},
+                 {"bad": 11.0})
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "scripts", "scaling_guard.py"),
+         str(lo), str(hi)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
