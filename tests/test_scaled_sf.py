@@ -207,3 +207,25 @@ def test_scaling_guard_flags_superlinear_and_passes_linear(tmp_path):
         capture_output=True, text=True,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_checked_in_bench_receipts_pass_the_scaling_guard():
+    """The round's committed two-point bench receipts must clear the
+    superlinear gate — this is what makes the guard STANDING: a future
+    round that regresses a query to superlinear cannot commit fresh
+    receipts without this test going red."""
+    import subprocess
+    import sys as _sys
+
+    lo = os.path.join(REPO, "BENCH_r9_sf01.json")
+    hi = os.path.join(REPO, "BENCH_r9_sf05.json")
+    assert os.path.exists(lo) and os.path.exists(hi), (
+        "round bench receipts missing — run bench.py at sf0.1 and "
+        ".scratch/sf0.5 per the freeze checklist"
+    )
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "scripts", "scaling_guard.py"),
+         lo, hi],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
