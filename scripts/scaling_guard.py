@@ -49,13 +49,19 @@ def load(path: str) -> tuple[float, dict[str, float]]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     tol = 1.2
-    if "--tolerance" in sys.argv:
-        tol = float(sys.argv[sys.argv.index("--tolerance") + 1])
-        args = [a for a in args if a != str(tol)]
-    sf_lo, lo = load(args[0])
-    sf_hi, hi = load(args[1])
+    if "--tolerance" in argv:
+        i = argv.index("--tolerance")
+        tol = float(argv[i + 1])
+        del argv[i : i + 2]
+    unknown = [a for a in argv if a.startswith("--")]
+    if unknown:
+        sys.exit(f"unknown flags: {unknown}")
+    if len(argv) != 2:
+        sys.exit("usage: scaling_guard.py LO.json HI.json [--tolerance X]")
+    sf_lo, lo = load(argv[0])
+    sf_hi, hi = load(argv[1])
     base_allowed = (sf_hi / sf_lo) * tol
     bad: list[str] = []
     n_checked = 0
