@@ -2065,9 +2065,72 @@ def knn_hubness(
     pair bill stays linear in N — see :func:`knn_join`), one keyed
     in-degree count, a left join back to the corpus so zero-degree vectors
     are counted, and a final histogram groupBy. All integer counts.
+
+    Self-join symmetry exploited (round 9): the Hamming-≤1 candidate
+    relation of a corpus-to-ITSELF kNN is symmetric, so instead of
+    :func:`knn_join`'s directed probe (every ordered pair scored), the
+    undirected pair set is mined once with the ``id_a < id_b`` filter
+    (each unordered pair meets exactly one probe — the
+    :func:`threshold_join` argument) and mirrored into both orientations
+    before the per-query top-k. Halves the join output and computes each
+    cosine ONCE instead of twice; the mirrored cos is bit-identical
+    (element-wise products and the norm product commute, the index-order
+    sum is unchanged), so the declared output — and the oracle — are
+    untouched. A/B at sf0.5: 28.45s -> see BASELINE.md round-9.
     Output: (k_occ, n_vectors).
     """
-    knn = knn_join(emb, emb, k=k, bucket_dims=bucket_dims, id_col=id_col, vec_col=vec_col)
+    if bucket_dims is None:
+        bucket_dims = derive_bucket_dims(emb.count())
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(NORM.format(a=vec_col)).alias("c_nrm"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    base = sign_bucket(vec_col, bucket_dims)
+    flips = [base]
+    for i in range(bucket_dims):
+        flips.append(
+            F.concat(
+                F.substring(base, 1, i),
+                F.when(F.substring(base, i + 1, 1) == "+", F.lit("-")).otherwise(
+                    F.lit("+")
+                ),
+                F.substring(base, i + 2, bucket_dims - i - 1),
+            )
+        )
+    q = emb.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("q_nrm"),
+        F.explode(F.array(*flips)).alias("bucket"),
+    )
+    dot = DOT.format(a="vec", b="q_vec")
+    # localCheckpoint: the frame feeds BOTH union orientations — without
+    # it each branch recomputes the bucket join (lineage duplication), the
+    # exact pattern the betweenness rework documented (persist() would pin
+    # the pre-AQE shuffle layout under the driver's plain session; eager
+    # checkpointing keeps AQE sizing)
+    undirected = (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") < F.col("vec_id"))
+        .withColumn("cos", F.expr(f"cast({dot} / (c_nrm * q_nrm) as double)"))
+        .select("q_id", "vec_id", "cos")
+        .localCheckpoint(eager=False)
+    )
+    knn_all = undirected.unionByName(
+        undirected.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("q_id").alias("vec_id"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    knn = (
+        knn_all.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id")
+    )
     indeg = knn.groupBy("vec_id").agg(F.count("*").cast("bigint").alias("k_occ"))
     allv = (
         emb.select(F.col(id_col).alias("vec_id"))
