@@ -233,7 +233,12 @@ def knn_join(
     corpus side (``dims = ceil(log2(ceil(N/40)))``, :func:`derive_bucket_dims`)
     so per-bucket size stays constant; a pinned dims makes the pair bill
     quadratic (measured ×24.8 at ×5 data, SCALE.md). Pass an explicit dims
-    to pin. A (q, c) pair can match at most one probe (c has exactly one
+    to pin. CONTRACT for ``bucket_dims=None``: ``emb_b`` must be the full
+    registered table — Spark derives dims from ``emb_b.count()`` while the
+    DuckDB oracle's auto mode derives from ``count(*)`` of the registered
+    table, and the two only agree on that population. A caller passing a
+    FILTERED candidate side must pass an explicit ``bucket_dims`` (and
+    unroll it in the oracle) or the engines silently derive different dims. A (q, c) pair can match at most one probe (c has exactly one
     bucket), so no dedup stage. Norms are precomputed ONCE per row on each
     side (the cosine then costs only the dot per candidate pair — same IEEE
     value, double multiply is commutative and the operand order is
@@ -2106,11 +2111,14 @@ def knn_hubness(
         F.explode(F.array(*flips)).alias("bucket"),
     )
     dot = DOT.format(a="vec", b="q_vec")
-    # localCheckpoint: the frame feeds BOTH union orientations — without
-    # it each branch recomputes the bucket join (lineage duplication), the
-    # exact pattern the betweenness rework documented (persist() would pin
-    # the pre-AQE shuffle layout under the driver's plain session; eager
-    # checkpointing keeps AQE sizing)
+    # LAZY localCheckpoint (eager=False): the frame feeds BOTH union
+    # orientations — without it each branch recomputes the bucket join
+    # (lineage duplication), the exact pattern the betweenness rework
+    # documented. Lazy is deliberate: the checkpoint materializes once when
+    # the final job first touches it (no extra eager job), and the
+    # checkpointed RDD is then shared by both orientations; persist() would
+    # instead pin the pre-AQE shuffle layout under the driver's plain
+    # session.
     undirected = (
         q.join(c, "bucket")
         .filter(F.col("q_id") < F.col("vec_id"))

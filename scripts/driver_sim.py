@@ -135,27 +135,34 @@ def main() -> None:
 
     def run_oracle(sql: str) -> pd.DataFrame:
         """Run an oracle with the optional watchdog: a timer thread calls
-        con.interrupt() after ORACLE_TIMEOUT seconds, which surfaces in the
-        blocked .sql() call as duckdb.InterruptException. The `done` event
-        closes the race where the timer fires between .df() completing and
-        timer.cancel() — a late interrupt would land on the shared
-        connection and abort the NEXT query's oracle, misreporting it as a
-        timeout."""
+        .interrupt() after ORACLE_TIMEOUT seconds, which surfaces in the
+        blocked .sql() call as duckdb.InterruptException. Each query runs on
+        its OWN cursor (a child connection sharing the catalog/views), so a
+        late interrupt — the timer firing between .df() completing and
+        timer.cancel() — lands on a cursor that is already closed and never
+        reused; it cannot abort the NEXT query's oracle. (The earlier
+        done-Event-on-the-shared-connection scheme only narrowed that race.)
+        """
         if not ORACLE_TIMEOUT:
             return con.sql(sql).df()
+        cur = con.cursor()
         done = threading.Event()
 
         def interrupt_if_running() -> None:
             if not done.is_set():
-                con.interrupt()
+                try:
+                    cur.interrupt()
+                except Exception:
+                    pass  # cursor already closed — the query completed
 
         timer = threading.Timer(ORACLE_TIMEOUT, interrupt_if_running)
         timer.start()
         try:
-            return con.sql(sql).df()
+            return cur.sql(sql).df()
         finally:
             done.set()
             timer.cancel()
+            cur.close()
 
     n_ok = n_bad = n_timeout = 0
     record = {}

@@ -53,33 +53,46 @@ FIXED_DIMS = {"region", "nation"}
 _PROPS_K = re.compile(r'"k":\s*(\d+)')
 
 
-def _offset_props(vals: list[str | None], off: int) -> pa.Array:
+def _offset_props(col: pa.ChunkedArray, off: int) -> pa.ChunkedArray:
     """Offset the device-like '$.k' identifier inside events.props for
     copies c>0. Without this, cross-copy users share device ids and the
     identity-stitch connected components grow with N instead of staying
     copy-local — distorting the workload-character preservation the
-    replication promises for the graph/identity trend."""
-    out = [
-        None
-        if v is None
-        else _PROPS_K.sub(lambda m: f'"k": {int(m.group(1)) + off}', v)
-        for v in vals
-    ]
-    return pa.array(out, type=pa.string())
+    replication promises for the graph/identity trend.
+
+    Memory bound: processed per Arrow chunk, never the whole column — the
+    regex substitution is Python-side (the replacement needs arithmetic on
+    the captured group, which no vectorized regexp_replace can express) but
+    driver memory stays O(chunk), not O(N)."""
+    chunks: list[pa.Array] = []
+    for chunk in col.chunks if isinstance(col, pa.ChunkedArray) else [col]:
+        out = [
+            None
+            if v is None
+            else _PROPS_K.sub(lambda m: f'"k": {int(m.group(1)) + off}', v)
+            for v in chunk.to_pylist()
+        ]
+        chunks.append(pa.array(out, type=pa.string()))
+    return pa.chunked_array(chunks, type=pa.string())
 
 
 def _props_stride(src: str) -> int:
-    """Per-copy stride for the props '$.k' key: max base value + 1."""
+    """Per-copy stride for the props '$.k' key: max base value + 1.
+
+    Computed in DuckDB (vectorized regexp_extract_all + max) so the stride
+    scan is O(1) driver memory at any N — same pattern/group semantics as
+    ``_PROPS_K``, which the per-copy offset pass still uses."""
     path = os.path.join(src, "events.parquet")
     if not os.path.exists(path):
         return 0
-    col = pq.read_table(path, columns=["props"])["props"].to_pylist()
-    mx = -1
-    for v in col:
-        if v:
-            for m in _PROPS_K.finditer(v):
-                mx = max(mx, int(m.group(1)))
-    return mx + 1
+    import duckdb
+
+    (mx,) = duckdb.sql(
+        "SELECT max(CAST(x AS BIGINT)) FROM ("
+        "  SELECT unnest(regexp_extract_all(props, '\"k\":\\s*(\\d+)', 1)) AS x"
+        f"  FROM read_parquet('{path}') WHERE props IS NOT NULL)"
+    ).fetchone()
+    return 0 if mx is None else int(mx) + 1
 
 
 def _tag_text(text: str, c: int) -> str:
@@ -134,7 +147,7 @@ def main() -> None:
                     # keys (upcast the base SF to int64 if it ever trips)
                     col = pc.add_checked(col, pa.scalar(off, type=col.type))
                 elif table == "events" and name == "props" and c > 0:
-                    col = _offset_props(col.to_pylist(), c * props_stride)
+                    col = _offset_props(col, c * props_stride)
                 elif table == "documents" and name == "text" and c > 0:
                     col = pa.array(
                         [_tag_text(v, c) for v in col.to_pylist()],
