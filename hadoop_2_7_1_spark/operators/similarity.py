@@ -1091,6 +1091,117 @@ def oracle_ann_recall(
     """
 
 
+def _ndcg_gain_literals(k: int) -> list[str]:
+    """DECIMAL(38,6) literals for the nDCG gain table g(r) = 1/log2(r+1),
+    r = 1..k, computed ONCE in Python and emitted verbatim to BOTH engines —
+    no ln()/log2 at query time, so there is zero libm or double→decimal
+    cast-semantics risk (the float-CONSTANTS discipline from the pagerank /
+    damping oracles, applied to a whole lookup table)."""
+    import math
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    out = []
+    for r in range(1, k + 1):
+        g = math.log(2.0) / math.log(float(r + 1))
+        out.append(
+            str(Decimal(repr(g)).quantize(Decimal("0.000001"), ROUND_HALF_EVEN))
+        )
+    return out
+
+
+def retrieval_quality(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bucket_dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Offline retrieval-quality eval: per-query recall@k and nDCG@k of the
+    production retriever (:func:`knn_join` — sign-bucket + Hamming-1
+    multi-probe, size-derived dims by default) against the exact cosine
+    top-k — the measurement a 100 TB pipeline gates retriever deploys on.
+
+    Relevance is binary (the exact top-k set); the ideal ranking places all
+    ``n_exact`` relevant docs at ranks 1..n_exact, so IDCG is the gain-table
+    prefix sum over the exact ranks. Gains are DECIMAL(38,6) constants from
+    :func:`_ndcg_gain_literals` (order-free exact sums; identical literals
+    in the oracle). Output: (q_id, n_exact, n_hit, recall, ndcg), one row
+    per query — recall = n_hit/n_exact, ndcg = DCG/IDCG with DCG summing
+    gains at the RETRIEVER's ranks of the hits. A query whose probes
+    surface nothing still reports (0 hits, 0.0, 0.0).
+
+    Scale shape: one brute-force scored pass over the corpus for the truth
+    side (bounded by the broadcast query count — run on a sampled query
+    set, exactly how production recall audits sample), plus the retriever's
+    own bucket equi-join bill; the metric joins are all query-set-scale.
+    Unlike :func:`ann_recall` (corpus-level single recall scalar of the
+    single-probe path), this is per-query and grades RANK quality, so a
+    retriever that finds the right docs in the wrong order still loses nDCG.
+    """
+    gains = _ndcg_gain_literals(k)
+    arr = "array(" + ", ".join(f"cast({g} as decimal(38,6))" for g in gains) + ")"
+    exact = cosine_topk(emb, queries, k, id_col, vec_col)
+    approx = knn_join(queries, emb, k, bucket_dims, id_col, vec_col)
+    gain = f"element_at({arr}, cast(rnk as int))"
+    base = exact.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum(F.expr(gain)).alias("idcg"),
+    )
+    hit = (
+        approx.join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hit"),
+            F.sum(F.expr(gain)).alias("dcg"),
+        )
+    )
+    return base.join(hit, "q_id", "left").select(
+        F.col("q_id").cast("bigint"),
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+        (
+            F.coalesce(F.col("dcg").cast("double"), F.lit(0.0))
+            / F.col("idcg").cast("double")
+        ).alias("ndcg"),
+    )
+
+
+def oracle_retrieval_quality(
+    table: str, query_filter: str, k: int = 10, bucket_dims: int | None = None
+) -> str:
+    truth = oracle_cosine_topk(table, query_filter, k)
+    approx = oracle_knn_join(table, query_filter, k, bucket_dims)
+    gains = _ndcg_gain_literals(k)
+    glist = "[" + ", ".join(f"CAST({g} AS DECIMAL(38,6))" for g in gains) + "]"
+    return f"""
+    WITH truth AS MATERIALIZED (SELECT q_id, vec_id, rnk FROM ({truth})),
+    approx AS (SELECT q_id, vec_id, rnk FROM ({approx})),
+    base AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+             sum({glist}[rnk]) AS idcg
+      FROM truth GROUP BY q_id
+    ),
+    hit AS (
+      SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hit,
+             sum({glist}[a.rnk]) AS dcg
+      FROM approx a JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+      GROUP BY a.q_id
+    )
+    SELECT CAST(b.q_id AS BIGINT) AS q_id, b.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE)
+             AS recall,
+           COALESCE(CAST(h.dcg AS DOUBLE), CAST(0 AS DOUBLE))
+             / CAST(b.idcg AS DOUBLE) AS ndcg
+    FROM base b LEFT JOIN hit h ON b.q_id = h.q_id
+    """
+
+
 def _sign_bucket_flipped(vec_col: str, dims: int, flip: int) -> F.Column:
     """Sign pattern with the sign test inverted at 1-based position
     ``flip`` (0 = no flip) — the Hamming-1 probe patterns."""

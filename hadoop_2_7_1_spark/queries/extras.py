@@ -215,6 +215,23 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_retrieval_quality",
+    similarity.oracle_retrieval_quality("embeddings", "vec_id % 25 = 0", k=10),
+    doc="offline retrieval-quality eval (r10 capstone): per-query recall@10 "
+        "and nDCG@10 of the production multi-probe retriever (knn_join, "
+        "size-derived bucket dims) against exact cosine top-10 — the "
+        "measurement a 100 TB pipeline gates retriever deploys on; nDCG "
+        "gains are Python-computed DECIMAL(38,6) literals shared verbatim "
+        "by both engines, so the sums are exact and order-free "
+        "(operators/similarity.py:retrieval_quality)",
+)
+def sim_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.retrieval_quality(emb, queries, k=10)
+
+
+@register(
     "sim_kmeans_recall_curve",
     similarity.oracle_kmeans_recall_curve(
         similarity.oracle_clustered_fixture("embeddings"),
@@ -6119,7 +6136,7 @@ def src_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..sources.pqstats import parquet_rowgroup_stats, write_fixture
+    from ..sources.pqstats import parquet_rowgroup_stats, write_fixture_distributed
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     root = f"/tmp/h271_rgstats_{os.path.basename(os.path.normpath(sf_dir))}"
@@ -6127,9 +6144,10 @@ def src_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, "h271_rgstats.parquet")
     # fixture WRITER is test scaffolding (single deterministic file, like
-    # clustered_fixture / gensort); the OPERATOR under audit is the
-    # distributed footer scan below
-    write_fixture(li.toPandas(), path, ["l_orderkey", "l_linenumber"], 8192)
+    # clustered_fixture / gensort) but still single-writer DISTRIBUTED —
+    # rows stream through one executor task's ParquetWriter, never the
+    # driver; the OPERATOR under audit is the distributed footer scan below
+    write_fixture_distributed(li, path, ["l_orderkey", "l_linenumber"], 8192)
     stats = parquet_rowgroup_stats(spark, [path], "l_orderkey")
     return stats.withColumn("can_skip", F.col("max_v") < F.lit(12000))
 

@@ -79,12 +79,72 @@ def write_fixture(
     """Deterministic parquet fixture: rows total-ordered by ``sort_cols``,
     row groups of EXACTLY ``row_group_size`` rows (pyarrow honors the row
     count exactly), so the footer stats are a pure function of the data —
-    replayable in SQL as floor(rank/row_group_size) group mins/maxes."""
+    replayable in SQL as floor(rank/row_group_size) group mins/maxes.
+
+    Driver-side (takes a pandas frame) — unit-test scale only; the
+    registered query uses :func:`write_fixture_distributed`."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     ordered = df_pandas.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     pq.write_table(pa.Table.from_pandas(ordered), path, row_group_size=row_group_size)
+
+
+def write_fixture_distributed(
+    df: DataFrame, path: str, sort_cols: list[str], row_group_size: int
+) -> int:
+    """Single-writer DISTRIBUTED fixture write (the copybook-encoder
+    pattern): the table is globally ordered into ONE partition and the
+    parquet file is written by THAT executor task through a streaming
+    ParquetWriter — row data never reaches the driver, and writer memory
+    is bounded by ~row_group_size rows + one Arrow batch (Spark's external
+    sorter spills the sort; Arrow batches stream into Python
+    incrementally). Same deterministic contract as :func:`write_fixture`:
+    total order by ``sort_cols`` (the callers' key sets are unique, so the
+    order is unambiguous), row groups of EXACTLY ``row_group_size`` rows.
+    Returns the row count written (the count IS the action that runs the
+    job). At cluster scale ``path`` must be shared storage; on local[N]
+    executor and driver share the filesystem."""
+    import pandas as pd
+
+    def write_one(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        writer = None
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+        written = 0
+
+        def flush(force: bool) -> None:
+            nonlocal writer, buf, buffered, written
+            while buffered >= row_group_size or (force and buffered > 0):
+                take = min(buffered, row_group_size)
+                pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                chunk, rest = pdf.iloc[:take], pdf.iloc[take:]
+                tbl = pa.Table.from_pandas(
+                    chunk.reset_index(drop=True), preserve_index=False
+                )
+                if writer is None:
+                    writer = pq.ParquetWriter(path, tbl.schema)
+                writer.write_table(tbl, row_group_size=row_group_size)
+                written += take
+                buf = [rest] if len(rest) else []
+                buffered -= take
+
+        for pdf in batches:
+            if len(pdf):
+                buf.append(pdf)
+                buffered += len(pdf)
+                flush(force=False)
+        flush(force=True)
+        if writer is not None:
+            writer.close()
+        yield pd.DataFrame({"rows_written": [written]})
+
+    ordered = df.repartition(1).sortWithinPartitions(*sort_cols)
+    out = ordered.mapInPandas(write_one, "rows_written bigint").collect()
+    return int(sum(r["rows_written"] for r in out))
 
 
 def oracle_rowgroup_stats(

@@ -460,6 +460,32 @@ def test_knn_join_multiprobe_recall(spark):
     assert recall_multi > 0
 
 
+def test_retrieval_quality_metrics(spark):
+    """recall/nDCG invariants: bounded in [0,1]; a retriever that returns
+    the EXACT top-k (bucket_dims=0 degenerates every probe to one global
+    bucket = brute force) must score recall=1 and ndcg=1 on every query;
+    the real bucketed retriever never exceeds it."""
+    from hadoop_2_7_1_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # dims=1: two buckets + 1 flip probe = candidate set IS the corpus,
+    # so the retriever ranking equals the exact ranking
+    perfect = similarity.retrieval_quality(
+        emb, queries, k=3, bucket_dims=1
+    ).collect()
+    assert perfect and all(r.recall == 1.0 and r.ndcg == 1.0 for r in perfect)
+    real = similarity.retrieval_quality(emb, queries, k=3, bucket_dims=6).collect()
+    assert {r.q_id for r in real} == {r.q_id for r in perfect}
+    for r in real:
+        assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.ndcg <= 1.0
+        assert r.n_hit <= r.n_exact == 3
+        # ndcg and recall must agree on emptiness and perfection
+        assert (r.ndcg == 0.0) == (r.n_hit == 0)
+        if r.ndcg == 1.0:
+            assert r.recall == 1.0
+
+
 # ---------------------------------------------------------------------------
 # CompositeInputFormat expression DSL (operators/compose.py)
 # ---------------------------------------------------------------------------

@@ -209,6 +209,32 @@ def test_scaling_guard_flags_superlinear_and_passes_linear(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
 
+def test_scaling_guard_three_point_slope(tmp_path):
+    """3+ bench points engage the fitted-slope layer, which binds exactly
+    where the pairwise rule is leakiest: a pair-bill query riding BOTH
+    generous quantized pair allowances (x9.8 of 9.9 allowed, x3.88 of 3.96)
+    compounds to a fitted slope ~1.55 > 1.45 and fails — honest
+    quantization wobble is bounded and cannot compound like that (measured
+    ~1.11 on a quantized-linear series). A plain linear-with-floor curve
+    fits ~0.73 and passes."""
+    import subprocess
+    import sys as _sys
+
+    p1, p2, p3 = (tmp_path / f"p{i}.json" for i in (1, 2, 3))
+    _write_bench(p1, 0.1, {"fine": 1.0}, {"sim_hubness": 1.0})
+    _write_bench(p2, 0.5, {"fine": 3.0}, {"sim_hubness": 9.8})
+    _write_bench(p3, 1.0, {"fine": 5.5}, {"sim_hubness": 38.0})
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "scripts", "scaling_guard.py"),
+         str(p1), str(p2), str(p3)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "sim_hubness" in proc.stdout and "slope" in proc.stdout
+    fine_lines = [l for l in proc.stdout.splitlines() if l.startswith("fine:")]
+    assert fine_lines and "SUPERLINEAR" not in fine_lines[0]
+
+
 def test_checked_in_bench_receipts_pass_the_scaling_guard():
     """The round's committed two-point bench receipts must clear the
     superlinear gate — this is what makes the guard STANDING: a future
