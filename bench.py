@@ -106,6 +106,10 @@ EXTRAS = [
     "grf_betweenness",
     "dd_tfidf_cosine",
     "sim_threshold_join",
+    # round-10: the retrieval-quality eval pays a brute-force truth pass
+    # (|queries| x |corpus| dots) on top of the bucketed retriever — the
+    # most deliberate "expensive audit" in the registry; trend it
+    "sim_retrieval_quality",
 ]
 
 
