@@ -106,6 +106,7 @@ AUDITED = [
     "sim_mmr",
     "sim_rrf",
     "sim_rerank_linear",
+    "sim_retrieval_quality",
     "sim_kcenter",
     "cur_contamination",
     "evt_power",

@@ -236,22 +236,26 @@ def test_scaling_guard_three_point_slope(tmp_path):
 
 
 def test_checked_in_bench_receipts_pass_the_scaling_guard():
-    """The round's committed two-point bench receipts must clear the
-    superlinear gate — this is what makes the guard STANDING: a future
-    round that regresses a query to superlinear cannot commit fresh
-    receipts without this test going red."""
+    """The round's committed bench receipts must clear the superlinear
+    gate — this is what makes the guard STANDING: a future round that
+    regresses a query to superlinear cannot commit fresh receipts without
+    this test going red. Three points since r10 (sf0.1 / sf0.5 / sf1.0),
+    which engages the fitted-slope layer."""
     import subprocess
     import sys as _sys
 
-    lo = os.path.join(REPO, "BENCH_r9_sf01.json")
-    hi = os.path.join(REPO, "BENCH_r9_sf05.json")
-    assert os.path.exists(lo) and os.path.exists(hi), (
-        "round bench receipts missing — run bench.py at sf0.1 and "
-        ".scratch/sf0.5 per the freeze checklist"
+    receipts = [
+        os.path.join(REPO, "BENCH_r10_sf01.json"),
+        os.path.join(REPO, "BENCH_r10_sf05.json"),
+        os.path.join(REPO, "BENCH_r10_sf10.json"),
+    ]
+    assert all(os.path.exists(p) for p in receipts), (
+        "round bench receipts missing — run bench.py at sf0.1, "
+        ".scratch/sf0.5 and .scratch/sf1.0 per the freeze checklist"
     )
     proc = subprocess.run(
         [_sys.executable, os.path.join(REPO, "scripts", "scaling_guard.py"),
-         lo, hi],
+         *receipts],
         capture_output=True, text=True,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
