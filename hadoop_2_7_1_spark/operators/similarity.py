@@ -1091,6 +1091,31 @@ def oracle_ann_recall(
     """
 
 
+#: Query budget for the retrieval-quality audit: the truth side costs one
+#: brute-force pass of |Q| x |corpus| dots, so |Q| must be a CONSTANT
+#: sample budget, not a corpus fraction — a fractional query set (e.g.
+#: vec_id % 25) makes the audit O(N^2/25) and the r10 bench measured it
+#: x9.2 at x5 data; with the derived stride it is O(budget * N), plain
+#: linear. This is how production recall audits actually run at 100 TB: a
+#: fixed panel of queries against the full corpus.
+RETRIEVAL_EVAL_QUERY_BUDGET = 80
+
+
+def derive_query_stride(
+    n_rows: int, budget: int = RETRIEVAL_EVAL_QUERY_BUDGET
+) -> int:
+    """Sampling stride for the eval query panel: ``ceil(N / budget)``, so
+    ``vec_id % stride = 0`` selects ~budget queries at every corpus size.
+    Pure integer arithmetic; the DuckDB oracle derives the identical
+    stride from ``count(*)`` (see :func:`_knob_stride_sql`)."""
+    return max(1, (int(n_rows) + budget - 1) // budget)
+
+
+def _knob_stride_sql(budget: int = RETRIEVAL_EVAL_QUERY_BUDGET) -> str:
+    """DuckDB aggregate-context scalar mirroring :func:`derive_query_stride`."""
+    return f"GREATEST(1, (count(*) + {budget - 1}) // {budget})"
+
+
 def _ndcg_gain_literals(k: int) -> list[str]:
     """DECIMAL(38,6) literals for the nDCG gain table g(r) = 1/log2(r+1),
     r = 1..k, computed ONCE in Python and emitted verbatim to BOTH engines —
@@ -1111,7 +1136,7 @@ def _ndcg_gain_literals(k: int) -> list[str]:
 
 def retrieval_quality(
     emb: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     k: int = 10,
     bucket_dims: int | None = None,
     id_col: str = "vec_id",
@@ -1132,13 +1157,22 @@ def retrieval_quality(
     surface nothing still reports (0 hits, 0.0, 0.0).
 
     Scale shape: one brute-force scored pass over the corpus for the truth
-    side (bounded by the broadcast query count — run on a sampled query
-    set, exactly how production recall audits sample), plus the retriever's
-    own bucket equi-join bill; the metric joins are all query-set-scale.
-    Unlike :func:`ann_recall` (corpus-level single recall scalar of the
-    single-probe path), this is per-query and grades RANK quality, so a
-    retriever that finds the right docs in the wrong order still loses nDCG.
+    side — |Q| x |corpus| dots, so |Q| MUST be a constant sample budget.
+    ``queries=None`` (the default, and the registered path) derives the
+    panel as ``vec_id % ceil(N/80) = 0`` (:func:`derive_query_stride`,
+    oracle-mirrored): ~80 queries at every corpus size, making the audit
+    O(80·N) — plain linear. Passing a fractional query set instead (e.g.
+    ``vec_id % 25``) makes it O(N²/25): the r10 bench measured exactly
+    that (×9.2 at ×5 data) before the budget became the default. The
+    retriever side is its own bucket equi-join bill; the metric joins are
+    all panel-scale. Unlike :func:`ann_recall` (corpus-level single recall
+    scalar of the single-probe path), this is per-query and grades RANK
+    quality, so a retriever that finds the right docs in the wrong order
+    still loses nDCG.
     """
+    if queries is None:
+        stride = derive_query_stride(emb.count())
+        queries = emb.filter(F.col(id_col) % stride == 0)
     gains = _ndcg_gain_literals(k)
     arr = "array(" + ", ".join(f"cast({g} as decimal(38,6))" for g in gains) + ")"
     exact = cosine_topk(emb, queries, k, id_col, vec_col)
@@ -1172,14 +1206,29 @@ def retrieval_quality(
 
 
 def oracle_retrieval_quality(
-    table: str, query_filter: str, k: int = 10, bucket_dims: int | None = None
+    table: str,
+    query_filter: str | None = None,
+    k: int = 10,
+    bucket_dims: int | None = None,
+    budget: int = RETRIEVAL_EVAL_QUERY_BUDGET,
 ) -> str:
+    """DuckDB twin of :func:`retrieval_quality`. ``query_filter=None`` (the
+    default) selects the size-derived fixed query panel — ``vec_id %
+    ceil(N/budget) = 0`` via a MATERIALIZED knob CTE, mirroring
+    :func:`derive_query_stride` exactly (integer-only arithmetic)."""
+    pre = ""
+    if query_filter is None:
+        pre = (
+            f"qknob AS MATERIALIZED (SELECT {_knob_stride_sql(budget)} AS s"
+            f" FROM {table}),\n    "
+        )
+        query_filter = "vec_id % (SELECT s FROM qknob) = 0"
     truth = oracle_cosine_topk(table, query_filter, k)
     approx = oracle_knn_join(table, query_filter, k, bucket_dims)
     gains = _ndcg_gain_literals(k)
     glist = "[" + ", ".join(f"CAST({g} AS DECIMAL(38,6))" for g in gains) + "]"
     return f"""
-    WITH truth AS MATERIALIZED (SELECT q_id, vec_id, rnk FROM ({truth})),
+    WITH {pre}truth AS MATERIALIZED (SELECT q_id, vec_id, rnk FROM ({truth})),
     approx AS (SELECT q_id, vec_id, rnk FROM ({approx})),
     base AS (
       SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,

@@ -216,19 +216,22 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_retrieval_quality",
-    similarity.oracle_retrieval_quality("embeddings", "vec_id % 25 = 0", k=10),
+    similarity.oracle_retrieval_quality("embeddings", k=10),
     doc="offline retrieval-quality eval (r10 capstone): per-query recall@10 "
         "and nDCG@10 of the production multi-probe retriever (knn_join, "
         "size-derived bucket dims) against exact cosine top-10 — the "
-        "measurement a 100 TB pipeline gates retriever deploys on; nDCG "
-        "gains are Python-computed DECIMAL(38,6) literals shared verbatim "
-        "by both engines, so the sums are exact and order-free "
+        "measurement a 100 TB pipeline gates retriever deploys on. The "
+        "query panel is a size-derived FIXED budget (~80 queries, stride "
+        "= ceil(N/80), oracle-mirrored knob CTE) so the brute-force truth "
+        "pass stays O(80*N) — a fractional panel would be O(N^2) and "
+        "measured x9.2 at x5 data; nDCG gains are Python-computed "
+        "DECIMAL(38,6) literals shared verbatim by both engines, so the "
+        "sums are exact and order-free "
         "(operators/similarity.py:retrieval_quality)",
 )
 def sim_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.retrieval_quality(emb, queries, k=10)
+    return similarity.retrieval_quality(emb, k=10)
 
 
 @register(

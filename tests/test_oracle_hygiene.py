@@ -131,6 +131,23 @@ def test_knob_sql_matches_python_derivation():
         assert d_sql == similarity.derive_bucket_dims(n), f"dims mismatch at N={n}"
 
 
+def test_query_stride_sql_matches_python_derivation():
+    # the retrieval-eval panel stride (r10): ceil(N/80), both engines —
+    # boundary Ns around multiples of the budget plus degenerate sizes
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (1, 79, 80, 81, 160, 500, 2000, 2001, 10000, 20000, 123457):
+        (s_sql,) = con.sql(
+            f"SELECT {similarity._knob_stride_sql()} FROM range({n})"
+        ).fetchone()
+        assert s_sql == similarity.derive_query_stride(n), f"stride at N={n}"
+    assert similarity.derive_query_stride(0) == 1
+    # the auto-stride oracle materializes its panel knob CTE
+    sql = similarity.oracle_retrieval_quality("embeddings", k=10)
+    assert re.search(r"qknob AS MATERIALIZED \(", sql)
+
+
 def test_auto_knob_oracles_materialize_the_knob_cte():
     for sql in (
         similarity.oracle_semdedup("embeddings", k=None),
