@@ -238,7 +238,7 @@ def sim_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_kmeans_recall_curve",
     similarity.oracle_kmeans_recall_curve(
         similarity.oracle_clustered_fixture("embeddings"),
-        "vec_id % 50 = 0",
+        "vec_id < 2000 AND vec_id % 25 = 0",
         k=5,
         nprobes=(1, 2, 4),
         n_clusters=8,
@@ -254,7 +254,11 @@ def sim_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_kmeans_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.clustered_fixture(load_table(spark, sf_dir, "embeddings"))
     cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # FIXED query panel (vec_id < 2000 is the base-copy id range at every
+    # scaled SF): a fractional panel (vec_id % 50) makes the recall audit
+    # O(N^2/50) — the r10 three-point bench measured x2.54 at x2 data
+    # before this became a constant 80-query panel (O(80*N), linear)
+    queries = emb.filter((F.col("vec_id") < 2000) & (F.col("vec_id") % 25 == 0))
     return similarity.kmeans_recall_curve(
         emb, queries, cents, k=5, nprobes=(1, 2, 4)
     )
