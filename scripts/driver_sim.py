@@ -236,6 +236,29 @@ def main() -> None:
         else:
             n_bad += 1
         print(f"  {name}: {verdict}  [{time.time()-t0:.1f}s]")
+        # incremental receipt (r10): a multi-hour big-SF run that dies
+        # (kernel OOM on the DuckDB oracle side at sf1.0 — allocator
+        # high-water across ~160 heavy oracles) must not lose its verified
+        # rows. Atomic tmp+rename so a kill mid-write can't truncate.
+        if OUT:
+            tmp = OUT + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "sf_dir": SF_DIR,
+                        "cpus": os.environ.get("SPARK_GRAFT_SIM_CPUS", "8"),
+                        "n_ok": n_ok,
+                        "n_bad": n_bad,
+                        "n_oracle_timeout": n_timeout,
+                        "oracle_timeout_sec": ORACLE_TIMEOUT,
+                        "skipped_substrings": SKIP,
+                        "partial": True,
+                        "queries": record,
+                    },
+                    fh,
+                    indent=1,
+                )
+            os.replace(tmp, OUT)
     print(
         f"\n{n_ok} ok, {n_bad} bad of {len(qs)}"
         + (f" ({n_timeout} oracle timeouts)" if n_timeout else "")
