@@ -110,6 +110,11 @@ EXTRAS = [
     # (|queries| x |corpus| dots) on top of the bucketed retriever — the
     # most deliberate "expensive audit" in the registry; trend it
     "sim_retrieval_quality",
+    # round-11: the SimHash serving path (O(N) popcounts + O(budget) dots
+    # per query, fixed panel) and its eval — the slope gate must see the
+    # recall fix stay linear as N grows
+    "sim_simhash_topk",
+    "sim_simhash_retrieval",
 ]
 
 

@@ -104,8 +104,19 @@ def write_fixture_distributed(
     order is unambiguous), row groups of EXACTLY ``row_group_size`` rows.
     Returns the row count written (the count IS the action that runs the
     job). At cluster scale ``path`` must be shared storage; on local[N]
-    executor and driver share the filesystem."""
+    executor and driver share the filesystem.
+
+    The Arrow schema is derived ONCE from the Spark schema on the driver
+    and pinned on every batch (ADVICE r10): per-chunk inference would let
+    a batch whose pandas dtypes drift (nulls flipping int64 to float64)
+    crash the writer with a schema mismatch, and a zero-row input must
+    still produce a footer-scannable empty file — the writer is created
+    and closed even when no batch arrives (parity with the driver-side
+    :func:`write_fixture`, which always writes the file)."""
     import pandas as pd
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.schema)
 
     def write_one(batches):
         import pyarrow as pa
@@ -123,10 +134,12 @@ def write_fixture_distributed(
                 pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
                 chunk, rest = pdf.iloc[:take], pdf.iloc[take:]
                 tbl = pa.Table.from_pandas(
-                    chunk.reset_index(drop=True), preserve_index=False
+                    chunk.reset_index(drop=True),
+                    schema=arrow_schema,
+                    preserve_index=False,
                 )
                 if writer is None:
-                    writer = pq.ParquetWriter(path, tbl.schema)
+                    writer = pq.ParquetWriter(path, arrow_schema)
                 writer.write_table(tbl, row_group_size=row_group_size)
                 written += take
                 buf = [rest] if len(rest) else []
@@ -138,12 +151,21 @@ def write_fixture_distributed(
                 buffered += len(pdf)
                 flush(force=False)
         flush(force=True)
-        if writer is not None:
-            writer.close()
+        if writer is None:
+            writer = pq.ParquetWriter(path, arrow_schema)  # zero-row input
+        writer.close()
         yield pd.DataFrame({"rows_written": [written]})
 
     ordered = df.repartition(1).sortWithinPartitions(*sort_cols)
     out = ordered.mapInPandas(write_one, "rows_written bigint").collect()
+    if not out:
+        # Catalyst can fold an empty input to an empty-relation plan whose
+        # task never runs write_one; the file must still exist for footer
+        # scans, so emit it here — schema-only, zero row data on the driver.
+        import pyarrow.parquet as pq
+
+        pq.ParquetWriter(path, arrow_schema).close()
+        return 0
     return int(sum(r["rows_written"] for r in out))
 
 

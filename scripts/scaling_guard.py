@@ -73,9 +73,14 @@ def load(path: str) -> tuple[float, dict[str, float]]:
 
 
 def fit_slope(sfs: list[float], ts: list[float]) -> float:
-    """OLS slope of ln(t) on ln(sf)."""
+    """OLS slope of ln(t) on ln(sf). Timings are clamped to 1 ms before the
+    log: only the lowest point is floor-gated by MIN_LO_SEC, so a 0.0 at a
+    higher point (a degenerate bench artifact) must degrade to a harmless
+    near-zero term, not crash the gate with a bare ValueError (ADVICE r10).
+    The clamp can only LOWER the fitted slope at a non-lowest point, and a
+    sub-millisecond timing there means the query is floor-bound anyway."""
     xs = [math.log(s) for s in sfs]
-    ys = [math.log(t) for t in ts]
+    ys = [math.log(max(t, 1e-3)) for t in ts]
     n = len(xs)
     mx, my = sum(xs) / n, sum(ys) / n
     sxx = sum((x - mx) * (x - mx) for x in xs)

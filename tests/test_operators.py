@@ -460,6 +460,65 @@ def test_knn_join_multiprobe_recall(spark):
     assert recall_multi > 0
 
 
+def test_simhash_topk_recall_beats_multiprobe(spark):
+    """The r11 serving path (full-width SimHash prefilter + exact re-rank,
+    auto budget) must clear the recall floor the bucket multi-probe path
+    misses — the VERDICT r10 #3 fix, unit-sized."""
+    from hadoop_2_7_1_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % similarity.derive_query_stride(n) == 0)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    sim = {
+        (r.q_id, r.vec_id)
+        for r in similarity.simhash_topk(emb, queries, k=10).collect()
+    }
+    multi = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_join(queries, emb, k=10).collect()
+    }
+    recall_sim = len(sim & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_sim >= 0.5, f"serving-path recall floor missed: {recall_sim}"
+    assert recall_sim > recall_multi
+
+
+def test_simhash_signature_matches_python_bit_packing(spark):
+    """SIG_HI/SIG_LO fold exact sign bits: verify against a pure-Python
+    packing of the same vectors (hi = dims 1..32 MSB-first, lo = 33..64),
+    including a short (<64-dim) vector whose missing tail packs as 0."""
+    from hadoop_2_7_1_spark.operators.similarity import SIG_HI, SIG_LO
+
+    vecs = [
+        [1.0] * 64,
+        [-1.0] * 64,
+        [(1.0 if i % 3 else -1.0) for i in range(64)],
+        [0.0, -0.5, 2.5],  # short vector: dims 4..64 absent -> 0 bits
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], ["embedding"])
+    got = df.select(
+        F.expr(SIG_HI.format(v="embedding")).alias("hi"),
+        F.expr(SIG_LO.format(v="embedding")).alias("lo"),
+    ).collect()
+
+    def pack(vec, lo_half):
+        base = 32 if lo_half else 0
+        acc = 0
+        for i in range(32):
+            acc = acc * 2 + (
+                1 if base + i < len(vec) and vec[base + i] >= 0 else 0
+            )
+        return acc
+
+    for row, v in zip(got, vecs):
+        assert row.hi == pack(v, False)
+        assert row.lo == pack(v, True)
+
+
 def test_retrieval_quality_metrics(spark):
     """recall/nDCG invariants: bounded in [0,1]; a retriever that returns
     the EXACT top-k (bucket_dims=0 degenerates every probe to one global
@@ -3420,6 +3479,41 @@ def test_parquet_rowgroup_stats_fixture(spark, tmp_path):
     assert rows[0].min_v == 0 and rows[0].max_v == 29
     assert rows[3].min_v == 90 and rows[3].max_v == 99
     assert all(r.null_count == 0 for r in rows)
+
+
+def test_write_fixture_distributed_pins_schema_and_handles_empty(spark, tmp_path):
+    """ADVICE r10: the distributed fixture writer must (a) pin one Arrow
+    schema from the Spark schema so a batch whose pandas dtypes drift
+    (nulls flipping int64 -> float64) cannot crash the writer, and (b)
+    produce a footer-readable EMPTY file for a zero-row input, like the
+    driver-side write_fixture always did."""
+    import pyarrow.parquet as pq
+
+    from hadoop_2_7_1_spark.sources.pqstats import write_fixture_distributed
+
+    # nullable bigint column: some batches will surface as float64 in pandas
+    df = spark.range(100).selectExpr(
+        "id AS k", "CASE WHEN id % 7 = 0 THEN NULL ELSE id END AS v"
+    )
+    path = str(tmp_path / "drift.parquet")
+    n = write_fixture_distributed(df, path, ["k"], row_group_size=30)
+    assert n == 100
+    f = pq.ParquetFile(path)
+    assert f.metadata.num_rows == 100
+    assert [f.metadata.row_group(i).num_rows for i in range(f.num_row_groups)] == [
+        30,
+        30,
+        30,
+        10,
+    ]
+    assert f.schema_arrow.field("v").type == "int64"  # pinned, not inferred
+
+    empty = df.filter("k < 0")
+    epath = str(tmp_path / "empty.parquet")
+    assert write_fixture_distributed(empty, epath, ["k"], row_group_size=30) == 0
+    ef = pq.ParquetFile(epath)
+    assert ef.metadata.num_rows == 0
+    assert [fld.name for fld in ef.schema_arrow] == ["k", "v"]
 
 
 def test_snap_compact_files_drop_and_time_travel(spark, tmp_path):

@@ -148,6 +148,97 @@ def test_query_stride_sql_matches_python_derivation():
     assert re.search(r"qknob AS MATERIALIZED \(", sql)
 
 
+def test_rerank_budget_sql_matches_python_derivation():
+    # the simhash serving path's exact-rerank budget (r11): max(100,
+    # ceil(N/50)) — must grow with the corpus or recall decays (measured:
+    # C=100 is 0.80 recall at N=500 but 0.35 at N=20000)
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (1, 99, 100, 4999, 5000, 5001, 10000, 20000, 123457):
+        (c_sql,) = con.sql(
+            f"SELECT {similarity._knob_budget_sql()} FROM range({n})"
+        ).fetchone()
+        assert c_sql == similarity.derive_rerank_budget(n), f"budget at N={n}"
+    assert similarity.derive_rerank_budget(0) == 100
+    assert similarity.derive_rerank_budget(500) == 100
+    assert similarity.derive_rerank_budget(10000) == 200
+    assert similarity.derive_rerank_budget(20000) == 400
+
+
+def test_simhash_oracle_knob_shapes():
+    # auto mode materializes BOTH knob CTEs (panel stride + rerank budget);
+    # pinned mode keeps the constant-unrolled form for replay-stable callers
+    auto = similarity.oracle_simhash_topk("embeddings", None, k=5)
+    assert re.search(r"qknob AS MATERIALIZED \(", auto)
+    assert re.search(r"bknob AS MATERIALIZED \(", auto)
+    pinned = similarity.oracle_simhash_topk(
+        "embeddings", "vec_id % 50 = 0", k=5, rerank_budget=100
+    )
+    assert "knob" not in pinned
+    assert "rn <= 100" in pinned
+    # the eval twin routes the retriever switch
+    ev = similarity.oracle_retrieval_quality("embeddings", k=10, retriever="simhash")
+    assert "bit_count" in ev and re.search(r"bknob AS MATERIALIZED \(", ev)
+
+
+def test_registered_auto_knob_call_sites_use_full_table():
+    """ADVICE r10 #4: the bucket_dims=None / rerank_budget=None population
+    contract (Spark derives the knob from the candidate side's count();
+    the oracle derives it from count(*) of the registered table — they
+    only agree when the candidate side IS the full table) is enforceable
+    only at the call sites. Walk every registered query module's AST: each
+    call to knn_join / simhash_topk / retrieval_quality must either pass
+    the knob explicitly or pass, as its knob-populating argument, a bare
+    name assigned straight from load_table(...) in the same function."""
+    import ast
+    import glob
+    import os
+
+    # function -> (knob kwarg, index of the knob-populating positional arg)
+    CONTRACTS = {
+        "knn_join": ("bucket_dims", 1),  # emb_b
+        "simhash_topk": ("rerank_budget", 0),  # emb
+        "retrieval_quality": (None, 0),  # emb must ALWAYS be the full table
+    }
+    qdir = os.path.join(os.path.dirname(__file__), "..", "hadoop_2_7_1_spark", "queries")
+    violations = []
+    for path in glob.glob(os.path.join(qdir, "*.py")):
+        tree = ast.parse(open(path).read())
+        for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+            loaded = {
+                t.id
+                for stmt in ast.walk(fn)
+                if isinstance(stmt, ast.Assign)
+                and isinstance(stmt.value, ast.Call)
+                and getattr(stmt.value.func, "id", getattr(stmt.value.func, "attr", ""))
+                == "load_table"
+                for t in stmt.targets
+                if isinstance(t, ast.Name)
+            }
+            for call in [n for n in ast.walk(fn) if isinstance(n, ast.Call)]:
+                name = getattr(call.func, "attr", getattr(call.func, "id", ""))
+                if name not in CONTRACTS:
+                    continue
+                knob, pos = CONTRACTS[name]
+                kwargs = {kw.arg for kw in call.keywords}
+                if knob is not None and knob in kwargs:
+                    continue  # explicit knob: contract satisfied
+                arg = None
+                if len(call.args) > pos:
+                    arg = call.args[pos]
+                else:
+                    for kw in call.keywords:
+                        if kw.arg in ("emb", "emb_b"):
+                            arg = kw.value
+                if not (isinstance(arg, ast.Name) and arg.id in loaded):
+                    violations.append(
+                        f"{os.path.basename(path)}:{call.lineno} {fn.name}: "
+                        f"{name} auto-knob on a non-load_table population"
+                    )
+    assert not violations, violations
+
+
 def test_auto_knob_oracles_materialize_the_knob_cte():
     for sql in (
         similarity.oracle_semdedup("embeddings", k=None),
