@@ -112,9 +112,12 @@ EXTRAS = [
     "sim_retrieval_quality",
     # round-11: the SimHash serving path (O(N) popcounts + O(budget) dots
     # per query, fixed panel) and its eval — the slope gate must see the
-    # recall fix stay linear as N grows
+    # recall fix stay linear as N grows — plus the incremental LSH
+    # admission (collision detection, no pair enumeration: the slope
+    # receipt proves the semi-join shape stays linear)
     "sim_simhash_topk",
     "sim_simhash_retrieval",
+    "dd_incremental_lsh",
 ]
 
 

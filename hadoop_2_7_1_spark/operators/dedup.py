@@ -92,6 +92,23 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*aggs)
 
 
+def band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, key) — one row per LSH band of each signature row: the
+    band key is the '_'-joined run of rows_per_band consecutive minhash
+    values. Shared by the pair-mining path (:func:`lsh_candidate_pairs`)
+    and the incremental collision-detection path (:func:`incremental_lsh`)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        hs = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *hs).alias("key")).alias(f"b{b}")
+        )
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -125,15 +142,7 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     if sig is None:
         sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        hs = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *hs).alias("key")).alias(f"b{b}")
-        )
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = band_keys(sig, num_hashes, bands)
     ok_buckets = (
         banded.groupBy("band", "key")
         .agg(F.count("*").alias("_n"))
@@ -844,6 +853,134 @@ def oracle_incremental_ingest(
            (NOT e.exact_dup AND n_known / CAST(n_chunks AS DOUBLE) < {max_known_frac})
              AS kept
     FROM known k JOIN exact e ON k.doc_id = e.doc_id
+    """
+
+
+def incremental_lsh(
+    delta: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH-grade NEAR-dup admission of an incoming shard against the corpus
+    — the continuously-ingesting companion to :func:`incremental_ingest`
+    (which is exact-hash/known-span only; VERDICT r10 growth item): a delta
+    doc is rejected when any of its MinHash band keys collides with the
+    corpus's banded index, or with a smaller-id doc in the same delta
+    (first-writer-wins within the shard).
+
+    Output per delta doc: (doc_id, n_bands, n_corpus_hits, delta_dup, kept)
+    with kept = n_corpus_hits = 0 AND NOT delta_dup.
+
+    Scale shape — strictly cheaper than the batch pair-mining path: the
+    corpus participates ONLY via its DISTINCT (band, key) index (in
+    production materialized once and appended per ingest, never recomputed
+    or re-shuffled against itself), and there is NO pair enumeration
+    anywhere — corpus collision is a semi-join-shaped left join against
+    the key index, intra-delta dedup is a bucket-min aggregation
+    (min(doc_id) per (band, key)), so a degenerate bucket costs one
+    aggregation row, not n²/2 pairs, and lsh_candidate_pairs' max_bucket
+    guard is unnecessary by construction. First-writer-wins is the
+    standard streaming-ingest discipline: each bucket's smallest delta id
+    is the potential keeper and every later colliding id drops, which is
+    deterministic and replayable in SQL without iteration (a
+    component-wise rep choice would need the connected-components loop —
+    that is the BATCH keep-list's job, :func:`dup_keep_list`).
+    """
+    d_banded = band_keys(
+        minhash_signatures(delta, id_col, text_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    )
+    c_keys = (
+        band_keys(
+            minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n),
+            num_hashes,
+            bands,
+        )
+        .select("band", "key")
+        .distinct()
+    )
+    d_min = d_banded.groupBy("band", "key").agg(F.min("id").alias("min_id"))
+    j = d_banded.join(
+        c_keys.withColumn("__hit", F.lit(True)), ["band", "key"], "left"
+    ).join(d_min, ["band", "key"])
+    agg = j.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_bands"),
+        F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("bigint").alias("n_corpus_hits"),
+        F.max(F.when(F.col("min_id") < F.col("id"), 1).otherwise(0)).alias("_sm"),
+    )
+    return agg.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "n_bands",
+        "n_corpus_hits",
+        (F.col("_sm") == 1).alias("delta_dup"),
+        ((F.col("n_corpus_hits") == 0) & (F.col("_sm") == 0)).alias("kept"),
+    )
+
+
+def oracle_incremental_lsh(
+    delta_sql: str,
+    corpus_sql: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`incremental_lsh` — same salted double-hash
+    signatures and band keys as :func:`oracle_lsh_candidate_pairs`, but
+    collision DETECTION (left join vs the distinct corpus key index +
+    bucket-min within the delta), never pair enumeration."""
+    from ..functions import oracle_word_shingles
+
+    shingles = oracle_word_shingles("text", shingle_n)
+    p = 2147483647
+    mins = ", ".join(
+        f"min(({oracle_hash32('shingle')} + {k} * {oracle_hash32('shingle', salt='s')}) % {p}) AS h{k}"
+        for k in range(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+
+    def banded(src_sig: str) -> str:
+        selects = []
+        for b in range(bands):
+            hs = " || '_' || ".join(
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            )
+            selects.append(f"SELECT id, {b} AS band, {hs} AS key FROM {src_sig}")
+        return " UNION ALL ".join(selects)
+
+    return f"""
+    WITH delta AS ({delta_sql}), corpus AS ({corpus_sql}),
+    d_sh AS MATERIALIZED (
+      SELECT doc_id AS id, unnest({shingles}) AS shingle FROM delta
+    ), d_sig AS MATERIALIZED (
+      SELECT id, {mins} FROM d_sh GROUP BY id
+    ), d_banded AS MATERIALIZED ({banded("d_sig")}),
+    c_sh AS MATERIALIZED (
+      SELECT doc_id AS id, unnest({shingles}) AS shingle FROM corpus
+    ), c_sig AS MATERIALIZED (
+      SELECT id, {mins} FROM c_sh GROUP BY id
+    ), c_keys AS MATERIALIZED (
+      SELECT DISTINCT band, key FROM ({banded("c_sig")})
+    ), d_min AS MATERIALIZED (
+      SELECT band, key, min(id) AS min_id FROM d_banded GROUP BY band, key
+    ), j AS (
+      SELECT b.id, (ck.band IS NOT NULL) AS hit, (dm.min_id < b.id) AS smaller
+      FROM d_banded b
+      LEFT JOIN c_keys ck ON b.band = ck.band AND b.key = ck.key
+      JOIN d_min dm ON b.band = dm.band AND b.key = dm.key
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bands,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_hits,
+           bool_or(smaller) AS delta_dup,
+           (sum(CASE WHEN hit THEN 1 ELSE 0 END) = 0 AND NOT bool_or(smaller))
+             AS kept
+    FROM j GROUP BY id
     """
 
 

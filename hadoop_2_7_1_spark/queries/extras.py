@@ -2747,6 +2747,27 @@ def dd_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_ingest(delta, corpus)
 
 
+@register(
+    "dd_incremental_lsh",
+    dedup.oracle_incremental_lsh(
+        "SELECT * FROM documents WHERE doc_id % 5 = 0",
+        "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+    ),
+    doc="daily-ingest NEAR-dup admission (r11 growth): the delta shard is "
+        "screened against the corpus's banded MinHash-LSH index (distinct "
+        "(band,key) only — appendable in production, corpus never "
+        "re-shuffles) plus first-writer-wins within the shard via "
+        "bucket-min; collision DETECTION, so no pair enumeration and no "
+        "max_bucket cap needed — the LSH-grade companion to the exact-hash "
+        "dd_incremental_ingest (operators/dedup.py:incremental_lsh)",
+)
+def dd_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_lsh(delta, corpus)
+
+
 _PR_EDGES_SQL = """
       SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
              'p' || CAST(l_partkey AS VARCHAR) AS dst

@@ -12,7 +12,10 @@ be intractable at the chosen SF;
 con.interrupt(); the query is recorded as a TIMEOUT (counted separately
 from ok/bad — the Spark side still ran, only the oracle was cut short);
 --out FILE writes a machine-readable SIMCHECK_r{N}.json-style artifact,
-same shape as the driver's CORRECTNESS files, one entry per query run)
+same shape as the driver's CORRECTNESS files, one entry per query run;
+--chunk i/n runs the deterministic 1-based i-th of n registry splits
+(index % n == i-1) — for big-SF full sims where the DuckDB-oracle
+allocator high-water demands a fresh process per chunk)
 """
 
 from __future__ import annotations
@@ -49,6 +52,17 @@ ORACLE_TIMEOUT = None
 if "--oracle-timeout" in ONLY:
     i = ONLY.index("--oracle-timeout")
     ORACLE_TIMEOUT = float(ONLY[i + 1])
+    del ONLY[i : i + 2]
+# --chunk i/n: deterministic registry split for per-process runs (big-SF
+# full sims: a single process accumulates DuckDB-oracle allocator high-water
+# across ~160 heavy oracles and the harness OOMs — r10's sf1.0 lesson; fresh
+# process per chunk resets it). Queries are taken in registry order with
+# index % n == i-1, so the union of chunks 1..n is exactly the registry.
+CHUNK = None
+if "--chunk" in ONLY:
+    i = ONLY.index("--chunk")
+    ci, cn = ONLY[i + 1].split("/")
+    CHUNK = (int(ci) - 1, int(cn))
     del ONLY[i : i + 2]
 unknown = [a for a in ONLY if a.startswith("--")]
 if unknown:
@@ -132,6 +146,9 @@ def main() -> None:
         qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
     if SKIP:
         qs = {n: f for n, f in qs.items() if not any(s in n for s in SKIP)}
+    if CHUNK:
+        ci, cn = CHUNK
+        qs = {n: f for i, (n, f) in enumerate(qs.items()) if i % cn == ci}
 
     def run_oracle(sql: str) -> pd.DataFrame:
         """Run an oracle with the optional watchdog: a timer thread calls

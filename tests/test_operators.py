@@ -910,6 +910,32 @@ def test_incremental_ingest_semantics(spark):
     assert rows[3].n_known == 0 and rows[3].kept
 
 
+def test_incremental_lsh_semantics(spark):
+    """Near-dup admission: an identical-text delta doc must collide with
+    the corpus index on EVERY band; two identical delta docs resolve by
+    first-writer-wins (smaller id kept); fresh text passes clean."""
+    from hadoop_2_7_1_spark.operators.dedup import incremental_lsh
+
+    base = " ".join(f"w{i}" for i in range(30))
+    fresh_a = " ".join(f"y{i}" for i in range(30))
+    fresh_b = " ".join(f"z{i}" for i in range(30))
+    corpus = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    delta = spark.createDataFrame(
+        [
+            (1, base),      # identical to corpus doc -> every band collides
+            (2, fresh_a),   # fresh, but duplicated by 3
+            (3, fresh_a),   # intra-delta dup of 2 -> dropped, 2 kept
+            (4, fresh_b),   # fresh and unique -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in incremental_lsh(delta, corpus).collect()}
+    assert rows[1].n_corpus_hits == rows[1].n_bands and not rows[1].kept
+    assert rows[2].n_corpus_hits == 0 and not rows[2].delta_dup and rows[2].kept
+    assert rows[3].delta_dup and not rows[3].kept
+    assert rows[4].n_corpus_hits == 0 and not rows[4].delta_dup and rows[4].kept
+
+
 def test_pagerank_invariants(spark):
     from hadoop_2_7_1_spark.operators.graph import pagerank
 
