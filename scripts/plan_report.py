@@ -107,6 +107,9 @@ AUDITED = [
     "sim_rrf",
     "sim_rerank_linear",
     "sim_retrieval_quality",
+    "sim_simhash_topk",
+    "sim_simhash_retrieval",
+    "dd_incremental_lsh",
     "sim_kcenter",
     "cur_contamination",
     "evt_power",
