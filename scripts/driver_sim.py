@@ -195,15 +195,18 @@ def main() -> None:
     if RESUME and OUT and os.path.exists(OUT):
         prior = json.load(open(OUT)).get("queries", {})
         for pname, prow in prior.items():
-            if pname not in qs:
-                continue
+            # Keep EVERY green prior row, whether or not the current filters
+            # select it — a scoped re-run of one red row (name substring +
+            # --resume) then heals the receipt in place instead of shrinking
+            # it to the scoped subset. Red/timeout rows are dropped and
+            # re-run only if the current filters select them.
             green = prow.get("hash_match") is True or (
                 prow.get("oracle") is False and prow.get("err") is None
             )
             if green:
                 record[pname] = prow
                 n_ok += 1
-                del qs[pname]
+                qs.pop(pname, None)
         print(f"resume: kept {n_ok} green rows from {OUT}, {len(qs)} to run")
     for name, fn in sorted(qs.items()):
         # Drop any persisted frames the PREVIOUS query left behind — at the
