@@ -145,6 +145,16 @@ def main() -> None:
         print(f"entry(): {len(rows)} rows, schema={[f.name for f in head.schema.fields]}, {time.time()-t0:.1f}s")
 
     con = duckdb.connect()
+    # Big-SF runs: DuckDB's default memory_limit is 80% of RAM with no
+    # spill, and its allocator high-water accumulates across heavy oracles —
+    # at sf1.0 one process reached 110 GB anon RSS and drew the kernel
+    # OOM-killer (r11). SPARK_GRAFT_ORACLE_MEM (e.g. "48GB") caps the
+    # oracle and routes overflow to a temp spill dir instead of RAM.
+    omem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
+    if omem:
+        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+        con.execute(f"SET memory_limit='{omem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
