@@ -142,11 +142,33 @@ def q05_wordstddev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q06_secondary_sort",
+    # Two-level form instead of list_sort(list(..)) + struct-max: DuckDB's
+    # memory accounting does not bound that path (126 GB RSS at sf1.0 under
+    # a 40 GB memory_limit — kernel-OOM'd both the r10 and r11 full-sim
+    # harnesses), while string_agg ORDER BY + the smax/lastq join runs the
+    # same 6M rows in 5 s at 0.4 GB. Proven bit-identical to the old oracle
+    # at sf0.001/0.01/0.1/0.5 before the swap. Semantics unchanged: lines =
+    # group's linenumbers ascending; last_qty = max quantity among the rows
+    # holding the group's max linenumber ((s, q) lexicographic max — the
+    # deterministic-under-duplicate-(okey, line) rule the Spark side uses).
     """
-    SELECT CAST(l_orderkey AS BIGINT) AS okey,
-           array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
-           CAST((max({'s': l_linenumber, 'q': l_quantity})).q AS DOUBLE) AS last_qty
-    FROM lineitem GROUP BY l_orderkey
+    WITH lines_agg AS (
+        SELECT l_orderkey,
+               string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    smax AS (
+        SELECT l_orderkey, max(l_linenumber) AS s
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    lastq AS (
+        SELECT l.l_orderkey, CAST(max(l.l_quantity) AS DOUBLE) AS last_qty
+        FROM lineitem l JOIN smax m
+          ON l.l_orderkey = m.l_orderkey AND l.l_linenumber = m.s
+        GROUP BY l.l_orderkey
+    )
+    SELECT CAST(a.l_orderkey AS BIGINT) AS okey, a.lines, q.last_qty
+    FROM lines_agg a JOIN lastq q ON a.l_orderkey = q.l_orderkey
     """,
     doc="group by k1, values ordered by k2 within group (SecondarySort.java:103)",
 )
