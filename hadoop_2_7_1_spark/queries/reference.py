@@ -799,6 +799,75 @@ def bench_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _terasort_validate(spark, TERA_N)
 
 
+def _tera_validate_partition(batches):
+    """Per-partition TeraValidate pass (runs inside mapInArrow, one call per
+    sorted partition): stream the partition's Arrow batches once, counting
+    records and adjacent-pair misorders, XOR-folding the JVM-computed
+    per-record checksum, and keeping the first/last record for the driver's
+    boundary merge. All per-row work is vectorized numpy over the Arrow
+    buffers — records are fixed-width (10-char key + 32-char payload), so
+    the string column's data buffer is viewed as one S42 array and the
+    adjacent comparison is a single vectorized ``arr[1:] < arr[:-1]``
+    (byte-wise unsigned, identical to Spark's UTF8String ordering on this
+    ASCII data). Emits ONE summary row per non-empty partition."""
+    import numpy as np
+    import pyarrow as pa
+
+    n_rec = 0
+    n_mis = 0
+    xsum = np.int64(0)
+    first = None
+    last = None
+    pid = None
+    for batch in batches:
+        m = batch.num_rows
+        if m == 0:
+            continue
+        rec = batch.column(0)
+        # concat(key, payload) of non-null cols — nulls are impossible; a
+        # null here means the input contract broke, so fail loudly.
+        assert rec.null_count == 0, "terasort record column has nulls"
+        odt = (
+            np.int64
+            if pa.types.is_large_string(rec.type) or pa.types.is_large_binary(rec.type)
+            else np.int32
+        )
+        offs = np.frombuffer(
+            rec.buffers()[1],
+            dtype=odt,
+            count=m + 1,
+            offset=rec.offset * np.dtype(odt).itemsize,
+        )
+        width = int(offs[1] - offs[0])
+        assert int(offs[m] - offs[0]) == m * width, "variable-width record"
+        arr = np.frombuffer(
+            rec.buffers()[2], dtype=f"S{width}", count=m, offset=int(offs[0])
+        )
+        chk = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        if pid is None:
+            pid = batch.column(2)[0].as_py()
+        if last is not None and last > arr[0]:
+            n_mis += 1
+        if m > 1:
+            n_mis += int(np.count_nonzero(arr[1:] < arr[:-1]))
+        n_rec += m
+        xsum ^= np.bitwise_xor.reduce(chk)
+        if first is None:
+            first = arr[0]
+        last = arr[m - 1]
+    if n_rec:
+        yield pa.record_batch(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "n_records": pa.array([n_rec], pa.int64()),
+                "n_misorder": pa.array([n_mis], pa.int64()),
+                "first_rec": pa.array([first.decode()], pa.string()),
+                "last_rec": pa.array([last.decode()], pa.string()),
+                "part_checksum": pa.array([int(xsum)], pa.int64()),
+            }
+        )
+
+
 def _terasort_validate(spark: SparkSession, n: int) -> DataFrame:
     gen = _teragen(spark, n)
     # orderBy = sample -> repartitionByRange -> sortWithinPartitions, the
@@ -807,32 +876,28 @@ def _terasort_validate(spark: SparkSession, n: int) -> DataFrame:
     # Validation mirrors TeraValidate.java:63-140: each map task order-checks
     # ONE sorted partition and emits its first/last record; a tiny reduce
     # compares boundaries of adjacent partitions. No stage ever pulls the
-    # full dataset through one task. The physical row order is captured
-    # before any further exchange via partition index + per-partition
-    # monotonic id (partition indices of a range exchange follow range order).
+    # full dataset through one task.
+    #
+    # r11 optimization (guide §2.4/§4.2): the order check used to run as a
+    # window PARTITIONED BY spark_partition_id(), which re-exchanged and
+    # re-sorted the full just-sorted dataset (RangePartitioning does not
+    # satisfy the window's hash clustering, so Catalyst inserted a second
+    # full shuffle — measured +4.4s of 17.6s at the 10M bench point). The
+    # check is now a NARROW mapInArrow pass over the sorted partitions —
+    # the literal TeraValidate.java shape — with the per-record checksum
+    # still computed by the JVM md5/conv expressions so the fold is
+    # bit-identical. Output values are unchanged (oracle SQL untouched).
     rows = sorted_df.select(
-        "key",
-        "payload",
-        F.spark_partition_id().alias("pid"),
-        F.monotonically_increasing_id().alias("pos"),
-    )
-    w = Window.partitionBy("pid").orderBy("pos")
-    rec = F.struct("key", "payload")
-    flagged = rows.select(
-        "pid", "pos", "key", "payload", F.lag(rec).over(w).alias("prev")
-    )
-    per_part = flagged.groupBy("pid").agg(
-        F.count("*").cast("bigint").alias("n_records"),
-        F.sum(
-            F.when(F.col("prev").isNotNull() & (F.col("prev") > rec), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_misorder"),
-        F.min_by(rec, F.col("pos")).alias("first_rec"),
-        F.max_by(rec, F.col("pos")).alias("last_rec"),
+        F.concat("key", "payload").alias("rec"),
         F.expr(
-            "bit_xor(cast(conv(substring(md5(concat(key, payload)), 1, 15), 16, 10) as bigint))"
-        ).alias("part_checksum"),
+            "cast(conv(substring(md5(concat(key, payload)), 1, 15), 16, 10) as bigint)"
+        ).alias("chk"),
+        F.spark_partition_id().alias("pid"),
+    )
+    per_part = rows.mapInArrow(
+        _tera_validate_partition,
+        "pid int, n_records long, n_misorder long, "
+        "first_rec string, last_rec string, part_checksum long",
     )
     # Boundary check over one row per partition — metadata-sized at any data
     # scale, so the ordered (single-partition) window here is safe.

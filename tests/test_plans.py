@@ -76,16 +76,23 @@ def test_wordcount_stays_in_codegen(spark):
 
 
 def test_terasort_validate_no_global_window_over_data(spark):
-    import re
-
     plan = plan_of(spark, "bench_terasort_validate")
-    # the full-data order check runs in a window PARTITIONED by pid
-    assert re.search(r"windowspecdefinition\(pid#\d+, pos#\d+L ASC", plan), plan
+    # r11: the full-data order check is a NARROW Arrow pass over the sorted
+    # partitions (TeraValidate.java's one-map-task-per-partition shape) —
+    # exactly ONE full-data exchange may exist (the range sort itself); the
+    # old window-by-spark_partition_id() re-shuffle is gone.
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+    assert "windowspecdefinition(pid" not in plan, plan
+    n_range = plan.count("Exchange rangepartitioning")
+    assert n_range == 1, f"expected exactly 1 range exchange, plan:\n{plan}"
+    # no OTHER keyed full-data exchange: everything downstream of the Arrow
+    # pass is per-partition summaries (hash/single-partition over ~P rows)
+    assert "Exchange hashpartitioning(pid" not in plan, plan
     # any single-partition exchange may only carry per-partition summaries
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
-            assert "Aggregate" in lines[i + 1], plan
+            assert "Aggregate" in lines[i + 1] or "Window" in lines[i + 1], plan
 
 
 def test_bucketed_join_has_no_shuffle_on_join_key(spark):
