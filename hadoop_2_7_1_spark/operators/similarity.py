@@ -923,17 +923,93 @@ def pq_fit(
 
     Returns m codebooks of k centroids of dim/m doubles. Each subspace fit
     has the kmeans_fit scale shape (assignment map-only, means a k*(dim/m)
-    cell aggregate); the m fits share nothing, so a production run launches
-    them as m concurrent tiny jobs over the same cached sample. Codebook
-    bytes collected to the driver: m*k*(dim/m) = k*dim doubles — constant.
+    cell aggregate). Codebook bytes collected to the driver:
+    m*k*(dim/m) = k*dim doubles — constant.
+
+    r11 optimization (guide §1.2 "the distributed algorithm" / §2.6): the m
+    subspace fits used to run as m SEQUENTIAL kmeans_fit calls — m persists,
+    m seed collects and m*n_iter driver-synchronous mean jobs over the same
+    corpus. The Lloyd recurrences share nothing across subspaces but their
+    INPUT passes are identical, so one joint loop now drives all m
+    subspaces: one cached slice projection, one seed collect (the k
+    lowest-id gated rows are the same rows for every subspace — the gate is
+    on the id), and per iteration ONE assignment + per-dimension-mean pass
+    whose explode tags each value with its subspace (total exploded rows
+    N*dim, exactly what the m separate fits exploded in aggregate). Every
+    per-cell mean is the same scaled-bigint fold over the same multiset, so
+    the codebooks are bit-identical to the sequential fit (pinned by
+    tests/test_similarity_ops.py::test_pq_fit_joint_matches_sequential).
     """
+    from . import fan_out
+    from ..functions import hex_hash32
+
     sub = dim // m
-    books = []
-    for s in range(m):
-        sliced = emb.select(
-            F.col(id_col).alias("vec_id"), F.slice(F.col(vec_col), s * sub + 1, sub).alias("sub")
+    slice_cols = [
+        F.slice(F.col(vec_col), s * sub + 1, sub).alias(f"_s{s}") for s in range(m)
+    ]
+    base = fan_out(emb).select(F.col(id_col).alias("vec_id"), *slice_cols).persist()
+    cand = base.filter(hex_hash32(F.col("vec_id")) % 16 == 0)
+    # degenerate-corpus guard, once for all subspaces (gate is id-only)
+    enough = len(cand.select("vec_id").take(k)) >= k
+    src = cand if enough else base
+    seed_rows = (
+        src.orderBy("vec_id").limit(k).select(*[f"_s{s}" for s in range(m)]).collect()
+    )
+    books = [[[float(x) for x in row[s]] for row in seed_rows] for s in range(m)]
+    for _ in range(n_iter):
+        assign_cols = []
+        for s in range(m):
+            d = _dists_expr(f"_s{s}", _centroids_sql(books[s]))
+            assign_cols.append(
+                F.expr(
+                    f"cast(array_position({d}, array_min({d})) - 1 as int)"
+                ).alias(f"_c{s}")
+            )
+        assigned = base.select(
+            *[F.col(f"_s{s}") for s in range(m)], *assign_cols
         )
-        books.append(kmeans_fit(sliced, k=k, n_iter=n_iter, id_col="vec_id", vec_col="sub"))
+        quads = assigned.select(
+            F.explode(
+                F.flatten(
+                    F.array(
+                        *[
+                            F.expr(
+                                f"transform(_s{s}, (v, i) -> struct("
+                                f"{s} as s, _c{s} as cluster, i as pos, "
+                                f"cast(v as double) as val))"
+                            )
+                            for s in range(m)
+                        ]
+                    )
+                )
+            ).alias("q")
+        ).select("q.s", "q.cluster", "q.pos", "q.val")
+        rows = (
+            quads.groupBy("s", "cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("val") * F.lit(1e9)).cast("bigint")).cast(
+                        "double"
+                    )
+                    / F.count("*")
+                    / F.lit(1e9)
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cell: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault((r.s, r.cluster), {})[r.pos] = r.m
+        books = [
+            [
+                [by_cell[(s, c)][i] for i in range(sub)]
+                if (s, c) in by_cell
+                else books[s][c]
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    base.unpersist()
     return books
 
 

@@ -4223,9 +4223,17 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compression multiply",
 )
 def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
-    books = similarity.pq_fit(emb, m=4, k=8, n_iter=2, dim=64)
+    # The coarse and PQ trainings are independent driver-synchronous Lloyd
+    # loops; overlap them so one loop's job tail back-fills the other's
+    # idle executors (guide §2.6). Each fit is deterministic on its own, so
+    # the trained model — and the declared output — is unchanged.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(similarity.kmeans_fit, emb, 8, 2)
+        f_books = pool.submit(similarity.pq_fit, emb, 4, 8, 2, dim=64)
+        cents, books = f_cents.result(), f_books.result()
     qs = emb.filter(F.col("vec_id") < 3)
     return similarity.ivf_pq_topk(emb, qs, cents, books, k=3, nprobe=2)
 

@@ -2366,6 +2366,33 @@ def test_pq_rerank_exact_order(spark):
     assert all(r.id_vec != 0 for r in rows)
 
 
+def test_pq_fit_joint_matches_sequential(spark):
+    """r11: pq_fit trains all m subspaces in ONE joint Lloyd loop; the
+    codebooks must stay bit-identical to m independent kmeans_fit calls on
+    the sliced columns (the pre-r11 formulation, which the oracles replay
+    subspace by subspace)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_2_7_1_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    m, k, n_iter, dim = 4, 3, 2, 8
+    sub = dim // m
+    sequential = []
+    for s in range(m):
+        sliced = emb.select(
+            F.col("vec_id"), F.slice(F.col("embedding"), s * sub + 1, sub).alias("sub")
+        )
+        sequential.append(
+            similarity.kmeans_fit(sliced, k=k, n_iter=n_iter, vec_col="sub")
+        )
+    joint = similarity.pq_fit(emb, m=m, k=k, n_iter=n_iter, dim=dim)
+    assert joint == sequential  # exact float equality, not approx
+
+
 def test_new_vs_returning_hand(spark):
     from hadoop_2_7_1_spark.operators.funnel import new_vs_returning
 
