@@ -141,7 +141,17 @@ def lsh_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     if sig is None:
-        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        # r11: materialize the signatures — the banded frame is referenced
+        # three times (bucket pre-count + both self-join sides), and AQE's
+        # runtime broadcast conversions RE-COMPUTE a non-materialized
+        # subtree instead of reusing its shuffle (observed: the
+        # shingle-explode + double-md5 pass, the hot cost of this operator,
+        # executed 3x in the final plan). One row of K ints per doc, so the
+        # checkpoint is narrow at any corpus size while the digest pass it
+        # saves is corpus-text-scale.
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n
+        ).localCheckpoint()
     banded = band_keys(sig, num_hashes, bands)
     ok_buckets = (
         banded.groupBy("band", "key")

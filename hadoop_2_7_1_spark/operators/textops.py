@@ -911,6 +911,10 @@ def bpe_merges(
             break
         l, r, cnt = top[0].p.l, top[0].p.r, top[0].cnt
         merges.append((rank, l, r, int(cnt)))
+        if rank == n_merges - 1:
+            # the re-merged word table of the FINAL round is never read —
+            # only the merge tuple above is; skip building it (r11)
+            break
         # apply the merge JVM-side: left-to-right greedy pair join, the
         # standard BPE application order
         merged = f"""
@@ -927,9 +931,15 @@ def bpe_merges(
                      ELSE array_append(st.acc, st.carry) END
         )
         """
+        # r11: lazy checkpoint — the per-round word-table update is a NARROW
+        # map over the (checkpointed) vocab-scale base, so there is no
+        # exchange to materialize and the eager variant's per-round job only
+        # re-wrote vocab-scale blocks nobody needed yet. The blocks persist
+        # when the next round's top-1 collect first computes them; lineage
+        # still truncates per round.
         words = words.select(
             F.expr(merged).alias("syms"), "wc"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
