@@ -1449,8 +1449,15 @@ def kneser_ney_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).cast("bigint").alias("id"),
         F.explode(F.expr(bi_expr)).alias("bg"),
     ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    # one shuffle of the occurrence stream: combine to per-doc bigram types
-    doc_bis = bis.groupBy("id", "w1", "w2").agg(F.count("*").alias("cnt"))
+    # one shuffle of the occurrence stream: combine to per-doc bigram types.
+    # r11: materialize it — doc_bis feeds the model chain (cb/ctx/cont/
+    # types) AND the scoring join, and AQE's runtime broadcast conversions
+    # re-compute non-materialized subtrees (observed: the tokenize + bigram
+    # explode executed ~6x in the final plan). The checkpoint is the same
+    # doc-type-scale frame the shuffle already moves once.
+    doc_bis = (
+        bis.groupBy("id", "w1", "w2").agg(F.count("*").alias("cnt")).localCheckpoint()
+    )
     cb = doc_bis.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
     ctx = cb.groupBy("w1").agg(
         F.sum("cb").alias("c1"), F.count("*").alias("nfol")
