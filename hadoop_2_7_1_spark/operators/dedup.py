@@ -900,11 +900,16 @@ def incremental_lsh(
     component-wise rep choice would need the connected-components loop —
     that is the BATCH keep-list's job, :func:`dup_keep_list`).
     """
+    # r11: materialize the delta's banded keys — they feed the corpus
+    # left join AND the bucket-min aggregation, and AQE's runtime broadcast
+    # conversions re-compute non-materialized subtrees (the delta's
+    # shingle + double-md5 signature pass ran twice). The delta shard is
+    # the small side by definition, so the checkpoint is bounded.
     d_banded = band_keys(
         minhash_signatures(delta, id_col, text_col, num_hashes, shingle_n),
         num_hashes,
         bands,
-    )
+    ).localCheckpoint()
     c_keys = (
         band_keys(
             minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n),
