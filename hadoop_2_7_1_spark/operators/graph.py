@@ -14,8 +14,47 @@ computation as unrolled CTEs — which is how the oracle checks it.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _compiled_rounds(anchor: DataFrame):
+    """Scope for compiling a FIXED-round iterative chain into one job.
+
+    Inside the scope the caller chains rounds with ``persist()`` (cache
+    substitution keeps the logical plan linear in rounds even when a round
+    references its predecessor several times) and materializes the final
+    frame once — instead of an eager ``localCheckpoint`` per round, which
+    under AQE runs every stage driver-synchronously and re-computes
+    non-materialized subtrees at runtime broadcast conversions.
+
+    AQE is disabled for the scope because a persisted frame pins its
+    pre-AQE shuffle layout (the r11 experiment measured persist-chained
+    rounds 2.2x WORSE under a 200-partition plain session for exactly that
+    reason). The fixed partition count is DERIVED, not constant: the
+    anchor frame is an eagerly localCheckpoint-ed input whose layout AQE
+    already coalesced by byte size, so its partition count scales with the
+    data (1-2 locally at sf0.1, thousands at 100 TB) — the same
+    size-adaptive discipline as the registry's derive_k/derive_bucket_dims
+    knobs. Restores both settings on exit; callers must materialize
+    (eager localCheckpoint) before the scope closes so the returned frame
+    never executes under the temporary settings.
+    """
+    spark = anchor.sparkSession
+    npart = max(1, anchor.rdd.getNumPartitions())
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 def pagerank(
@@ -37,50 +76,57 @@ def pagerank(
         e.select(F.col("dst").alias("node"))
     ).distinct().localCheckpoint()
     n = nodes.count()  # one metadata-scale scalar, like MLlib's initialization
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ranks = nodes.withColumn("rank_pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
-        # Contributions accumulate as SCALED BIGINT (x1e15): round(c*1e15) is
-        # the same IEEE double product and the same half-up rounding on both
-        # engines (positive values), the integer sum is exact under any
-        # partial-sum grouping, and per-dst mass <= 1 keeps the scaled sum
-        # under 2^53 so the cast back to double is lossless. (A decimal(38,24)
-        # cast is NOT portable: DuckDB scales through double*10^24, which
-        # can't be correctly rounded past 2^53.)
-        contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select(
-                "dst",
-                F.round((F.col("rank_pr") / F.col("outdeg")) * F.lit(1e15))
-                .cast("bigint")
-                .alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + damping
-                    * F.coalesce(
-                        F.col("in_sum").cast("double") / F.lit(1e15), F.lit(0.0)
-                    )
+    # Fixed-round chain compiled into ONE job (r12): rounds link through
+    # persist() under the AQE-off/derived-partition scope instead of an
+    # eager localCheckpoint per round — see _compiled_rounds.
+    with _compiled_rounds(e):
+        outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+        cached = [outdeg]
+        ranks = nodes.withColumn("rank_pr", F.lit(1.0 / n))
+        for _ in range(iterations):
+            # Contributions accumulate as SCALED BIGINT (x1e15): round(c*1e15)
+            # is the same IEEE double product and the same half-up rounding on
+            # both engines (positive values), the integer sum is exact under
+            # any partial-sum grouping, and per-dst mass <= 1 keeps the scaled
+            # sum under 2^53 so the cast back to double is lossless. (A
+            # decimal(38,24) cast is NOT portable: DuckDB scales through
+            # double*10^24, which can't be correctly rounded past 2^53.)
+            contribs = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .join(outdeg, "src")
+                .select(
+                    "dst",
+                    F.round((F.col("rank_pr") / F.col("outdeg")) * F.lit(1e15))
+                    .cast("bigint")
+                    .alias("c"),
                 )
-                .cast("double")
-                .alias("rank_pr"),
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_sum"))
             )
-            .localCheckpoint()
-        )
-        # Superseded rounds' checkpoint blocks are reclaimed by the
-        # ContextCleaner once this reassignment drops the only reference
-        # (Dataset.unpersist would be a no-op here: localCheckpoint blocks
-        # are not CacheManager entries).
-    return ranks
+            ranks = (
+                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + damping
+                        * F.coalesce(
+                            F.col("in_sum").cast("double") / F.lit(1e15), F.lit(0.0)
+                        )
+                    )
+                    .cast("double")
+                    .alias("rank_pr"),
+                )
+                .persist()
+            )
+            cached.append(ranks)
+        # One eager materialization runs the whole chain; intermediates are
+        # then dropped (checkpoint blocks outlive the cache entries).
+        final = ranks.localCheckpoint()
+        for c in cached:
+            c.unpersist()
+    return final
 
 
 def triangle_count(
@@ -825,44 +871,53 @@ def personalized_pagerank(
     s = nodes.filter("is_seed").count()  # metadata-scale scalar, |seed set|
     if s == 0:
         raise ValueError("seed_pred selects no node")
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ranks = nodes.select(
-        "node",
-        "is_seed",
-        F.when(F.col("is_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("rank_ppr"),
-    )
     base = (1.0 - damping) / s
-    for _ in range(iterations):
-        contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select(
-                "dst",
-                F.round((F.col("rank_ppr") / F.col("outdeg")) * F.lit(1e15))
-                .cast("bigint")
-                .alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
+    # Fixed-round chain compiled into ONE job (r12) — see _compiled_rounds.
+    with _compiled_rounds(e):
+        outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+        cached = [outdeg]
+        ranks = nodes.select(
+            "node",
+            "is_seed",
+            F.when(F.col("is_seed"), F.lit(1.0 / s))
+            .otherwise(F.lit(0.0))
+            .alias("rank_ppr"),
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                "is_seed",
-                (
-                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0.0))
-                    + damping
-                    * F.coalesce(
-                        F.col("in_sum").cast("double") / F.lit(1e15), F.lit(0.0)
-                    )
+        for _ in range(iterations):
+            contribs = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .join(outdeg, "src")
+                .select(
+                    "dst",
+                    F.round((F.col("rank_ppr") / F.col("outdeg")) * F.lit(1e15))
+                    .cast("bigint")
+                    .alias("c"),
                 )
-                .cast("double")
-                .alias("rank_ppr"),
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_sum"))
             )
-            .localCheckpoint()
-        )
-    return ranks.select("node", "rank_ppr")
+            ranks = (
+                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+                .select(
+                    "node",
+                    "is_seed",
+                    (
+                        F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0.0))
+                        + damping
+                        * F.coalesce(
+                            F.col("in_sum").cast("double") / F.lit(1e15), F.lit(0.0)
+                        )
+                    )
+                    .cast("double")
+                    .alias("rank_ppr"),
+                )
+                .persist()
+            )
+            cached.append(ranks)
+        final = ranks.localCheckpoint()
+        for c in cached:
+            c.unpersist()
+    return final.select("node", "rank_ppr")
 
 
 def oracle_personalized_pagerank(

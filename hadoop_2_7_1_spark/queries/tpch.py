@@ -727,28 +727,49 @@ def tq21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "l_orderkey", "l_suppkey", "o_orderstatus",
+        "l_orderkey", "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("late"),
+        # o_orderstatus is constant per order; fold the l1 predicate
+        # (status = 'F' AND late) into a per-row count so the whole query
+        # collapses into one pass over lineitem JOIN orders.
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("is_f"),
     )
-    # One aggregate replaces both correlated subqueries: per order, how many
-    # distinct suppliers participate and how many shipped late.
-    order_stats = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
-    ).select(F.col("l_orderkey").alias("so_key"), "n_supp", "n_late_supp")
+    # Two stacked aggregations replace both correlated subqueries AND the
+    # former l1-vs-order_stats self-join (which re-scanned lineitem+orders):
+    # per (order, supplier) fold the supplier's late flag and its count of
+    # waiting rows (late rows of 'F' orders); per order count suppliers,
+    # late suppliers, and total waiting rows. No countDistinct, so no
+    # Expand x2 over lineitem-scale rows — plain partial-aggregating
+    # HashAggregates on narrower keys.
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("supp_late"),
+        F.sum(F.when(F.col("late"), F.col("is_f")).otherwise(F.lit(0))).alias("n_wait"),
+    )
+    order_stats = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+        # with exactly one late supplier, every waiting row is that
+        # supplier's, so max() picks the unique late suppkey
+        F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey"))).alias("late_skey"),
+        F.sum("n_wait").alias("n_wait"),
+    )
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     supp = (
         load_table(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
-    l1 = lo.filter((F.col("o_orderstatus") == "F") & F.col("late"))
+    # EXISTS other supplier, NOT EXISTS other late supplier (l1 is itself
+    # late, so "no other late supplier" = exactly one late supplier), and
+    # at least one waiting row (status 'F' and late — n_wait > 0 implies
+    # the order is 'F' because n_late_supp = 1 guarantees a late row).
     return (
-        l1.join(order_stats, l1.l_orderkey == order_stats.so_key)
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        order_stats.filter(
+            (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1) & (F.col("n_wait") > 0)
+        )
+        .join(F.broadcast(supp), F.col("late_skey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .agg(F.sum("n_wait").cast("bigint").alias("numwait"))
     )
 
 

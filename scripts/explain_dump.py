@@ -1,9 +1,9 @@
-"""Dump .explain("formatted") for named registry queries to plans/r11/.
+"""Dump .explain("formatted") for named registry queries to plans/r12/.
 
 Usage: python scripts/explain_dump.py <suffix> <query> [query ...]
        python scripts/explain_dump.py before grf_ppr grf_hits
 
-Writes plans/r11/<query>_<suffix>.txt for each query. Building a query may
+Writes plans/r12/<query>_<suffix>.txt for each query. Building a query may
 run driver-side knob jobs (kmeans fits, counts) — that is part of the plan
 being audited, not an error. SPARK_GRAFT_SF_DIR picks the data (default
 sf0.1, the bench point, so plan shapes match what the bench measures).
@@ -22,7 +22,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
     )
     os.makedirs(out_dir, exist_ok=True)
 
